@@ -1,0 +1,26 @@
+"""ccrawler_ray — a Ray-Data-native crawl/data-processing engine.
+
+A brand-new engine (NOT a port) with the query/data-processing
+capabilities of the reference crawler ``qwang2505/ccrawler``: a
+streaming URL frontier over tables of interleaved text+media documents,
+expressed as ``ray.data.Dataset`` pipelines of ``map_batches`` over
+zero-copy Arrow batches, with stateful stages (URL-seen membership,
+per-host politeness) as Ray actor pools.
+
+Reference provenance: the reference mount ``/root/reference`` is EMPTY
+(verified — see SURVEY.md §0.1); semantics are pinned to BASELINE.json
+(driver-extracted ground truth about the reference's components) and to
+the executable serial oracle ``tests/refsim.py``.
+
+Layout:
+  spec.py       frozen pure functions + Arrow schemas (shared with refsim)
+  config.py     crawl configuration
+  storage.py    dataset-directory storage seam (Parquet now, Lance later)
+  state/        stateful actor pools: seen-shards, politeness partitions
+  stages/       stateless map_batches stages: canonicalize, fetch, extract
+  pipelines/    the generation-loop crawl driver + checkpoints
+  functions/    large-scale training-data ops: dedup, similarity, text, multimodal
+  relational.py relational operator library over parquet tables
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,56 @@
+"""Crawl configuration (S6).
+
+A plain dataclass loaded driver-side and captured by closure / actor
+init (it is tiny — broadcast by value). Reference locus: settings /
+config module of the reference (mount empty, SURVEY.md §0.1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+
+
+@dataclasses.dataclass(frozen=True)
+class CrawlConfig:
+    seeds: tuple[str, ...]
+    max_depth: int = 6
+    per_host_budget_per_generation: int = 4
+    global_budget_per_generation: int = 256
+    max_generations: int = 12
+    seed: int = 42
+    # physical knobs (scale with cluster size; defaults fit the sandbox)
+    num_seen_shards: int = 8
+    num_politeness_partitions: int = 4
+    fetch_concurrency: int = 4
+    batch_size: int = 8192
+    # skew handling: hosts with more candidates than this per generation
+    # get salted into `salt_factor` parallel shuffle groups (SURVEY.md §4.3)
+    hot_host_threshold: int = 10_000
+    salt_factor: int = 8
+
+    @staticmethod
+    def from_file(path: str | Path) -> "CrawlConfig":
+        """Load config from JSON or simple YAML (both supported)."""
+        text = Path(path).read_text()
+        if str(path).endswith(".json"):
+            data = json.loads(text)
+        else:
+            import yaml
+
+            data = yaml.safe_load(text)
+        known = {f.name for f in dataclasses.fields(CrawlConfig)}
+        data = {k: v for k, v in data.items() if k in known}
+        if "seeds" in data:
+            data["seeds"] = tuple(data["seeds"])
+        return CrawlConfig(**data)
+
+    def scaled_for(self, num_cpus: int) -> "CrawlConfig":
+        """Scale actor-pool sizes with available CPUs (SURVEY.md §4.6)."""
+        return dataclasses.replace(
+            self,
+            num_seen_shards=max(2, num_cpus // 2),
+            num_politeness_partitions=max(2, num_cpus // 4),
+            fetch_concurrency=max(2, num_cpus // 4),
+        )

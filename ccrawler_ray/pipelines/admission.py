@@ -1,0 +1,120 @@
+"""Admission (politeness) math — pure, deterministic, shared by the
+driver fast path and the distributed groupby(host) path (G1/G2 +
+salting, SURVEY.md §4.3).
+
+Semantics (frozen; mirrored by tests/refsim.py):
+  * robots-disallowed rows drop permanently;
+  * per host: eligible rows sorted by (-priority, ord_key);
+    queue_pos = rank; admitted iff queue_pos < host_admission_limit;
+  * global cap: top global_budget admitted rows by (-priority, ord_key)
+    stay; the cut rows are deferred.
+
+Salting exactness: with per-salt-group provisional top-limit as the
+stage-2 candidate set, both the admitted set and every admitted row's
+queue_pos equal the unsalted computation (proof sketch: any row with
+global per-host rank < limit has ALL rows above it in its host's
+candidate set, and any row with global rank ≥ limit keeps ≥ limit
+candidates above it — so rank and cut agree).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ccrawler_ray.spec import host_admission_limit, robots_allows
+
+# per-worker-process broadcast cache (ray.put ref -> value)
+_BCAST_CACHE: dict = {}
+
+
+def get_broadcast(ref):
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    val = _BCAST_CACHE.get(key)
+    if val is None:
+        import ray
+
+        val = ray.get(ref)
+        _BCAST_CACHE[key] = val
+    return val
+
+
+def canon_path(canon: str) -> str:
+    rest = canon.split("://", 1)[1]
+    i = rest.find("/")
+    return rest[i:] if i >= 0 else "/"
+
+
+def robots_salt_batch(batch: pa.Table, robots: dict, hot_hosts: frozenset,
+                      salt_factor: int, per_host_budget: int) -> pa.Table:
+    """Drop robots-disallowed rows; append salt + limit columns."""
+    hosts = batch.column("host").to_pylist()
+    canons = batch.column("canon").to_pylist()
+    hashes = batch.column("url_hash").to_numpy(zero_copy_only=False)
+    keep: list[int] = []
+    limits: list[int] = []
+    salts: list[int] = []
+    get = robots.get
+    for i, (h, c) in enumerate(zip(hosts, canons)):
+        delay, disallow = get(h, (0, ()))
+        if disallow and not robots_allows(canon_path(c), disallow):
+            continue
+        keep.append(i)
+        limits.append(host_admission_limit(per_host_budget, delay))
+        salts.append(int(hashes[i]) % salt_factor if h in hot_hosts else 0)
+    sub = batch.take(pa.array(keep, type=pa.int64()))
+    sub = sub.append_column("limit", pa.array(np.array(limits, dtype=np.int32)))
+    sub = sub.append_column("salt", pa.array(np.array(salts, dtype=np.int32)))
+    return sub
+
+
+def rank_group(df: pd.DataFrame) -> pd.DataFrame:
+    """Stage 1 (within host,salt): provisional rank by (-priority, ord_key)."""
+    df = df.sort_values(["priority", "ord_key"], ascending=[False, True])
+    df = df.assign(salted_rank=np.arange(len(df), dtype=np.int32))
+    return df
+
+
+def exact_admit_group(df: pd.DataFrame) -> pd.DataFrame:
+    """Stage 2 (within host, stage-1 survivors): exact queue_pos + admit."""
+    df = df.sort_values(["priority", "ord_key"], ascending=[False, True])
+    df = df.assign(queue_pos=np.arange(len(df), dtype=np.int32))
+    df = df.assign(admit=df["queue_pos"].to_numpy() < df["limit"].to_numpy())
+    return df
+
+
+def admit_table_driver(table: pa.Table, robots: dict, per_host_budget: int,
+                       global_budget: int) -> tuple[pd.DataFrame, pd.DataFrame, int]:
+    """Driver fast path over one in-memory frontier table.
+
+    Returns (admitted_df with queue_pos, deferred_df, robots_denied).
+    Identical result to the distributed path (tested equal).
+    """
+    df = table.to_pandas()
+    n0 = len(df)
+    # robots filter + limit
+    keep = np.ones(n0, dtype=bool)
+    limits = np.empty(n0, dtype=np.int32)
+    get = robots.get
+    hosts = df["host"].to_numpy()
+    canons = df["canon"].to_numpy()
+    for i in range(n0):
+        delay, disallow = get(hosts[i], (0, ()))
+        if disallow and not robots_allows(canon_path(canons[i]), disallow):
+            keep[i] = False
+        limits[i] = host_admission_limit(per_host_budget, delay)
+    denied = int(n0 - keep.sum())
+    df = df.loc[keep].assign(limit=limits[keep])
+    # per-host rank
+    df = df.sort_values(["priority", "ord_key"], ascending=[False, True])
+    df = df.assign(queue_pos=df.groupby("host").cumcount().astype(np.int32))
+    admit = df["queue_pos"].to_numpy() < df["limit"].to_numpy()
+    admitted = df.loc[admit]
+    deferred = df.loc[~admit]
+    # global cap — admitted is already (-priority, ord_key)-sorted
+    if len(admitted) > global_budget:
+        cut = admitted.iloc[global_budget:]
+        admitted = admitted.iloc[:global_budget]
+        deferred = pd.concat([deferred, cut])
+    return admitted, deferred, denied

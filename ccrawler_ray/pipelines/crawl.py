@@ -1,0 +1,491 @@
+"""The generation-loop crawl engine (SURVEY.md §3.3) — Ray-Data-native.
+
+Per generation g:
+  1. admission      groupby(host[,salt]) rank/limit + robots + global cap
+  2. fetch          map_batches corpus resolve (zero-copy Arrow)
+  3. extract        map_batches span/outlink extraction (docs_out)
+  4. discover       map_batches canonicalize/validate/score children
+  5. dedup D1       groupby(url_hash) first-wins by ord_key
+  6. seen A1        shard-routed check_and_add against the actor pool
+  7. frontier_{g+1} = deferred ∪ fresh; checkpoint; loop.
+
+Two admission paths share the same pure math
+(``pipelines.admission``): a driver fast path for frontiers below
+``driver_threshold`` rows (the distributed shuffles cost more than they
+parallelize at that size — same cutoff idea as a broadcast join
+threshold) and the distributed groupby(host,salt) path for everything
+else. Tests pin both paths to the serial oracle.
+
+State: SeenPool shard actors (A1), PolitenessPool partition actors
+(A2/A3), and the driver's generation counter — everything else is
+recomputable dataflow, checkpointed every generation (SURVEY.md §4.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ccrawler_ray import storage
+from ccrawler_ray.config import CrawlConfig
+from ccrawler_ray.pipelines.admission import (
+    admit_table_driver,
+    exact_admit_group,
+    get_broadcast,
+    rank_group,
+    robots_salt_batch,
+)
+from ccrawler_ray.spec import (
+    FRONTIER_SCHEMA,
+    METRICS_SCHEMA,
+    seed_ord_key,
+)
+from ccrawler_ray.stages.discover import CANDIDATE_SCHEMA, make_discover_fn
+from ccrawler_ray.stages.extract import explode_children, extract_docs
+from ccrawler_ray.stages.fetch import FetchActor
+from ccrawler_ray.state.politeness import PolitenessPool, load_robots_ds
+from ccrawler_ray.state.seen import SeenPool
+
+FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA]
+
+DUMP_COLS = ["generation", "host", "queue_pos", "ord_key", "canon", "status", "fetch_ts_us"]
+
+# per-worker-process fetch index cache (see stages/fetch.py docstring:
+# immutable broadcast state — cached once per reused worker process,
+# equivalent to an actor pool without per-generation pool churn)
+_FETCH_CACHE: dict = {}
+
+
+def _fetch_fn_factory(corpus_ref, delays_ref):
+    def fetch_batch(batch: pa.Table) -> pa.Table:
+        key = corpus_ref.hex()
+        actor = _FETCH_CACHE.get(key)
+        if actor is None:
+            actor = FetchActor(corpus_ref, delays_ref)
+            _FETCH_CACHE[key] = actor
+        return actor(batch)
+
+    return fetch_batch
+
+
+def _dedup_group(df: pd.DataFrame) -> pd.DataFrame:
+    """D1: within a url_hash group, first-wins by min ord_key per canon
+    (grouping on canon inside guards the astronomically-unlikely 64-bit
+    hash collision)."""
+    return df.sort_values("ord_key").drop_duplicates("canon", keep="first")
+
+
+def make_seen_filter(shards):
+    """A1 routing: partition each batch by url_hash % S, one
+    check_and_add RPC per touched shard (key-affine, atomic per shard)."""
+    num_shards = len(shards)
+
+    def seen_filter(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch
+        h = batch.column("url_hash").to_numpy(zero_copy_only=False)
+        canons = batch.column("canon").to_pylist()
+        keys = batch.column("ord_key").to_pylist()
+        sid = (h % num_shards).astype(np.int64)
+        mask = np.zeros(n, dtype=bool)
+        futs, idxs = [], []
+        for s in np.unique(sid):
+            idx = np.nonzero(sid == s)[0]
+            futs.append(
+                shards[int(s)].check_and_add.remote(
+                    h[idx], [canons[i] for i in idx], [keys[i] for i in idx]
+                )
+            )
+            idxs.append(idx)
+        for idx, fresh in zip(idxs, ray.get(futs)):
+            mask[idx] = fresh
+        return batch.filter(pa.array(mask))
+
+    return seen_filter
+
+
+@dataclasses.dataclass
+class CrawlResult:
+    docs_out: "ray.data.Dataset"
+    crawl_order: pd.DataFrame          # sorted dump (bounded: audit log)
+    seen: pa.Table
+    domain_state: pa.Table
+    metrics: pa.Table
+    generations_run: int
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        corpus,                     # path to parquet | pa.Table
+        cfg: CrawlConfig,
+        ckpt_dir: str | None = None,
+        driver_threshold: int = 100_000,
+    ):
+        self.cfg = cfg
+        self.ckpt_dir = ckpt_dir
+        self.driver_threshold = driver_threshold
+        if isinstance(corpus, (str, Path)):
+            corpus = pq.read_table(corpus)
+        self.corpus_table = corpus
+        # broadcast once: zero-copy shared via the object store
+        self.corpus_ref = ray.put(corpus)
+        self.corpus_ds = ray.data.from_arrow(corpus)
+        robots = load_robots_ds(self.corpus_ds)
+        self.robots = robots
+        self.robots_ref = ray.put(robots)
+        self.delays_ref = ray.put({h: v[0] for h, v in robots.items()})
+        self.seen_pool = SeenPool(cfg.num_seen_shards)
+        self.politeness = PolitenessPool(cfg.num_politeness_partitions, self.robots_ref)
+        self._metrics: list[tuple] = []
+        self._docs_out: list = []      # materialized per-gen docs_out Datasets
+        self._dumps: list[pd.DataFrame] = []
+        self._start_gen = 0
+        self._frontier = None          # materialized Dataset
+
+    # ------------------------------------------------------------------
+    def _count(self, gen: int, stage: str, counter: str, value: int) -> None:
+        self._metrics.append((gen, -1, stage, counter, int(value)))
+
+    def _discover(self, candidates_ds, generation: int, n_hint: int):
+        """Steps 4–6: canonicalize/validate → D1 dedup → seen filter.
+        Returns a materialized frontier-schema Dataset of fresh rows."""
+        cfg = self.cfg
+        discovered = candidates_ds.map_batches(
+            make_discover_fn(cfg.max_depth, generation), batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+        ).materialize()
+        n_disc = discovered.count()
+        if n_disc == 0:
+            return discovered
+        deduped = discovered.groupby("url_hash").map_groups(
+            _dedup_group, batch_format="pandas"
+        )
+        fresh = deduped.map_batches(
+            make_seen_filter(self.seen_pool.shards), batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+        ).materialize()
+        self._count(generation, "discover", "validated", n_disc)
+        self._count(generation, "discover", "fresh", fresh.count())
+        return fresh
+
+    def _seed_frontier(self):
+        cfg = self.cfg
+        seeds = pa.table(
+            {
+                "url": pa.array(list(cfg.seeds), pa.string()),
+                "parent": pa.array([""] * len(cfg.seeds), pa.string()),
+                "depth": pa.array(np.zeros(len(cfg.seeds), dtype=np.int32)),
+                "ord_key": pa.array([seed_ord_key(i) for i in range(len(cfg.seeds))]),
+                "is_seed": pa.array(np.ones(len(cfg.seeds), dtype=bool)),
+            },
+            schema=CANDIDATE_SCHEMA,
+        )
+        return self._discover(ray.data.from_arrow(seeds), 0, len(cfg.seeds))
+
+    # ------------------------------------------------------------------
+    def _admit_driver(self, frontier_table: pa.Table, gen: int):
+        adm, deferred, denied = admit_table_driver(
+            frontier_table, self.robots,
+            self.cfg.per_host_budget_per_generation,
+            self.cfg.global_budget_per_generation,
+        )
+        self._count(gen, "politeness", "robots_denied", denied)
+        adm_ds = ray.data.from_arrow(
+            pa.Table.from_pandas(adm, preserve_index=False)
+        ) if len(adm) else None
+        def_tbl = pa.Table.from_pandas(
+            deferred[FRONTIER_COLS], preserve_index=False
+        ).cast(FRONTIER_SCHEMA)
+        return adm_ds, ray.data.from_arrow(def_tbl)
+
+    def _admit_distributed(self, frontier_ds, gen: int):
+        cfg = self.cfg
+        robots_ref = self.robots_ref
+        # hot-host detection for salting (small aggregate)
+        hostc = frontier_ds.groupby("host").count().to_pandas()
+        cnt_col = "count()" if "count()" in hostc.columns else hostc.columns[-1]
+        hot = frozenset(hostc.loc[hostc[cnt_col] > cfg.hot_host_threshold, "host"])
+        if hot:
+            self._count(gen, "admission", "salted_hosts", len(hot))
+
+        def salt_fn(batch: pa.Table) -> pa.Table:
+            robots = get_broadcast(robots_ref)
+            return robots_salt_batch(
+                batch, robots, hot, cfg.salt_factor, cfg.per_host_budget_per_generation
+            )
+
+        salted = frontier_ds.map_batches(
+            salt_fn, batch_format="pyarrow", batch_size=cfg.batch_size
+        )
+        ranked = salted.groupby(["host", "salt"]).map_groups(
+            rank_group, batch_format="pandas"
+        ).materialize()
+
+        def cand_mask(batch: pa.Table) -> pa.Table:
+            m = np.asarray(batch.column("salted_rank")) < np.asarray(batch.column("limit"))
+            return batch.filter(pa.array(m))
+
+        def defer1_mask(batch: pa.Table) -> pa.Table:
+            m = np.asarray(batch.column("salted_rank")) >= np.asarray(batch.column("limit"))
+            return batch.filter(pa.array(m)).select(FRONTIER_COLS)
+
+        cand = ranked.map_batches(cand_mask, batch_format="pyarrow")
+        defer1 = ranked.map_batches(defer1_mask, batch_format="pyarrow")
+        final = cand.groupby("host").map_groups(
+            exact_admit_group, batch_format="pandas"
+        ).materialize()
+
+        def admit_mask(batch: pa.Table) -> pa.Table:
+            return batch.filter(batch.column("admit"))
+
+        def defer2_mask(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.invert(batch.column("admit"))).select(FRONTIER_COLS)
+
+        admitted = final.map_batches(admit_mask, batch_format="pyarrow").materialize()
+        defer2 = final.map_batches(defer2_mask, batch_format="pyarrow")
+        n_adm = admitted.count()
+        K = cfg.global_budget_per_generation
+        defer3 = None
+        if n_adm > K:
+            # global cap: find the K-th (priority, ord_key) threshold by
+            # streaming the sorted-limited prefix (never take_all)
+            lim = admitted.sort(["priority", "ord_key"], descending=[True, False]).limit(K)
+            last = None
+            for b in lim.iter_batches(batch_format="pyarrow", batch_size=8192):
+                if b.num_rows:
+                    last = (b.column("priority")[-1].as_py(), b.column("ord_key")[-1].as_py())
+            thr_p, thr_k = last
+
+            def cap_keep(batch: pa.Table) -> pa.Table:
+                p = np.asarray(batch.column("priority"))
+                k = np.array(batch.column("ord_key").to_pylist())
+                m = (p > thr_p) | ((p == thr_p) & (k <= thr_k))
+                return batch.filter(pa.array(m))
+
+            def cap_cut(batch: pa.Table) -> pa.Table:
+                p = np.asarray(batch.column("priority"))
+                k = np.array(batch.column("ord_key").to_pylist())
+                m = (p > thr_p) | ((p == thr_p) & (k <= thr_k))
+                return batch.filter(pa.array(~m)).select(FRONTIER_COLS)
+
+            defer3 = admitted.map_batches(cap_cut, batch_format="pyarrow")
+            admitted = admitted.map_batches(cap_keep, batch_format="pyarrow").materialize()
+        deferred = defer1.union(defer2) if defer3 is None else defer1.union(defer2, defer3)
+        return admitted, deferred.materialize()
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _to_table(ds) -> pa.Table:
+        # empty blocks can carry empty schemas — skip them
+        tables = [
+            t.select(FRONTIER_COLS).cast(FRONTIER_SCHEMA)
+            for t in ray.get(ds.to_arrow_refs())
+            if t.num_rows
+        ]
+        return pa.concat_tables(tables) if tables else FRONTIER_SCHEMA.empty_table()
+
+    def run(self) -> CrawlResult:
+        cfg = self.cfg
+        if self._frontier is None:
+            self._frontier = self._seed_frontier()
+        frontier = self._frontier
+        fetch_fn = _fetch_fn_factory(self.corpus_ref, self.delays_ref)
+        gens_run = self._start_gen
+        for g in range(self._start_gen, cfg.max_generations):
+            n_frontier = frontier.count()
+            if n_frontier == 0:
+                break
+            gens_run = g + 1
+            self._count(g, "frontier", "size", n_frontier)
+
+            # ---- 1. admission
+            if n_frontier <= self.driver_threshold:
+                adm_ds, deferred = self._admit_driver(self._to_table(frontier), g)
+            else:
+                adm_ds, deferred = self._admit_distributed(frontier, g)
+                if adm_ds is not None and adm_ds.count() == 0:
+                    adm_ds = None
+            if adm_ds is None:
+                # everything left was robots-denied and dropped
+                frontier = deferred
+                if frontier.count() == 0:
+                    break
+                continue
+
+            def add_gen(batch: pa.Table, _g=g) -> pa.Table:
+                return batch.append_column(
+                    "fetch_generation", pa.array(np.full(batch.num_rows, _g, dtype=np.int32))
+                )
+
+            # ---- 2. fetch
+            fetched = adm_ds.map_batches(add_gen, batch_format="pyarrow").map_batches(
+                fetch_fn, batch_format="pyarrow", batch_size=cfg.batch_size,
+            ).materialize()
+
+            # crawl-order dump (bounded by global budget per generation)
+            dump = fetched.select_columns(DUMP_COLS).to_pandas()
+            dump = dump.sort_values(["generation", "host", "queue_pos", "ord_key"])
+            self._dumps.append(dump)
+            n200 = int((dump["status"] == 200).sum())
+            self._count(g, "fetch", "status_200", n200)
+            self._count(g, "fetch", "status_404", len(dump) - n200)
+            self._count(g, "admission", "admitted", len(dump))
+
+            # ---- politeness bookkeeping (A2 actors own domain_state)
+            hs = dump.groupby("host").agg(
+                n=("canon", "size"), ts=("fetch_ts_us", "max")
+            )
+            violations = self.politeness.record_admission(
+                {h: (int(r["n"]), int(r["ts"])) for h, r in hs.iterrows()},
+                g, cfg.per_host_budget_per_generation,
+            )
+            if violations:
+                raise RuntimeError(f"politeness violation in generation {g}")
+
+            # ---- 3. extract
+            docs_out = fetched.map_batches(
+                extract_docs, batch_format="pyarrow", batch_size=cfg.batch_size
+            ).materialize()
+            self._docs_out.append(docs_out)
+
+            # ---- 4–6. children → discover → dedup → seen
+            children = docs_out.map_batches(
+                explode_children, batch_format="pyarrow", batch_size=cfg.batch_size
+            )
+            fresh = self._discover(children, g + 1, n200)
+
+            # ---- 7. next frontier
+            if fresh.count() > 0:
+                frontier = deferred.union(fresh).materialize()
+            else:
+                frontier = deferred.materialize()
+            self._count(g, "frontier", "deferred_plus_fresh", frontier.count())
+            if self.ckpt_dir is not None:
+                self._checkpoint(g, frontier, docs_out, dump)
+        self._frontier = frontier
+        return self._result(gens_run)
+
+    # ------------------------------------------------------------------
+    def _metrics_table(self) -> pa.Table:
+        cols = list(zip(*self._metrics)) if self._metrics else [[], [], [], [], []]
+        return pa.table(
+            {
+                "generation": pa.array(list(cols[0]), pa.int32()),
+                "partition": pa.array(list(cols[1]), pa.int32()),
+                "stage": pa.array(list(cols[2]), pa.string()),
+                "counter": pa.array(list(cols[3]), pa.string()),
+                "value": pa.array(list(cols[4]), pa.int64()),
+            },
+            schema=METRICS_SCHEMA,
+        )
+
+    def _result(self, generations_run: int) -> CrawlResult:
+        docs = self._docs_out[0] if self._docs_out else None
+        for d in self._docs_out[1:]:
+            docs = docs.union(d)
+        if docs is None:
+            docs = ray.data.from_items([])
+        dump = (
+            pd.concat(self._dumps).sort_values(["generation", "host", "queue_pos", "ord_key"])
+            if self._dumps
+            else pd.DataFrame(columns=DUMP_COLS)
+        )
+        seen = pa.concat_tables(self.seen_pool.dump_tables())
+        domain = pa.concat_tables(self.politeness.dump_tables())
+        return CrawlResult(
+            docs_out=docs,
+            crawl_order=dump.reset_index(drop=True),
+            seen=seen,
+            domain_state=domain,
+            metrics=self._metrics_table(),
+            generations_run=generations_run,
+        )
+
+    # ------------------------------------------------------------------
+    def _checkpoint(self, g: int, frontier, docs_out, dump: pd.DataFrame) -> None:
+        root = Path(self.ckpt_dir)
+        gen_dir = root / f"gen={g}"
+        storage.clear_generation(root, g)
+        frontier.write_parquet(str(gen_dir / "frontier"))
+        docs_out.write_parquet(str(gen_dir / "docs_out"))
+        for i, t in enumerate(self.seen_pool.dump_tables()):
+            storage.write_table(t, gen_dir / "seen" / f"shard={i}.parquet")
+        for i, t in enumerate(self.politeness.dump_tables()):
+            storage.write_table(t, gen_dir / "domain_state" / f"part={i}.parquet")
+        storage.write_table(
+            pa.Table.from_pandas(dump, preserve_index=False), gen_dir / "crawl_order.parquet"
+        )
+        storage.write_table(self._metrics_table(), gen_dir / "metrics.parquet")
+        storage.write_manifest(
+            gen_dir,
+            {
+                "generation": g,
+                "schema_version": 1,
+                "num_seen_shards": self.cfg.num_seen_shards,
+                "num_politeness_partitions": self.cfg.num_politeness_partitions,
+                "frontier_files": storage.dataset_files(gen_dir / "frontier"),
+                "docs_out_files": storage.dataset_files(gen_dir / "docs_out"),
+                "lineage": {
+                    "frontier_rows": frontier.count(),
+                    "fetched_rows": len(dump),
+                },
+            },
+        )
+
+    def resume(self) -> bool:
+        """Rehydrate engine state from the latest valid checkpoint.
+        Returns True if a checkpoint was found."""
+        assert self.ckpt_dir is not None
+        last = storage.latest_valid_generation(self.ckpt_dir)
+        if last is None:
+            return False
+        root = Path(self.ckpt_dir)
+        gen_dir = root / f"gen={last}"
+        man = storage.read_manifest(gen_dir)
+        assert man is not None and man["generation"] == last
+        frontier_files = storage.dataset_files(gen_dir / "frontier")
+        if frontier_files:
+            # select FRONTIER_COLS: read_parquet may add hive-partition
+            # columns inferred from the gen=N/ path
+            self._frontier = ray.data.read_parquet(frontier_files).map_batches(
+                lambda t: t.select(FRONTIER_COLS).cast(FRONTIER_SCHEMA),
+                batch_format="pyarrow",
+            ).materialize()
+        else:
+            self._frontier = ray.data.from_arrow(FRONTIER_SCHEMA.empty_table())
+        seen_tables = [storage.read_table(p) for p in (gen_dir / "seen").glob("*.parquet")]
+        if seen_tables:
+            self.seen_pool.restore_from_table(pa.concat_tables(seen_tables))
+        dom_tables = [storage.read_table(p) for p in (gen_dir / "domain_state").glob("*.parquet")]
+        if dom_tables:
+            self.politeness.restore_from_table(pa.concat_tables(dom_tables))
+        # prior generations' outputs
+        self._docs_out = []
+        self._dumps = []
+        for gg in range(last + 1):
+            gd = root / f"gen={gg}"
+            files = storage.dataset_files(gd / "docs_out")
+            if files:
+                self._docs_out.append(ray.data.read_parquet(files).materialize())
+            co = gd / "crawl_order.parquet"
+            if co.exists():
+                self._dumps.append(storage.read_table(co).to_pandas())
+        mt = storage.read_table(gen_dir / "metrics.parquet").to_pandas()
+        self._metrics = [tuple(r) for r in mt.itertuples(index=False)]
+        self._start_gen = last + 1
+        return True
+
+    def shutdown(self) -> None:
+        self.seen_pool.kill()
+        self.politeness.kill()

@@ -1,0 +1,110 @@
+"""Fetch stage (M6/A5/J1): resolve admitted frontier URLs against the
+interleaved-docs corpus — the simulated web.
+
+``FetchActor`` is a callable class → Ray actor pool via
+``map_batches(FetchActor, concurrency=N)``: the corpus lookup index is
+built ONCE per actor in ``__init__`` from an object-store reference
+(``ray.put`` of the corpus Arrow table — zero-copy shared on a node),
+then every batch is a vectorized take.
+
+Scale path (100 TB corpus): the in-actor index is replaced by a keyed
+lookup into Lance (take-by-key on a secondary index) or by the
+broadcast-admitted semi-join over a corpus scan
+(:func:`fetch_via_semi_join` below) — the admitted set per generation
+is bounded by the global budget and is ALWAYS the small side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ccrawler_ray.spec import FETCHED_SCHEMA, as_single_array
+
+
+class FetchActor:
+    def __init__(self, corpus_ref, delays_ref):
+        corpus: pa.Table = ray.get(corpus_ref)
+        spans = as_single_array(corpus.column("spans"))
+        # sentinel empty-list row at the end: 404s take() it
+        empty = pa.array([[]], type=spans.type)
+        self.spans = pa.concat_arrays([spans, empty])
+        self.miss_idx = len(self.spans) - 1
+        doc_ids = corpus.column("doc_id").to_pylist()
+        self.index = {d: i for i, d in enumerate(doc_ids)}
+        self.delays: dict[str, int] = ray.get(delays_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        canons = batch.column("canon").to_pylist()
+        hosts = batch.column("host").to_pylist()
+        qpos = batch.column("queue_pos").to_numpy(zero_copy_only=False)
+        gens = batch.column("fetch_generation").to_numpy(zero_copy_only=False)
+        n = len(canons)
+        idx = np.fromiter((self.index.get(c, -1) for c in canons), dtype=np.int64, count=n)
+        status = np.where(idx >= 0, 200, 404).astype(np.int32)
+        delays = np.fromiter((self.delays.get(h, 0) for h in hosts), dtype=np.int64, count=n)
+        # virtual clock (spec.fetch_virtual_ts_us, vectorized)
+        ts = gens.astype(np.int64) * 1_000_000 + qpos.astype(np.int64) * (1 + delays) * 1_000
+        take_idx = pa.array(np.where(idx >= 0, idx, self.miss_idx), type=pa.int64())
+        spans = self.spans.take(take_idx)
+        return pa.Table.from_arrays(
+            [
+                batch.column("canon"),
+                batch.column("host"),
+                pa.array(status),
+                spans,
+                pa.array(gens.astype(np.int32)),
+                batch.column("queue_pos"),
+                batch.column("ord_key"),
+                batch.column("depth"),
+                pa.array(ts, type=pa.int64()),
+            ],
+            schema=FETCHED_SCHEMA,
+        )
+
+
+def fetch_via_semi_join(corpus_ds, admitted_table: pa.Table, delays: dict):
+    """Scale-path fetch: broadcast the (small) admitted set, stream the
+    corpus once, and semi-join on doc_id == canon inside map_batches.
+    Misses (404s) are computed driver-side as admitted ∖ hits.
+
+    Returns (hits Dataset with FETCHED_SCHEMA columns, admitted_table).
+    """
+    adm_ref = ray.put(admitted_table)
+    delays_ref = ray.put(delays)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        adm: pa.Table = ray.get(adm_ref)
+        dl: dict = ray.get(delays_ref)
+        lookup = {c: j for j, c in enumerate(adm.column("canon").to_pylist())}
+        doc_ids = batch.column("doc_id").to_pylist()
+        pairs = [(i, lookup[d]) for i, d in enumerate(doc_ids) if d in lookup]
+        if not pairs:
+            return pa.table({}, schema=FETCHED_SCHEMA)
+        bidx = pa.array([p[0] for p in pairs], type=pa.int64())
+        aidx = pa.array([p[1] for p in pairs], type=pa.int64())
+        sub_a = adm.take(aidx)
+        hosts = sub_a.column("host").to_pylist()
+        qpos = sub_a.column("queue_pos").to_numpy(zero_copy_only=False).astype(np.int64)
+        gens = sub_a.column("fetch_generation").to_numpy(zero_copy_only=False).astype(np.int64)
+        dls = np.fromiter((dl.get(h, 0) for h in hosts), dtype=np.int64, count=len(hosts))
+        ts = gens * 1_000_000 + qpos * (1 + dls) * 1_000
+        n = len(pairs)
+        return pa.Table.from_arrays(
+            [
+                sub_a.column("canon"),
+                sub_a.column("host"),
+                pa.array(np.full(n, 200, dtype=np.int32)),
+                batch.column("spans").take(bidx),
+                pa.array(gens.astype(np.int32)),
+                sub_a.column("queue_pos"),
+                sub_a.column("ord_key"),
+                sub_a.column("depth"),
+                pa.array(ts, type=pa.int64()),
+            ],
+            schema=FETCHED_SCHEMA,
+        )
+
+    return corpus_ds.map_batches(probe, batch_format="pyarrow"), admitted_table

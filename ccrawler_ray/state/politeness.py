@@ -1,0 +1,175 @@
+"""A2/A3 — domain politeness: robots + crawl-delay state per partition.
+
+BASELINE.json: "robots.txt + crawl-delay budgets enforced per-partition
+by stateful fetch actors". Reference locus (mount empty, SURVEY.md
+§0.1): the domain politeness / heartbeat scheduler.
+
+Design
+------
+* Hosts are partitioned by ``hash64(host) % P`` with host→partition
+  affinity: one partition actor OWNS a host's budget and virtual clock.
+* The robots corpus (host → crawl_delay, disallow) is built by ONE
+  vectorized pass over the corpus' robots.txt rows (``load_robots_ds``)
+  and broadcast via ``ray.put``; each partition actor keeps only its
+  own hosts' entries (at 10^10 scale the full map never lives in one
+  process).
+* Admission *math* (rank, limit, robots filter) is pure and runs
+  inside the groupby(host) shuffle (deterministic, SURVEY.md §4.3);
+  the partition actors are the system of record: they re-validate the
+  per-host admitted counts against the budget, advance the per-host
+  virtual clock, and count fetches — and their dump IS the
+  ``domain_state`` checkpoint table.
+* Heartbeats (A4): the reference's worker heartbeats are subsumed by
+  Ray's task retry + lineage; we record a per-generation heartbeat
+  (``heartbeat_generation``) per partition instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ccrawler_ray.spec import (
+    DOMAIN_STATE_SCHEMA,
+    hash64,
+    host_admission_limit,
+    parse_robots,
+    url_host,
+)
+
+
+def load_robots_ds(corpus_ds) -> dict:
+    """host -> (crawl_delay, disallow) from robots.txt docs, via one
+    vectorized filter pass over the corpus Dataset (columns pruned)."""
+    robots: dict[str, tuple[int, tuple[str, ...]]] = {}
+
+    def pick_robots(batch: pa.Table) -> pa.Table:
+        mask = pc.ends_with(batch.column("doc_id"), "/robots.txt")
+        return batch.filter(mask)
+
+    sub = corpus_ds.map_batches(pick_robots, batch_format="pyarrow")
+    for batch in sub.iter_batches(batch_format="pyarrow"):
+        for doc_id, spans in zip(batch.column("doc_id").to_pylist(),
+                                 batch.column("spans").to_pylist()):
+            text = "\n".join(s["text"] for s in spans if s["kind"] == "text")
+            robots[url_host(doc_id)] = parse_robots(text)
+    return robots
+
+
+def host_partition(host: str, num_partitions: int) -> int:
+    return hash64(host, seed=13) % num_partitions
+
+
+@ray.remote(num_cpus=0.25)
+class PolitenessPartition:
+    """Owns politeness state for hosts with hash64(host,13)%P == part_id."""
+
+    def __init__(self, part_id: int, num_partitions: int, robots_ref):
+        # Ray auto-resolves a top-level ObjectRef argument to its value
+        self.part_id = part_id
+        if isinstance(robots_ref, ray.ObjectRef):
+            robots_ref = ray.get(robots_ref)
+        full = robots_ref if robots_ref is not None else {}
+        self.robots = {
+            h: v for h, v in full.items()
+            if host_partition(h, num_partitions) == part_id
+        }
+        # host -> [crawl_delay, last_fetch_ts_us, fetched_total]
+        self.state: dict[str, list] = {}
+        self.heartbeat_generation = -1
+
+    def record_admission(self, hosts: list[str], counts: list[int],
+                         last_ts: list[int], generation: int,
+                         per_host_budget: int) -> int:
+        """Validate + record one generation's admitted fetches for this
+        partition's hosts. Returns number of budget violations (must be
+        0 — the pure admission math already enforced the limit)."""
+        violations = 0
+        for host, n, ts in zip(hosts, counts, last_ts):
+            delay = self.robots.get(host, (0, ()))[0]
+            if n > host_admission_limit(per_host_budget, delay):
+                violations += 1
+            st = self.state.setdefault(host, [delay, 0, 0])
+            st[1] = max(st[1], int(ts))
+            st[2] += int(n)
+        self.heartbeat_generation = generation
+        return violations
+
+    def dump(self) -> pa.Table:
+        hosts = list(self.state.keys())
+        delays, last, total = [], [], []
+        for h in hosts:
+            d, ts, n = self.state[h]
+            delays.append(d)
+            last.append(ts)
+            total.append(n)
+        robots_txt = ["" for _ in hosts]  # raw text not retained; parsed form is
+        return pa.Table.from_arrays(
+            [
+                pa.array(hosts, type=pa.string()),
+                pa.array(robots_txt, type=pa.string()),
+                pa.array(np.array(delays, dtype=np.int32)),
+                pa.array(np.array(last, dtype=np.int64)),
+                pa.array(np.full(len(hosts), self.heartbeat_generation, dtype=np.int32)),
+                pa.array(np.array(total, dtype=np.int64)),
+            ],
+            schema=DOMAIN_STATE_SCHEMA,
+        )
+
+    def restore(self, table: pa.Table) -> int:
+        for h, d, ts, hb, n in zip(
+            table.column("host").to_pylist(),
+            table.column("crawl_delay").to_pylist(),
+            table.column("last_fetch_ts_us").to_pylist(),
+            table.column("heartbeat_generation").to_pylist(),
+            table.column("fetched_total").to_pylist(),
+        ):
+            self.state[h] = [d, ts, n]
+            self.heartbeat_generation = max(self.heartbeat_generation, hb)
+        return len(self.state)
+
+
+class PolitenessPool:
+    def __init__(self, num_partitions: int, robots_ref):
+        self.num_partitions = num_partitions
+        self.parts = [
+            PolitenessPartition.remote(i, num_partitions, robots_ref)
+            for i in range(num_partitions)
+        ]
+
+    def record_admission(self, host_stats: dict, generation: int,
+                         per_host_budget: int) -> int:
+        """host_stats: host -> (count, last_ts). Routed by host affinity."""
+        per_part: dict[int, tuple[list, list, list]] = {}
+        for host, (n, ts) in host_stats.items():
+            p = host_partition(host, self.num_partitions)
+            hs, cs, tss = per_part.setdefault(p, ([], [], []))
+            hs.append(host)
+            cs.append(n)
+            tss.append(ts)
+        refs = [
+            self.parts[p].record_admission.remote(hs, cs, tss, generation, per_host_budget)
+            for p, (hs, cs, tss) in per_part.items()
+        ]
+        return sum(ray.get(refs)) if refs else 0
+
+    def dump_tables(self) -> list[pa.Table]:
+        return ray.get([p.dump.remote() for p in self.parts])
+
+    def restore_from_table(self, table: pa.Table) -> None:
+        """Rehydrate by re-routing hosts on their partition affinity."""
+        hosts = table.column("host").to_pylist()
+        per_part: dict[int, list[int]] = {}
+        for i, h in enumerate(hosts):
+            per_part.setdefault(host_partition(h, self.num_partitions), []).append(i)
+        refs = [
+            self.parts[p].restore.remote(table.take(pa.array(idx)))
+            for p, idx in per_part.items()
+        ]
+        ray.get(refs)
+
+    def kill(self) -> None:
+        for p in self.parts:
+            ray.kill(p)

@@ -1,0 +1,170 @@
+"""A1 — URL-seen membership: a sharded filter held in a Ray actor pool.
+
+BASELINE.json: "URL-seen membership is a sharded bloom/cuckoo filter
+held in an actor pool keyed by canonicalized-URL hash". Reference locus
+(mount empty, SURVEY.md §0.1): the URL dedup cache.
+
+Design
+------
+``SeenShard`` actors, shard = ``url_hash % num_shards`` (uniform by
+construction of the hash). Each shard holds:
+
+* an **exact dict** ``url_hash -> (canon, first ord_key)`` — the
+  authoritative membership at sandbox scale, also what the checkpoint
+  dumps;
+* a **bloom filter** (numpy bitset, k hash probes derived from the
+  64-bit key) sized for the configured capacity — the scale path: at
+  10^10 URLs the exact dict is replaced by the bloom (≈12 bits/URL at
+  1% FP ≈ 15 GB across 64 shards, SURVEY.md §4.1) with the exact dict
+  retained only per-shard-sampled for FP auditing.
+
+``check_and_add`` is atomic per shard (actor = single-threaded), so
+first-wins semantics need no locking; within a generation the caller
+has already deduplicated candidates (D1), so no same-key race exists
+across concurrent batches.
+
+Routing is key-affine: callers partition each batch by
+``url_hash % num_shards`` and issue one ``check_and_add`` per touched
+shard (NOT an anonymous map_batches pool).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ccrawler_ray.spec import SEEN_SCHEMA
+
+BLOOM_BITS_PER_KEY = 12
+BLOOM_PROBES = 7
+
+
+class _Bloom:
+    """Minimal blocked bloom over uint64 keys; vectorized probes."""
+
+    def __init__(self, capacity: int):
+        nbits = max(1024, int(capacity * BLOOM_BITS_PER_KEY))
+        self.nbits = np.uint64(nbits)
+        self.bits = np.zeros((nbits + 63) // 64, dtype=np.uint64)
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        # double hashing: h1 + i*h2 (Kirsch–Mitzenmacher), all vectorized
+        h1 = keys
+        h2 = (keys >> np.uint64(33)) | np.uint64(1)
+        i = np.arange(BLOOM_PROBES, dtype=np.uint64)[:, None]
+        return (h1[None, :] + i * h2[None, :]) % self.nbits  # (k, n)
+
+    def add(self, keys: np.ndarray) -> None:
+        pos = self._positions(keys)
+        np.bitwise_or.at(self.bits, (pos >> np.uint64(6)).ravel(),
+                         np.uint64(1) << (pos.ravel() & np.uint64(63)))
+
+    def might_contain(self, keys: np.ndarray) -> np.ndarray:
+        pos = self._positions(keys)
+        word = self.bits[pos >> np.uint64(6)]
+        hit = (word >> (pos & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=0).astype(bool)
+
+    def fill_ratio(self) -> float:
+        return float(np.unpackbits(self.bits.view(np.uint8)).mean())
+
+
+@ray.remote(num_cpus=0.25)
+class SeenShard:
+    """One shard of the URL-seen pool. max_restarts=0: state is restored
+    from checkpoint dumps, not by Ray restart (SURVEY.md §4.5)."""
+
+    def __init__(self, shard_id: int, capacity: int = 1_000_000, exact: bool = True):
+        self.shard_id = shard_id
+        self.exact = exact
+        self.table: dict[int, tuple[str, str]] = {}
+        self.bloom = _Bloom(capacity)
+
+    def check_and_add(self, url_hashes: np.ndarray, canons: list[str],
+                      ord_keys: list[str]) -> np.ndarray:
+        """First-wins membership: returns bool mask of FRESH rows and
+        registers them. Bloom is maintained alongside the exact dict."""
+        fresh = np.zeros(len(canons), dtype=bool)
+        table = self.table
+        for i, (h, c, k) in enumerate(zip(url_hashes.tolist(), canons, ord_keys)):
+            cur = table.get(h)
+            if cur is None:
+                table[h] = (c, k)
+                fresh[i] = True
+            elif cur[1] == k:
+                # idempotent re-check (Ray task retry): same row, same answer
+                fresh[i] = True
+        if fresh.any():
+            self.bloom.add(url_hashes[fresh])
+        return fresh
+
+    def might_contain(self, url_hashes: np.ndarray) -> np.ndarray:
+        """Bloom-only probe (scale path; may false-positive, never
+        false-negative)."""
+        return self.bloom.might_contain(url_hashes)
+
+    def dump(self) -> pa.Table:
+        """Checkpoint dump of the exact membership (SEEN_SCHEMA)."""
+        hashes = np.fromiter(self.table.keys(), dtype=np.uint64, count=len(self.table))
+        canons, keys = [], []
+        for c, k in self.table.values():
+            canons.append(c)
+            keys.append(k)
+        return pa.Table.from_arrays(
+            [
+                pa.array(hashes, type=pa.uint64()),
+                pa.array(canons, type=pa.string()),
+                pa.array(np.full(len(canons), self.shard_id, dtype=np.uint16)),
+                pa.array(keys, type=pa.string()),
+            ],
+            schema=SEEN_SCHEMA,
+        )
+
+    def restore(self, table: pa.Table) -> int:
+        """Rehydrate from a checkpoint dump."""
+        hashes = table.column("url_hash").to_numpy(zero_copy_only=False)
+        canons = table.column("canon").to_pylist()
+        keys = table.column("first_key").to_pylist()
+        for h, c, k in zip(hashes.tolist(), canons, keys):
+            self.table[h] = (c, k)
+        if len(hashes):
+            self.bloom.add(hashes.astype(np.uint64))
+        return len(self.table)
+
+    def stats(self) -> dict:
+        return {
+            "shard": self.shard_id,
+            "size": len(self.table),
+            "bloom_fill": self.bloom.fill_ratio(),
+        }
+
+
+class SeenPool:
+    """Driver-side handle over the shard actors (key-affine routing)."""
+
+    def __init__(self, num_shards: int, capacity_per_shard: int = 1_000_000):
+        self.num_shards = num_shards
+        self.shards = [SeenShard.remote(i, capacity_per_shard) for i in range(num_shards)]
+
+    def dump_tables(self) -> list[pa.Table]:
+        return ray.get([s.dump.remote() for s in self.shards])
+
+    def restore_from_table(self, table: pa.Table) -> None:
+        """Rehydrate by re-routing rows on url_hash % num_shards — robust
+        to a different shard count than the dumping run's."""
+        hashes = table.column("url_hash").to_numpy(zero_copy_only=False)
+        sid = hashes % np.uint64(self.num_shards)
+        refs = []
+        for s in range(self.num_shards):
+            idx = np.nonzero(sid == s)[0]
+            if len(idx):
+                refs.append(self.shards[s].restore.remote(table.take(pa.array(idx))))
+        ray.get(refs)
+
+    def total_size(self) -> int:
+        return sum(s["size"] for s in ray.get([sh.stats.remote() for sh in self.shards]))
+
+    def kill(self) -> None:
+        for s in self.shards:
+            ray.kill(s)

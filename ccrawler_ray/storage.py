@@ -1,0 +1,86 @@
+"""Storage seam: Lance-style dataset directories on a Parquet backend.
+
+``north_rule`` names Lance tables; no lance wheel exists on this sealed
+image (SURVEY.md §0.3), so every call site goes through this seam: a
+*dataset directory* of fragment files plus a JSON manifest written
+last (write-temp + atomic rename). The Lance backend is a drop-in
+replacement when the wheel exists — checkpoint/resume semantics are
+defined on the manifest, not the file format.
+
+Checkpoint layout (SURVEY.md §4.5):
+    <root>/gen=N/frontier/*.parquet
+    <root>/gen=N/seen/shard=K.parquet
+    <root>/gen=N/domain_state/part=K.parquet
+    <root>/gen=N/docs_out/*.parquet
+    <root>/gen=N/metrics.parquet
+    <root>/gen=N/MANIFEST.json          # written LAST → marks gen valid
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BACKEND = "parquet"  # | "lance" (when the wheel exists)
+
+MANIFEST_NAME = "MANIFEST.json"
+
+
+def write_table(table: pa.Table, path: str | Path) -> None:
+    """Atomic single-file write (temp + rename)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def read_table(path: str | Path) -> pa.Table:
+    return pq.read_table(path)
+
+
+def write_manifest(gen_dir: str | Path, manifest: dict) -> None:
+    """Written LAST: its presence marks the checkpoint generation valid."""
+    gen_dir = Path(gen_dir)
+    gen_dir.mkdir(parents=True, exist_ok=True)
+    tmp = gen_dir / (MANIFEST_NAME + ".tmp")
+    tmp.write_text(json.dumps(manifest, indent=1, sort_keys=True))
+    os.replace(tmp, gen_dir / MANIFEST_NAME)
+
+
+def read_manifest(gen_dir: str | Path) -> dict | None:
+    p = Path(gen_dir) / MANIFEST_NAME
+    if not p.exists():
+        return None
+    return json.loads(p.read_text())
+
+
+def latest_valid_generation(root: str | Path) -> int | None:
+    """Highest gen=N directory containing a manifest (i.e. fully written)."""
+    root = Path(root)
+    if not root.exists():
+        return None
+    gens = []
+    for d in root.iterdir():
+        if d.is_dir() and d.name.startswith("gen=") and (d / MANIFEST_NAME).exists():
+            gens.append(int(d.name.split("=", 1)[1]))
+    return max(gens) if gens else None
+
+
+def clear_generation(root: str | Path, generation: int) -> None:
+    """Remove a partial (manifest-less or superseded) generation dir."""
+    d = Path(root) / f"gen={generation}"
+    if d.exists():
+        shutil.rmtree(d)
+
+
+def dataset_files(dir_path: str | Path) -> list[str]:
+    d = Path(dir_path)
+    if not d.exists():
+        return []
+    return sorted(str(p) for p in d.rglob("*.parquet"))

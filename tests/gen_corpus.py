@@ -1,0 +1,129 @@
+"""Deterministic interleaved-docs corpus generator (FIXTURES.md §1).
+
+A pseudo-web graph over hosts ``h{i}.example`` with Zipf page-count
+skew, pages of interleaved text/media spans, ~20% of text spans
+embedding ``href:<url>`` outlink tokens, per-host robots.txt docs.
+One ``random.Random(seed)`` stream; generation order fixed by
+(host index, page index) → byte-reproducible output.
+
+Usable as a library (tests) and a script (bench fixture writer).
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pyarrow as pa
+
+from ccrawler_ray.spec import DOCS_SCHEMA
+
+WORDS = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod "
+    "tempor incididunt ut labore et dolore magna aliqua enim ad minim veniam "
+    "quis nostrud exercitation ullamco laboris nisi aliquip ex ea commodo"
+).split()
+
+
+def _zipf_counts(num_hosts: int, total_pages: int, rng: random.Random, a: float = 1.2):
+    weights = np.array([1.0 / (i + 1) ** a for i in range(num_hosts)])
+    weights /= weights.sum()
+    counts = np.maximum(1, np.round(weights * total_pages).astype(int))
+    return counts.tolist()
+
+
+def generate_corpus(num_hosts: int, total_pages: int, seed: int = 42) -> pa.Table:
+    """Generate the docs corpus table (doc_id, spans) per FIXTURES.md §1."""
+    rng = random.Random(seed)
+    counts = _zipf_counts(num_hosts, total_pages, rng)
+    # page universe first so links can point at real pages
+    pages = [
+        (f"http://h{i}.example/p{j}" if rng.random() > 0.10 else f"http://h{i}.example/private/p{j}")
+        for i in range(num_hosts)
+        for j in range(counts[i])
+    ]
+    page_set_by_host: list[list[str]] = []
+    k = 0
+    for i in range(num_hosts):
+        page_set_by_host.append(pages[k : k + counts[i]])
+        k += counts[i]
+
+    doc_ids: list[str] = []
+    spans_col: list[list[dict]] = []
+
+    def alias(url: str) -> str:
+        """Non-canonical alias of a URL (exercises the canonicalizer)."""
+        r = rng.random()
+        if r < 0.25:
+            scheme, rest = url.split("://", 1)
+            host, path = rest.split("/", 1)
+            return f"{scheme}://{host.upper()}/{path}"
+        if r < 0.5:
+            return url + "#frag"
+        if r < 0.75:
+            return url + "/"
+        return url + "?utm_source=x"
+
+    for i in range(num_hosts):
+        # robots doc, one per host
+        d = rng.randint(0, 3)
+        doc_ids.append(f"http://h{i}.example/robots.txt")
+        spans_col.append(
+            [{"kind": "text", "text": f"crawl-delay: {d}\ndisallow: /private", "media_ref": "", "offset": 0}]
+        )
+        own = page_set_by_host[i]
+        for j, page in enumerate(own):
+            n_spans = rng.randint(3, 12)
+            spans: list[dict] = []
+            off = 0
+            for _ in range(n_spans):
+                if rng.random() < 0.75:
+                    words = [rng.choice(WORDS) for _ in range(rng.randint(4, 12))]
+                    if rng.random() < 0.35:
+                        # embed an outlink token
+                        r = rng.random()
+                        if r < 0.30:
+                            tgt_host = rng.randrange(num_hosts)  # cross-host
+                            tgt = rng.choice(page_set_by_host[tgt_host])
+                        elif r < 0.35:
+                            tgt = f"http://h{rng.randrange(num_hosts)}.example/missing{rng.randrange(10**6)}"  # dangling
+                        else:
+                            tgt = rng.choice(own)
+                        if rng.random() < 0.5:
+                            tgt = alias(tgt)
+                        pos = rng.randrange(len(words) + 1)
+                        words.insert(pos, f"href:{tgt}")
+                    text = " ".join(words)
+                    spans.append({"kind": "text", "text": text, "media_ref": "", "offset": off})
+                    off += len(text) + 1
+                else:
+                    ref = f"http://h{rng.randrange(num_hosts)}.example/img{rng.randrange(10**4)}.jpg"
+                    spans.append({"kind": "media", "text": "", "media_ref": ref, "offset": off})
+                    off += 64
+            doc_ids.append(page)
+            spans_col.append(spans)
+
+    return pa.Table.from_pydict({"doc_id": doc_ids, "spans": spans_col}, schema=DOCS_SCHEMA)
+
+
+SIZES = {
+    "tiny": dict(num_hosts=5, total_pages=50),
+    "small": dict(num_hosts=50, total_pages=2_000),
+    "bench": dict(num_hosts=500, total_pages=200_000),
+}
+
+
+def write_corpus(name: str, out_path: str, seed: int = 42) -> str:
+    import pyarrow.parquet as pq
+
+    table = generate_corpus(seed=seed, **SIZES[name])
+    pq.write_table(table, out_path)
+    return out_path
+
+
+if __name__ == "__main__":
+    import sys
+
+    name = sys.argv[1] if len(sys.argv) > 1 else "small"
+    out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/corpus_{name}.parquet"
+    print(write_corpus(name, out))

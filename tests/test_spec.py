@@ -1,0 +1,122 @@
+"""Unit tests for the frozen spec (SURVEY.md §5.4: M1 table-driven
+canonicalizer cases, M5 scorer, hashing, extraction, robots)."""
+
+import numpy as np
+import pytest
+
+from ccrawler_ray import spec
+
+
+CANON_CASES = [
+    # (input, expected)
+    ("http://h0.example/p1", "http://h0.example/p1"),
+    ("HTTP://H0.Example/p1", "http://h0.example/p1"),
+    ("http://h0.example/p1#frag", "http://h0.example/p1"),
+    ("http://h0.example/p1/", "http://h0.example/p1"),
+    ("http://h0.example:80/p1", "http://h0.example/p1"),
+    ("https://h0.example:443/p1", "https://h0.example/p1"),
+    ("https://h0.example:8443/p1", "https://h0.example:8443/p1"),
+    ("http://h0.example", "http://h0.example/"),
+    ("http://h0.example/", "http://h0.example/"),
+    ("http://h0.example/a/../b", "http://h0.example/b"),
+    ("http://h0.example/a/./b", "http://h0.example/a/b"),
+    ("http://h0.example/p?utm_source=x", "http://h0.example/p"),
+    ("http://h0.example/p?b=2&a=1", "http://h0.example/p?a=1&b=2"),
+    ("http://h0.example/p?b=2&utm_c=z&a=1", "http://h0.example/p?a=1&b=2"),
+    ("http://h0.example./p", "http://h0.example/p"),
+    ("  http://h0.example/p  ", "http://h0.example/p"),
+    ("ftp://h0.example/p", None),
+    ("mailto:x@y.z", None),
+    ("not a url", None),
+    ("", None),
+    ("http://" + "x" * 3000 + ".example/", None),
+]
+
+
+@pytest.mark.parametrize("url,expected", CANON_CASES)
+def test_canonicalize_cases(url, expected):
+    assert spec.canonicalize(url) == expected
+
+
+def test_canonicalize_idempotent():
+    for url, expected in CANON_CASES:
+        c = spec.canonicalize(url)
+        if c is not None:
+            assert spec.canonicalize(c) == c
+
+
+def test_canonicalize_batch_matches_scalar():
+    urls = [u for u, _ in CANON_CASES]
+    assert spec.canonicalize_batch(urls) == [spec.canonicalize(u) for u in urls]
+
+
+def test_hash64_batch_matches_scalar():
+    vals = ["a", "b", "http://h0.example/p1", ""]
+    batch = spec.hash64_batch(vals)
+    for i, v in enumerate(vals):
+        assert batch[i] == spec.hash64(v)
+    assert batch.dtype == np.uint64
+
+
+def test_is_crawlable():
+    assert spec.is_crawlable("http://h.example/p")
+    assert not spec.is_crawlable(None)
+    assert not spec.is_crawlable("http://h.example/img.jpg")
+    assert not spec.is_crawlable("http://h.example/robots.txt")
+    assert not spec.is_crawlable("http://h.example/style.CSS")
+
+
+def test_url_host():
+    assert spec.url_host("http://h.example/p") == "h.example"
+    assert spec.url_host("http://h.example:8080/p") == "h.example"
+    assert spec.url_host("http://h.example/") == "h.example"
+
+
+def test_priority_monotone_in_depth():
+    p0 = spec.priority_score(0, "h.example", False)
+    p1 = spec.priority_score(1, "h.example", False)
+    assert p0 > p1
+    assert spec.priority_score(0, "h.example", True) > p0
+
+
+def test_ord_keys_sort_by_lineage():
+    s0, s1 = spec.seed_ord_key(0), spec.seed_ord_key(1)
+    c0 = spec.child_ord_key(s0, 0)
+    c5 = spec.child_ord_key(s0, 5)
+    assert s0 < c0 < c5 < s1
+
+
+def test_extract_outlinks():
+    kinds = ["text", "media", "text"]
+    texts = ["see href:http://a.example/x now", "", "no links here"]
+    refs = ["", "http://b.example/i.jpg", ""]
+    assert spec.extract_outlinks_from_spans(kinds, texts, refs) == [
+        "http://a.example/x",
+        "http://b.example/i.jpg",
+    ]
+
+
+def test_validate_spans():
+    assert spec.validate_spans(["text", "media"], [0, 5])
+    assert not spec.validate_spans(["text", "text"], [5, 5])
+    assert not spec.validate_spans(["weird"], [0])
+
+
+def test_parse_robots():
+    d, dis = spec.parse_robots("crawl-delay: 3\ndisallow: /private")
+    assert d == 3 and dis == ("/private",)
+    assert spec.robots_allows("/public/x", dis)
+    assert not spec.robots_allows("/private/x", dis)
+
+
+def test_host_admission_limit():
+    assert spec.host_admission_limit(4, 0) == 4
+    assert spec.host_admission_limit(4, 1) == 2
+    assert spec.host_admission_limit(4, 3) == 1
+    assert spec.host_admission_limit(4, 100) == 1
+
+
+def test_content_hash_order_sensitive():
+    a = spec.span_content_hash(["text", "media"], ["x", ""], ["", "r"])
+    b = spec.span_content_hash(["media", "text"], ["", "x"], ["r", ""])
+    assert a != b
