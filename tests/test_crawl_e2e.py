@@ -96,8 +96,12 @@ def test_small_driver_path(small_corpus):
 @pytest.mark.usefixtures("ray_session")
 def test_small_distributed_path_salted(small_corpus):
     # hot_host_threshold=2 forces salting on nearly every host; the
-    # salted admission must equal the unsalted oracle exactly
+    # salted admission must equal the unsalted oracle exactly.
+    # (6 generations: the distributed path has fixed per-generation
+    # Dataset-op overhead; correctness is fully exercised by gen 6)
     import dataclasses
 
-    cfg = dataclasses.replace(SMALL_CFG, hot_host_threshold=2, salt_factor=4)
+    cfg = dataclasses.replace(
+        SMALL_CFG, hot_host_threshold=2, salt_factor=4, max_generations=6
+    )
     assert_engine_matches_refsim(small_corpus, cfg, driver_threshold=0)
