@@ -29,6 +29,9 @@ class CrawlConfig:
     # get salted into `salt_factor` parallel shuffle groups (SURVEY.md §4.3)
     hot_host_threshold: int = 10_000
     salt_factor: int = 8
+    # run the per-doc analysis stage (content hash, minhash, simhash,
+    # lang-id, token stats) on fetched docs — the production pipeline
+    analyze: bool = False
 
     @staticmethod
     def from_file(path: str | Path) -> "CrawlConfig":

@@ -129,10 +129,12 @@ class CrawlEngine:
         cfg: CrawlConfig,
         ckpt_dir: str | None = None,
         driver_threshold: int = 100_000,
+        extra_stages: list | None = None,
     ):
         self.cfg = cfg
         self.ckpt_dir = ckpt_dir
         self.driver_threshold = driver_threshold
+        self.extra_stages = extra_stages or []  # §2.10 Stage protocol
         if isinstance(corpus, (str, Path)):
             corpus = pq.read_table(corpus)
         self.corpus_table = corpus
@@ -147,6 +149,7 @@ class CrawlEngine:
         self.politeness = PolitenessPool(cfg.num_politeness_partitions, self.robots_ref)
         self._metrics: list[tuple] = []
         self._docs_out: list = []      # materialized per-gen docs_out Datasets
+        self._analysis: list = []
         self._dumps: list[pd.DataFrame] = []
         self._start_gen = 0
         self._frontier = None          # materialized Dataset
@@ -199,9 +202,16 @@ class CrawlEngine:
             self.cfg.global_budget_per_generation,
         )
         self._count(gen, "politeness", "robots_denied", denied)
-        adm_ds = ray.data.from_arrow(
-            pa.Table.from_pandas(adm, preserve_index=False)
-        ) if len(adm) else None
+        adm_ds = None
+        if len(adm):
+            # split into ~batch_size chunks: map parallelism == block
+            # count, so a single from_arrow block would serialize the
+            # fetch/extract stages into one task
+            tbl = pa.Table.from_pandas(adm, preserve_index=False)
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            chunk = max(256, min(self.cfg.batch_size, -(-tbl.num_rows // (4 * ncpu))))
+            parts = [tbl.slice(o, chunk) for o in range(0, tbl.num_rows, chunk)]
+            adm_ds = ray.data.from_arrow(parts)
         def_tbl = pa.Table.from_pandas(
             deferred[FRONTIER_COLS], preserve_index=False
         ).cast(FRONTIER_SCHEMA)
@@ -357,7 +367,24 @@ class CrawlEngine:
             docs_out = fetched.map_batches(
                 extract_docs, batch_format="pyarrow", batch_size=cfg.batch_size
             ).materialize()
-            self._docs_out.append(docs_out)
+            if self.extra_stages:
+                from ccrawler_ray.pipelines.stage import apply_stages
+
+                stored = apply_stages(docs_out, self.extra_stages).materialize()
+            else:
+                stored = docs_out
+            self._docs_out.append(stored)
+
+            # ---- 3b. analysis (production pipeline: hash/minhash/
+            # simhash/lang/tokens per doc)
+            if cfg.analyze:
+                from ccrawler_ray.stages.analyze import analyze_docs
+
+                analysis = docs_out.map_batches(
+                    analyze_docs, batch_format="pyarrow", batch_size=1024
+                ).materialize()
+                self._analysis.append(analysis)
+                self._count(g, "analyze", "docs", analysis.count())
 
             # ---- 4–6. children → discover → dedup → seen
             children = docs_out.map_batches(
