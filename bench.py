@@ -27,7 +27,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
-BENCH_CORPUS = Path("/tmp/ccrawler_ray_bench/corpus_bench.parquet")
+BENCH_CORPUS = Path("/tmp/ccrawler_ray_bench/corpus_bench_v2.parquet")
 
 
 def ensure_bench_corpus() -> str:
@@ -50,15 +50,16 @@ def run_crawl_bench(ncpu: int) -> dict:
     corpus_path = ensure_bench_corpus()
     corpus = pq.read_table(corpus_path)  # warm page cache, untimed
     cfg = CrawlConfig(
-        seeds=tuple(f"http://h{i}.example/p0" for i in range(16)),
+        seeds=tuple(f"http://h{i}.example/p0" for i in range(500)),
         max_depth=50,
-        per_host_budget_per_generation=2000,
-        global_budget_per_generation=60_000,
-        max_generations=12,
+        per_host_budget_per_generation=10_000,
+        global_budget_per_generation=100_000,
+        max_generations=10,
         batch_size=4096,
         analyze=True,
+        admission_mode="actor",
     ).scaled_for(ncpu)
-    eng = CrawlEngine(corpus, cfg, driver_threshold=2_000_000)
+    eng = CrawlEngine(corpus, cfg)
     t0 = time.perf_counter()
     res = eng.run()
     crawl_sec = time.perf_counter() - t0
@@ -71,6 +72,7 @@ def run_crawl_bench(ncpu: int) -> dict:
         "urls_seen": urls_seen,
         "generations": res.generations_run,
         "urls_per_sec": round((urls_fetched + urls_seen) / crawl_sec, 1),
+        "phase_sec": {k: round(v, 2) for k, v in eng._phase_sec.items()},
     }
 
 

@@ -32,6 +32,16 @@ class CrawlConfig:
     # run the per-doc analysis stage (content hash, minhash, simhash,
     # lang-id, token stats) on fetched docs — the production pipeline
     analyze: bool = False
+    # admission path:
+    #  "driver"      — pandas fast path for frontiers below the engine's
+    #                  driver_threshold (small-data fast path)
+    #  "distributed" — groupby(host,salt) shuffle ranking (the [B]
+    #                  "per-host priority queue via groupby" design)
+    #  "actor"       — frontier LIVES sharded in the politeness
+    #                  partition actors; admission ranks in parallel
+    #                  per partition; per-generation cost is
+    #                  O(candidates), not O(frontier) — the 10^10 path
+    admission_mode: str = "driver"
 
     @staticmethod
     def from_file(path: str | Path) -> "CrawlConfig":
@@ -54,6 +64,6 @@ class CrawlConfig:
         return dataclasses.replace(
             self,
             num_seen_shards=max(2, num_cpus // 2),
-            num_politeness_partitions=max(2, num_cpus // 4),
+            num_politeness_partitions=max(2, num_cpus // 2),
             fetch_concurrency=max(2, num_cpus // 4),
         )

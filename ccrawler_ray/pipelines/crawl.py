@@ -138,8 +138,10 @@ class CrawlEngine:
         if isinstance(corpus, (str, Path)):
             corpus = pq.read_table(corpus)
         self.corpus_table = corpus
-        # broadcast once: zero-copy shared via the object store
-        self.corpus_ref = ray.put(corpus)
+        # broadcast once: lookup-ready arrays, zero-copy shared
+        from ccrawler_ray.stages.fetch import prepare_fetch_data
+
+        self.corpus_ref = prepare_fetch_data(corpus)
         self.corpus_ds = ray.data.from_arrow(corpus)
         robots = load_robots_ds(self.corpus_ds)
         self.robots = robots
@@ -149,10 +151,12 @@ class CrawlEngine:
         self.politeness = PolitenessPool(cfg.num_politeness_partitions, self.robots_ref)
         self._metrics: list[tuple] = []
         self._docs_out: list = []      # materialized per-gen docs_out Datasets
-        self._analysis: list = []
         self._dumps: list[pd.DataFrame] = []
         self._start_gen = 0
-        self._frontier = None          # materialized Dataset
+        self._frontier = None          # materialized Dataset (dataset modes)
+        self._seeded = False           # actor mode: seeds/restore done
+        self._phase_sec: dict = {}     # per-phase wall time (profiling)
+        self._hp_cache: dict = {}      # host -> partition id cache
 
     # ------------------------------------------------------------------
     def _count(self, gen: int, stage: str, counter: str, value: int) -> None:
@@ -306,6 +310,8 @@ class CrawlEngine:
         return pa.concat_tables(tables) if tables else FRONTIER_SCHEMA.empty_table()
 
     def run(self) -> CrawlResult:
+        if self.cfg.admission_mode == "actor":
+            return self._run_actor_mode()
         cfg = self.cfg
         if self._frontier is None:
             self._frontier = self._seed_frontier()
@@ -363,28 +369,24 @@ class CrawlEngine:
             if violations:
                 raise RuntimeError(f"politeness violation in generation {g}")
 
-            # ---- 3. extract
-            docs_out = fetched.map_batches(
+            # ---- 3. extract (+ fused analysis + extra stages): ONE
+            # materialization — per-generation dataset executions are
+            # the loop's fixed cost, so stages chain lazily
+            docs_pipe = fetched.map_batches(
                 extract_docs, batch_format="pyarrow", batch_size=cfg.batch_size
-            ).materialize()
-            if self.extra_stages:
-                from ccrawler_ray.pipelines.stage import apply_stages
-
-                stored = apply_stages(docs_out, self.extra_stages).materialize()
-            else:
-                stored = docs_out
-            self._docs_out.append(stored)
-
-            # ---- 3b. analysis (production pipeline: hash/minhash/
-            # simhash/lang/tokens per doc)
+            )
             if cfg.analyze:
                 from ccrawler_ray.stages.analyze import analyze_docs
 
-                analysis = docs_out.map_batches(
-                    analyze_docs, batch_format="pyarrow", batch_size=1024
-                ).materialize()
-                self._analysis.append(analysis)
-                self._count(g, "analyze", "docs", analysis.count())
+                docs_pipe = docs_pipe.map_batches(
+                    analyze_docs, batch_format="pyarrow", batch_size=cfg.batch_size
+                )
+            if self.extra_stages:
+                from ccrawler_ray.pipelines.stage import apply_stages
+
+                docs_pipe = apply_stages(docs_pipe, self.extra_stages)
+            docs_out = docs_pipe.materialize()
+            self._docs_out.append(docs_out)
 
             # ---- 4–6. children → discover → dedup → seen
             children = docs_out.map_batches(
@@ -402,6 +404,248 @@ class CrawlEngine:
                 self._checkpoint(g, frontier, docs_out, dump)
         self._frontier = frontier
         return self._result(gens_run)
+
+    # ------------------------------------------------------------------
+    # actor-frontier mode (admission_mode="actor"): the frontier lives
+    # sharded in the politeness partition actors; candidates dedup/
+    # register in the seen shards via offer/resolve. Per-generation
+    # driver cost is O(admitted)+O(fresh) — never O(frontier).
+    # ------------------------------------------------------------------
+
+    def _host_partitions(self, hosts: list[str]) -> np.ndarray:
+        from ccrawler_ray.state.politeness import host_partition
+
+        cache = self._hp_cache
+        P = self.cfg.num_politeness_partitions
+        out = np.empty(len(hosts), dtype=np.int64)
+        for i, h in enumerate(hosts):
+            p = cache.get(h)
+            if p is None:
+                p = host_partition(h, P)
+                cache[h] = p
+            out[i] = p
+        return out
+
+    def _route_fresh_to_queues(self, fresh_tables: list) -> int:
+        n = 0
+        offers = []
+        for t in fresh_tables:
+            if t is None or t.num_rows == 0:
+                continue
+            n += t.num_rows
+            parts = self._host_partitions(t.column("host").to_pylist())
+            for p in np.unique(parts):
+                idx = np.nonzero(parts == p)[0]
+                offers.append(
+                    self.politeness.parts[int(p)].offer_frontier.remote(
+                        t.take(pa.array(idx))
+                    )
+                )
+        if offers:
+            ray.get(offers)
+        return n
+
+    def _offer_candidates(self, candidates_ds, generation: int) -> int:
+        """discover → offer to seen shards, fused in one execution."""
+        cfg = self.cfg
+        shards = self.seen_pool.shards
+        num_shards = len(shards)
+
+        def offer_fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows:
+                h = batch.column("url_hash").to_numpy(zero_copy_only=False)
+                sid = (h % num_shards).astype(np.int64)
+                refs = [
+                    shards[int(s)].offer.remote(batch.take(pa.array(np.nonzero(sid == s)[0])))
+                    for s in np.unique(sid)
+                ]
+                ray.get(refs)
+            return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+        counts = (
+            candidates_ds.map_batches(
+                make_discover_fn(cfg.max_depth, generation),
+                batch_format="pyarrow", batch_size=cfg.batch_size,
+            )
+            .map_batches(offer_fn, batch_format="pyarrow", batch_size=cfg.batch_size)
+            .sum("n")
+        )
+        n_disc = int(counts or 0)
+        self._count(generation, "discover", "validated", n_disc)
+        return n_disc
+
+    def _resolve_fresh(self, generation: int) -> int:
+        fresh_tables = ray.get([s.resolve.remote() for s in self.seen_pool.shards])
+        n_fresh = self._route_fresh_to_queues(fresh_tables)
+        self._count(generation, "discover", "fresh", n_fresh)
+        return n_fresh
+
+    def _run_actor_mode(self) -> CrawlResult:
+        cfg = self.cfg
+        parts = self.politeness.parts
+        fetch_fn = _fetch_fn_factory(self.corpus_ref, self.delays_ref)
+        if not self._seeded:
+            seeds = pa.table(
+                {
+                    "url": pa.array(list(cfg.seeds), pa.string()),
+                    "parent": pa.array([""] * len(cfg.seeds), pa.string()),
+                    "depth": pa.array(np.zeros(len(cfg.seeds), dtype=np.int32)),
+                    "ord_key": pa.array([seed_ord_key(i) for i in range(len(cfg.seeds))]),
+                    "is_seed": pa.array(np.ones(len(cfg.seeds), dtype=bool)),
+                },
+                schema=CANDIDATE_SCHEMA,
+            )
+            if seeds.num_rows:
+                self._offer_candidates(ray.data.from_arrow(seeds), 0)
+                self._resolve_fresh(0)
+            self._seeded = True
+
+        import time as _time
+
+        def _tick(phase: str, t0: float) -> float:
+            t1 = _time.perf_counter()
+            self._phase_sec[phase] = self._phase_sec.get(phase, 0.0) + (t1 - t0)
+            return t1
+
+        gens_run = self._start_gen
+        K = cfg.global_budget_per_generation
+        for g in range(self._start_gen, cfg.max_generations):
+            t0 = _time.perf_counter()
+            qsize = sum(ray.get([p.queue_size.remote() for p in parts]))
+            if qsize == 0:
+                break
+            gens_run = g + 1
+            self._count(g, "frontier", "size", qsize)
+
+            # ---- 1. admission: parallel per-partition ranking
+            results = ray.get([
+                p.admit_generation.remote(g, cfg.per_host_budget_per_generation, K)
+                for p in parts
+            ])
+            denied = sum(d for _, d in results)
+            if denied:
+                self._count(g, "politeness", "robots_denied", denied)
+            adm_dfs = [t for t, _ in results if t is not None]
+            if not adm_dfs:
+                continue
+            adm = pa.concat_tables(adm_dfs, promote_options="default").to_pandas()
+            # global cap over the union of per-partition admissions
+            if len(adm) > K:
+                adm = adm.sort_values(["priority", "ord_key"], ascending=[False, True])
+                cut = adm.iloc[K:]
+                adm = adm.iloc[:K]
+                cut_tbl = pa.Table.from_pandas(
+                    cut[FRONTIER_COLS], preserve_index=False
+                ).cast(FRONTIER_SCHEMA)
+                cparts = self._host_partitions(cut["host"].tolist())
+                reqs = [
+                    parts[int(p)].requeue.remote(cut_tbl.take(pa.array(np.nonzero(cparts == p)[0])))
+                    for p in np.unique(cparts)
+                ]
+                ray.get(reqs)
+
+            tbl = pa.Table.from_pandas(adm, preserve_index=False)
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            chunk = max(256, min(cfg.batch_size, -(-tbl.num_rows // (4 * ncpu))))
+            adm_ds = ray.data.from_arrow(
+                [tbl.slice(o, chunk) for o in range(0, tbl.num_rows, chunk)]
+            )
+
+            t0 = _tick("admission", t0)
+
+            def add_gen(batch: pa.Table, _g=g) -> pa.Table:
+                return batch.append_column(
+                    "fetch_generation", pa.array(np.full(batch.num_rows, _g, dtype=np.int32))
+                )
+
+            # ---- 2. fetch
+            fetched = adm_ds.map_batches(add_gen, batch_format="pyarrow").map_batches(
+                fetch_fn, batch_format="pyarrow", batch_size=cfg.batch_size,
+            ).materialize()
+            t0 = _tick("fetch", t0)
+            dump = fetched.select_columns(DUMP_COLS).to_pandas()
+            dump = dump.sort_values(["generation", "host", "queue_pos", "ord_key"])
+            self._dumps.append(dump)
+            n200 = int((dump["status"] == 200).sum())
+            self._count(g, "fetch", "status_200", n200)
+            self._count(g, "fetch", "status_404", len(dump) - n200)
+            self._count(g, "admission", "admitted", len(dump))
+            hs = dump.groupby("host").agg(n=("canon", "size"), ts=("fetch_ts_us", "max"))
+            violations = self.politeness.record_admission(
+                {h: (int(r["n"]), int(r["ts"])) for h, r in hs.iterrows()},
+                g, cfg.per_host_budget_per_generation,
+            )
+            if violations:
+                raise RuntimeError(f"politeness violation in generation {g}")
+            t0 = _tick("dump", t0)
+
+            # ---- 3. extract (+ fused analysis/extra stages)
+            docs_pipe = fetched.map_batches(
+                extract_docs, batch_format="pyarrow", batch_size=cfg.batch_size
+            )
+            if cfg.analyze:
+                from ccrawler_ray.stages.analyze import analyze_docs
+
+                docs_pipe = docs_pipe.map_batches(
+                    analyze_docs, batch_format="pyarrow", batch_size=cfg.batch_size
+                )
+            if self.extra_stages:
+                from ccrawler_ray.pipelines.stage import apply_stages
+
+                docs_pipe = apply_stages(docs_pipe, self.extra_stages)
+            docs_out = docs_pipe.materialize()
+            self._docs_out.append(docs_out)
+            t0 = _tick("extract_analyze", t0)
+
+            # ---- 4–6. children → discover → offer/resolve
+            children = docs_out.map_batches(
+                explode_children, batch_format="pyarrow", batch_size=cfg.batch_size
+            )
+            self._offer_candidates(children, g + 1)
+            t0 = _tick("discover_offer", t0)
+            self._resolve_fresh(g + 1)
+            t0 = _tick("resolve_route", t0)
+
+            if self.ckpt_dir is not None:
+                self._checkpoint_actor(g, docs_out, dump)
+                t0 = _tick("checkpoint", t0)
+        return self._result(gens_run)
+
+    def _checkpoint_actor(self, g: int, docs_out, dump: pd.DataFrame) -> None:
+        root = Path(self.ckpt_dir)
+        gen_dir = root / f"gen={g}"
+        storage.clear_generation(root, g)
+        qtables = ray.get([p.dump_queue.remote() for p in self.politeness.parts])
+        nrows = 0
+        for i, t in enumerate(qtables):
+            if t is not None and t.num_rows:
+                storage.write_table(
+                    t.select(FRONTIER_COLS).cast(FRONTIER_SCHEMA),
+                    gen_dir / "frontier" / f"part={i}.parquet",
+                )
+                nrows += t.num_rows
+        docs_out.write_parquet(str(gen_dir / "docs_out"))
+        for i, t in enumerate(self.seen_pool.dump_tables()):
+            storage.write_table(t, gen_dir / "seen" / f"shard={i}.parquet")
+        for i, t in enumerate(self.politeness.dump_tables()):
+            storage.write_table(t, gen_dir / "domain_state" / f"part={i}.parquet")
+        storage.write_table(
+            pa.Table.from_pandas(dump, preserve_index=False), gen_dir / "crawl_order.parquet"
+        )
+        storage.write_table(self._metrics_table(), gen_dir / "metrics.parquet")
+        storage.write_manifest(
+            gen_dir,
+            {
+                "generation": g,
+                "schema_version": 1,
+                "admission_mode": "actor",
+                "num_seen_shards": self.cfg.num_seen_shards,
+                "num_politeness_partitions": self.cfg.num_politeness_partitions,
+                "frontier_files": storage.dataset_files(gen_dir / "frontier"),
+                "docs_out_files": storage.dataset_files(gen_dir / "docs_out"),
+                "lineage": {"frontier_rows": nrows, "fetched_rows": len(dump)},
+            },
+        )
 
     # ------------------------------------------------------------------
     def _metrics_table(self) -> pa.Table:
@@ -482,7 +726,17 @@ class CrawlEngine:
         man = storage.read_manifest(gen_dir)
         assert man is not None and man["generation"] == last
         frontier_files = storage.dataset_files(gen_dir / "frontier")
-        if frontier_files:
+        if self.cfg.admission_mode == "actor":
+            # route the checkpointed frontier back into the partition
+            # actors (robust to a different partition count)
+            if frontier_files:
+                tbl = pa.concat_tables(
+                    [storage.read_table(f).select(FRONTIER_COLS).cast(FRONTIER_SCHEMA)
+                     for f in frontier_files]
+                )
+                self._route_fresh_to_queues([tbl])
+            self._seeded = True
+        elif frontier_files:
             # select FRONTIER_COLS: read_parquet may add hive-partition
             # columns inferred from the gen=N/ path
             self._frontier = ray.data.read_parquet(frontier_files).map_batches(

@@ -39,16 +39,25 @@ def _word_hashes(words: set[str]) -> np.ndarray:
     return out
 
 
+ANALYSIS_COLS = ["n_tokens", "content_hash", "simhash", "minhash_sig", "pred_lang"]
+
+
 def analyze_docs(batch: pa.Table) -> pa.Table:
-    """docs_out rows → per-doc analysis row (no spans carried forward)."""
+    """docs_out rows → same rows + appended analysis columns.
+
+    Appending (rather than projecting) lets the engine fuse
+    extract→analyze into ONE materialization — per-generation dataset
+    executions are the crawl loop's fixed cost."""
     n = batch.num_rows
     if n == 0:
-        return pa.table(
-            {"doc_id": pa.array([], pa.string()), "n_tokens": pa.array([], pa.int64()),
-             "content_hash": pa.array([], pa.uint64()), "simhash": pa.array([], pa.uint64()),
-             "minhash_sig": pa.array([], pa.list_(pa.uint64())),
-             "pred_lang": pa.array([], pa.string())}
-        )
+        out = batch
+        for name, typ in (
+            ("n_tokens", pa.int64()), ("content_hash", pa.uint64()),
+            ("simhash", pa.uint64()), ("minhash_sig", pa.list_(pa.uint64())),
+            ("pred_lang", pa.string()),
+        ):
+            out = out.append_column(name, pa.array([], typ))
+        return out
     spans = as_single_array(batch.column("spans"))
     flat = spans.flatten()
     kinds = flat.field("kind").to_pylist()
@@ -83,13 +92,10 @@ def analyze_docs(batch: pa.Table) -> pa.Table:
             sigs.append([int(_MERSENNE)] * NUM_PERM)
         langs.append("en" if len(ws & en_stops) >= 1 else "unk")
 
-    return pa.table(
-        {
-            "doc_id": batch.column("doc_id"),
-            "n_tokens": pa.array(n_tokens),
-            "content_hash": pa.array(content_hash, pa.uint64()),
-            "simhash": pa.array(simhash, pa.uint64()),
-            "minhash_sig": pa.array(sigs, pa.list_(pa.uint64())),
-            "pred_lang": pa.array(langs, pa.string()),
-        }
-    )
+    out = batch
+    out = out.append_column("n_tokens", pa.array(n_tokens))
+    out = out.append_column("content_hash", pa.array(content_hash, pa.uint64()))
+    out = out.append_column("simhash", pa.array(simhash, pa.uint64()))
+    out = out.append_column("minhash_sig", pa.array(sigs, pa.list_(pa.uint64())))
+    out = out.append_column("pred_lang", pa.array(langs, pa.string()))
+    return out

@@ -79,6 +79,54 @@ class PolitenessPartition:
         # host -> [crawl_delay, last_fetch_ts_us, fetched_total]
         self.state: dict[str, list] = {}
         self.heartbeat_generation = -1
+        # actor-frontier mode: this partition OWNS the frontier rows of
+        # its hosts across generations (chunks of FRONTIER_SCHEMA rows)
+        self._queue: list[pa.Table] = []
+
+    # -- actor-resident frontier (admission_mode="actor") -------------
+
+    def offer_frontier(self, table: pa.Table) -> int:
+        self._queue.append(table)
+        return table.num_rows
+
+    def queue_size(self) -> int:
+        return sum(t.num_rows for t in self._queue)
+
+    def admit_generation(self, generation: int, per_host_budget: int,
+                         global_budget: int) -> tuple:
+        """Rank this partition's per-host queues and admit (the same
+        frozen pure math as the driver/distributed paths —
+        admission runs in PARALLEL across partitions). Deferred rows
+        stay in the queue; returns (admitted table, robots_denied)."""
+        from ccrawler_ray.pipelines.admission import admit_table_driver
+
+        if not self._queue:
+            return None, 0
+        table = pa.concat_tables(self._queue, promote_options="default")
+        self._queue = []
+        adm, deferred, denied = admit_table_driver(
+            table, self.robots, per_host_budget, global_budget
+        )
+        if len(deferred):
+            self._queue.append(
+                pa.Table.from_pandas(
+                    deferred[[f.name for f in table.schema]], preserve_index=False
+                ).cast(table.schema)
+            )
+        self.heartbeat_generation = generation
+        if not len(adm):
+            return None, denied
+        return pa.Table.from_pandas(adm, preserve_index=False), denied
+
+    def requeue(self, table: pa.Table) -> int:
+        """Rows cut by the driver's global cap come back to the queue."""
+        self._queue.append(table)
+        return table.num_rows
+
+    def dump_queue(self) -> pa.Table | None:
+        if not self._queue:
+            return None
+        return pa.concat_tables(self._queue, promote_options="default")
 
     def record_admission(self, hosts: list[str], counts: list[int],
                          last_ts: list[int], generation: int,

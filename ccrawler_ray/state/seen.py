@@ -80,6 +80,7 @@ class SeenShard:
         self.exact = exact
         self.table: dict[int, tuple[str, str]] = {}
         self.bloom = _Bloom(capacity)
+        self._pending: list[pa.Table] = []
 
     def check_and_add(self, url_hashes: np.ndarray, canons: list[str],
                       ord_keys: list[str]) -> np.ndarray:
@@ -103,6 +104,45 @@ class SeenShard:
         """Bloom-only probe (scale path; may false-positive, never
         false-negative)."""
         return self.bloom.might_contain(url_hashes)
+
+    # -- two-phase candidate intake (actor-frontier mode) -------------
+    # offer() accumulates candidate rows during a generation (from any
+    # number of concurrent map tasks, any arrival order); resolve() at
+    # the generation barrier picks min-ord_key per canon (D1), drops
+    # already-seen, registers the rest, and returns the fresh rows —
+    # deterministic regardless of offer order, idempotent under task
+    # retry (duplicate offers collapse in the min-key resolution).
+
+    def offer(self, table: pa.Table) -> int:
+        self._pending.append(table)
+        return table.num_rows
+
+    def resolve(self) -> pa.Table:
+        pending: list[pa.Table] = self._pending
+        self._pending = []
+        if not pending:
+            return None  # caller treats as empty
+        cand = pa.concat_tables(pending)
+        import pandas as pd  # noqa: PLC0415
+
+        df = cand.to_pandas()
+        df = df.sort_values("ord_key").drop_duplicates("canon", keep="first")
+        fresh_mask = np.ones(len(df), dtype=bool)
+        table = self.table
+        hashes = df["url_hash"].to_numpy()
+        canons = df["canon"].to_numpy()
+        keys = df["ord_key"].to_numpy()
+        for i in range(len(df)):
+            h = int(hashes[i])
+            cur = table.get(h)
+            if cur is None:
+                table[h] = (canons[i], keys[i])
+            elif cur[1] != keys[i]:
+                fresh_mask[i] = False
+        fresh = df.loc[fresh_mask]
+        if len(fresh):
+            self.bloom.add(fresh["url_hash"].to_numpy().astype(np.uint64))
+        return pa.Table.from_pandas(fresh, preserve_index=False).cast(cand.schema)
 
     def dump(self) -> pa.Table:
         """Checkpoint dump of the exact membership (SEEN_SCHEMA)."""

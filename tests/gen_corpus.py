@@ -32,8 +32,20 @@ def _zipf_counts(num_hosts: int, total_pages: int, rng: random.Random, a: float 
     return counts.tolist()
 
 
-def generate_corpus(num_hosts: int, total_pages: int, seed: int = 42) -> pa.Table:
-    """Generate the docs corpus table (doc_id, spans) per FIXTURES.md §1."""
+def generate_corpus(
+    num_hosts: int,
+    total_pages: int,
+    seed: int = 42,
+    link_prob: float = 0.35,
+    links_per_embed: int = 1,
+    words_lo: int = 4,
+    words_hi: int = 12,
+) -> pa.Table:
+    """Generate the docs corpus table (doc_id, spans) per FIXTURES.md §1.
+
+    The bench fixture uses heavier pages (words_lo/hi larger, more
+    links) — real web pages are 10–100 KB; the default sizes are for
+    fast unit fixtures."""
     rng = random.Random(seed)
     counts = _zipf_counts(num_hosts, total_pages, rng)
     # page universe first so links can point at real pages
@@ -78,21 +90,22 @@ def generate_corpus(num_hosts: int, total_pages: int, seed: int = 42) -> pa.Tabl
             off = 0
             for _ in range(n_spans):
                 if rng.random() < 0.75:
-                    words = [rng.choice(WORDS) for _ in range(rng.randint(4, 12))]
-                    if rng.random() < 0.35:
-                        # embed an outlink token
-                        r = rng.random()
-                        if r < 0.30:
-                            tgt_host = rng.randrange(num_hosts)  # cross-host
-                            tgt = rng.choice(page_set_by_host[tgt_host])
-                        elif r < 0.35:
-                            tgt = f"http://h{rng.randrange(num_hosts)}.example/missing{rng.randrange(10**6)}"  # dangling
-                        else:
-                            tgt = rng.choice(own)
-                        if rng.random() < 0.5:
-                            tgt = alias(tgt)
-                        pos = rng.randrange(len(words) + 1)
-                        words.insert(pos, f"href:{tgt}")
+                    words = [rng.choice(WORDS) for _ in range(rng.randint(words_lo, words_hi))]
+                    if rng.random() < link_prob:
+                        for _k in range(links_per_embed):
+                            # embed an outlink token
+                            r = rng.random()
+                            if r < 0.30:
+                                tgt_host = rng.randrange(num_hosts)  # cross-host
+                                tgt = rng.choice(page_set_by_host[tgt_host])
+                            elif r < 0.35:
+                                tgt = f"http://h{rng.randrange(num_hosts)}.example/missing{rng.randrange(10**6)}"  # dangling
+                            else:
+                                tgt = rng.choice(own)
+                            if rng.random() < 0.5:
+                                tgt = alias(tgt)
+                            pos = rng.randrange(len(words) + 1)
+                            words.insert(pos, f"href:{tgt}")
                     text = " ".join(words)
                     spans.append({"kind": "text", "text": text, "media_ref": "", "offset": off})
                     off += len(text) + 1
@@ -109,7 +122,9 @@ def generate_corpus(num_hosts: int, total_pages: int, seed: int = 42) -> pa.Tabl
 SIZES = {
     "tiny": dict(num_hosts=5, total_pages=50),
     "small": dict(num_hosts=50, total_pages=2_000),
-    "bench": dict(num_hosts=500, total_pages=200_000),
+    # bench: realistic page weight (~400+ words/page) + dense linking
+    "bench": dict(num_hosts=500, total_pages=200_000, link_prob=0.6,
+                  links_per_embed=2, words_lo=30, words_hi=90),
 }
 
 

@@ -94,6 +94,22 @@ def test_small_driver_path(small_corpus):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_tiny_actor_mode(tiny_corpus):
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY_CFG, admission_mode="actor")
+    assert_engine_matches_refsim(tiny_corpus, cfg)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_small_actor_mode(small_corpus):
+    import dataclasses
+
+    cfg = dataclasses.replace(SMALL_CFG, admission_mode="actor")
+    assert_engine_matches_refsim(small_corpus, cfg)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_small_distributed_path_salted(small_corpus):
     # hot_host_threshold=2 forces salting on nearly every host; the
     # salted admission must equal the unsalted oracle exactly.
