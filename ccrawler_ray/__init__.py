@@ -24,3 +24,11 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Every Ray worker imports this package before polars; without a cap,
+# polars sizes its thread pool to ALL machine cores in EVERY worker
+# process (32 workers x 32 threads), collapsing under oversubscription.
+# Batch-level parallelism comes from Ray; keep per-worker pools tiny.
+_os.environ.setdefault("POLARS_MAX_THREADS", "2")

@@ -351,8 +351,7 @@ class CrawlEngine:
 
             # crawl-order dump (bounded by global budget per generation)
             dump = fetched.select_columns(DUMP_COLS).to_pandas()
-            dump = dump.sort_values(["generation", "host", "queue_pos", "ord_key"])
-            self._dumps.append(dump)
+            self._dumps.append(dump)  # sorted once in _result
             n200 = int((dump["status"] == 200).sum())
             self._count(g, "fetch", "status_200", n200)
             self._count(g, "fetch", "status_404", len(dump) - n200)
@@ -475,8 +474,16 @@ class CrawlEngine:
         return n_disc
 
     def _resolve_fresh(self, generation: int) -> int:
-        fresh_tables = ray.get([s.resolve.remote() for s in self.seen_pool.shards])
-        n_fresh = self._route_fresh_to_queues(fresh_tables)
+        # shards resolve AND route to partition queues directly —
+        # fresh rows never pass through the driver
+        n_fresh = sum(
+            ray.get([
+                s.resolve_and_route.remote(
+                    self.politeness.parts, self.cfg.num_politeness_partitions
+                )
+                for s in self.seen_pool.shards
+            ])
+        )
         self._count(generation, "discover", "fresh", n_fresh)
         return n_fresh
 
@@ -496,7 +503,13 @@ class CrawlEngine:
                 schema=CANDIDATE_SCHEMA,
             )
             if seeds.num_rows:
-                self._offer_candidates(ray.data.from_arrow(seeds), 0)
+                # chunked: block count == map parallelism
+                ncpu0 = int(ray.cluster_resources().get("CPU", 8))
+                sc = max(256, -(-seeds.num_rows // (2 * ncpu0)))
+                seeds_ds = ray.data.from_arrow(
+                    [seeds.slice(o, sc) for o in range(0, seeds.num_rows, sc)]
+                )
+                self._offer_candidates(seeds_ds, 0)
                 self._resolve_fresh(0)
             self._seeded = True
 
@@ -517,20 +530,29 @@ class CrawlEngine:
             gens_run = g + 1
             self._count(g, "frontier", "size", qsize)
 
-            # ---- 1. admission: parallel per-partition ranking
+            # ---- 1. admission: parallel per-partition ranking.
+            # Admitted rows come back as object REFS in ~2-blocks-per-
+            # CPU chunks; the driver builds the fetch Dataset via
+            # from_arrow_refs without touching the bytes.
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            chunk = max(256, min(cfg.batch_size, -(-qsize // (2 * ncpu))))
             results = ray.get([
-                p.admit_generation.remote(g, cfg.per_host_budget_per_generation, K)
+                p.admit_generation.remote(
+                    g, cfg.per_host_budget_per_generation, K, chunk
+                )
                 for p in parts
             ])
-            denied = sum(d for _, d in results)
+            denied = sum(d for _, _, d in results)
             if denied:
                 self._count(g, "politeness", "robots_denied", denied)
-            adm_dfs = [t for t, _ in results if t is not None]
-            if not adm_dfs:
+            n_adm = sum(n for _, n, _ in results)
+            if n_adm == 0:
                 continue
-            adm = pa.concat_tables(adm_dfs, promote_options="default").to_pandas()
-            # global cap over the union of per-partition admissions
-            if len(adm) > K:
+            all_refs = [r for refs, _, _ in results if refs for r in refs]
+            if n_adm > K:
+                # global cap binds: pull once, trim, requeue the cut
+                tbl = pa.concat_tables(ray.get(all_refs), promote_options="default")
+                adm = tbl.to_pandas()
                 adm = adm.sort_values(["priority", "ord_key"], ascending=[False, True])
                 cut = adm.iloc[K:]
                 adm = adm.iloc[:K]
@@ -543,13 +565,11 @@ class CrawlEngine:
                     for p in np.unique(cparts)
                 ]
                 ray.get(reqs)
-
-            tbl = pa.Table.from_pandas(adm, preserve_index=False)
-            ncpu = int(ray.cluster_resources().get("CPU", 8))
-            chunk = max(256, min(cfg.batch_size, -(-tbl.num_rows // (4 * ncpu))))
-            adm_ds = ray.data.from_arrow(
-                [tbl.slice(o, chunk) for o in range(0, tbl.num_rows, chunk)]
-            )
+                tbl = pa.Table.from_pandas(adm, preserve_index=False)
+                all_refs = [
+                    ray.put(tbl.slice(o, chunk)) for o in range(0, tbl.num_rows, chunk)
+                ]
+            adm_ds = ray.data.from_arrow_refs(all_refs)
 
             t0 = _tick("admission", t0)
 
@@ -564,8 +584,7 @@ class CrawlEngine:
             ).materialize()
             t0 = _tick("fetch", t0)
             dump = fetched.select_columns(DUMP_COLS).to_pandas()
-            dump = dump.sort_values(["generation", "host", "queue_pos", "ord_key"])
-            self._dumps.append(dump)
+            self._dumps.append(dump)  # sorted once in _result
             n200 = int((dump["status"] == 200).sum())
             self._count(g, "fetch", "status_200", n200)
             self._count(g, "fetch", "status_404", len(dump) - n200)
@@ -595,6 +614,7 @@ class CrawlEngine:
                 docs_pipe = apply_stages(docs_pipe, self.extra_stages)
             docs_out = docs_pipe.materialize()
             self._docs_out.append(docs_out)
+            del fetched  # free the raw fetch blocks (plasma pressure)
             t0 = _tick("extract_analyze", t0)
 
             # ---- 4–6. children → discover → offer/resolve
@@ -766,6 +786,21 @@ class CrawlEngine:
         self._metrics = [tuple(r) for r in mt.itertuples(index=False)]
         self._start_gen = last + 1
         return True
+
+    def warmup(self) -> None:
+        """Pre-import heavy modules in the worker pool so first-batch
+        latency doesn't pollute throughput timing (a steady-state
+        cluster has warm workers)."""
+
+        @ray.remote(num_cpus=1)
+        def _warm() -> int:
+            import ccrawler_ray.stages.analyze  # noqa: F401, PLC0415
+            import ccrawler_ray.stages.extract  # noqa: F401, PLC0415
+
+            return 0
+
+        n = int(ray.cluster_resources().get("CPU", 8))
+        ray.get([_warm.remote() for _ in range(n)])
 
     def shutdown(self) -> None:
         self.seen_pool.kill()

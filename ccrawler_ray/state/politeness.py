@@ -62,7 +62,7 @@ def host_partition(host: str, num_partitions: int) -> int:
     return hash64(host, seed=13) % num_partitions
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0.05)
 class PolitenessPartition:
     """Owns politeness state for hosts with hash64(host,13)%P == part_id."""
 
@@ -93,15 +93,21 @@ class PolitenessPartition:
         return sum(t.num_rows for t in self._queue)
 
     def admit_generation(self, generation: int, per_host_budget: int,
-                         global_budget: int) -> tuple:
+                         global_budget: int, chunk_rows: int = 0) -> tuple:
         """Rank this partition's per-host queues and admit (the same
         frozen pure math as the driver/distributed paths —
         admission runs in PARALLEL across partitions). Deferred rows
-        stay in the queue; returns (admitted table, robots_denied)."""
+        stay in the queue.
+
+        Returns (admitted table | list of object refs, n_admitted,
+        robots_denied): with chunk_rows > 0 the admitted rows are
+        ray.put as ~chunk_rows-row blocks and only REFS return to the
+        driver (it builds the fetch Dataset via from_arrow_refs without
+        ever touching the bytes)."""
         from ccrawler_ray.pipelines.admission import admit_table_driver
 
         if not self._queue:
-            return None, 0
+            return None, 0, 0
         table = pa.concat_tables(self._queue, promote_options="default")
         self._queue = []
         adm, deferred, denied = admit_table_driver(
@@ -115,8 +121,15 @@ class PolitenessPartition:
             )
         self.heartbeat_generation = generation
         if not len(adm):
-            return None, denied
-        return pa.Table.from_pandas(adm, preserve_index=False), denied
+            return None, 0, denied
+        tbl = pa.Table.from_pandas(adm, preserve_index=False)
+        if chunk_rows > 0:
+            refs = [
+                ray.put(tbl.slice(o, chunk_rows))
+                for o in range(0, tbl.num_rows, chunk_rows)
+            ]
+            return refs, tbl.num_rows, denied
+        return tbl, tbl.num_rows, denied
 
     def requeue(self, table: pa.Table) -> int:
         """Rows cut by the driver's global cap come back to the queue."""

@@ -70,7 +70,7 @@ class _Bloom:
         return float(np.unpackbits(self.bits.view(np.uint8)).mean())
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0.05)
 class SeenShard:
     """One shard of the URL-seen pool. max_restarts=0: state is restored
     from checkpoint dumps, not by Ray restart (SURVEY.md §4.5)."""
@@ -122,27 +122,79 @@ class SeenShard:
         self._pending = []
         if not pending:
             return None  # caller treats as empty
-        cand = pa.concat_tables(pending)
         import pandas as pd  # noqa: PLC0415
+        import pyarrow.compute as pc  # noqa: PLC0415
 
-        df = cand.to_pandas()
-        df = df.sort_values("ord_key").drop_duplicates("canon", keep="first")
-        fresh_mask = np.ones(len(df), dtype=bool)
+        cand = pa.concat_tables(pending).combine_chunks()
+        # D1 first-wins: sort by ord_key, keep first occurrence per
+        # canon. Arrow-native except the single-column duplicated()
+        # (no full-table pandas round-trip).
+        order = pc.sort_indices(cand.column("ord_key"))
+        cand = cand.take(order)
+        first = ~pd.Series(cand.column("canon").to_pandas()).duplicated().to_numpy()
+        cand = cand.filter(pa.array(first))
         table = self.table
-        hashes = df["url_hash"].to_numpy()
-        canons = df["canon"].to_numpy()
-        keys = df["ord_key"].to_numpy()
-        for i in range(len(df)):
-            h = int(hashes[i])
-            cur = table.get(h)
-            if cur is None:
-                table[h] = (canons[i], keys[i])
-            elif cur[1] != keys[i]:
-                fresh_mask[i] = False
-        fresh = df.loc[fresh_mask]
-        if len(fresh):
-            self.bloom.add(fresh["url_hash"].to_numpy().astype(np.uint64))
-        return pa.Table.from_pandas(fresh, preserve_index=False).cast(cand.schema)
+        hashes = cand.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        # vectorized membership against the existing key set; the
+        # (rare) already-seen rows get the exact idempotent re-check
+        if table:
+            existing = np.fromiter(table.keys(), dtype=np.uint64, count=len(table))
+            seen_mask = np.isin(hashes, existing)
+        else:
+            seen_mask = np.zeros(len(hashes), dtype=bool)
+        fresh_mask = ~seen_mask
+        if seen_mask.any():
+            keys = cand.column("ord_key").to_pylist()
+            for i in np.nonzero(seen_mask)[0]:
+                cur = table.get(int(hashes[i]))
+                if cur is not None and cur[1] == keys[i]:
+                    fresh_mask[i] = True  # task-retry idempotency
+        new_idx = np.nonzero(fresh_mask & ~seen_mask)[0]
+        if len(new_idx):
+            sub = cand.take(pa.array(new_idx))
+            table.update(
+                zip(
+                    sub.column("url_hash").to_numpy(zero_copy_only=False)
+                    .astype(np.uint64).tolist(),
+                    zip(sub.column("canon").to_pylist(),
+                        sub.column("ord_key").to_pylist()),
+                )
+            )
+        fresh = cand.filter(pa.array(fresh_mask))
+        if fresh.num_rows:
+            self.bloom.add(
+                fresh.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+        return fresh
+
+    def resolve_and_route(self, politeness_parts: list, num_partitions: int) -> int:
+        """resolve() + push fresh rows DIRECTLY to their owning
+        politeness partition actors (shard→partition, no driver hop).
+        Returns the number of fresh rows routed."""
+        from ccrawler_ray.state.politeness import host_partition
+
+        fresh = self.resolve()
+        if fresh is None or fresh.num_rows == 0:
+            return 0
+        cache = getattr(self, "_hp_cache", None)
+        if cache is None:
+            cache = self._hp_cache = {}
+        hosts = fresh.column("host").to_pylist()
+        pids = np.empty(len(hosts), dtype=np.int64)
+        for i, h in enumerate(hosts):
+            p = cache.get(h)
+            if p is None:
+                p = host_partition(h, num_partitions)
+                cache[h] = p
+            pids[i] = p
+        refs = [
+            politeness_parts[int(p)].offer_frontier.remote(
+                fresh.take(pa.array(np.nonzero(pids == p)[0]))
+            )
+            for p in np.unique(pids)
+        ]
+        ray.get(refs)
+        return fresh.num_rows
 
     def dump(self) -> pa.Table:
         """Checkpoint dump of the exact membership (SEEN_SCHEMA)."""

@@ -122,9 +122,9 @@ def generate_corpus(
 SIZES = {
     "tiny": dict(num_hosts=5, total_pages=50),
     "small": dict(num_hosts=50, total_pages=2_000),
-    # bench: realistic page weight (~400+ words/page) + dense linking
+    # bench: realistic page weight (~900 words/page) + dense linking
     "bench": dict(num_hosts=500, total_pages=200_000, link_prob=0.6,
-                  links_per_embed=2, words_lo=30, words_hi=90),
+                  links_per_embed=2, words_lo=60, words_hi=180),
 }
 
 
