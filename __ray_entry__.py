@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- sorts / top-k (O-rows)
         "o1_global_sort": R.o1_global_sort,
         "o2_global_topk": R.o2_global_topk,
+        "o3_sample": R.o3_sample,
         # --- wide aggregate
         "q1_pricing_summary": R.q1_pricing_summary,
         # --- list explode (span analogue)

@@ -100,44 +100,48 @@ def dedup_minhash_lsh(sf_dir: str, num_perm: int = 64, bands: int = 16,
 
     band_rows = sigs.map_batches(to_bands, batch_format="pandas")
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(df["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
-
-    pairs = (
-        band_rows.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-    )
-    # dedup pairs found in multiple buckets (small: pairs only)
-    pairs = pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
-
-    # estimate Jaccard from signatures (broadcast at this scale; a
-    # co-partitioned join on doc_id at production scale)
+    # signature matrix broadcast (a co-partitioned join at 10^8+ scale)
     sig_map_ref = ray.put(
         {r["doc_id"]: np.asarray(r["signature"], dtype=np.uint64)
          for b in sigs.iter_batches(batch_format="pandas")
          for r in b.to_dict("records")}
     )
+    NUM_PAIR_BUCKETS = 32
 
-    def estimate(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
+    def bucket_pairs_est(df: pd.DataFrame) -> pd.DataFrame:
+        """Per LSH bucket: candidate pairs + vectorized Jaccard estimate
+        + threshold filter. Emits a coarse pair-bucket key for the
+        cross-bucket dedup (P big groups, not one group per pair —
+        Ray's per-group overhead dominates tiny groups)."""
+        ids = np.sort(df["doc_id"].unique())
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                              "doc_b": pd.Series(dtype="int64"),
+                              "est_jaccard": pd.Series(dtype="float64"),
+                              "pb": pd.Series(dtype="int64")})
+        if len(ids) < 2:
+            return empty
         sm = ray.get(sig_map_ref)
-        est = [
-            float((sm[a] == sm[b]).mean()) for a, b in zip(df["doc_a"], df["doc_b"])
-        ]
-        out = pd.DataFrame(
-            {"doc_a": df["doc_a"].astype(np.int64), "doc_b": df["doc_b"].astype(np.int64),
-             "est_jaccard": np.round(est, 4)}
+        mat = np.stack([sm[i] for i in ids])            # (n, num_perm)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        est = (mat[ia] == mat[ib]).mean(axis=1)         # vectorized
+        keep = est >= threshold
+        if not keep.any():
+            return empty
+        a, b = ids[ia[keep]].astype(np.int64), ids[ib[keep]].astype(np.int64)
+        return pd.DataFrame(
+            {"doc_a": a, "doc_b": b,
+             "est_jaccard": np.round(est[keep], 4),
+             "pb": (a * 1_000_003 + b) % NUM_PAIR_BUCKETS}
         )
-        return out[out["est_jaccard"] >= threshold]
 
-    return pairs.map_batches(estimate, batch_format="pandas")
+    pairs = (
+        band_rows.groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs_est, batch_format="pandas")
+    )
+    dedup = pairs.groupby("pb").map_groups(
+        lambda g: g.drop_duplicates(["doc_a", "doc_b"]), batch_format="pandas"
+    )
+    return dedup.drop_columns(["pb"])
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
@@ -223,28 +227,36 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 8):
 
     blocks = sigs.map_batches(to_blocks, batch_format="pandas")
 
+    NUM_PAIR_BUCKETS = 32
+
     def bucket_verify(df: pd.DataFrame) -> pd.DataFrame:
         ids = df.drop_duplicates("doc_id").sort_values("doc_id")
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                              "doc_b": pd.Series(dtype="int64"),
+                              "hamming": pd.Series(dtype="int64"),
+                              "pb": pd.Series(dtype="int64")})
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+            return empty
         sh = ids["simhash"].to_numpy().astype(np.uint64)
         di = ids["doc_id"].to_numpy()
         ia, ib = np.triu_indices(len(di), k=1)
         x = sh[ia] ^ sh[ib]
         ham = np.array([bin(int(v)).count("1") for v in x])
-        m = ham <= np.int64(
-            bucket_verify.max_hamming if hasattr(bucket_verify, "max_hamming") else 8
-        )
+        m = ham <= np.int64(max_hamming)
+        if not m.any():
+            return empty
+        a, b = di[ia][m].astype(np.int64), di[ib][m].astype(np.int64)
         return pd.DataFrame(
-            {"doc_a": di[ia][m].astype(np.int64), "doc_b": di[ib][m].astype(np.int64),
-             "hamming": ham[m].astype(np.int64)}
+            {"doc_a": a, "doc_b": b, "hamming": ham[m].astype(np.int64),
+             "pb": (a * 1_000_003 + b) % NUM_PAIR_BUCKETS}
         )
 
-    bucket_verify.max_hamming = max_hamming
     pairs = blocks.groupby(["blk", "key"]).map_groups(bucket_verify, batch_format="pandas")
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # cross-block dedup in P coarse pair-buckets (see dedup_minhash_lsh)
+    dedup = pairs.groupby("pb").map_groups(
+        lambda g: g.drop_duplicates(["doc_a", "doc_b"]), batch_format="pandas"
     )
+    return dedup.drop_columns(["pb"])
 
 
 def dedup_embedding_cosine(sf_dir: str, threshold: float = 0.9):

@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Min, Sum
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
@@ -303,6 +303,14 @@ def o1_global_sort(sf_dir: str, n: int = 100):
     return ds.sort(
         ["l_extendedprice", "l_orderkey", "l_linenumber"], descending=[True, False, False]
     ).limit(n)
+
+
+def o3_sample(sf_dir: str, fraction: float = 0.05, seed: int = 42):
+    """O3: seeded random sample (debug/QA sampling). Deterministic for
+    a given seed + input; no SQL oracle (DuckDB's sampler draws a
+    different stream) — the driver's rows-only check applies."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return ds.random_sample(fraction, seed=seed)
 
 
 def o2_global_topk(sf_dir: str, k: int = 10):

@@ -229,6 +229,7 @@ class SeenShard:
             "shard": self.shard_id,
             "size": len(self.table),
             "bloom_fill": self.bloom.fill_ratio(),
+            "bloom_bits": int(self.bloom.nbits),
         }
 
 
@@ -256,6 +257,20 @@ class SeenPool:
 
     def total_size(self) -> int:
         return sum(s["size"] for s in ray.get([sh.stats.remote() for sh in self.shards]))
+
+    def estimated_cardinality(self) -> float:
+        """G5: bloom fill-rate → cardinality estimate, merged across
+        shards (n ≈ -(m/k)·ln(1 - fill) per shard; exact dicts are
+        dropped at 10^10 scale, this estimate remains)."""
+        import math
+
+        stats = ray.get([sh.stats.remote() for sh in self.shards])
+        est = 0.0
+        for s in stats:
+            fill = min(s["bloom_fill"], 0.999999)
+            m = s["bloom_bits"]
+            est += -(m / BLOOM_PROBES) * math.log(1.0 - fill)
+        return est
 
     def kill(self) -> None:
         for s in self.shards:

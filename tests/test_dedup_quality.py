@@ -1,0 +1,54 @@
+"""Quality properties of the approximate dedup/similarity operators:
+LSH recall is MEASURED against the exact baselines, not assumed."""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_lsh_recall_vs_exact_jaccard():
+    from ccrawler_ray.functions.dedup import dedup_minhash_lsh, ngram_jaccard_pairs
+
+    exact = ngram_jaccard_pairs(SF, threshold=0.85).to_pandas()
+    approx = dedup_minhash_lsh(SF, threshold=0.8).to_pandas()
+    exact_pairs = set(zip(exact["doc_a"], exact["doc_b"]))
+    approx_pairs = set(zip(approx["doc_a"], approx["doc_b"]))
+    assert exact_pairs, "fixture should contain high-jaccard pairs"
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # 16 bands x 4 rows: P(collide | j=0.85) = 1-(1-0.85^4)^16 ~ 0.9998;
+    # estimator noise at the 0.8 cut loses a few -> demand >= 0.9
+    assert recall >= 0.9, f"LSH recall too low: {recall:.3f}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_pairs_have_low_hamming_and_match_direct():
+    from ccrawler_ray.functions.dedup import dedup_simhash, simhash_signatures
+
+    pairs = dedup_simhash(SF, max_hamming=6).to_pandas()
+    assert (pairs["hamming"] <= 6).all()
+    # spot-verify hamming against the signatures themselves
+    sigs = simhash_signatures(SF).to_pandas().set_index("doc_id")["simhash"]
+    for row in pairs.head(50).itertuples():
+        x = int(sigs[row.doc_a]) ^ int(sigs[row.doc_b])
+        assert bin(x).count("1") == row.hamming
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_lsh_recall_vs_brute_force():
+    from ccrawler_ray.functions.similarity import ann_lsh_topk, ann_topk_cosine
+
+    exact = ann_topk_cosine(SF, num_queries=5, k=5).to_pandas()
+    approx = ann_lsh_topk(SF, num_queries=5, k=5).to_pandas()
+    exact_top = {(r.query_id, r.vec_id) for r in exact.itertuples()}
+    approx_top = {(r.query_id, r.vec_id) for r in approx.itertuples()}
+    recall = len(exact_top & approx_top) / len(exact_top)
+    # random-hyperplane LSH on near-orthogonal random vectors is a weak
+    # filter; it must still recover a nontrivial fraction of true top-k
+    assert recall >= 0.2, f"ANN LSH recall too low: {recall:.3f}"
+    # and every reported neighbor's cosine must be exact (verified
+    # against the brute-force score for overlapping pairs)
+    merged = approx.merge(exact, on=["query_id", "vec_id"], suffixes=("_a", "_e"))
+    if len(merged):
+        assert np.allclose(merged["cos_a"], merged["cos_e"], atol=1e-4)

@@ -1,0 +1,79 @@
+"""S1 seed readers, S6 config loader, §2.10 Stage protocol."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from ccrawler_ray.config import CrawlConfig
+from ccrawler_ray.sources.seeds import read_seed_file
+
+
+def test_config_from_yaml_file():
+    cfg = CrawlConfig.from_file("fixtures/config_small.yaml")
+    assert cfg.seeds == (
+        "http://h0.example/p0", "http://h1.example/p0", "http://h7.example/p3"
+    )
+    assert cfg.max_depth == 6
+    assert cfg.per_host_budget_per_generation == 4
+    assert cfg.max_generations == 12
+
+
+def test_config_from_json_file(tmp_path):
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps({"seeds": ["http://a.example/"], "max_depth": 3}))
+    cfg = CrawlConfig.from_file(p)
+    assert cfg.seeds == ("http://a.example/",)
+    assert cfg.max_depth == 3
+
+
+def test_config_scaled_for():
+    cfg = CrawlConfig(seeds=()).scaled_for(32)
+    assert cfg.num_seen_shards == 16
+    assert cfg.num_politeness_partitions == 16
+    cfg2 = CrawlConfig(seeds=()).scaled_for(2)
+    assert cfg2.num_seen_shards == 2
+
+
+def test_read_seed_file_text(tmp_path):
+    p = tmp_path / "seeds.txt"
+    p.write_text("# comment\nhttp://a.example/p1\n\nhttp://b.example/p2\n")
+    assert read_seed_file(p) == ("http://a.example/p1", "http://b.example/p2")
+
+
+def test_read_seed_file_jsonl(tmp_path):
+    p = tmp_path / "seeds.jsonl"
+    p.write_text('{"url": "http://a.example/p1"}\n{"url": "http://b.example/p2"}\n')
+    assert read_seed_file(p) == ("http://a.example/p1", "http://b.example/p2")
+
+
+def test_read_seed_file_json_array(tmp_path):
+    p = tmp_path / "seeds.json"
+    p.write_text('["http://a.example/p1", "http://b.example/p2"]')
+    assert read_seed_file(p) == ("http://a.example/p1", "http://b.example/p2")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_extra_stage_applies_to_docs_out(tiny_corpus):
+    """§2.10: a custom batch_map Stage composes into the docs path."""
+    from ccrawler_ray.pipelines.crawl import CrawlEngine
+    from ccrawler_ray.pipelines.stage import Stage
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n_spans", pa.array([len(s) for s in batch.column("spans").to_pylist()],
+                                pa.int64())
+        )
+
+    cfg = CrawlConfig(
+        seeds=("http://h0.example/p0",), max_generations=2,
+        num_seen_shards=2, num_politeness_partitions=2,
+    )
+    eng = CrawlEngine(tiny_corpus, cfg, extra_stages=[Stage("tag", tag)])
+    try:
+        res = eng.run()
+        df = res.docs_out.to_pandas()
+        assert "n_spans" in df.columns
+        assert (df["n_spans"] == df["spans"].map(len)).all()
+    finally:
+        eng.shutdown()
