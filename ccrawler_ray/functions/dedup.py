@@ -93,9 +93,14 @@ def dedup_minhash_lsh(sf_dir: str, num_perm: int = 64, bands: int = 16,
                 out_doc.append(doc_id)
                 out_band.append(bi)
                 out_bh.append(bh)
+        bh = np.array(out_bh, dtype=np.uint64)
         return pd.DataFrame(
             {"doc_id": out_doc, "band": np.array(out_band, dtype=np.int32),
-             "band_hash": np.array(out_bh, dtype=np.uint64)}
+             "band_hash": bh,
+             # coarse shuffle key: Ray pays per-GROUP task overhead, so
+             # group on (band, band_hash%16) — ≤ bands×16 groups — and
+             # iterate the real buckets inside each group task
+             "bh_salt": (bh % np.uint64(16)).astype(np.int32)}
         )
 
     band_rows = sigs.map_batches(to_bands, batch_format="pandas")
@@ -108,35 +113,42 @@ def dedup_minhash_lsh(sf_dir: str, num_perm: int = 64, bands: int = 16,
     )
     NUM_PAIR_BUCKETS = 32
 
-    def bucket_pairs_est(df: pd.DataFrame) -> pd.DataFrame:
-        """Per LSH bucket: candidate pairs + vectorized Jaccard estimate
-        + threshold filter. Emits a coarse pair-bucket key for the
-        cross-bucket dedup (P big groups, not one group per pair —
-        Ray's per-group overhead dominates tiny groups)."""
-        ids = np.sort(df["doc_id"].unique())
-        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                              "doc_b": pd.Series(dtype="int64"),
-                              "est_jaccard": pd.Series(dtype="float64"),
-                              "pb": pd.Series(dtype="int64")})
-        if len(ids) < 2:
-            return empty
+    def salted_group_pairs(gdf: pd.DataFrame) -> pd.DataFrame:
+        """One (band, bh_salt) group: iterate its REAL buckets
+        (band_hash values), emit threshold-passing pairs with a
+        vectorized Jaccard estimate per bucket."""
         sm = ray.get(sig_map_ref)
-        mat = np.stack([sm[i] for i in ids])            # (n, num_perm)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        est = (mat[ia] == mat[ib]).mean(axis=1)         # vectorized
-        keep = est >= threshold
-        if not keep.any():
-            return empty
-        a, b = ids[ia[keep]].astype(np.int64), ids[ib[keep]].astype(np.int64)
+        out_a: list = []
+        out_b: list = []
+        out_e: list = []
+        for _, df in gdf.groupby("band_hash", sort=False):
+            ids = np.sort(df["doc_id"].unique())
+            if len(ids) < 2:
+                continue
+            mat = np.stack([sm[i] for i in ids])        # (n, num_perm)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            est = (mat[ia] == mat[ib]).mean(axis=1)     # vectorized
+            keep = est >= threshold
+            if keep.any():
+                out_a.append(ids[ia[keep]].astype(np.int64))
+                out_b.append(ids[ib[keep]].astype(np.int64))
+                out_e.append(est[keep])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64"),
+                                 "est_jaccard": pd.Series(dtype="float64"),
+                                 "pb": pd.Series(dtype="int64")})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
         return pd.DataFrame(
             {"doc_a": a, "doc_b": b,
-             "est_jaccard": np.round(est[keep], 4),
+             "est_jaccard": np.round(np.concatenate(out_e), 4),
              "pb": (a * 1_000_003 + b) % NUM_PAIR_BUCKETS}
         )
 
     pairs = (
-        band_rows.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs_est, batch_format="pandas")
+        band_rows.groupby(["band", "bh_salt"])
+        .map_groups(salted_group_pairs, batch_format="pandas")
     )
     dedup = pairs.groupby("pb").map_groups(
         lambda g: g.drop_duplicates(["doc_a", "doc_b"]), batch_format="pandas"
@@ -221,7 +233,9 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 8):
         for blk in range(4):
             part = (sh >> np.uint64(16 * blk)) & np.uint64(0xFFFF)
             rows.append(pd.DataFrame(
-                {"doc_id": df["doc_id"], "blk": blk, "key": part, "simhash": sh}
+                {"doc_id": df["doc_id"], "blk": blk, "key": part, "simhash": sh,
+                 # coarse shuffle key (see dedup_minhash_lsh)
+                 "key_salt": (part % np.uint64(16)).astype(np.int32)}
             ))
         return pd.concat(rows)
 
@@ -229,29 +243,39 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 8):
 
     NUM_PAIR_BUCKETS = 32
 
-    def bucket_verify(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df.drop_duplicates("doc_id").sort_values("doc_id")
-        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                              "doc_b": pd.Series(dtype="int64"),
-                              "hamming": pd.Series(dtype="int64"),
-                              "pb": pd.Series(dtype="int64")})
-        if len(ids) < 2:
-            return empty
-        sh = ids["simhash"].to_numpy().astype(np.uint64)
-        di = ids["doc_id"].to_numpy()
-        ia, ib = np.triu_indices(len(di), k=1)
-        x = sh[ia] ^ sh[ib]
-        ham = np.array([bin(int(v)).count("1") for v in x])
-        m = ham <= np.int64(max_hamming)
-        if not m.any():
-            return empty
-        a, b = di[ia][m].astype(np.int64), di[ib][m].astype(np.int64)
+    def salted_block_verify(gdf: pd.DataFrame) -> pd.DataFrame:
+        out_a: list = []
+        out_b: list = []
+        out_h: list = []
+        for _, df in gdf.groupby("key", sort=False):
+            ids = df.drop_duplicates("doc_id").sort_values("doc_id")
+            if len(ids) < 2:
+                continue
+            sh = ids["simhash"].to_numpy().astype(np.uint64)
+            di = ids["doc_id"].to_numpy()
+            ia, ib = np.triu_indices(len(di), k=1)
+            x = sh[ia] ^ sh[ib]
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            m = ham <= np.int64(max_hamming)
+            if m.any():
+                out_a.append(di[ia][m].astype(np.int64))
+                out_b.append(di[ib][m].astype(np.int64))
+                out_h.append(ham[m].astype(np.int64))
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64"),
+                                 "hamming": pd.Series(dtype="int64"),
+                                 "pb": pd.Series(dtype="int64")})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
         return pd.DataFrame(
-            {"doc_a": a, "doc_b": b, "hamming": ham[m].astype(np.int64),
+            {"doc_a": a, "doc_b": b, "hamming": np.concatenate(out_h),
              "pb": (a * 1_000_003 + b) % NUM_PAIR_BUCKETS}
         )
 
-    pairs = blocks.groupby(["blk", "key"]).map_groups(bucket_verify, batch_format="pandas")
+    pairs = blocks.groupby(["blk", "key_salt"]).map_groups(
+        salted_block_verify, batch_format="pandas"
+    )
     # cross-block dedup in P coarse pair-buckets (see dedup_minhash_lsh)
     dedup = pairs.groupby("pb").map_groups(
         lambda g: g.drop_duplicates(["doc_a", "doc_b"]), batch_format="pandas"

@@ -55,6 +55,42 @@ def test_kill_and_resume_equals_uninterrupted(small_corpus, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_kill_and_resume_actor_mode(small_corpus, tmp_path):
+    """Same §4.5 criterion with the actor-resident frontier: queues are
+    dumped per partition and re-routed on restore (including across a
+    DIFFERENT partition count)."""
+    ckpt = str(tmp_path / "ck_actor")
+    cfg_a = dataclasses.replace(CFG, admission_mode="actor")
+    eng1 = CrawlEngine(
+        small_corpus, dataclasses.replace(cfg_a, max_generations=3), ckpt_dir=ckpt
+    )
+    eng1.run()
+    eng1.shutdown()
+
+    # resume with MORE partitions/shards than the dumping run used
+    cfg_b = dataclasses.replace(
+        cfg_a, num_seen_shards=5, num_politeness_partitions=4
+    )
+    eng2 = CrawlEngine(small_corpus, cfg_b, ckpt_dir=ckpt)
+    assert eng2.resume()
+    assert eng2._start_gen == 3
+    r2 = eng2.run()
+    eng2.shutdown()
+
+    eng3 = CrawlEngine(small_corpus, cfg_a)
+    r3 = eng3.run()
+    eng3.shutdown()
+
+    assert sorted(r2.seen.column("canon").to_pylist()) == sorted(
+        r3.seen.column("canon").to_pylist()
+    )
+    assert (
+        r2.crawl_order[ORDER_COLS].values.tolist()
+        == r3.crawl_order[ORDER_COLS].values.tolist()
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_resume_without_checkpoint_returns_false(small_corpus, tmp_path):
     eng = CrawlEngine(small_corpus, CFG, ckpt_dir=str(tmp_path / "nope"))
     try:
