@@ -60,10 +60,16 @@ class CrawlConfig:
         return CrawlConfig(**data)
 
     def scaled_for(self, num_cpus: int) -> "CrawlConfig":
-        """Scale actor-pool sizes with available CPUs (SURVEY.md §4.6)."""
+        """Scale actor-pool sizes with available CPUs (SURVEY.md §4.6).
+
+        Capped at 8 shards/partitions for single-node runs: beyond
+        that, per-generation RPC fan-out latency outweighs the extra
+        admission/resolve parallelism at sandbox data sizes. On a real
+        multi-node cluster raise the caps with node count (each node
+        hosts its own shard/partition slice)."""
         return dataclasses.replace(
             self,
-            num_seen_shards=max(2, num_cpus // 2),
-            num_politeness_partitions=max(2, num_cpus // 2),
+            num_seen_shards=min(8, max(2, num_cpus // 2)),
+            num_politeness_partitions=min(8, max(2, num_cpus // 2)),
             fetch_concurrency=max(2, num_cpus // 4),
         )

@@ -505,7 +505,7 @@ class CrawlEngine:
             if seeds.num_rows:
                 # chunked: block count == map parallelism
                 ncpu0 = int(ray.cluster_resources().get("CPU", 8))
-                sc = max(256, -(-seeds.num_rows // (2 * ncpu0)))
+                sc = max(256, -(-seeds.num_rows // min(64, 2 * ncpu0)))
                 seeds_ds = ray.data.from_arrow(
                     [seeds.slice(o, sc) for o in range(0, seeds.num_rows, sc)]
                 )
@@ -534,8 +534,11 @@ class CrawlEngine:
             # Admitted rows come back as object REFS in ~2-blocks-per-
             # CPU chunks; the driver builds the fetch Dataset via
             # from_arrow_refs without touching the bytes.
+            # ~2 blocks per CPU, but never more than 64 blocks — tiny
+            # tasks cost more in dispatch than they gain in overlap
             ncpu = int(ray.cluster_resources().get("CPU", 8))
-            chunk = max(256, min(cfg.batch_size, -(-qsize // (2 * ncpu))))
+            nblocks = min(64, 2 * ncpu)
+            chunk = max(256, min(cfg.batch_size, -(-qsize // nblocks)))
             results = ray.get([
                 p.admit_generation.remote(
                     g, cfg.per_host_budget_per_generation, K, chunk
