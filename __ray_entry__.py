@@ -91,6 +91,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j2_anti_join": R.j2_anti_join,
         "j3_semi_join": R.j3_semi_join,
         "j4_multi_join": R.j4_multi_join,
+        "j5_asof_join": R.j5_asof_join,
+        "w1_running_sum": R.w1_running_sum,
+        "q3_shipping_priority": R.q3_shipping_priority,
         # --- sorts / top-k (O-rows)
         "o1_global_sort": R.o1_global_sort,
         "o2_global_topk": R.o2_global_topk,
@@ -185,6 +188,30 @@ def oracle_sql() -> dict[str, str]:
             f"{_USUM('o_totalprice')} AS revenue "
             "FROM orders JOIN customer ON o_custkey=c_custkey "
             "JOIN nation ON c_nationkey=n_nationkey GROUP BY n_name"
+        ),
+        "j5_asof_join": (
+            "SELECT p.event_id, p.user_id, p.ts, "
+            "c.event_id AS click_id, c.ts AS click_ts "
+            "FROM (SELECT * FROM events WHERE event_type='purchase') p "
+            "ASOF JOIN (SELECT * FROM events WHERE event_type='click') c "
+            "ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "w1_running_sum": (
+            "SELECT event_id, user_id, "
+            "CAST(sum(CAST(round(value*1000000) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT)/1000000.0 AS running_value "
+            "FROM events"
+        ),
+        "q3_shipping_priority": (
+            "SELECT l_orderkey, "
+            f"{_USUM('l_extendedprice*(1-l_discount)')} AS revenue, "
+            "any_value(o_orderdate) AS o_orderdate "
+            "FROM lineitem JOIN orders ON l_orderkey=o_orderkey "
+            "JOIN customer ON o_custkey=c_custkey "
+            "WHERE c_mktsegment='BUILDING' "
+            "GROUP BY l_orderkey "
+            "ORDER BY revenue DESC, l_orderkey LIMIT 10"
         ),
         "o1_global_sort": (
             "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "

@@ -354,6 +354,106 @@ def q1_pricing_summary(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# J5: as-of join (custom operator — Ray Data lacks one natively):
+# sort-within-key + pandas merge_asof per group. Partitioning
+# assumption: one key's rows fit a worker (holds for per-user streams).
+# ---------------------------------------------------------------------------
+
+
+def j5_asof_join(sf_dir: str):
+    """For each 'purchase' event, the same user's most recent 'click'
+    at-or-before its timestamp (DuckDB oracle uses native ASOF JOIN)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["event_type"] == "purchase"].sort_values("ts")
+        right = df[df["event_type"] == "click"].sort_values("ts")
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "user_id": pd.Series(dtype="int64"),
+                 "ts": pd.Series(dtype="datetime64[us]"),
+                 "click_id": pd.Series(dtype="int64"),
+                 "click_ts": pd.Series(dtype="datetime64[us]")}
+            )
+        m = pd.merge_asof(
+            left[["event_id", "user_id", "ts"]],
+            right[["event_id", "ts"]].rename(
+                columns={"event_id": "click_id", "ts": "click_ts"}
+            ),
+            left_on="ts", right_on="click_ts", direction="backward",
+        )
+        return m.dropna(subset=["click_id"]).astype({"click_id": "int64"})
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# W1: windowed running aggregate (streaming-shaped, §2.9): per-key
+# cumulative sum over the time-ordered stream
+# ---------------------------------------------------------------------------
+
+
+def w1_running_sum(sf_dir: str):
+    """Per-user running sum of value over ts order (micro-unit exact)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        run = _to_micro(df["value"]).cumsum()
+        return pd.DataFrame(
+            {"event_id": df["event_id"], "user_id": df["user_id"],
+             "running_value": run / (MICRO * 1.0)}
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Q3-style: filter + multi-join + aggregate + top-k in one pipeline
+# ---------------------------------------------------------------------------
+
+
+def q3_shipping_priority(sf_dir: str, k: int = 10):
+    """Top-k orders of BUILDING-segment customers by lineitem revenue
+    (broadcast semi-join + map-side partial agg + global top-k)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    keys_ref = ray.put(
+        np.sort(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy())
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def keep_orders(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(keys_ref)
+        return df[np.isin(df["o_custkey"].to_numpy(), ks)][["o_orderkey", "o_orderdate"]]
+
+    bld_orders = orders.map_batches(keep_orders, batch_format="pandas").to_pandas()
+    ord_ref = ray.put(
+        dict(zip(bld_orders["o_orderkey"], bld_orders["o_orderdate"]))
+    )
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        om = ray.get(ord_ref)
+        df = df[df["l_orderkey"].map(om).notna()]
+        df = df.assign(
+            rev_u=_to_micro(df["l_extendedprice"] * (1 - df["l_discount"]))
+        )
+        return df.groupby("l_orderkey", as_index=False).agg(revenue=("rev_u", "sum"))
+
+    partials = li.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby("l_orderkey").aggregate(Sum("revenue", alias_name="revenue"))
+    agg = _from_micro(agg, ["revenue"])
+    top = agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(k)
+
+    def attach_date(df: pd.DataFrame) -> pd.DataFrame:
+        om = ray.get(ord_ref)
+        return df.assign(o_orderdate=df["l_orderkey"].map(om))
+
+    return top.map_batches(attach_date, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # explode (list-column unnest — the span-explode analogue, M8/§2.8)
 # ---------------------------------------------------------------------------
 

@@ -61,14 +61,17 @@ def read_manifest(gen_dir: str | Path) -> dict | None:
 
 
 def latest_valid_generation(root: str | Path) -> int | None:
-    """Highest gen=N directory containing a manifest (i.e. fully written)."""
+    """Highest gen=N directory with a manifest AND intact state dumps
+    (generations whose state was GC'd are outputs-only, not resumable)."""
     root = Path(root)
     if not root.exists():
         return None
     gens = []
     for d in root.iterdir():
         if d.is_dir() and d.name.startswith("gen=") and (d / MANIFEST_NAME).exists():
-            gens.append(int(d.name.split("=", 1)[1]))
+            man = read_manifest(d) or {}
+            if not man.get("state_gc"):
+                gens.append(int(d.name.split("=", 1)[1]))
     return max(gens) if gens else None
 
 
@@ -77,6 +80,45 @@ def clear_generation(root: str | Path, generation: int) -> None:
     d = Path(root) / f"gen={generation}"
     if d.exists():
         shutil.rmtree(d)
+
+
+STATE_DIRS = ("frontier", "seen", "domain_state")
+
+
+def gc_checkpoints(root: str | Path, keep_last: int = 2) -> list[int]:
+    """Retention for long crawls: drop the heavy STATE dumps (frontier/
+    seen/domain_state) of all but the newest ``keep_last`` valid
+    generations; partial (manifest-less) dirs are removed entirely.
+    docs_out / crawl_order / metrics / manifest are OUTPUT data and are
+    kept for every generation (resume needs only the latest state but
+    all outputs). Returns the generations whose state was collected."""
+    root = Path(root)
+    if not root.exists():
+        return []
+    valid: list[int] = []
+    touched: list[int] = []
+    for d in root.iterdir():
+        if not (d.is_dir() and d.name.startswith("gen=")):
+            continue
+        g = int(d.name.split("=", 1)[1])
+        if (d / MANIFEST_NAME).exists():
+            valid.append(g)
+        else:
+            shutil.rmtree(d)
+            touched.append(g)
+    for g in sorted(valid)[:-keep_last] if keep_last else sorted(valid):
+        gen_dir = root / f"gen={g}"
+        changed = False
+        for sub in STATE_DIRS:
+            if (gen_dir / sub).exists():
+                shutil.rmtree(gen_dir / sub)
+                changed = True
+        if changed:
+            man = read_manifest(gen_dir) or {}
+            man["state_gc"] = True
+            write_manifest(gen_dir, man)
+            touched.append(g)
+    return sorted(touched)
 
 
 def dataset_files(dir_path: str | Path) -> list[str]:

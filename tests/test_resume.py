@@ -100,6 +100,41 @@ def test_resume_without_checkpoint_returns_false(small_corpus, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_checkpoint_gc_keeps_outputs_and_resume(small_corpus, tmp_path):
+    """GC drops old state dumps but keeps outputs; resume from the
+    retained newest generation still equals the uninterrupted run."""
+    from ccrawler_ray import storage
+
+    ckpt = tmp_path / "ck_gc"
+    eng1 = CrawlEngine(small_corpus, dataclasses.replace(CFG, max_generations=3),
+                       ckpt_dir=str(ckpt))
+    eng1.run()
+    eng1.shutdown()
+    touched = storage.gc_checkpoints(ckpt, keep_last=1)
+    assert touched == [0, 1]
+    # outputs retained for GC'd generations
+    assert storage.dataset_files(ckpt / "gen=0" / "docs_out")
+    assert not (ckpt / "gen=0" / "frontier").exists()
+    assert storage.latest_valid_generation(ckpt) == 2
+
+    eng2 = CrawlEngine(small_corpus, CFG, ckpt_dir=str(ckpt))
+    assert eng2.resume()
+    assert eng2._start_gen == 3
+    r2 = eng2.run()
+    eng2.shutdown()
+    eng3 = CrawlEngine(small_corpus, CFG)
+    r3 = eng3.run()
+    eng3.shutdown()
+    assert sorted(r2.seen.column("canon").to_pylist()) == sorted(
+        r3.seen.column("canon").to_pylist()
+    )
+    assert (
+        r2.crawl_order[ORDER_COLS].values.tolist()
+        == r3.crawl_order[ORDER_COLS].values.tolist()
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_partial_generation_dir_is_ignored(small_corpus, tmp_path):
     """A gen dir without MANIFEST.json (crash mid-write) must be skipped."""
     ckpt = tmp_path / "ckpt"

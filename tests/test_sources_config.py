@@ -29,8 +29,11 @@ def test_config_from_json_file(tmp_path):
 
 def test_config_scaled_for():
     cfg = CrawlConfig(seeds=()).scaled_for(32)
-    assert cfg.num_seen_shards == 16
-    assert cfg.num_politeness_partitions == 16
+    # pools scale with CPUs but cap at 8 on a single node (RPC fan-out
+    # dominates past that at sandbox sizes — see scaled_for docstring)
+    assert cfg.num_seen_shards == 8
+    assert cfg.num_politeness_partitions == 8
+    assert CrawlConfig(seeds=()).scaled_for(8).num_seen_shards == 4
     cfg2 = CrawlConfig(seeds=()).scaled_for(2)
     assert cfg2.num_seen_shards == 2
 
