@@ -9,16 +9,27 @@ Per generation g:
   6. seen A1        shard-routed check_and_add against the actor pool
   7. frontier_{g+1} = deferred ∪ fresh; checkpoint; loop.
 
-Two admission paths share the same pure math
-(``pipelines.admission``): a driver fast path for frontiers below
-``driver_threshold`` rows (the distributed shuffles cost more than they
-parallelize at that size — same cutoff idea as a broadcast join
-threshold) and the distributed groupby(host,salt) path for everything
-else. Tests pin both paths to the serial oracle.
+THREE admission modes share the same frozen pure math
+(``pipelines.admission``), all pinned to the serial oracle:
+
+* ``driver``      — pandas fast path for frontiers below
+  ``driver_threshold`` rows (distributed shuffles cost more than they
+  parallelize at that size — same cutoff idea as a broadcast join
+  threshold);
+* ``distributed`` — groupby(host, salt) shuffle ranking with explicit
+  hot-host salting (§4.3): the "per-host priority queue materialized
+  via groupby→aggregate→sort shuffles" design named in BASELINE.json;
+* ``actor``       — the frontier LIVES sharded in the politeness
+  partition actors (per-host queues, host→partition affinity);
+  admission ranks in parallel per partition, candidates dedup/register
+  via two-phase offer/resolve in the seen shards, and fresh rows route
+  shard→partition without touching the driver. Per-generation cost is
+  O(admitted)+O(fresh), never O(frontier) — the 10^10-frontier path.
 
 State: SeenPool shard actors (A1), PolitenessPool partition actors
-(A2/A3), and the driver's generation counter — everything else is
-recomputable dataflow, checkpointed every generation (SURVEY.md §4.5).
+(A2/A3, plus the actor-mode queues), and the driver's generation
+counter — everything else is recomputable dataflow, checkpointed every
+generation (SURVEY.md §4.5).
 """
 
 from __future__ import annotations
