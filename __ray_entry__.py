@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explode_embeddings": R.explode_embeddings,
         # --- text analysis toolkit
         "token_count": T.token_count,
+        "token_count_bpe": T.token_count_bpe,
         "quality_score": T.quality_score,
         "lang_id": T.lang_id,
         "doc_fingerprint": T.doc_fingerprint,
@@ -115,8 +116,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search
         "ann_topk_cosine": lambda sf: S.ann_topk_cosine(sf, num_queries=5, k=5),
         "ann_lsh_topk": lambda sf: S.ann_lsh_topk(sf, num_queries=5, k=5),
+        "ann_ivf_topk": lambda sf: S.ann_ivf_topk(sf, num_queries=5, k=5),
         # --- multimodal plumbing
         "decode_media_meta": M.decode_media_meta,
+        "media_pipeline": M.media_pipeline,
         "media_byte_stats": M.media_byte_stats,
         # --- the crawl itself
         "crawl_docs_out": _crawl_docs_out,
@@ -237,6 +240,11 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             r"SELECT doc_id, CAST(len(regexp_split_to_array(text,'\s+')) AS BIGINT)"
             " AS n_tokens FROM documents"
+        ),
+        "token_count_bpe": (
+            r"SELECT doc_id, CAST(len(regexp_extract_all(text,"
+            r"'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens "
+            "FROM documents"
         ),
         "quality_score": (
             r"SELECT doc_id, CAST(len(regexp_split_to_array(text,'\s+')) AS BIGINT) AS n_tokens, "

@@ -101,6 +101,47 @@ def decode_media_meta(sf_dir: str):
     )
 
 
+def resize_stage(batch: pa.Table, max_dim: int = 96) -> pa.Table:
+    """Resize plumbing: rescales the (fake-)decoded dims so the longer
+    side is <= max_dim, preserving aspect. Metadata-only here — with a
+    real decoder the payload bytes would be transformed in the same
+    batch pass."""
+    w = batch.column("width").to_numpy(zero_copy_only=False).astype(np.float64)
+    h = batch.column("height").to_numpy(zero_copy_only=False).astype(np.float64)
+    scale = np.minimum(1.0, max_dim / np.maximum(w, h))
+    out = batch.drop_columns(["width", "height"])
+    out = out.append_column("width", pa.array((w * scale).astype(np.int64)))
+    out = out.append_column("height", pa.array((h * scale).astype(np.int64)))
+    return out
+
+
+def frame_sample(batch: pa.Table, every_n_bytes: int = 64) -> pa.Table:
+    """Frame-sampling plumbing (video analog): one output row per
+    sampled 'frame' (every_n_bytes window of the payload) — the
+    explode/flat-map shape a real frame sampler uses, with
+    deterministic fake frame ids."""
+    n_bytes = batch.column("n_bytes").to_numpy(zero_copy_only=False)
+    n_frames = np.maximum(1, n_bytes // every_n_bytes).astype(np.int64)
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    rep = np.repeat(np.arange(len(doc_ids)), n_frames)
+    frame_idx = np.concatenate([np.arange(c) for c in n_frames])
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[rep], pa.int64()),
+            "frame": pa.array(frame_idx, pa.int64()),
+            "offset_bytes": pa.array(frame_idx * every_n_bytes, pa.int64()),
+        }
+    )
+
+
+def media_pipeline(sf_dir: str):
+    """synth → decode (actor pool) → resize → frame-sample: the full
+    multimodal chain (schemas/batch-sizing real; decode faked)."""
+    decoded = decode_media_meta(sf_dir)
+    resized = decoded.map_batches(resize_stage, batch_format="pyarrow", batch_size=64)
+    return resized.map_batches(frame_sample, batch_format="pyarrow", batch_size=64)
+
+
 def media_byte_stats(sf_dir: str):
     """Payload byte accounting per media type (SQL-checkable:
     n_bytes == octet_length(encode(text)))."""

@@ -75,6 +75,92 @@ def ann_topk_cosine(sf_dir: str, num_queries: int = 5, k: int = 5):
     return partials.groupby("query_id").map_groups(final, batch_format="pandas")
 
 
+def kmeans_centroids(sf_dir: str, k: int = 16, iters: int = 5, seed: int = 42):
+    """Deterministic Lloyd's k-means over the embedding column,
+    expressed scale-correctly: per-iteration assignment + partial
+    (sum, count) per cluster inside map_batches, merged driver-side
+    (centroids are tiny; vectors are never gathered)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+    # deterministic init: the k vectors with smallest vec_id
+    init = ds.to_pandas().sort_values("vec_id").head(k)
+    cents = np.stack(init["embedding"].to_numpy()).astype(np.float64)
+    for _ in range(iters):
+        c_ref = ray.put(cents)
+
+        def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+            c = ray.get(c_ref)
+            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            rows = []
+            for ci in np.unique(a):
+                sel = m[a == ci]
+                rows.append({"cluster": int(ci), "n": len(sel),
+                             "vsum": sel.sum(axis=0).tolist()})
+            return pd.DataFrame(rows)
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        new = cents.copy()
+        for ci, g in parts.groupby("cluster"):
+            n = g["n"].sum()
+            if n:
+                new[ci] = np.sum(np.stack(g["vsum"].to_numpy()), axis=0) / n
+        cents = new
+    return cents
+
+
+def ann_ivf_topk(sf_dir: str, num_queries: int = 5, k: int = 5,
+                 n_clusters: int = 16, n_probe: int = 4, seed: int = 42):
+    """IVF approximate top-k: k-means coarse quantizer; each query is
+    compared only against vectors whose cluster is among its n_probe
+    nearest centroids. Partitioning assumption: a cluster's members fit
+    a worker (rebalance with more clusters when skewed)."""
+    cents = kmeans_centroids(sf_dir, k=n_clusters, seed=seed)
+    ids, mat = _load_matrix(sf_dir)
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qmask = ids < num_queries
+    qd = ((cents[None, :, :] - mat[qmask][:, None, :]) ** 2).sum(axis=2)
+    probes = np.argsort(qd, axis=1)[:, :n_probe]           # (nq, n_probe)
+    q_ref = ray.put((ids[qmask], norm[qmask], cents, probes))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def search(df: pd.DataFrame) -> pd.DataFrame:
+        qids, qn, c, pr = ray.get(q_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        vids = df["vec_id"].to_numpy()
+        out = []
+        for qi, qid in enumerate(qids):
+            mask = np.isin(assign, pr[qi]) & (vids != qid)
+            if mask.any():
+                out.append(pd.DataFrame(
+                    {"query_id": qid, "vec_id": vids[mask],
+                     "cos": mn[mask] @ qn[qi]}
+                ))
+        return pd.concat(out) if out else pd.DataFrame(
+            {"query_id": [], "vec_id": [], "cos": []}
+        )
+
+    cands = ds.map_batches(search, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        return df.assign(
+            rank=np.arange(1, len(df) + 1, dtype=np.int64),
+            cos=np.round(df["cos"].to_numpy(), 4),
+            query_id=df["query_id"].astype(np.int64),
+            vec_id=df["vec_id"].astype(np.int64),
+        )
+
+    return cands.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
 def ann_lsh_topk(sf_dir: str, num_queries: int = 5, k: int = 5,
                  num_planes: int = 6, num_tables: int = 8, seed: int = 42):
     """LSH-bucketed approximate top-k: random-hyperplane signatures

@@ -52,6 +52,25 @@ def token_count(sf_dir: str):
     return ds.map_batches(f, batch_format="pandas")
 
 
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(sf_dir: str):
+    """BPE-ish sub-word token counts: alpha runs, digit runs, and
+    individual punctuation as separate tokens (the pre-tokenization
+    split most BPE vocabularies use). SQL-checkable via
+    regexp_extract_all."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        n = pl.Series(df["text"]).str.count_matches(_BPE_RE).to_numpy()
+        return pd.DataFrame({"doc_id": df["doc_id"], "n_bpe_tokens": n.astype(np.int64)})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 def quality_score(sf_dir: str):
     """Heuristic quality features: token count, mean token length,
     uppercase ratio (all SQL-expressible → oracle-checked)."""

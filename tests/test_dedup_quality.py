@@ -36,6 +36,31 @@ def test_simhash_pairs_have_low_hamming_and_match_direct():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_ann_ivf_recall_vs_brute_force():
+    from ccrawler_ray.functions.similarity import ann_ivf_topk, ann_topk_cosine
+
+    exact = ann_topk_cosine(SF, num_queries=5, k=5).to_pandas()
+    approx = ann_ivf_topk(SF, num_queries=5, k=5).to_pandas()
+    et = {(r.query_id, r.vec_id) for r in exact.itertuples()}
+    at = {(r.query_id, r.vec_id) for r in approx.itertuples()}
+    recall = len(et & at) / len(et)
+    # 4-of-16 probed clusters must recover most true neighbors
+    assert recall >= 0.6, f"IVF recall too low: {recall:.3f}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_pipeline_frames():
+    from ccrawler_ray.functions.multimodal import media_pipeline
+
+    frames = media_pipeline(SF).to_pandas()
+    assert len(frames) > 500  # explodes to multiple frames per doc
+    assert (frames["offset_bytes"] == frames["frame"] * 64).all()
+    assert frames.groupby("doc_id")["frame"].apply(
+        lambda s: (sorted(s) == list(range(len(s))))
+    ).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ann_lsh_recall_vs_brute_force():
     from ccrawler_ray.functions.similarity import ann_lsh_topk, ann_topk_cosine
 
