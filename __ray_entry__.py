@@ -111,7 +111,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup toolkit
         "ngram_jaccard_pairs": lambda sf: D.ngram_jaccard_pairs(sf, threshold=0.8),
         "dedup_minhash_lsh": lambda sf: D.dedup_minhash_lsh(sf, threshold=0.8),
-        "dedup_simhash": lambda sf: D.dedup_simhash(sf, max_hamming=8),
+        "dedup_lsh_verified": lambda sf: D.dedup_lsh_verified(sf, threshold=0.8),
+        # max_hamming=3: the scale-safe blocking point (16-bit keys);
+        # radius-derived blocking guarantees full recall (ADVICE r1)
+        "dedup_simhash": lambda sf: D.dedup_simhash(sf, max_hamming=3),
         "dedup_embedding_cosine": lambda sf: D.dedup_embedding_cosine(sf, threshold=0.4),
         # --- similarity search
         "ann_topk_cosine": lambda sf: S.ann_topk_cosine(sf, num_queries=5, k=5),

@@ -32,3 +32,22 @@ import os as _os
 # process (32 workers x 32 threads), collapsing under oversubscription.
 # Batch-level parallelism comes from Ray; keep per-worker pools tiny.
 _os.environ.setdefault("POLARS_MAX_THREADS", "2")
+
+import logging as _logging
+
+
+class _SchemaHashNoiseFilter(_logging.Filter):
+    """Drop Ray Data's cosmetic 'Failed to hash the schemas (for
+    deduplication)' warning: pa.Schema.__hash__ raises on any schema
+    carrying metadata (e.g. parquet pandas metadata) and
+    PandasBlockSchema is never hashable, so Ray's unify_schemas logs
+    this on EVERY multi-block concat — it then proceeds down the
+    correct (unify) path, so the message carries no signal."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # pragma: no cover
+        return "Failed to hash the schemas" not in record.getMessage()
+
+
+_logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").addFilter(
+    _SchemaHashNoiseFilter()
+)

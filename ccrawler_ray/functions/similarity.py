@@ -13,14 +13,30 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow.compute as pc
 import ray
 import ray.data
 
+_EMPTY_SCORES = {
+    "query_id": pd.Series(dtype="int64"),
+    "vec_id": pd.Series(dtype="int64"),
+    "cos": pd.Series(dtype="float64"),
+}
 
-def _load_matrix(sf_dir: str):
+
+def _empty_scores() -> pd.DataFrame:
+    return pd.DataFrame(_EMPTY_SCORES)
+
+
+def _query_matrix(sf_dir: str, num_queries: int):
+    """ONLY the query rows (vec_id < num_queries) reach the driver —
+    a filtered, column-pruned read (the r1 full-table _load_matrix was
+    a driver OOM at scale)."""
     df = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") < num_queries,
     ).to_pandas()
+    df = df.sort_values("vec_id")
     ids = df["vec_id"].to_numpy()
     mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     return ids, mat
@@ -34,9 +50,7 @@ def ann_topk_cosine(sf_dir: str, num_queries: int = 5, k: int = 5):
     scores vs the broadcast queries; a final small reduce merges
     top-k — the corpus is never materialized on one worker.
     """
-    ids, mat = _load_matrix(sf_dir)
-    qm = mat[ids < num_queries]
-    qids = ids[ids < num_queries]
+    qids, qm = _query_matrix(sf_dir, num_queries)
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     q_ref = ray.put((qids, qn))
     ds = ray.data.read_parquet(
@@ -44,6 +58,8 @@ def ann_topk_cosine(sf_dir: str, num_queries: int = 5, k: int = 5):
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _empty_scores()
         qids_, qn_ = ray.get(q_ref)
         m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
@@ -57,22 +73,47 @@ def ann_topk_cosine(sf_dir: str, num_queries: int = 5, k: int = 5):
             take = min(len(c), 64)
             idx = np.argpartition(-c, take - 1)[:take] if take else []
             out.append(pd.DataFrame({"query_id": qid, "vec_id": v[idx], "cos": c[idx]}))
-        return pd.concat(out) if out else pd.DataFrame(
-            {"query_id": [], "vec_id": [], "cos": []}
-        )
+        return pd.concat(out) if out else _empty_scores()
 
     partials = ds.map_batches(partial, batch_format="pandas")
+    return _topk_reduce(partials, k)
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
-        return df.assign(
-            rank=np.arange(1, len(df) + 1, dtype=np.int64),
-            cos=np.round(df["cos"].to_numpy(), 4),
-            query_id=df["query_id"].astype(np.int64),
-            vec_id=df["vec_id"].astype(np.int64),
-        )
 
-    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+def _topk_final(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    if len(df) == 0:  # dtyped empty: keeps the executor schema stable
+        out = _empty_scores()
+        out["rank"] = pd.Series(dtype="int64")
+        return out
+    df = df.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+    return df.assign(
+        rank=np.arange(1, len(df) + 1, dtype=np.int64),
+        cos=np.round(df["cos"].to_numpy(), 4),
+        query_id=df["query_id"].astype(np.int64),
+        vec_id=df["vec_id"].astype(np.int64),
+    )
+
+
+def _topk_reduce(partials, k: int, dedup: bool = False):
+    """Final per-query top-k over the (small by construction) partial
+    score stream: one single-block reduce — the partials are bounded by
+    n_blocks × n_queries × 64 rows, so a distributed groupby sort here
+    would only manufacture empty partitions (and executor schema-warn
+    noise) for no parallelism."""
+
+    def reduce_all(df: pd.DataFrame) -> pd.DataFrame:
+        if dedup:
+            df = df.drop_duplicates(["query_id", "vec_id"])
+        parts = [
+            _topk_final(g, k)
+            for _, g in df.groupby("query_id", sort=True)
+        ]
+        if not parts:
+            return _topk_final(df, k)
+        return pd.concat(parts, ignore_index=True)
+
+    return partials.repartition(1).map_batches(
+        reduce_all, batch_format="pandas", batch_size=None
+    )
 
 
 def kmeans_centroids(sf_dir: str, k: int = 16, iters: int = 5, seed: int = 42):
@@ -83,22 +124,28 @@ def kmeans_centroids(sf_dir: str, k: int = 16, iters: int = 5, seed: int = 42):
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).materialize()
-    # deterministic init: the k vectors with smallest vec_id
-    init = ds.to_pandas().sort_values("vec_id").head(k)
+    # deterministic init: the k vectors with smallest vec_id — a
+    # distributed sort+limit moves k rows, never the whole table
+    init = ds.sort("vec_id").limit(k).to_pandas()
     cents = np.stack(init["embedding"].to_numpy()).astype(np.float64)
     for _ in range(iters):
         c_ref = ray.put(cents)
 
         def partial(df: "pd.DataFrame") -> "pd.DataFrame":
             c = ray.get(c_ref)
-            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-            d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            a = d.argmin(axis=1)
             rows = []
-            for ci in np.unique(a):
-                sel = m[a == ci]
-                rows.append({"cluster": int(ci), "n": len(sel),
-                             "vsum": sel.sum(axis=0).tolist()})
+            if len(df):
+                m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+                d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                a = d.argmin(axis=1)
+                for ci in np.unique(a):
+                    sel = m[a == ci]
+                    rows.append({"cluster": int(ci), "n": len(sel),
+                                 "vsum": sel.sum(axis=0).tolist()})
+            if not rows:
+                return pd.DataFrame({"cluster": pd.Series(dtype="int64"),
+                                     "n": pd.Series(dtype="int64"),
+                                     "vsum": pd.Series(dtype="object")})
             return pd.DataFrame(rows)
 
         parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
@@ -118,17 +165,18 @@ def ann_ivf_topk(sf_dir: str, num_queries: int = 5, k: int = 5,
     nearest centroids. Partitioning assumption: a cluster's members fit
     a worker (rebalance with more clusters when skewed)."""
     cents = kmeans_centroids(sf_dir, k=n_clusters, seed=seed)
-    ids, mat = _load_matrix(sf_dir)
-    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    qmask = ids < num_queries
-    qd = ((cents[None, :, :] - mat[qmask][:, None, :]) ** 2).sum(axis=2)
+    qids, qm = _query_matrix(sf_dir, num_queries)
+    qnorm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qd = ((cents[None, :, :] - qm[:, None, :]) ** 2).sum(axis=2)
     probes = np.argsort(qd, axis=1)[:, :n_probe]           # (nq, n_probe)
-    q_ref = ray.put((ids[qmask], norm[qmask], cents, probes))
+    q_ref = ray.put((qids, qnorm, cents, probes))
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 
     def search(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _empty_scores()
         qids, qn, c, pr = ray.get(q_ref)
         m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
@@ -143,22 +191,10 @@ def ann_ivf_topk(sf_dir: str, num_queries: int = 5, k: int = 5,
                     {"query_id": qid, "vec_id": vids[mask],
                      "cos": mn[mask] @ qn[qi]}
                 ))
-        return pd.concat(out) if out else pd.DataFrame(
-            {"query_id": [], "vec_id": [], "cos": []}
-        )
+        return pd.concat(out) if out else _empty_scores()
 
     cands = ds.map_batches(search, batch_format="pandas")
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
-        return df.assign(
-            rank=np.arange(1, len(df) + 1, dtype=np.int64),
-            cos=np.round(df["cos"].to_numpy(), 4),
-            query_id=df["query_id"].astype(np.int64),
-            vec_id=df["vec_id"].astype(np.int64),
-        )
-
-    return cands.groupby("query_id").map_groups(final, batch_format="pandas")
+    return _topk_reduce(cands, k)
 
 
 def ann_lsh_topk(sf_dir: str, num_queries: int = 5, k: int = 5,
@@ -171,18 +207,19 @@ def ann_lsh_topk(sf_dir: str, num_queries: int = 5, k: int = 5,
     when num_planes splits the corpus ~2^planes ways; skewed buckets
     would be re-split by another plane in a deeper variant.
     """
-    ids, mat = _load_matrix(sf_dir)
-    dim = mat.shape[1]
+    qids, qm = _query_matrix(sf_dir, num_queries)
+    dim = qm.shape[1]
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_tables, num_planes, dim))
-    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    qmask = ids < num_queries
-    q_ref = ray.put((ids[qmask], norm[qmask], planes))
+    qnorm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    q_ref = ray.put((qids, qnorm, planes))
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _empty_scores()
         qids, qn, pl = ray.get(q_ref)
         m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
@@ -202,20 +239,9 @@ def ann_lsh_topk(sf_dir: str, num_queries: int = 5, k: int = 5,
                         {"query_id": qid, "vec_id": vids[mask], "cos": cos}
                     ))
         if not out:
-            return pd.DataFrame({"query_id": [], "vec_id": [], "cos": []})
+            return _empty_scores()
         r = pd.concat(out).drop_duplicates(["query_id", "vec_id"])
         return r
 
     cands = ds.map_batches(bucketize, batch_format="pandas")
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(["query_id", "vec_id"])
-        df = df.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
-        return df.assign(
-            rank=np.arange(1, len(df) + 1, dtype=np.int64),
-            cos=np.round(df["cos"].to_numpy(), 4),
-            query_id=df["query_id"].astype(np.int64),
-            vec_id=df["vec_id"].astype(np.int64),
-        )
-
-    return cands.groupby("query_id").map_groups(final, batch_format="pandas")
+    return _topk_reduce(cands, k, dedup=True)

@@ -86,11 +86,26 @@ def _fetch_fn_factory(corpus_ref, delays_ref):
     return fetch_batch
 
 
-def _dedup_group(df: pd.DataFrame) -> pd.DataFrame:
-    """D1: within a url_hash group, first-wins by min ord_key per canon
-    (grouping on canon inside guards the astronomically-unlikely 64-bit
-    hash collision)."""
-    return df.sort_values("ord_key").drop_duplicates("canon", keep="first")
+def _add_uh_salt(batch: pa.Table) -> pa.Table:
+    """Coarse D1 shuffle key: url_hash % 256 — Ray map_groups pays
+    per-GROUP task overhead, so one group per distinct URL collapses at
+    high cardinality (measured; CLAUDE.md lore). Real keys dedup inside
+    each coarse group."""
+    h = batch.column("url_hash").to_numpy(zero_copy_only=False)
+    return batch.append_column(
+        "uh_salt", pa.array((h % np.uint64(256)).astype(np.int32))
+    )
+
+
+def _dedup_salted_group(df: pd.DataFrame) -> pd.DataFrame:
+    """D1 within one coarse salt group: first-wins by min ord_key per
+    canon (canon ↔ url_hash 1:1 up to the astronomically-unlikely
+    64-bit collision, which keying on canon guards)."""
+    return (
+        df.sort_values("ord_key")
+        .drop_duplicates("canon", keep="first")
+        .drop(columns=["uh_salt"])
+    )
 
 
 def make_seen_filter(shards):
@@ -184,8 +199,10 @@ class CrawlEngine:
         n_disc = discovered.count()
         if n_disc == 0:
             return discovered
-        deduped = discovered.groupby("url_hash").map_groups(
-            _dedup_group, batch_format="pandas"
+        deduped = (
+            discovered.map_batches(_add_uh_salt, batch_format="pyarrow")
+            .groupby("uh_salt")
+            .map_groups(_dedup_salted_group, batch_format="pandas")
         )
         fresh = deduped.map_batches(
             make_seen_filter(self.seen_pool.shards), batch_format="pyarrow",

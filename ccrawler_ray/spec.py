@@ -181,8 +181,12 @@ FAST_CANONICAL_RE = re.compile(
 
 
 def is_fast_canonical(url: str) -> bool:
+    # MAX_URL_LEN guard must match the scalar slow path: without it a
+    # regex-canonical but over-long URL would pass through the batch
+    # path while canonicalize() returns None — a spec fork (ADVICE r1).
     return (
-        FAST_CANONICAL_RE.match(url) is not None
+        len(url) <= MAX_URL_LEN
+        and FAST_CANONICAL_RE.match(url) is not None
         and "/." not in url
         and not url.endswith("/")
     )
@@ -234,11 +238,18 @@ def canonicalize(url: str) -> str | None:
     scheme = parts.scheme.lower()
     if scheme not in ("http", "https"):
         return None
-    host = parts.hostname
+    try:
+        host = parts.hostname
+        port = parts.port  # raises ValueError on a malformed port
+    except ValueError:
+        return None
     if not host:
         return None
     host = host.lower().rstrip(".")
-    port = parts.port
+    if ":" in host:
+        # urlsplit strips IPv6 brackets; re-bracket so the canonical
+        # form re-parses (idempotency) and url_host() stays correct
+        host = f"[{host}]"
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS[scheme]:
         netloc = f"{host}:{port}"
@@ -294,6 +305,8 @@ def url_host(canon: str) -> str:
     rest = canon.split("://", 1)[1]
     slash = rest.find("/")
     netloc = rest[:slash] if slash >= 0 else rest
+    if netloc.startswith("["):  # bracketed IPv6 literal, maybe :port
+        return netloc[: netloc.index("]") + 1]
     return netloc.rsplit(":", 1)[0] if ":" in netloc else netloc
 
 

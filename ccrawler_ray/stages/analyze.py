@@ -14,29 +14,14 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from ccrawler_ray.functions.dedup import _minhash_params
+from ccrawler_ray.functions.dedup import _minhash_params, word_hashes as _word_hashes
 from ccrawler_ray.spec import as_single_array
 
 NUM_PERM = 64
 _A, _B = _minhash_params(NUM_PERM)
 _MERSENNE = np.uint64((1 << 61) - 1)
 
-_WORD_HASH_CACHE: dict[str, int] = {}
 _BIT_WEIGHTS = (np.uint64(1) << np.arange(64, dtype=np.uint64))
-
-
-def _word_hashes(words: set[str]) -> np.ndarray:
-    cache = _WORD_HASH_CACHE
-    out = np.empty(len(words), dtype=np.uint64)
-    for i, w in enumerate(words):
-        h = cache.get(w)
-        if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
-            )
-            cache[w] = h
-        out[i] = h
-    return out
 
 
 ANALYSIS_COLS = ["n_tokens", "content_hash", "simhash", "minhash_sig", "pred_lang"]

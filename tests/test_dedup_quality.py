@@ -23,16 +23,47 @@ def test_minhash_lsh_recall_vs_exact_jaccard():
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_simhash_pairs_have_low_hamming_and_match_direct():
+def test_lsh_verified_subset_of_exact_with_recall():
+    """dedup_lsh_verified = EXACT jaccard on LSH candidates: every
+    emitted pair must appear in the all-pairs exact output with the
+    SAME jaccard value (precision 1.0), and recall must be high."""
+    from ccrawler_ray.functions.dedup import dedup_lsh_verified, ngram_jaccard_pairs
+
+    exact = ngram_jaccard_pairs(SF, threshold=0.8).to_pandas()
+    ver = dedup_lsh_verified(SF, threshold=0.8).to_pandas()
+    epairs = {(int(r.doc_a), int(r.doc_b)): r.jaccard for r in exact.itertuples()}
+    assert len(ver)
+    for r in ver.itertuples():
+        key = (int(r.doc_a), int(r.doc_b))
+        assert key in epairs
+        assert abs(epairs[key] - r.jaccard) < 1e-12
+    recall = len(ver) / len(epairs)
+    assert recall >= 0.9, f"verified-candidate recall too low: {recall:.3f}"
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("radius", [3, 6])
+def test_simhash_pairs_exactly_match_brute_force(radius):
+    """Radius-derived blocking (max_hamming+1 blocks) guarantees FULL
+    recall by pigeonhole; verify is exact hamming — so the operator's
+    output must EQUAL the brute-force pair set (ADVICE r1: the old
+    fixed 4-block scheme silently missed hamming 4..max pairs)."""
     from ccrawler_ray.functions.dedup import dedup_simhash, simhash_signatures
 
-    pairs = dedup_simhash(SF, max_hamming=6).to_pandas()
-    assert (pairs["hamming"] <= 6).all()
-    # spot-verify hamming against the signatures themselves
-    sigs = simhash_signatures(SF).to_pandas().set_index("doc_id")["simhash"]
-    for row in pairs.head(50).itertuples():
-        x = int(sigs[row.doc_a]) ^ int(sigs[row.doc_b])
-        assert bin(x).count("1") == row.hamming
+    pairs = dedup_simhash(SF, max_hamming=radius).to_pandas()
+    assert (pairs["hamming"] <= radius).all()
+    sigs = simhash_signatures(SF).to_pandas().sort_values("doc_id")
+    ids = sigs["doc_id"].to_numpy()
+    sh = sigs["simhash"].to_numpy().astype(np.uint64)
+    ia, ib = np.triu_indices(len(ids), k=1)
+    x = sh[ia] ^ sh[ib]
+    ham = np.array([bin(int(v)).count("1") for v in x])
+    brute = {
+        (int(ids[i]), int(ids[j]), int(h))
+        for i, j, h in zip(ia[ham <= radius], ib[ham <= radius], ham[ham <= radius])
+    }
+    got = {(int(r.doc_a), int(r.doc_b), int(r.hamming)) for r in pairs.itertuples()}
+    assert got == brute
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -30,6 +30,13 @@ CANON_CASES = [
     ("not a url", None),
     ("", None),
     ("http://" + "x" * 3000 + ".example/", None),
+    # malformed port must reject, not raise (ADVICE r1, spec.py port fix)
+    ("http://h0.example:abc/x", None),
+    ("http://h0.example:99999999999999999999/x", None),  # port out of range
+    # IPv6 hosts re-bracket so the canonical form re-parses (ADVICE r1)
+    ("http://[::1]/x", "http://[::1]/x"),
+    ("http://[2001:DB8::1]:8080/a/../b", "http://[2001:db8::1]:8080/b"),
+    ("http://[::1]:80/x", "http://[::1]/x"),
 ]
 
 
@@ -70,6 +77,19 @@ def test_url_host():
     assert spec.url_host("http://h.example/p") == "h.example"
     assert spec.url_host("http://h.example:8080/p") == "h.example"
     assert spec.url_host("http://h.example/") == "h.example"
+    assert spec.url_host("http://[::1]/p") == "[::1]"
+    assert spec.url_host("http://[2001:db8::1]:8080/p") == "[2001:db8::1]"
+
+
+def test_fast_path_agrees_with_scalar_on_length_boundary():
+    # boundary-length URLs: batch (fast) path and scalar path must agree
+    base = "http://h0.example/"
+    for pad in (spec.MAX_URL_LEN - len(base), spec.MAX_URL_LEN - len(base) + 1):
+        u = base + "a" * pad
+        assert spec.canonicalize_batch([u]) == [spec.canonicalize(u)]
+    long_u = base + "a" * spec.MAX_URL_LEN
+    assert not spec.is_fast_canonical(long_u)
+    assert spec.canonicalize(long_u) is None
 
 
 def test_priority_monotone_in_depth():
