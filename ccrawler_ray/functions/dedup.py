@@ -82,11 +82,12 @@ def _signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray
     return vals.min(axis=1)
 
 
-def _batch_signatures(texts, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(n, num_perm) uint64 signature matrix for a batch of texts:
-    hash every distinct word once (cached), ONE vectorized perm pass
-    over the concatenated hashes, then a segment-min per doc
-    (np.minimum.reduceat) — no per-doc Python loop."""
+def _batch_sig_wset(texts, a: np.ndarray, b: np.ndarray, want_wsets: bool):
+    """(n, num_perm) uint64 signature matrix (and optionally the sorted
+    word-hash set bytes) for a batch of texts: hash every distinct word
+    once (cached), ONE vectorized perm pass over the concatenated
+    hashes, then a segment-min per doc (np.minimum.reduceat) — no
+    per-doc Python loop."""
     n = len(texts)
     num_perm = len(a)
     out = np.full((n, num_perm), _MERSENNE, dtype=np.uint64)
@@ -94,7 +95,7 @@ def _batch_signatures(texts, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     lens = np.fromiter((len(w) for w in word_sets), dtype=np.int64, count=n)
     total = int(lens.sum())
     if total == 0:
-        return out
+        return out, ([b""] * n if want_wsets else None)
     h = word_hashes([w for ws in word_sets for w in ws])
     vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)  # (P, total)
     offsets = np.concatenate([[0], np.cumsum(lens)])
@@ -103,7 +104,14 @@ def _batch_signatures(texts, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     # doc's hash segment (empty docs contribute zero-width segments)
     mins = np.minimum.reduceat(vals, offsets[:-1][nz], axis=1)  # (P, n_nonempty)
     out[nz] = mins.T
-    return out
+    wsets = None
+    if want_wsets:
+        wsets = [np.sort(h[offsets[i]: offsets[i + 1]]).tobytes() for i in range(n)]
+    return out, wsets
+
+
+def _batch_signatures(texts, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return _batch_sig_wset(texts, a, b, want_wsets=False)[0]
 
 
 def _sig_matrix(col) -> np.ndarray:
@@ -132,6 +140,27 @@ def minhash_signatures(sf_dir: str, num_perm: int = 64):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=512)
 
 
+def minhash_sig_wset(sf_dir: str, num_perm: int = 64):
+    """doc_id → (minhash signature, sorted word-hash set) — one pass;
+    both as binary (Acero/shuffle-friendly). Input to the exact-verify
+    LSH pipeline."""
+    a, b = _minhash_params(num_perm)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        sigs, wsets = _batch_sig_wset(
+            batch.column("text").to_pylist(), a, b, want_wsets=True
+        )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "signature": pa.array([sigs[i].tobytes() for i in range(len(sigs))],
+                                   pa.binary()),
+             "wset": pa.array(wsets, pa.binary())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=512)
+
+
 def _band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
     """(n, bands) uint64 FNV-1a over each band's signature rows —
     vectorized over the (n, bands, rows_per_band) reshape."""
@@ -146,80 +175,180 @@ def _band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
 
 
 _NUM_PAIR_BUCKETS = 32
-_EMPTY_PAIRS = pd.DataFrame(
-    {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
-     "pb": pd.Series(dtype="int64")}
-)
 
 
-def _lsh_candidate_pairs(sigs, bands: int):
-    """Banded LSH candidate pairs (doc_a < doc_b), deduplicated across
-    bands. One coarse-salted groupby (≤ bands×16 groups — Ray pays
-    per-GROUP task overhead, so real buckets iterate inside the group
-    fn) + one coarse pair-bucket dedup groupby."""
+def _inter_count(x: np.ndarray, y: np.ndarray) -> int:
+    """|x ∩ y| for two sorted unique uint64 arrays (searchsorted merge)."""
+    if len(x) > len(y):
+        x, y = y, x
+    if len(y) == 0:
+        return 0
+    pos = np.searchsorted(y, x)
+    pos[pos == len(y)] = len(y) - 1  # x > max(y) can never match y[-1]
+    return int(np.count_nonzero(y[pos] == x))
+
+
+def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
+                         threshold: float | None = None,
+                         exact: bool = False):
+    """Banded LSH pairs (doc_a < doc_b), each emitted EXACTLY ONCE.
+
+    The signature (and in exact mode the word-hash set) rides along in
+    the band rows — the LSH shuffle — so ONE coarse-salted groupby
+    produces the final pairs: the group fn applies the
+    first-colliding-band rule (a pair is emitted only by the FIRST band
+    whose chunks match), which removes the cross-band duplicate stream
+    and its dedup shuffle, and computes the Jaccard metric in-bucket
+    (the r1 pipeline shipped ~16× duplicated pairs into a pair-bucket
+    groupby + a driver-side signature dict; an intermediate variant
+    joined 2×|pairs| signature payloads through Acero — both measured
+    slower than this single shuffle).
+
+    Modes: threshold=None → all candidate pairs, no metric column;
+    exact=False → est_jaccard (signature positionwise agreement,
+    rounded to 4) filtered >= threshold; exact=True → jaccard (EXACT
+    word-set Jaccard, floor-scaled to 4) filtered >= threshold — input
+    ``sigs`` must carry the ``wset`` column (minhash_sig_wset).
+    """
+    if exact and threshold is None:
+        raise ValueError("exact mode requires a threshold")
+    metric_col = "jaccard" if exact else ("est_jaccard" if threshold is not None else None)
+    key_col = "wset" if exact else "sig"
 
     def to_bands(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        cols = {"doc_id": pa.array([], pa.int64()), "band": pa.array([], pa.int32()),
+                "band_hash": pa.array([], pa.uint64()),
+                "bh_salt": pa.array([], pa.int32()),
+                "sig": pa.array([], pa.binary())}
+        if exact:
+            cols["wset"] = pa.array([], pa.binary())
         if n == 0:
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()), "band": pa.array([], pa.int32()),
-                 "band_hash": pa.array([], pa.uint64()), "bh_salt": pa.array([], pa.int32())}
-            )
+            return pa.table(cols)
         bh = _band_hashes(_sig_matrix(batch.column("signature")), bands)
-        doc = np.repeat(batch.column("doc_id").to_numpy(zero_copy_only=False), bands)
-        band = np.tile(np.arange(bands, dtype=np.int32), n)
+        rep_idx = pa.array(np.repeat(np.arange(n), bands))
         flat = bh.ravel()
-        return pa.table(
-            {"doc_id": pa.array(doc), "band": pa.array(band),
-             "band_hash": pa.array(flat, pa.uint64()),
-             "bh_salt": pa.array((flat % np.uint64(16)).astype(np.int32))}
-        )
+        cols = {
+            "doc_id": pa.array(np.repeat(
+                batch.column("doc_id").to_numpy(zero_copy_only=False), bands)),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "band_hash": pa.array(flat, pa.uint64()),
+            "bh_salt": pa.array((flat % np.uint64(16)).astype(np.int32)),
+            "sig": batch.column("signature").take(rep_idx),
+        }
+        if exact:
+            cols["wset"] = batch.column("wset").take(rep_idx)
+        return pa.table(cols)
 
     band_rows = sigs.map_batches(to_bands, batch_format="pyarrow")
 
+    def empty_out() -> pd.DataFrame:
+        cols = {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
+        if metric_col:
+            cols[metric_col] = pd.Series(dtype="float64")
+        return pd.DataFrame(cols)
+
     def salted_group_pairs(gdf: pd.DataFrame) -> pd.DataFrame:
         """One (band, bh_salt) group: iterate its REAL buckets
-        (band_hash values) and emit all within-bucket pairs."""
+        (band_hash values), emit first-band pairs (metric-filtered
+        when a threshold is set).
+
+        The pair work is REP-LEVEL: bucket members collapse to unique
+        keys first (template-heavy corpora repeat signatures/word sets
+        — measured 2.9× fewer rep pairs than member pairs at sf0.1),
+        the first-band rule runs on 16-value band-hash rows (4×
+        narrower than the 64-value signatures), and the expensive
+        metric runs only on surviving unique rep pairs. This kernel is
+        DRAM-bandwidth-bound, so bytes touched — not FLOPs — set wall
+        time. Identical-key groups (metric exactly 1.0) expand in
+        band 0 only, where every such pair provably first-collides."""
+        if not len(gdf):
+            return empty_out()
+        band_b = int(gdf["band"].iloc[0])
         out_a: list = []
         out_b: list = []
-        for _, df in gdf.groupby("band_hash", sort=False):
-            ids = np.sort(df["doc_id"].unique())
-            if len(ids) < 2:
-                continue
-            ia, ib = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[ia].astype(np.int64))
-            out_b.append(ids[ib].astype(np.int64))
-        if not out_a:
-            return _EMPTY_PAIRS
-        a = np.concatenate(out_a)
-        b = np.concatenate(out_b)
-        return pd.DataFrame(
-            {"doc_a": a, "doc_b": b, "pb": (a * 1_000_003 + b) % _NUM_PAIR_BUCKETS}
-        )
+        out_e: list = []
 
-    cand = band_rows.groupby(["band", "bh_salt"]).map_groups(
+        def emit(a: np.ndarray, b: np.ndarray, e) -> None:
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            out_a.append(lo.astype(np.int64))
+            out_b.append(hi.astype(np.int64))
+            if metric_col:
+                out_e.append(e if isinstance(e, np.ndarray) else np.full(len(lo), e))
+
+        for _, df in gdf.groupby("band_hash", sort=False):
+            df = df.drop_duplicates("doc_id")
+            m = len(df)
+            if m < 2:
+                continue
+            # collapse to unique keys: members grouped by sig / wset
+            codes, uniq = pd.factorize(df[key_col], sort=False)
+            u = len(uniq)
+            order = np.argsort(codes, kind="stable")
+            members = df["doc_id"].to_numpy()[order]
+            counts = np.bincount(codes, minlength=u)
+            offs = np.concatenate([[0], np.cumsum(counts)])
+            # identical-key pairs (metric exactly 1.0): band 0 only
+            if band_b == 0 and (threshold is None or 1.0 >= threshold):
+                for g in np.nonzero(counts >= 2)[0]:
+                    grp = np.sort(members[offs[g]: offs[g + 1]])
+                    gi, gj = np.triu_indices(len(grp), k=1)
+                    emit(grp[gi], grp[gj], 1.0)
+            if u < 2:
+                continue
+            if exact:
+                first_pos = order[offs[:-1]]
+                sig_bytes = df["sig"].to_numpy()[first_pos]
+                sm = np.frombuffer(b"".join(sig_bytes), np.uint64).reshape(u, num_perm)
+            else:
+                sm = np.frombuffer(b"".join(uniq), np.uint64).reshape(u, num_perm)
+            bhm = _band_hashes(sm, bands)                  # (u, bands)
+            ia, ib = np.triu_indices(u, k=1)
+            first = (bhm[ia] == bhm[ib]).argmax(axis=1)    # first colliding band
+            keep = first == band_b
+            if not keep.any():
+                continue
+            ka, kb = ia[keep], ib[keep]
+            met = None
+            if threshold is not None:
+                if exact:
+                    wl = [np.frombuffer(w, np.uint64) for w in uniq]
+                    met = np.empty(len(ka))
+                    for t, (i, j) in enumerate(zip(ka, kb)):
+                        inter = _inter_count(wl[i], wl[j])
+                        union = len(wl[i]) + len(wl[j]) - inter
+                        met[t] = inter / union if union else 0.0
+                else:
+                    met = (sm[ka] == sm[kb]).mean(axis=1)
+                sel = met >= threshold
+                ka, kb, met = ka[sel], kb[sel], met[sel]
+            if not len(ka):
+                continue
+            # expand rep pairs to member pairs (fully vectorized)
+            ca = counts[ka]
+            cb = counts[kb]
+            sizes = ca * cb
+            pidx = np.repeat(np.arange(len(ka)), sizes)
+            starts = np.concatenate([[0], np.cumsum(sizes)])
+            k = np.arange(int(sizes.sum())) - starts[pidx]
+            a = members[offs[ka][pidx] + k // cb[pidx]]
+            b = members[offs[kb][pidx] + k % cb[pidx]]
+            emit(a, b, met[pidx] if met is not None else None)
+        if not out_a:
+            return empty_out()
+        cols = {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        if metric_col:
+            vals = np.concatenate(out_e)
+            # exact: floor-scale (matches the DuckDB/serial oracle);
+            # est: plain round — both to 4 decimals
+            cols[metric_col] = (np.floor(vals * 10000) / 10000) if exact \
+                else np.round(vals, 4)
+        return pd.DataFrame(cols)
+
+    return band_rows.groupby(["band", "bh_salt"]).map_groups(
         salted_group_pairs, batch_format="pandas"
     )
-    dedup = cand.groupby("pb").map_groups(
-        lambda g: g.drop_duplicates(["doc_a", "doc_b"]), batch_format="pandas"
-    )
-    return dedup.drop_columns(["pb"])
-
-
-def _join_signatures(pairs, sigs, num_partitions: int = 8):
-    """Co-partitioned join of the signature table onto candidate pairs
-    (sig_a on doc_a, sig_b on doc_b) — the scale replacement for a
-    driver-side signature dict broadcast."""
-    sig_a = sigs.map_batches(
-        lambda t: t.rename_columns(["doc_a", "sig_a"]), batch_format="pyarrow"
-    )
-    sig_b = sigs.map_batches(
-        lambda t: t.rename_columns(["doc_b", "sig_b"]), batch_format="pyarrow"
-    )
-    j = pairs.join(sig_a, join_type="inner", num_partitions=num_partitions,
-                   on=("doc_a",))
-    return j.join(sig_b, join_type="inner", num_partitions=num_partitions,
-                  on=("doc_b",))
 
 
 def dedup_minhash_lsh(sf_dir: str, num_perm: int = 64, bands: int = 16,
@@ -227,93 +356,28 @@ def dedup_minhash_lsh(sf_dir: str, num_perm: int = 64, bands: int = 16,
     """MinHash+LSH near-dup candidate pairs with estimated Jaccard.
 
     shingle → minhash → band → bucket groupby (the LSH shuffle) →
-    pairs within buckets → co-partitioned signature join → vectorized
-    estimate. Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b,
+    in-bucket vectorized estimate, first-colliding-band exactly-once
+    emission. Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b,
     est_jaccard >= threshold, deduplicated across buckets.
     """
     sigs = minhash_signatures(sf_dir, num_perm).materialize()
-    pairs = _lsh_candidate_pairs(sigs, bands)
-    joined = _join_signatures(pairs, sigs)
-
-    def estimate(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table(
-                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                 "est_jaccard": pa.array([], pa.float64())}
-            )
-        sa = _sig_matrix(batch.column("sig_a"))
-        sb = _sig_matrix(batch.column("sig_b"))
-        est = (sa == sb).mean(axis=1)
-        keep = est >= threshold
-        return pa.table(
-            {"doc_a": batch.column("doc_a").filter(pa.array(keep)),
-             "doc_b": batch.column("doc_b").filter(pa.array(keep)),
-             "est_jaccard": pa.array(np.round(est[keep], 4), pa.float64())}
-        )
-
-    return joined.map_batches(estimate, batch_format="pyarrow")
-
-
-def word_set_table(sf_dir: str):
-    """doc_id → sorted distinct-word hash set (list<uint64>) — the
-    join side for exact verification on candidate pairs."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-
-    def f(batch: pa.Table) -> pa.Table:
-        ws = [np.sort(_word_set_hashes(t)) for t in batch.column("text").to_pylist()]
-        # binary (uint64s LE): Acero join payload can't be a list column
-        return pa.table(
-            {"doc_id": batch.column("doc_id"),
-             "wset": pa.array([w.tobytes() for w in ws], pa.binary())}
-        )
-
-    return ds.map_batches(f, batch_format="pyarrow", batch_size=512)
+    return _lsh_candidate_pairs(sigs, bands, num_perm, threshold=threshold)
 
 
 def dedup_lsh_verified(sf_dir: str, num_perm: int = 64, bands: int = 16,
                        threshold: float = 0.5):
     """EXACT word-set Jaccard computed ONLY on MinHash-LSH candidate
-    pairs — the production-scale form of :func:`ngram_jaccard_pairs`:
-    word sets are joined onto the candidate pairs co-partitioned on
-    doc id (never an all-pairs broadcast). Returns (doc_a, doc_b,
-    jaccard) with jaccard floor-scaled to 4 decimals, doc_a < doc_b.
+    pairs — the production-scale form of :func:`ngram_jaccard_pairs`
+    (never an all-pairs broadcast). The word-hash sets ride the band
+    rows next to the signatures, so exact verification happens
+    IN-BUCKET at word-set-rep level (identical word sets imply
+    identical signatures, so reps are exact): one shuffle, no joins.
+    Returns (doc_a, doc_b, jaccard) with jaccard floor-scaled to 4
+    decimals, jaccard >= threshold, doc_a < doc_b, exactly-once.
     """
-    sigs = minhash_signatures(sf_dir, num_perm).materialize()
-    pairs = _lsh_candidate_pairs(sigs, bands)
-    wsets = word_set_table(sf_dir).materialize()
-    w_a = wsets.map_batches(
-        lambda t: t.rename_columns(["doc_a", "ws_a"]), batch_format="pyarrow"
-    )
-    w_b = wsets.map_batches(
-        lambda t: t.rename_columns(["doc_b", "ws_b"]), batch_format="pyarrow"
-    )
-    j = pairs.join(w_a, join_type="inner", num_partitions=8, on=("doc_a",))
-    j = j.join(w_b, join_type="inner", num_partitions=8, on=("doc_b",))
-
-    def verify(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        if n == 0:
-            return pa.table(
-                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                 "jaccard": pa.array([], pa.float64())}
-            )
-        wa = as_single_array(batch.column("ws_a")).to_pylist()
-        wb = as_single_array(batch.column("ws_b")).to_pylist()
-        jacc = np.empty(n, dtype=np.float64)
-        for i in range(n):  # C-speed set intersection per candidate pair
-            a = np.frombuffer(wa[i], dtype=np.uint64)
-            b = np.frombuffer(wb[i], dtype=np.uint64)
-            inter = len(np.intersect1d(a, b, assume_unique=True))
-            jacc[i] = inter / (len(a) + len(b) - inter) if len(a) + len(b) else 0.0
-        keep = jacc >= threshold
-        return pa.table(
-            {"doc_a": batch.column("doc_a").filter(pa.array(keep)),
-             "doc_b": batch.column("doc_b").filter(pa.array(keep)),
-             # floor-scale: matches the DuckDB/serial oracle exactly
-             "jaccard": pa.array(np.floor(jacc[keep] * 10000) / 10000, pa.float64())}
-        )
-
-    return j.map_batches(verify, batch_format="pyarrow")
+    sigs = minhash_sig_wset(sf_dir, num_perm).materialize()
+    return _lsh_candidate_pairs(sigs, bands, num_perm, threshold=threshold,
+                                exact=True)
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
