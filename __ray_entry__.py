@@ -135,6 +135,74 @@ def _USUM(expr: str) -> str:
     return f"CAST(sum(CAST(round(({expr})*1000000) AS BIGINT)) AS BIGINT)/1000000.0"
 
 
+_LANG_ID_SQL = """
+WITH w AS (
+  SELECT doc_id,
+    list_distinct(list_transform(regexp_extract_all(text, '[a-zA-Z]+'),
+                                 x -> lower(x))) AS ws,
+    len(regexp_extract_all(substr(text, 1, 200), '[一-鿿]')) AS cjk
+  FROM documents
+), c AS (
+  SELECT doc_id, cjk,
+    len(list_intersect(ws, ['the','and','of','a','to','in','is','it','for','on'])) AS n_en,
+    len(list_intersect(ws, ['der','die','das','und','ist','ein','zu','den','von','mit'])) AS n_de,
+    len(list_intersect(ws, ['le','la','les','et','est','un','une','de','du','pour'])) AS n_fr,
+    len(list_intersect(ws, ['el','la','los','y','es','un','una','de','del','para'])) AS n_es
+  FROM w
+)
+SELECT doc_id, CASE
+  WHEN cjk > 5 THEN 'zh'
+  WHEN greatest(n_en, n_de, n_fr, n_es) = 0 THEN 'unk'
+  WHEN n_en = greatest(n_en, n_de, n_fr, n_es) THEN 'en'
+  WHEN n_de = greatest(n_en, n_de, n_fr, n_es) THEN 'de'
+  WHEN n_fr = greatest(n_en, n_de, n_fr, n_es) THEN 'fr'
+  ELSE 'es' END AS pred_lang
+FROM c
+"""
+
+_MEDIA_PIPELINE_SQL = """
+SELECT doc_id, CAST(f AS BIGINT) AS frame, CAST(f * 64 AS BIGINT) AS offset_bytes
+FROM (SELECT doc_id, greatest(1, octet_length(encode(text)) // 64) AS nf
+      FROM documents) d,
+     UNNEST(generate_series(0, CAST(nf - 1 AS BIGINT))) AS u(f)
+"""
+
+
+def _serial_oracles() -> dict[str, str]:
+    """Differential oracles for the non-SQL-expressible queries:
+    serial Ray-free recomputation (ccrawler_ray.serial_ref) rendered
+    as self-contained VALUES SQL — same rows/schema/hash machinery as
+    the relational oracles."""
+    from ccrawler_ray import serial_ref as SR
+
+    V = SR.values_sql
+    pair_d = {"doc_a": "BIGINT", "doc_b": "BIGINT"}
+    ann_t = {"query_id": "BIGINT", "vec_id": "BIGINT", "cos": "DOUBLE",
+             "rank": "BIGINT"}
+    return {
+        "doc_fingerprint": V(SR.doc_fingerprint(),
+                             {"doc_id": "BIGINT", "fingerprint": "UBIGINT"}),
+        "dedup_simhash": V(SR.dedup_simhash(max_hamming=3),
+                           {**pair_d, "hamming": "BIGINT"}),
+        "dedup_minhash_lsh": V(SR.dedup_minhash_lsh(threshold=0.8),
+                               {**pair_d, "est_jaccard": "DOUBLE"}),
+        "dedup_lsh_verified": V(SR.dedup_lsh_verified(threshold=0.8),
+                                {**pair_d, "jaccard": "DOUBLE"}),
+        "ann_lsh_topk": V(SR.ann_lsh_topk(num_queries=5, k=5), ann_t),
+        "ann_ivf_topk": V(SR.ann_ivf_topk(num_queries=5, k=5), ann_t),
+        "decode_media_meta": V(
+            SR.decode_media_meta(),
+            {"doc_id": "BIGINT", "media_type": "VARCHAR", "n_bytes": "BIGINT",
+             "width": "BIGINT", "height": "BIGINT", "decoder": "VARCHAR"},
+        ),
+        "crawl_docs_out": V(
+            SR.crawl_docs_out(),
+            {"generation": "INTEGER", "host": "VARCHAR", "queue_pos": "INTEGER",
+             "ord_key": "VARCHAR", "canon": "VARCHAR", "status": "INTEGER"},
+        ),
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     jacc = (
         "len(list_intersect(a.ws,b.ws))*1.0/"
@@ -286,7 +354,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes "
             "FROM documents GROUP BY 1"
         ),
-        # lang_id, doc_fingerprint, dedup_minhash_lsh, dedup_simhash,
-        # ann_lsh_topk, decode_media_meta, crawl_docs_out: not
-        # SQL-expressible (heuristic / sketch / stateful) — rows-only.
+        # heuristic text analysis + frame explode: directly SQL-expressible
+        "lang_id": _LANG_ID_SQL,
+        "media_pipeline": _MEDIA_PIPELINE_SQL,
+        # sketches / ANN / crawl: serial differential oracles (VALUES)
+        **_serial_oracles(),
+        # o3_sample stays rows-only: DuckDB's sampler draws a
+        # different random stream by construction.
     }

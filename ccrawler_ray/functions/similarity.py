@@ -116,11 +116,18 @@ def _topk_reduce(partials, k: int, dedup: bool = False):
     )
 
 
+# Quantization scale for k-means partial sums: per-element int64
+# micro-sums make the merged centroid independent of block order /
+# summation association, so the distributed result is BITWISE equal to
+# the serial differential oracle (serial_ref.kmeans_centroids).
+KMEANS_QSCALE = float(1 << 24)
+
+
 def kmeans_centroids(sf_dir: str, k: int = 16, iters: int = 5, seed: int = 42):
     """Deterministic Lloyd's k-means over the embedding column,
     expressed scale-correctly: per-iteration assignment + partial
-    (sum, count) per cluster inside map_batches, merged driver-side
-    (centroids are tiny; vectors are never gathered)."""
+    (count, quantized int64 sum) per cluster inside map_batches, merged
+    driver-side (centroids are tiny; vectors are never gathered)."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).materialize()
@@ -139,8 +146,8 @@ def kmeans_centroids(sf_dir: str, k: int = 16, iters: int = 5, seed: int = 42):
                 d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
                 a = d.argmin(axis=1)
                 for ci in np.unique(a):
-                    sel = m[a == ci]
-                    rows.append({"cluster": int(ci), "n": len(sel),
+                    sel = np.round(m[a == ci] * KMEANS_QSCALE).astype(np.int64)
+                    rows.append({"cluster": int(ci), "n": int((a == ci).sum()),
                                  "vsum": sel.sum(axis=0).tolist()})
             if not rows:
                 return pd.DataFrame({"cluster": pd.Series(dtype="int64"),
@@ -153,7 +160,11 @@ def kmeans_centroids(sf_dir: str, k: int = 16, iters: int = 5, seed: int = 42):
         for ci, g in parts.groupby("cluster"):
             n = g["n"].sum()
             if n:
-                new[ci] = np.sum(np.stack(g["vsum"].to_numpy()), axis=0) / n
+                isum = np.sum(
+                    np.stack([np.asarray(v, dtype=np.int64) for v in g["vsum"]]),
+                    axis=0,
+                )
+                new[ci] = isum / (KMEANS_QSCALE * n)
         cents = new
     return cents
 

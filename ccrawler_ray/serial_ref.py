@@ -1,0 +1,386 @@
+"""Serial, Ray-free differential oracles for the non-SQL-expressible
+queries (sketches, ANN, stateful crawl).
+
+Each function recomputes its query's result with a straight-line
+single-process implementation — same frozen primitives (seeded hash /
+permutation formulas, spec functions) but none of the distributed
+machinery (no Ray, no shuffles, no actor pools, no blocking/banding) —
+so a comparison against the Ray pipeline exercises exactly the
+distribution logic. This mirrors the tests/refsim.py strategy
+(SURVEY.md §5.2); here the results are rendered as self-contained
+DuckDB ``VALUES`` SQL via :func:`values_sql` so the driver's standard
+rows/schema/value-hash machinery applies (VERDICT r1 §Next-round #9).
+
+The oracle scale factor is fixed by the driver contract (sf=0.01);
+override with ``GRAFT_ORACLE_SF_DIR`` when experimenting locally.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+def oracle_sf_dir() -> str:
+    """Resolved at call time so tests can point the oracles at a
+    different scale factor via GRAFT_ORACLE_SF_DIR."""
+    return os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+_M61 = (1 << 61) - 1
+
+
+# ---------------------------------------------------------------------------
+# SQL rendering
+# ---------------------------------------------------------------------------
+
+
+def values_sql(df: pd.DataFrame, types: dict[str, str]) -> str:
+    """Render a small DataFrame as self-contained DuckDB SQL
+    (``SELECT ... FROM (VALUES ...)``) with explicit casts — no
+    filesystem or view dependencies, so it runs under any DuckDB
+    configuration the driver uses."""
+    cols = list(df.columns)
+
+    def lit(v, t: str) -> str:
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return "NULL"
+        if t == "VARCHAR":
+            return "'" + str(v).replace("'", "''") + "'"
+        if t == "DOUBLE":
+            return repr(float(v))
+        return str(int(v))
+
+    if not len(df):
+        sel = ", ".join(f"CAST(NULL AS {types[c]}) AS {c}" for c in cols)
+        return f"SELECT {sel} WHERE FALSE"
+    rows = ",".join(
+        "(" + ",".join(lit(v, types[c]) for v, c in zip(r, cols)) + ")"
+        for r in df.itertuples(index=False, name=None)
+    )
+    casts = ", ".join(f"CAST({c} AS {types[c]}) AS {c}" for c in cols)
+    return f"SELECT {casts} FROM (VALUES {rows}) AS t({', '.join(cols)})"
+
+
+# ---------------------------------------------------------------------------
+# shared frozen primitives (formula-identical to the engine, by design)
+# ---------------------------------------------------------------------------
+
+
+def _docs(sf_dir: str):
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+
+
+def _embeddings(sf_dir: str):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    ids = df["vec_id"].to_numpy()
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    return ids, mat
+
+
+def _whash(w: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
+    )
+
+
+def _word_hash_set(text: str) -> np.ndarray:
+    return np.array(sorted(_whash(w) for w in set(text.split())), dtype=np.uint64)
+
+
+def _minhash_params(num_perm: int = 64, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _M61, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _M61, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _minhash_sig(hs: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if len(hs) == 0:
+        return np.full(len(a), _M61, dtype=np.uint64)
+    return ((a[:, None] * hs[None, :] + b[:, None]) % np.uint64(_M61)).min(axis=1)
+
+
+def _fnv_band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
+    r = len(sig) // bands
+    chunks = sig[: bands * r].reshape(bands, r)
+    h = np.full(bands, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for j in range(r):
+        h = (h ^ chunks[:, j]) * prime
+    return h
+
+
+# ---------------------------------------------------------------------------
+# text references
+# ---------------------------------------------------------------------------
+
+
+def doc_fingerprint(sf_dir: str | None = None, k: int = 8) -> pd.DataFrame:
+    sf_dir = sf_dir or oracle_sf_dir()
+    ids, texts = _docs(sf_dir)
+    fps = []
+    for text in texts:
+        words = text.split()
+        if len(words) < k:
+            shingles = [" ".join(words)]
+        else:
+            shingles = [" ".join(words[i: i + k]) for i in range(len(words) - k + 1)]
+        fps.append(min(_whash(s) for s in shingles))
+    return pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64),
+                         "fingerprint": np.array(fps, dtype=np.uint64)})
+
+
+# ---------------------------------------------------------------------------
+# sketch dedup references (all-pairs serial — no banding, no shuffles)
+# ---------------------------------------------------------------------------
+
+
+def _simhash(hs: np.ndarray) -> int:
+    if len(hs) == 0:
+        return 0
+    # int64 vote math: uint64 bit counts would WRAP negative votes to
+    # huge positives (>0 spuriously true) — the r1 engine had exactly
+    # that bug; the signed form is the correct simhash
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+    votes = bits.sum(axis=0) * 2 - len(hs)
+    out = np.uint64(0)
+    for b in np.nonzero(votes > 0)[0]:
+        out |= np.uint64(1) << np.uint64(b)
+    return int(out)
+
+
+def dedup_simhash(sf_dir: str | None = None, max_hamming: int = 3) -> pd.DataFrame:
+    sf_dir = sf_dir or oracle_sf_dir()
+    ids, texts = _docs(sf_dir)
+    sh = np.array([_simhash(_word_hash_set(t)) for t in texts], dtype=np.uint64)
+    ids = np.array(ids, dtype=np.int64)
+    order = np.argsort(ids)
+    ids, sh = ids[order], sh[order]
+    ia, ib = np.triu_indices(len(ids), k=1)
+    x = sh[ia] ^ sh[ib]
+    ham = np.array([bin(int(v)).count("1") for v in x])
+    m = ham <= max_hamming
+    return pd.DataFrame({"doc_a": ids[ia[m]], "doc_b": ids[ib[m]],
+                         "hamming": ham[m].astype(np.int64)})
+
+
+def _lsh_candidates(sigs: np.ndarray, bands: int) -> set[tuple[int, int]]:
+    """Index pairs sharing >= 1 band bucket (FNV band hashes)."""
+    n = len(sigs)
+    bh = np.stack([_fnv_band_hashes(sigs[i], bands) for i in range(n)])
+    pairs: set[tuple[int, int]] = set()
+    for b in range(bands):
+        buckets: dict[int, list[int]] = {}
+        for i, h in enumerate(bh[:, b]):
+            buckets.setdefault(int(h), []).append(i)
+        for members in buckets.values():
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    pairs.add((members[x], members[y]))
+    return pairs
+
+
+def _doc_signatures(sf_dir: str, num_perm: int):
+    ids, texts = _docs(sf_dir)
+    a, b = _minhash_params(num_perm)
+    wsets = [_word_hash_set(t) for t in texts]
+    sigs = np.stack([_minhash_sig(h, a, b) for h in wsets])
+    return np.array(ids, dtype=np.int64), wsets, sigs
+
+
+def dedup_minhash_lsh(sf_dir: str | None = None, num_perm: int = 64,
+                      bands: int = 16, threshold: float = 0.8) -> pd.DataFrame:
+    sf_dir = sf_dir or oracle_sf_dir()
+    ids, _, sigs = _doc_signatures(sf_dir, num_perm)
+    rows = []
+    for i, j in _lsh_candidates(sigs, bands):
+        est = float((sigs[i] == sigs[j]).mean())
+        if est >= threshold:
+            a, b = int(ids[i]), int(ids[j])
+            rows.append((min(a, b), max(a, b), float(np.round(est, 4))))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_jaccard"]) \
+        if rows else pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
+
+
+def dedup_lsh_verified(sf_dir: str | None = None, num_perm: int = 64,
+                       bands: int = 16, threshold: float = 0.8) -> pd.DataFrame:
+    sf_dir = sf_dir or oracle_sf_dir()
+    ids, wsets, sigs = _doc_signatures(sf_dir, num_perm)
+    sets = [frozenset(w.tolist()) for w in wsets]
+    rows = []
+    for i, j in _lsh_candidates(sigs, bands):
+        inter = len(sets[i] & sets[j])
+        union = len(sets[i]) + len(sets[j]) - inter
+        jac = inter / union if union else 0.0
+        if jac >= threshold:
+            a, b = int(ids[i]), int(ids[j])
+            rows.append((min(a, b), max(a, b), float(np.floor(jac * 10000) / 10000)))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]) \
+        if rows else pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+
+
+# ---------------------------------------------------------------------------
+# ANN references
+# ---------------------------------------------------------------------------
+
+
+def _topk(rows: pd.DataFrame, k: int) -> pd.DataFrame:
+    out = []
+    for qid, g in rows.groupby("query_id", sort=True):
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        out.append(g.assign(
+            rank=np.arange(1, len(g) + 1, dtype=np.int64),
+            cos=np.round(g["cos"].to_numpy(), 4),
+            query_id=g["query_id"].astype(np.int64),
+            vec_id=g["vec_id"].astype(np.int64),
+        ))
+    return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+        {"query_id": [], "vec_id": [], "cos": [], "rank": []}
+    )
+
+
+def ann_lsh_topk(sf_dir: str | None = None, num_queries: int = 5, k: int = 5,
+                 num_planes: int = 6, num_tables: int = 8, seed: int = 42):
+    sf_dir = sf_dir or oracle_sf_dir()
+    ids, mat = _embeddings(sf_dir)
+    dim = mat.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables, num_planes, dim))
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    weights = 1 << np.arange(num_planes)
+    sig = (np.einsum("tpd,nd->tnp", planes, norm) > 0)
+    buckets = (sig * weights).sum(axis=2)                  # (T, n)
+    qmask = ids < num_queries
+    rows = []
+    for qi in np.nonzero(qmask)[0]:
+        qid = int(ids[qi])
+        cand = np.zeros(len(ids), dtype=bool)
+        for t in range(num_tables):
+            cand |= buckets[t] == buckets[t, qi]
+        cand[qi] = False
+        cand &= ids != qid
+        if cand.any():
+            rows.append(pd.DataFrame(
+                {"query_id": qid, "vec_id": ids[cand],
+                 "cos": norm[cand] @ norm[qi]}
+            ))
+    rows = pd.concat(rows, ignore_index=True) if rows else pd.DataFrame(
+        {"query_id": [], "vec_id": [], "cos": []}
+    )
+    return _topk(rows, k)
+
+
+def kmeans_centroids(sf_dir: str | None = None, k: int = 16, iters: int = 5):
+    """Serial Lloyd's with the engine's order-insensitive quantized
+    int64 partial sums (similarity.KMEANS_QSCALE) — bitwise equal."""
+    sf_dir = sf_dir or oracle_sf_dir()
+    from ccrawler_ray.functions.similarity import KMEANS_QSCALE
+
+    ids, mat = _embeddings(sf_dir)
+    cents = mat[np.argsort(ids)][:k].copy()
+    for _ in range(iters):
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        new = cents.copy()
+        q = np.round(mat * KMEANS_QSCALE).astype(np.int64)
+        for ci in range(len(cents)):
+            sel = assign == ci
+            n = int(sel.sum())
+            if n:
+                new[ci] = q[sel].sum(axis=0) / (KMEANS_QSCALE * n)
+        cents = new
+    return cents
+
+
+def ann_ivf_topk(sf_dir: str | None = None, num_queries: int = 5, k: int = 5,
+                 n_clusters: int = 16, n_probe: int = 4):
+    sf_dir = sf_dir or oracle_sf_dir()
+    ids, mat = _embeddings(sf_dir)
+    cents = kmeans_centroids(sf_dir, k=n_clusters)
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+    qmask = ids < num_queries
+    qd = ((cents[None, :, :] - mat[qmask][:, None, :]) ** 2).sum(axis=2)
+    probes = np.argsort(qd, axis=1)[:, :n_probe]
+    rows = []
+    for qi, row_i in enumerate(np.nonzero(qmask)[0]):
+        qid = int(ids[row_i])
+        mask = np.isin(assign, probes[qi]) & (ids != qid)
+        if mask.any():
+            rows.append(pd.DataFrame(
+                {"query_id": qid, "vec_id": ids[mask],
+                 "cos": norm[mask] @ norm[row_i]}
+            ))
+    rows = pd.concat(rows, ignore_index=True) if rows else pd.DataFrame(
+        {"query_id": [], "vec_id": [], "cos": []}
+    )
+    return _topk(rows, k)
+
+
+# ---------------------------------------------------------------------------
+# multimodal reference (fake decode is deterministic by construction)
+# ---------------------------------------------------------------------------
+
+
+def decode_media_meta(sf_dir: str | None = None) -> pd.DataFrame:
+    sf_dir = sf_dir or oracle_sf_dir()
+    ids, texts = _docs(sf_dir)
+    rows = []
+    for i, text in zip(ids, texts):
+        payload = text.encode("utf-8")
+        mt = "image" if i % 2 == 0 else "audio"
+        h = hashlib.blake2b(payload, digest_size=4).digest()
+        rows.append((int(i), mt, len(payload), 64 + h[0],
+                     64 + h[1] if mt == "image" else 1, "fake"))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "media_type", "n_bytes", "width", "height", "decoder"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# crawl reference (tests/refsim.py — the executable serial oracle)
+# ---------------------------------------------------------------------------
+
+
+def crawl_docs_out(sf_dir: str | None = None) -> pd.DataFrame:
+    """Serial refsim crawl with the _crawl_docs_out config — the
+    crawl-order audit columns."""
+    sf_dir = sf_dir or oracle_sf_dir()
+    import importlib.util
+    from pathlib import Path
+
+    from ccrawler_ray.config import CrawlConfig
+    from ccrawler_ray.sources.corpus import corpus_from_documents, default_seeds
+
+    import sys
+
+    p = Path(__file__).resolve().parent.parent / "tests" / "refsim.py"
+    spec = importlib.util.spec_from_file_location("ccrawler_refsim_oracle", p)
+    refsim = importlib.util.module_from_spec(spec)
+    # dataclass processing requires the module registered in sys.modules
+    sys.modules[spec.name] = refsim
+    spec.loader.exec_module(refsim)
+
+    corpus = corpus_from_documents(f"{sf_dir}/documents.parquet")
+    cfg = CrawlConfig(
+        seeds=default_seeds(4),
+        max_generations=4,
+        per_host_budget_per_generation=8,
+        global_budget_per_generation=200,
+        num_seen_shards=4,
+        num_politeness_partitions=2,
+    )
+    sim = refsim.simulate(refsim.corpus_to_dict(corpus), cfg)
+    df = pd.DataFrame(
+        sim.crawl_order,
+        columns=["generation", "host", "queue_pos", "ord_key", "canon", "status"],
+    )
+    return df.astype({"generation": np.int32, "queue_pos": np.int32,
+                      "status": np.int32})

@@ -66,9 +66,11 @@ def _assert_frames_match(got: pd.DataFrame, want: pd.DataFrame, name: str):
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_all_queries_run_and_match_oracle():
+def test_all_queries_run_and_match_oracle(monkeypatch):
     import __ray_entry__ as E
 
+    # serial differential oracles must compute at THIS test's scale
+    monkeypatch.setenv("GRAFT_ORACLE_SF_DIR", SF_DIR)
     qs = E.queries()
     sqls = E.oracle_sql()
     unknown = set(sqls) - set(qs)
