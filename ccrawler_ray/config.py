@@ -32,6 +32,22 @@ class CrawlConfig:
     # run the per-doc analysis stage (content hash, minhash, simhash,
     # lang-id, token stats) on fetched docs — the production pipeline
     analyze: bool = False
+    # fetch path:
+    #  "broadcast" — corpus lookup arrays ray.put once, FetchActor
+    #                take-by-key per batch (fast while the corpus fits
+    #                the object store / driver prepares it once)
+    #  "semi_join" — stream the corpus, broadcast the (budget-bounded)
+    #                admitted set, probe inside map_batches — the
+    #                100 TB path (the corpus NEVER passes the driver)
+    #  "auto"      — semi_join when a path-backed corpus exceeds
+    #                broadcast_corpus_max_bytes, else broadcast
+    fetch_mode: str = "auto"
+    broadcast_corpus_max_bytes: int = 256 << 20
+    # deterministic transient-failure injection for the simulated fetch
+    # (spec.fetch_fails_transiently); failed rows requeue with
+    # retries+1 up to max_fetch_retries, then drop (counted)
+    fetch_failure_rate: float = 0.0
+    max_fetch_retries: int = 3
     # admission path:
     #  "driver"      — pandas fast path for frontiers below the engine's
     #                  driver_threshold (small-data fast path)

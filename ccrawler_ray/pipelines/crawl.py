@@ -74,12 +74,15 @@ DUMP_COLS = ["generation", "host", "queue_pos", "ord_key", "canon", "status", "f
 _FETCH_CACHE: dict = {}
 
 
-def _fetch_fn_factory(corpus_ref, delays_ref):
+def _fetch_fn_factory(corpus_ref, delays_ref, failure_rate: float = 0.0):
+    if corpus_ref is None:
+        return None  # semi-join fetch path; no broadcast index exists
+
     def fetch_batch(batch: pa.Table) -> pa.Table:
         key = corpus_ref.hex()
         actor = _FETCH_CACHE.get(key)
         if actor is None:
-            actor = FetchActor(corpus_ref, delays_ref)
+            actor = FetchActor(corpus_ref, delays_ref, failure_rate)
             _FETCH_CACHE[key] = actor
         return actor(batch)
 
@@ -151,33 +154,65 @@ class CrawlResult:
 class CrawlEngine:
     def __init__(
         self,
-        corpus,                     # path to parquet | pa.Table
+        corpus,                     # path to parquet (file or dir) | pa.Table
         cfg: CrawlConfig,
         ckpt_dir: str | None = None,
         driver_threshold: int = 100_000,
         extra_stages: list | None = None,
+        audit_in_memory_max_rows: int = 2_000_000,
     ):
         self.cfg = cfg
         self.ckpt_dir = ckpt_dir
         self.driver_threshold = driver_threshold
         self.extra_stages = extra_stages or []  # §2.10 Stage protocol
-        if isinstance(corpus, (str, Path)):
-            corpus = pq.read_table(corpus)
-        self.corpus_table = corpus
-        # broadcast once: lookup-ready arrays, zero-copy shared
-        from ccrawler_ray.stages.fetch import prepare_fetch_data
+        self.audit_in_memory_max_rows = audit_in_memory_max_rows
 
-        self.corpus_ref = prepare_fetch_data(corpus)
-        self.corpus_ds = ray.data.from_arrow(corpus)
+        # ---- corpus-size seam (SURVEY §4.2): above the broadcast
+        # threshold the corpus NEVER passes through the driver — it is
+        # streamed and probed by the admitted set (fetch_via_semi_join)
+        self.fetch_mode = cfg.fetch_mode
+        if isinstance(corpus, (str, Path)):
+            cpath = Path(corpus)
+            nbytes = (
+                sum(f.stat().st_size for f in cpath.rglob("*.parquet"))
+                if cpath.is_dir() else cpath.stat().st_size
+            )
+            if self.fetch_mode == "auto":
+                self.fetch_mode = (
+                    "semi_join" if nbytes > cfg.broadcast_corpus_max_bytes
+                    else "broadcast"
+                )
+            if self.fetch_mode == "broadcast":
+                corpus = pq.read_table(cpath)
+            else:
+                corpus = None
+                # materialize: read the files once into object-store
+                # blocks (spillable); probed once per generation
+                self.corpus_ds = ray.data.read_parquet(str(cpath)).materialize()
+        elif self.fetch_mode == "auto":
+            self.fetch_mode = "broadcast"  # in-memory table is small by definition
+        self.corpus_table = corpus
+        if corpus is not None:
+            self.corpus_ds = ray.data.from_arrow(corpus)
+        if self.fetch_mode == "broadcast":
+            # broadcast once: lookup-ready arrays, zero-copy shared
+            from ccrawler_ray.stages.fetch import prepare_fetch_data
+
+            self.corpus_ref = prepare_fetch_data(corpus)
+        else:
+            self.corpus_ref = None
         robots = load_robots_ds(self.corpus_ds)
         self.robots = robots
         self.robots_ref = ray.put(robots)
-        self.delays_ref = ray.put({h: v[0] for h, v in robots.items()})
+        self.delays = {h: v[0] for h, v in robots.items()}
+        self.delays_ref = ray.put(self.delays)
         self.seen_pool = SeenPool(cfg.num_seen_shards)
         self.politeness = PolitenessPool(cfg.num_politeness_partitions, self.robots_ref)
         self._metrics: list[tuple] = []
         self._docs_out: list = []      # materialized per-gen docs_out Datasets
         self._dumps: list[pd.DataFrame] = []
+        self._dump_rows = 0
+        self._dump_spilled = False     # audit log spilled to checkpoints
         self._start_gen = 0
         self._frontier = None          # materialized Dataset (dataset modes)
         self._seeded = False           # actor mode: seeds/restore done
@@ -187,6 +222,131 @@ class CrawlEngine:
     # ------------------------------------------------------------------
     def _count(self, gen: int, stage: str, counter: str, value: int) -> None:
         self._metrics.append((gen, -1, stage, counter, int(value)))
+
+    def _count_p(self, gen: int, partition: int, stage: str, counter: str,
+                 value: int) -> None:
+        """Per-partition metrics row (SURVEY §4.4 lineage) — emitted by
+        the actor paths where a real partition/shard id exists."""
+        self._metrics.append((gen, int(partition), stage, counter, int(value)))
+
+    def _append_dump(self, dump: pd.DataFrame) -> None:
+        """Audit-log admission: the in-memory crawl-order copy is
+        BOUNDED — past audit_in_memory_max_rows (and with checkpoints
+        on, which already persist crawl_order.parquet per generation)
+        the in-memory copy is dropped and _result re-reads the
+        checkpointed files instead. Driver RSS stays flat on long
+        crawls (VERDICT r1 §wrong-6)."""
+        self._dump_rows += len(dump)
+        if (not self._dump_spilled and self.ckpt_dir is not None
+                and self._dump_rows > self.audit_in_memory_max_rows):
+            self._dumps = []
+            self._dump_spilled = True
+        if not self._dump_spilled:
+            self._dumps.append(dump)
+
+    # ------------------------------------------------------------------
+    # fetch dispatch (broadcast | semi_join) + transient-retry requeue
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _collect_adm_table(adm_ds, gen: int) -> pa.Table:
+        """Admitted rows (bounded by the global budget) as one table
+        with the fetch_generation column."""
+        tables = [t for t in ray.get(adm_ds.to_arrow_refs()) if t.num_rows]
+        tbl = (pa.concat_tables(tables, promote_options="default")
+               if tables else None)
+        if tbl is None:
+            return None
+        return tbl.append_column(
+            "fetch_generation", pa.array(np.full(tbl.num_rows, gen, dtype=np.int32))
+        )
+
+    def _run_fetch(self, adm_ds, gen: int, fetch_fn):
+        """One generation's fetch, via the configured path."""
+        cfg = self.cfg
+        if self.fetch_mode == "broadcast":
+            def add_gen(batch: pa.Table, _g=gen) -> pa.Table:
+                return batch.append_column(
+                    "fetch_generation",
+                    pa.array(np.full(batch.num_rows, _g, dtype=np.int32)),
+                )
+
+            return adm_ds.map_batches(add_gen, batch_format="pyarrow").map_batches(
+                fetch_fn, batch_format="pyarrow", batch_size=cfg.batch_size,
+            ).materialize()
+        # semi-join scale path: stream the corpus, probe the admitted set
+        from ccrawler_ray.stages.fetch import fetch_via_semi_join, semi_join_misses
+
+        adm_tbl = self._collect_adm_table(adm_ds, gen)
+        hits_ds, _ = fetch_via_semi_join(
+            self.corpus_ds, adm_tbl, self.delays, cfg.fetch_failure_rate
+        )
+        hits = hits_ds.materialize()
+        hit_canons: set = set()
+        for b in hits.iter_batches(batch_format="pyarrow", batch_size=8192):
+            hit_canons.update(b.column("canon").to_pylist())
+        misses = semi_join_misses(adm_tbl, hit_canons, self.delays)
+        if misses.num_rows:
+            return hits.union(ray.data.from_arrow(misses)).materialize()
+        return hits
+
+    def _requeue_transients(self, fetched, gen: int):
+        """Transient (599) fetches: rebuild frontier rows with
+        retries+1 and requeue (up to max_fetch_retries). Returns a
+        FRONTIER_SCHEMA table (possibly empty).
+
+        Note: a retry delays the page's outlink discovery, so other
+        paths may first-discover its children with different ord_keys/
+        depths than a failure-free run — the final REACHABLE SET is
+        unchanged whenever the depth gate doesn't bind (tested), but
+        per-URL lineage may differ. That is inherent retry semantics,
+        not an engine artifact."""
+        import pyarrow.compute as pc
+
+        from ccrawler_ray.spec import STATUS_TRANSIENT, hash64_batch, priority_score
+
+        failed_tbls = [
+            t.filter(pc.equal(t.column("status"), STATUS_TRANSIENT))
+            for t in ray.get(fetched.to_arrow_refs())
+            if t.num_rows
+        ]
+        failed_tbls = [t for t in failed_tbls if t.num_rows]
+        if not failed_tbls:
+            return FRONTIER_SCHEMA.empty_table()
+        f = pa.concat_tables(failed_tbls, promote_options="default")
+        self._count(gen, "fetch", "status_599", f.num_rows)
+        retries = f.column("retries").to_numpy(zero_copy_only=False).astype(np.int32) + 1
+        keep = retries <= self.cfg.max_fetch_retries
+        dropped = int((~keep).sum())
+        if dropped:
+            self._count(gen, "fetch", "retry_dropped", dropped)
+        f = f.filter(pa.array(keep))
+        if f.num_rows == 0:
+            return FRONTIER_SCHEMA.empty_table()
+        self._count(gen, "fetch", "retry_requeued", f.num_rows)
+        canons = f.column("canon").to_pylist()
+        hosts = f.column("host").to_pylist()
+        depths = f.column("depth").to_numpy(zero_copy_only=False)
+        keys = f.column("ord_key").to_pylist()
+        prio = np.array([
+            priority_score(int(d), h, "." not in k)  # seeds: single-segment key
+            for d, h, k in zip(depths, hosts, keys)
+        ])
+        return pa.table(
+            {
+                "url": f.column("canon"),
+                "canon": f.column("canon"),
+                "url_hash": pa.array(hash64_batch(canons), pa.uint64()),
+                "host": f.column("host"),
+                "parent": pa.array([""] * f.num_rows, pa.string()),
+                "depth": f.column("depth"),
+                "priority": pa.array(prio, pa.float64()),
+                "ord_key": f.column("ord_key"),
+                "generation": pa.array(np.full(f.num_rows, gen + 1, dtype=np.int32)),
+                "retries": pa.array(retries[keep], pa.int32()),
+            },
+            schema=FRONTIER_SCHEMA,
+        )
 
     def _discover(self, candidates_ds, generation: int, n_hint: int):
         """Steps 4–6: canonicalize/validate → D1 dedup → seen filter.
@@ -344,7 +504,8 @@ class CrawlEngine:
         if self._frontier is None:
             self._frontier = self._seed_frontier()
         frontier = self._frontier
-        fetch_fn = _fetch_fn_factory(self.corpus_ref, self.delays_ref)
+        fetch_fn = _fetch_fn_factory(self.corpus_ref, self.delays_ref,
+                                     cfg.fetch_failure_rate)
         gens_run = self._start_gen
         for g in range(self._start_gen, cfg.max_generations):
             n_frontier = frontier.count()
@@ -367,22 +528,15 @@ class CrawlEngine:
                     break
                 continue
 
-            def add_gen(batch: pa.Table, _g=g) -> pa.Table:
-                return batch.append_column(
-                    "fetch_generation", pa.array(np.full(batch.num_rows, _g, dtype=np.int32))
-                )
-
-            # ---- 2. fetch
-            fetched = adm_ds.map_batches(add_gen, batch_format="pyarrow").map_batches(
-                fetch_fn, batch_format="pyarrow", batch_size=cfg.batch_size,
-            ).materialize()
+            # ---- 2. fetch (broadcast or streaming semi-join path)
+            fetched = self._run_fetch(adm_ds, g, fetch_fn)
 
             # crawl-order dump (bounded by global budget per generation)
             dump = fetched.select_columns(DUMP_COLS).to_pandas()
-            self._dumps.append(dump)  # sorted once in _result
+            self._append_dump(dump)  # sorted once in _result
             n200 = int((dump["status"] == 200).sum())
             self._count(g, "fetch", "status_200", n200)
-            self._count(g, "fetch", "status_404", len(dump) - n200)
+            self._count(g, "fetch", "status_404", int((dump["status"] == 404).sum()))
             self._count(g, "admission", "admitted", len(dump))
 
             # ---- politeness bookkeeping (A2 actors own domain_state)
@@ -421,11 +575,16 @@ class CrawlEngine:
             )
             fresh = self._discover(children, g + 1, n200)
 
-            # ---- 7. next frontier
+            # ---- 7. next frontier (deferred ∪ fresh ∪ transient retries)
+            parts = [deferred]
             if fresh.count() > 0:
-                frontier = deferred.union(fresh).materialize()
-            else:
-                frontier = deferred.materialize()
+                parts.append(fresh)
+            if cfg.fetch_failure_rate > 0.0:
+                requeue = self._requeue_transients(fetched, g)
+                if requeue.num_rows:
+                    parts.append(ray.data.from_arrow(requeue))
+            frontier = (parts[0].union(*parts[1:]) if len(parts) > 1
+                        else parts[0]).materialize()
             self._count(g, "frontier", "deferred_plus_fresh", frontier.count())
             if self.ckpt_dir is not None:
                 self._checkpoint(g, frontier, docs_out, dump)
@@ -452,6 +611,17 @@ class CrawlEngine:
                 cache[h] = p
             out[i] = p
         return out
+
+    def _route_requeue(self, requeue: pa.Table) -> None:
+        """Transient-retry rows back into their partition queues."""
+        pids = self._host_partitions(requeue.column("host").to_pylist())
+        refs = [
+            self.politeness.parts[int(p)].requeue.remote(
+                requeue.take(pa.array(np.nonzero(pids == p)[0]))
+            )
+            for p in np.unique(pids)
+        ]
+        ray.get(refs)
 
     def _route_fresh_to_queues(self, fresh_tables: list) -> int:
         n = 0
@@ -504,21 +674,24 @@ class CrawlEngine:
     def _resolve_fresh(self, generation: int) -> int:
         # shards resolve AND route to partition queues directly —
         # fresh rows never pass through the driver
-        n_fresh = sum(
-            ray.get([
-                s.resolve_and_route.remote(
-                    self.politeness.parts, self.cfg.num_politeness_partitions
-                )
-                for s in self.seen_pool.shards
-            ])
-        )
+        per_shard = ray.get([
+            s.resolve_and_route.remote(
+                self.politeness.parts, self.cfg.num_politeness_partitions
+            )
+            for s in self.seen_pool.shards
+        ])
+        for si, n in enumerate(per_shard):
+            if n:
+                self._count_p(generation, si, "discover", "fresh", n)
+        n_fresh = sum(per_shard)
         self._count(generation, "discover", "fresh", n_fresh)
         return n_fresh
 
     def _run_actor_mode(self) -> CrawlResult:
         cfg = self.cfg
         parts = self.politeness.parts
-        fetch_fn = _fetch_fn_factory(self.corpus_ref, self.delays_ref)
+        fetch_fn = _fetch_fn_factory(self.corpus_ref, self.delays_ref,
+                                     cfg.fetch_failure_rate)
         if not self._seeded:
             seeds = pa.table(
                 {
@@ -576,6 +749,11 @@ class CrawlEngine:
             denied = sum(d for _, _, d in results)
             if denied:
                 self._count(g, "politeness", "robots_denied", denied)
+            for pi, (_, n_p, d_p) in enumerate(results):
+                # real partition ids in the metrics lineage (SURVEY §4.4)
+                self._count_p(g, pi, "admission", "admitted", n_p)
+                if d_p:
+                    self._count_p(g, pi, "politeness", "robots_denied", d_p)
             n_adm = sum(n for _, n, _ in results)
             if n_adm == 0:
                 continue
@@ -604,22 +782,19 @@ class CrawlEngine:
 
             t0 = _tick("admission", t0)
 
-            def add_gen(batch: pa.Table, _g=g) -> pa.Table:
-                return batch.append_column(
-                    "fetch_generation", pa.array(np.full(batch.num_rows, _g, dtype=np.int32))
-                )
-
-            # ---- 2. fetch
-            fetched = adm_ds.map_batches(add_gen, batch_format="pyarrow").map_batches(
-                fetch_fn, batch_format="pyarrow", batch_size=cfg.batch_size,
-            ).materialize()
+            # ---- 2. fetch (broadcast or streaming semi-join path)
+            fetched = self._run_fetch(adm_ds, g, fetch_fn)
             t0 = _tick("fetch", t0)
             dump = fetched.select_columns(DUMP_COLS).to_pandas()
-            self._dumps.append(dump)  # sorted once in _result
+            self._append_dump(dump)  # sorted once in _result
             n200 = int((dump["status"] == 200).sum())
             self._count(g, "fetch", "status_200", n200)
-            self._count(g, "fetch", "status_404", len(dump) - n200)
+            self._count(g, "fetch", "status_404", int((dump["status"] == 404).sum()))
             self._count(g, "admission", "admitted", len(dump))
+            if cfg.fetch_failure_rate > 0.0:
+                requeue = self._requeue_transients(fetched, g)
+                if requeue.num_rows:
+                    self._route_requeue(requeue)
             hs = dump.groupby("host").agg(n=("canon", "size"), ts=("fetch_ts_us", "max"))
             violations = self.politeness.record_admission(
                 {h: (int(r["n"]), int(r["ts"])) for h, r in hs.iterrows()},
@@ -718,9 +893,22 @@ class CrawlEngine:
             docs = docs.union(d)
         if docs is None:
             docs = ray.data.from_items([])
+        dumps = self._dumps
+        if self._dump_spilled:
+            # audit log spilled: re-read the per-generation checkpoint
+            # files (final materialization happens only here, at the
+            # caller's explicit request for the full audit DataFrame)
+            root = Path(self.ckpt_dir)
+            dumps = [
+                storage.read_table(p).to_pandas()
+                for p in sorted(
+                    root.glob("gen=*/crawl_order.parquet"),
+                    key=lambda p: int(p.parent.name.split("=")[1]),
+                )
+            ]
         dump = (
-            pd.concat(self._dumps).sort_values(["generation", "host", "queue_pos", "ord_key"])
-            if self._dumps
+            pd.concat(dumps).sort_values(["generation", "host", "queue_pos", "ord_key"])
+            if dumps
             else pd.DataFrame(columns=DUMP_COLS)
         )
         seen = pa.concat_tables(self.seen_pool.dump_tables())
@@ -812,7 +1000,7 @@ class CrawlEngine:
                 self._docs_out.append(ray.data.read_parquet(files).materialize())
             co = gd / "crawl_order.parquet"
             if co.exists():
-                self._dumps.append(storage.read_table(co).to_pandas())
+                self._append_dump(storage.read_table(co).to_pandas())
         mt = storage.read_table(gen_dir / "metrics.parquet").to_pandas()
         self._metrics = [tuple(r) for r in mt.itertuples(index=False)]
         self._start_gen = last + 1

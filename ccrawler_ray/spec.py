@@ -72,15 +72,27 @@ FETCHED_SCHEMA = pa.schema(
     [
         ("canon", pa.string()),
         ("host", pa.string()),
-        ("status", pa.int32()),      # 200 | 404
+        ("status", pa.int32()),      # 200 | 404 | 599 (transient, retryable)
         ("spans", pa.list_(SPAN_STRUCT)),
         ("generation", pa.int32()),
         ("queue_pos", pa.int32()),
         ("ord_key", pa.string()),
         ("depth", pa.int32()),
         ("fetch_ts_us", pa.int64()),  # virtual clock (deterministic)
+        ("retries", pa.int32()),      # attempt number of THIS fetch
     ]
 )
+
+STATUS_TRANSIENT = 599
+
+
+def fetch_fails_transiently(canon: str, retries: int, failure_rate: float) -> bool:
+    """Deterministic transient-failure injection for the simulated
+    fetch: fails iff hash64(canon#retries) falls below the rate — so a
+    retry (retries+1) redraws, and a given attempt is reproducible."""
+    if failure_rate <= 0.0:
+        return False
+    return (hash64(f"{canon}#{retries}", seed=1299) % 1_000_000) < failure_rate * 1_000_000
 
 DOCS_OUT_SCHEMA = pa.schema(
     [

@@ -21,7 +21,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from ccrawler_ray.spec import FETCHED_SCHEMA, as_single_array
+from ccrawler_ray.spec import (
+    FETCHED_SCHEMA,
+    STATUS_TRANSIENT,
+    as_single_array,
+    hash64_batch,
+)
 
 
 def prepare_fetch_data(corpus: pa.Table):
@@ -39,29 +44,53 @@ def prepare_fetch_data(corpus: pa.Table):
     )
 
 
+def _batch_retries(batch: pa.Table) -> np.ndarray:
+    if "retries" in batch.column_names:
+        return batch.column("retries").to_numpy(zero_copy_only=False).astype(np.int32)
+    return np.zeros(batch.num_rows, dtype=np.int32)
+
+
+def _transient_fail_mask(canons: list[str], retries: np.ndarray,
+                         failure_rate: float) -> np.ndarray:
+    """Vectorized spec.fetch_fails_transiently: a given (canon, attempt)
+    fails deterministically; the retry redraws."""
+    keys = [f"{c}#{int(r)}" for c, r in zip(canons, retries)]
+    draws = hash64_batch(keys, seed=1299) % np.uint64(1_000_000)
+    return draws < np.uint64(int(failure_rate * 1_000_000))
+
+
 class FetchActor:
-    def __init__(self, fetch_ref, delays_ref):
+    def __init__(self, fetch_ref, delays_ref, failure_rate: float = 0.0):
         data = ray.get(fetch_ref)  # zero-copy plasma read
         self.spans = data["spans"]
         self.doc_ids = data["doc_ids"]
         self.miss_idx = data["miss_idx"]
         self.delays: dict[str, int] = ray.get(delays_ref)
+        self.failure_rate = failure_rate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         hosts = batch.column("host").to_pylist()
         qpos = batch.column("queue_pos").to_numpy(zero_copy_only=False)
         gens = batch.column("fetch_generation").to_numpy(zero_copy_only=False)
         n = batch.num_rows
+        retries = _batch_retries(batch)
         # vectorized corpus lookup (Arrow hash join kernel, no python dict)
         idx = pc.index_in(as_single_array(batch.column("canon")),
                           value_set=self.doc_ids)
-        miss = pc.is_null(idx)
-        status = np.where(miss.to_numpy(zero_copy_only=False), 404, 200).astype(np.int32)
-        take_idx = pc.fill_null(pc.cast(idx, pa.int64()), self.miss_idx)
+        miss = pc.is_null(idx).to_numpy(zero_copy_only=False)
+        status = np.where(miss, 404, 200).astype(np.int32)
+        take_idx = pc.fill_null(pc.cast(idx, pa.int64()), self.miss_idx).to_numpy(
+            zero_copy_only=False
+        ).copy()
+        if self.failure_rate > 0.0:
+            canons = batch.column("canon").to_pylist()
+            failed = _transient_fail_mask(canons, retries, self.failure_rate) & ~miss
+            status[failed] = STATUS_TRANSIENT
+            take_idx[failed] = self.miss_idx  # no payload on a failed fetch
         delays = np.fromiter((self.delays.get(h, 0) for h in hosts), dtype=np.int64, count=n)
         # virtual clock (spec.fetch_virtual_ts_us, vectorized)
         ts = gens.astype(np.int64) * 1_000_000 + qpos.astype(np.int64) * (1 + delays) * 1_000
-        spans = self.spans.take(take_idx)
+        spans = self.spans.take(pa.array(take_idx))
         return pa.Table.from_arrays(
             [
                 batch.column("canon"),
@@ -73,15 +102,18 @@ class FetchActor:
                 batch.column("ord_key"),
                 batch.column("depth"),
                 pa.array(ts, type=pa.int64()),
+                pa.array(retries),
             ],
             schema=FETCHED_SCHEMA,
         )
 
 
-def fetch_via_semi_join(corpus_ds, admitted_table: pa.Table, delays: dict):
+def fetch_via_semi_join(corpus_ds, admitted_table: pa.Table, delays: dict,
+                        failure_rate: float = 0.0):
     """Scale-path fetch: broadcast the (small) admitted set, stream the
     corpus once, and semi-join on doc_id == canon inside map_batches.
-    Misses (404s) are computed driver-side as admitted ∖ hits.
+    Misses (404s) are computed driver-side as admitted ∖ hits
+    (:func:`semi_join_misses`).
 
     Returns (hits Dataset with FETCHED_SCHEMA columns, admitted_table).
     """
@@ -99,25 +131,69 @@ def fetch_via_semi_join(corpus_ds, admitted_table: pa.Table, delays: dict):
         bidx = pa.array([p[0] for p in pairs], type=pa.int64())
         aidx = pa.array([p[1] for p in pairs], type=pa.int64())
         sub_a = adm.take(aidx)
+        canons = sub_a.column("canon").to_pylist()
         hosts = sub_a.column("host").to_pylist()
         qpos = sub_a.column("queue_pos").to_numpy(zero_copy_only=False).astype(np.int64)
         gens = sub_a.column("fetch_generation").to_numpy(zero_copy_only=False).astype(np.int64)
+        retries = _batch_retries(sub_a)
         dls = np.fromiter((dl.get(h, 0) for h in hosts), dtype=np.int64, count=len(hosts))
         ts = gens * 1_000_000 + qpos * (1 + dls) * 1_000
         n = len(pairs)
+        status = np.full(n, 200, dtype=np.int32)
+        spans = as_single_array(batch.column("spans")).take(bidx)
+        if failure_rate > 0.0:
+            failed = _transient_fail_mask(canons, retries, failure_rate)
+            status[failed] = STATUS_TRANSIENT
+            if failed.any():  # no payload on a failed fetch
+                empty = pa.array([[]] * int(failed.sum()), type=spans.type)
+                merged = pa.concat_arrays([spans, empty])
+                slot = np.arange(n)  # failed rows -> their empty slot
+                slot[failed] = n + np.arange(int(failed.sum()))
+                spans = merged.take(pa.array(slot, type=pa.int64()))
         return pa.Table.from_arrays(
             [
                 sub_a.column("canon"),
                 sub_a.column("host"),
-                pa.array(np.full(n, 200, dtype=np.int32)),
-                batch.column("spans").take(bidx),
+                pa.array(status),
+                spans,
                 pa.array(gens.astype(np.int32)),
                 sub_a.column("queue_pos"),
                 sub_a.column("ord_key"),
                 sub_a.column("depth"),
                 pa.array(ts, type=pa.int64()),
+                pa.array(retries),
             ],
             schema=FETCHED_SCHEMA,
         )
 
     return corpus_ds.map_batches(probe, batch_format="pyarrow"), admitted_table
+
+
+def semi_join_misses(admitted_table: pa.Table, hit_canons: set, delays: dict) -> pa.Table:
+    """404 rows for the semi-join path: admitted ∖ hits, with the same
+    virtual-clock timestamps the in-actor path assigns."""
+    canons = admitted_table.column("canon").to_pylist()
+    mask = np.array([c not in hit_canons for c in canons], dtype=bool)
+    sub = admitted_table.filter(pa.array(mask))
+    n = sub.num_rows
+    hosts = sub.column("host").to_pylist()
+    qpos = sub.column("queue_pos").to_numpy(zero_copy_only=False).astype(np.int64)
+    gens = sub.column("fetch_generation").to_numpy(zero_copy_only=False).astype(np.int64)
+    dls = np.fromiter((delays.get(h, 0) for h in hosts), dtype=np.int64, count=n)
+    ts = gens * 1_000_000 + qpos * (1 + dls) * 1_000
+    empty_spans = pa.array([[]] * n, type=FETCHED_SCHEMA.field("spans").type)
+    return pa.Table.from_arrays(
+        [
+            sub.column("canon"),
+            sub.column("host"),
+            pa.array(np.full(n, 404, dtype=np.int32)),
+            empty_spans,
+            pa.array(gens.astype(np.int32)),
+            sub.column("queue_pos"),
+            sub.column("ord_key"),
+            sub.column("depth"),
+            pa.array(ts, type=pa.int64()),
+            pa.array(_batch_retries(sub)),
+        ],
+        schema=FETCHED_SCHEMA,
+    )

@@ -110,6 +110,26 @@ def test_small_actor_mode(small_corpus):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_tiny_semi_join_fetch(tiny_corpus):
+    # forced streaming semi-join fetch (the 100 TB path: the corpus
+    # never passes through the driver) must equal the oracle exactly
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY_CFG, fetch_mode="semi_join")
+    assert_engine_matches_refsim(tiny_corpus, cfg)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_small_actor_mode_semi_join_fetch(small_corpus):
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        SMALL_CFG, admission_mode="actor", fetch_mode="semi_join"
+    )
+    assert_engine_matches_refsim(small_corpus, cfg)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_small_distributed_path_salted(small_corpus):
     # hot_host_threshold=2 forces salting on nearly every host; the
     # salted admission must equal the unsalted oracle exactly.

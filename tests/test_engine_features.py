@@ -1,0 +1,108 @@
+"""Round-2 engine features: transient-fetch retries (M6 failure path),
+bounded audit log (crawl-order spill), per-partition metrics lineage."""
+
+import dataclasses
+
+import pytest
+
+from ccrawler_ray.config import CrawlConfig
+from ccrawler_ray.pipelines.crawl import CrawlEngine
+
+# max_depth high enough that the depth gate never binds: transient
+# retries delay discovery, which can change a page's FIRST-discovery
+# path (and so its depth) — with a binding depth gate the reachable
+# set legitimately differs from a failure-free run.
+CFG = CrawlConfig(
+    seeds=("http://h0.example/p0", "http://h1.example/p0", "http://h7.example/p3"),
+    max_depth=64,
+    max_generations=48,
+    per_host_budget_per_generation=4,
+    global_budget_per_generation=64,
+    num_seen_shards=4,
+    num_politeness_partitions=2,
+)
+
+
+def _run(corpus, cfg, **kw):
+    eng = CrawlEngine(corpus, cfg, **kw)
+    try:
+        return eng.run()
+    finally:
+        eng.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("mode", ["driver", "actor"])
+def test_transient_retries_converge_to_failure_free_seen_set(tiny_corpus, mode):
+    """With deterministic transient failures + requeue, the crawl must
+    eventually reach the same URL set as a failure-free run, every
+    failed fetch must later succeed (within the retry cap), and the
+    retry metrics must balance."""
+    base = dataclasses.replace(CFG, admission_mode=mode)
+    clean = _run(tiny_corpus, base)
+    flaky_cfg = dataclasses.replace(
+        base, fetch_failure_rate=0.25, max_fetch_retries=6
+    )
+    flaky = _run(tiny_corpus, flaky_cfg)
+
+    # both runs must exhaust their frontier within the generation cap
+    # (otherwise the comparison would race the cutoff, not semantics)
+    assert clean.generations_run < CFG.max_generations
+    assert flaky.generations_run < CFG.max_generations
+    clean_seen = set(clean.seen.column("canon").to_pylist())
+    flaky_seen = set(flaky.seen.column("canon").to_pylist())
+    assert flaky_seen == clean_seen
+
+    dump = flaky.crawl_order
+    failed = dump[dump["status"] == 599]
+    assert len(failed) > 0, "failure injection produced no 599s"
+    ok = set(dump[dump["status"] == 200]["canon"])
+    not404 = set(dump[dump["status"] != 404]["canon"])
+    m = flaky.metrics.to_pandas()
+
+    def total(counter):
+        return int(m.loc[m["counter"] == counter, "value"].sum())
+
+    assert total("status_599") == len(failed)
+    assert total("retry_requeued") + total("retry_dropped") == len(failed)
+    # every transiently-failed URL that wasn't dropped eventually succeeded
+    dropped = total("retry_dropped")
+    unresolved = {c for c in set(failed["canon"]) & not404 if c not in ok}
+    assert len(unresolved) <= dropped
+    # clean-run fetch outcomes are a subset relation: every 200 of the
+    # clean run is eventually a 200 of the flaky run
+    clean_ok = set(clean.crawl_order[clean.crawl_order["status"] == 200]["canon"])
+    assert clean_ok <= ok
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_audit_log_spill_equals_in_memory(tiny_corpus, tmp_path):
+    """Forcing the crawl-order audit log to spill to checkpoints must
+    not change the final crawl_order DataFrame."""
+    cfg = dataclasses.replace(CFG, max_generations=6)
+    in_mem = _run(tiny_corpus, cfg)
+    spilled = _run(
+        tiny_corpus, cfg,
+        ckpt_dir=str(tmp_path / "ck_spill"),
+        audit_in_memory_max_rows=5,   # force spill on the first generation
+    )
+    a = in_mem.crawl_order.reset_index(drop=True)
+    b = spilled.crawl_order.reset_index(drop=True)
+    assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_actor_mode_metrics_have_real_partition_ids(tiny_corpus):
+    cfg = dataclasses.replace(CFG, admission_mode="actor", max_generations=6)
+    res = _run(tiny_corpus, cfg)
+    m = res.metrics.to_pandas()
+    adm_p = m[(m["stage"] == "admission") & (m["partition"] >= 0)]
+    fresh_p = m[(m["stage"] == "discover") & (m["partition"] >= 0)
+                & (m["counter"] == "fresh")]
+    assert len(adm_p) > 0 and len(fresh_p) > 0
+    # per-partition admission totals must equal the aggregate rows
+    for g, grp in adm_p.groupby("generation"):
+        agg = m[(m["stage"] == "admission") & (m["partition"] == -1)
+                & (m["generation"] == g) & (m["counter"] == "admitted")]
+        if len(agg):
+            assert grp["value"].sum() == int(agg["value"].iloc[0])
