@@ -668,8 +668,37 @@ class CrawlEngine:
             .sum("n")
         )
         n_disc = int(counts or 0)
-        self._count(generation, "discover", "validated", n_disc)
+        # "validated" metric now recorded at resolve time (shards
+        # return offered counts) — avoids double counting
         return n_disc
+
+    def _make_offer_stage(self, generation: int):
+        """Fused discover/offer side-effect stage: explode the 200
+        rows' children, canonicalize/validate, offer to the seen
+        shards (key-affine) — and pass the batch through unchanged."""
+        shards = self.seen_pool.shards
+        num_shards = len(shards)
+        discover_fn = make_discover_fn(self.cfg.max_depth, generation)
+
+        def offer_stage(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc  # noqa: PLC0415
+
+            ok = batch.filter(pc.equal(batch.column("status"), 200))
+            if ok.num_rows:
+                cand = discover_fn(explode_children(ok))
+                if cand.num_rows:
+                    h = cand.column("url_hash").to_numpy(zero_copy_only=False)
+                    sid = (h % num_shards).astype(np.int64)
+                    refs = [
+                        shards[int(s)].offer.remote(
+                            cand.take(pa.array(np.nonzero(sid == s)[0]))
+                        )
+                        for s in np.unique(sid)
+                    ]
+                    ray.get(refs)
+            return batch
+
+        return offer_stage
 
     def _resolve_fresh(self, generation: int) -> int:
         # shards resolve AND route to partition queues directly —
@@ -680,10 +709,12 @@ class CrawlEngine:
             )
             for s in self.seen_pool.shards
         ])
-        for si, n in enumerate(per_shard):
+        for si, (_, n) in enumerate(per_shard):
             if n:
                 self._count_p(generation, si, "discover", "fresh", n)
-        n_fresh = sum(per_shard)
+        offered = sum(o for o, _ in per_shard)
+        self._count(generation, "discover", "validated", offered)
+        n_fresh = sum(n for _, n in per_shard)
         self._count(generation, "discover", "fresh", n_fresh)
         return n_fresh
 
@@ -782,17 +813,56 @@ class CrawlEngine:
 
             t0 = _tick("admission", t0)
 
-            # ---- 2. fetch (broadcast or streaming semi-join path)
-            fetched = self._run_fetch(adm_ds, g, fetch_fn)
-            t0 = _tick("fetch", t0)
-            dump = fetched.select_columns(DUMP_COLS).to_pandas()
+            # ---- 2–6 FUSED: fetch → extract(+audit cols) → analyze →
+            # extra stages → discover/offer side-effect as ONE Dataset
+            # execution per generation (r1 ran 3 executions + the same
+            # 2 actor barriers — that fixed cost dominated the stepped
+            # scaling regime, BENCH/scaling_last.json). dump and
+            # docs_out become cheap projections of the SAME blocks.
+            from ccrawler_ray.stages.extract import AUDIT_COLS, extract_docs_audit
+
+            if self.fetch_mode == "broadcast":
+                def add_gen(batch: pa.Table, _g=g) -> pa.Table:
+                    return batch.append_column(
+                        "fetch_generation",
+                        pa.array(np.full(batch.num_rows, _g, dtype=np.int32)),
+                    )
+
+                pipe = adm_ds.map_batches(add_gen, batch_format="pyarrow").map_batches(
+                    fetch_fn, batch_format="pyarrow", batch_size=cfg.batch_size
+                )
+            else:
+                # semi-join needs a driver-side miss step; fusion
+                # starts at extract for that path
+                pipe = self._run_fetch(adm_ds, g, fetch_fn)
+            pipe = pipe.map_batches(
+                extract_docs_audit, batch_format="pyarrow", batch_size=cfg.batch_size
+            )
+            if cfg.analyze:
+                from ccrawler_ray.stages.analyze import analyze_docs
+
+                pipe = pipe.map_batches(
+                    analyze_docs, batch_format="pyarrow", batch_size=cfg.batch_size
+                )
+            if self.extra_stages:
+                from ccrawler_ray.pipelines.stage import apply_stages
+
+                pipe = apply_stages(pipe, self.extra_stages)
+            pipe = pipe.map_batches(
+                self._make_offer_stage(g + 1), batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+            )
+            fused = pipe.materialize()
+            t0 = _tick("fetch_extract_offer", t0)
+
+            dump = fused.select_columns(DUMP_COLS).to_pandas()
             self._append_dump(dump)  # sorted once in _result
             n200 = int((dump["status"] == 200).sum())
             self._count(g, "fetch", "status_200", n200)
             self._count(g, "fetch", "status_404", int((dump["status"] == 404).sum()))
             self._count(g, "admission", "admitted", len(dump))
             if cfg.fetch_failure_rate > 0.0:
-                requeue = self._requeue_transients(fetched, g)
+                requeue = self._requeue_transients(fused, g)
                 if requeue.num_rows:
                     self._route_requeue(requeue)
             hs = dump.groupby("host").agg(n=("canon", "size"), ts=("fetch_ts_us", "max"))
@@ -802,33 +872,18 @@ class CrawlEngine:
             )
             if violations:
                 raise RuntimeError(f"politeness violation in generation {g}")
+
+            def to_docs_out(batch: pa.Table, _audit=tuple(AUDIT_COLS)) -> pa.Table:
+                import pyarrow.compute as pc  # noqa: PLC0415
+
+                return batch.filter(
+                    pc.equal(batch.column("status"), 200)
+                ).drop_columns(list(_audit))
+
+            docs_out = fused.map_batches(to_docs_out, batch_format="pyarrow")
+            self._docs_out.append(docs_out)
             t0 = _tick("dump", t0)
 
-            # ---- 3. extract (+ fused analysis/extra stages)
-            docs_pipe = fetched.map_batches(
-                extract_docs, batch_format="pyarrow", batch_size=cfg.batch_size
-            )
-            if cfg.analyze:
-                from ccrawler_ray.stages.analyze import analyze_docs
-
-                docs_pipe = docs_pipe.map_batches(
-                    analyze_docs, batch_format="pyarrow", batch_size=cfg.batch_size
-                )
-            if self.extra_stages:
-                from ccrawler_ray.pipelines.stage import apply_stages
-
-                docs_pipe = apply_stages(docs_pipe, self.extra_stages)
-            docs_out = docs_pipe.materialize()
-            self._docs_out.append(docs_out)
-            del fetched  # free the raw fetch blocks (plasma pressure)
-            t0 = _tick("extract_analyze", t0)
-
-            # ---- 4–6. children → discover → offer/resolve
-            children = docs_out.map_batches(
-                explode_children, batch_format="pyarrow", batch_size=cfg.batch_size
-            )
-            self._offer_candidates(children, g + 1)
-            t0 = _tick("discover_offer", t0)
             self._resolve_fresh(g + 1)
             t0 = _tick("resolve_route", t0)
 

@@ -99,6 +99,44 @@ def extract_docs(batch: pa.Table) -> pa.Table:
     )
 
 
+# audit columns preserved by the fused (single-execution) crawl chain
+# ("canon" duplicates doc_id so the dump projection needs no rename;
+# depth/retries let the transient-retry requeue read the same blocks)
+AUDIT_COLS = ["canon", "status", "host", "queue_pos", "fetch_ts_us",
+              "depth", "retries"]
+DOCS_AUDIT_COLS = [*DOCS_OUT_SCHEMA.names, *AUDIT_COLS]
+
+
+def extract_docs_audit(batch: pa.Table) -> pa.Table:
+    """FETCHED rows → DOCS_OUT columns + the crawl-order audit columns,
+    for ALL rows (non-200 rows keep empty spans/outlinks). Lets the
+    actor-mode engine fuse fetch→extract→analyze→offer into ONE
+    Dataset execution and still derive the dump and docs_out by cheap
+    projections of the same materialized blocks."""
+    ok = extract_docs(batch)
+    ok_mask = pc.equal(batch.column("status"), 200)
+    rest = batch.filter(pc.invert(ok_mask))
+    audit_ok = batch.filter(ok_mask)
+    out = ok
+    for c in AUDIT_COLS:
+        out = out.append_column(c, audit_ok.column(c))
+    if rest.num_rows:
+        empty_links = pa.array([[]] * rest.num_rows, type=pa.list_(pa.string()))
+        rest_tbl = pa.table(
+            {
+                "doc_id": rest.column("canon"),
+                "url": rest.column("canon"),
+                "spans": rest.column("spans"),
+                "outlinks": empty_links,
+                "generation": rest.column("generation"),
+                "ord_key": rest.column("ord_key"),
+                **{c: rest.column(c) for c in AUDIT_COLS},
+            }
+        )
+        out = pa.concat_tables([out, rest_tbl], promote_options="default")
+    return out.select(DOCS_AUDIT_COLS)
+
+
 def explode_children(batch: pa.Table) -> pa.Table:
     """docs_out rows → raw child candidates (CANDIDATE_SCHEMA).
 

@@ -167,15 +167,19 @@ class SeenShard:
             )
         return fresh
 
-    def resolve_and_route(self, politeness_parts: list, num_partitions: int) -> int:
+    def resolve_and_route(self, politeness_parts: list,
+                          num_partitions: int) -> tuple[int, int]:
         """resolve() + push fresh rows DIRECTLY to their owning
         politeness partition actors (shard→partition, no driver hop).
-        Returns the number of fresh rows routed."""
+        Returns (offered_rows, fresh_rows) for this shard — offered is
+        the generation's validated-candidate count (the metric the
+        fused offer stage no longer tallies driver-side)."""
         from ccrawler_ray.state.politeness import host_partition
 
+        offered = sum(t.num_rows for t in self._pending)
         fresh = self.resolve()
         if fresh is None or fresh.num_rows == 0:
-            return 0
+            return offered, 0
         cache = getattr(self, "_hp_cache", None)
         if cache is None:
             cache = self._hp_cache = {}
@@ -194,7 +198,7 @@ class SeenShard:
             for p in np.unique(pids)
         ]
         ray.get(refs)
-        return fresh.num_rows
+        return offered, fresh.num_rows
 
     def dump(self) -> pa.Table:
         """Checkpoint dump of the exact membership (SEEN_SCHEMA)."""
