@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o1_global_sort": R.o1_global_sort,
         "o2_global_topk": R.o2_global_topk,
         "o3_sample": R.o3_sample,
+        "o3_sample_hash": R.o3_sample_hash,
         # --- wide aggregate
         "q1_pricing_summary": R.q1_pricing_summary,
         # --- list explode (span analogue)
@@ -112,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": lambda sf: D.ngram_jaccard_pairs(sf, threshold=0.8),
         "dedup_minhash_lsh": lambda sf: D.dedup_minhash_lsh(sf, threshold=0.8),
         "dedup_lsh_verified": lambda sf: D.dedup_lsh_verified(sf, threshold=0.8),
+        "dedup_clusters": lambda sf: D.dedup_clusters(sf, threshold=0.8),
         # max_hamming=3: the scale-safe blocking point (16-bit keys);
         # radius-derived blocking guarantees full recall (ADVICE r1)
         "dedup_simhash": lambda sf: D.dedup_simhash(sf, max_hamming=3),
@@ -188,6 +190,11 @@ def _serial_oracles() -> dict[str, str]:
                                {**pair_d, "est_jaccard": "DOUBLE"}),
         "dedup_lsh_verified": V(SR.dedup_lsh_verified(threshold=0.8),
                                 {**pair_d, "jaccard": "DOUBLE"}),
+        "dedup_clusters": V(SR.dedup_clusters(threshold=0.8),
+                            {"doc_id": "BIGINT", "cluster_rep": "BIGINT",
+                             "keep": "BOOLEAN"}),
+        "o3_sample_hash": V(SR.o3_sample_hash(),
+                            {"doc_id": "BIGINT", "lang": "VARCHAR"}),
         "ann_lsh_topk": V(SR.ann_lsh_topk(num_queries=5, k=5), ann_t),
         "ann_ivf_topk": V(SR.ann_ivf_topk(num_queries=5, k=5), ann_t),
         "decode_media_meta": V(

@@ -190,7 +190,8 @@ def _inter_count(x: np.ndarray, y: np.ndarray) -> int:
 
 def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
                          threshold: float | None = None,
-                         exact: bool = False):
+                         exact: bool = False,
+                         cc_edges: bool = False):
     """Banded LSH pairs (doc_a < doc_b), each emitted EXACTLY ONCE.
 
     The signature (and in exact mode the word-hash set) rides along in
@@ -209,10 +210,18 @@ def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
     rounded to 4) filtered >= threshold; exact=True → jaccard (EXACT
     word-set Jaccard, floor-scaled to 4) filtered >= threshold — input
     ``sigs`` must carry the ``wset`` column (minhash_sig_wset).
+    cc_edges=True (exact mode) emits a CONNECTIVITY-EQUIVALENT spanning
+    subset instead of all pairs — star edges within identical-key
+    groups and one min–min edge per rep pair — so connected components
+    see |V|+|rep pairs| edges instead of the full clique expansion.
     """
     if exact and threshold is None:
         raise ValueError("exact mode requires a threshold")
-    metric_col = "jaccard" if exact else ("est_jaccard" if threshold is not None else None)
+    if cc_edges and not exact:
+        raise ValueError("cc_edges requires exact mode")
+    metric_col = None if cc_edges else (
+        "jaccard" if exact else ("est_jaccard" if threshold is not None else None)
+    )
     key_col = "wset" if exact else "sig"
 
     def to_bands(batch: pa.Table) -> pa.Table:
@@ -293,8 +302,11 @@ def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
             if band_b == 0 and (threshold is None or 1.0 >= threshold):
                 for g in np.nonzero(counts >= 2)[0]:
                     grp = np.sort(members[offs[g]: offs[g + 1]])
-                    gi, gj = np.triu_indices(len(grp), k=1)
-                    emit(grp[gi], grp[gj], 1.0)
+                    if cc_edges:  # star: same component, c-1 edges
+                        emit(np.full(len(grp) - 1, grp[0]), grp[1:], 1.0)
+                    else:
+                        gi, gj = np.triu_indices(len(grp), k=1)
+                        emit(grp[gi], grp[gj], 1.0)
             if u < 2:
                 continue
             if exact:
@@ -324,6 +336,10 @@ def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
                 sel = met >= threshold
                 ka, kb, met = ka[sel], kb[sel], met[sel]
             if not len(ka):
+                continue
+            if cc_edges:  # one min–min edge per rep pair suffices
+                gmins = np.minimum.reduceat(members, offs[:-1])
+                emit(gmins[ka], gmins[kb], None)
                 continue
             # expand rep pairs to member pairs (fully vectorized)
             ca = counts[ka]
@@ -605,3 +621,148 @@ def dedup_embedding_cosine(sf_dir: str, threshold: float = 0.9):
                 continue
             out_refs.append(block_pair.remote(ra, rb, i == j))
     return ray.data.from_arrow_refs(out_refs)
+
+
+@ray.remote
+def _cc_union_find(tables: list[pa.Table]) -> pa.Table:
+    """Single-task union-find over an edge list that fits one worker
+    (edges are 16 bytes/row — millions fit trivially). Returns
+    (doc_id, cluster_rep=min of component) for every touched node."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes: set[int] = set()
+    for t in tables:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        for x, y in zip(a.tolist(), b.tolist()):
+            nodes.add(x)
+            nodes.add(y)
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+    ids = np.fromiter(nodes, dtype=np.int64, count=len(nodes))
+    reps = np.fromiter((find(int(i)) for i in ids), dtype=np.int64, count=len(ids))
+    return pa.table({"doc_id": pa.array(ids), "cluster_rep": pa.array(reps)})
+
+
+def dedup_clusters(sf_dir: str, num_perm: int = 64, bands: int = 16,
+                   threshold: float = 0.5, max_rounds: int = 32,
+                   cc_driver_threshold: int = 5_000_000):
+    """Near-dup CLUSTERS: connected components over the exact-verified
+    LSH pairs → one row per document with its cluster representative
+    (min doc_id in the component) and the keep/drop decision — the
+    step a training-data dedup pipeline actually acts on.
+
+    The edge set is a connectivity-equivalent SPANNING subset
+    (cc_edges: star edges inside identical-word-set groups + one
+    min–min edge per verified rep pair), so CC touches |V|+|rep pairs|
+    edges, never the clique expansion. Components are then solved by
+    a single-task union-find while the edge list fits one worker
+    (16 B/edge — the same small-side fast-path idea as the admission
+    driver_threshold), else by distributed min-label propagation: per
+    round one coarse-salted groupby reduces (node, label) messages to
+    per-node mins and two int-payload hash joins re-emit labels across
+    edges; rounds = component diameter, stopping at a driver-checked
+    fixpoint aggregate. Docs with no near dup become their own
+    representative via a left-outer join.
+    """
+    sigs = minhash_sig_wset(sf_dir, num_perm).materialize()
+    pairs = _lsh_candidate_pairs(
+        sigs, bands, num_perm, threshold=threshold, exact=True, cc_edges=True
+    ).materialize()
+    if pairs.count() <= cc_driver_threshold:
+        lab_tbl = ray.get(_cc_union_find.remote(
+            [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+        ))
+        reps = ray.data.from_arrow(lab_tbl)
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id"])
+        joined = docs.join(reps, join_type="left_outer", num_partitions=8,
+                           on=("doc_id",))
+        return joined.map_batches(_cc_finish, batch_format="pyarrow")
+
+    def to_msgs(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        # each endpoint proposes the other (and itself) as label
+        return pa.table(
+            {"node": pa.array(np.concatenate([a, b, a, b])),
+             "label": pa.array(np.concatenate([b, a, a, b]))}
+        )
+
+    msgs = pairs.map_batches(to_msgs, batch_format="pyarrow")
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        n = batch.column("node").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "salt", pa.array((n % 64).astype(np.int32))
+        )
+
+    def min_per_node(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("node", sort=False)["label"].min().reset_index()
+        return out.astype({"node": "int64", "label": "int64"})
+
+    lab = None
+    prev_sum = None
+    for _ in range(max_rounds):
+        lab = (
+            msgs.map_batches(add_salt, batch_format="pyarrow")
+            .groupby("salt")
+            .map_groups(min_per_node, batch_format="pandas")
+            .materialize()
+        )
+        cur_sum = lab.sum("label")
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        # next round's messages: own label + labels across each edge
+        lab_a = lab.map_batches(
+            lambda t: t.rename_columns(["doc_a", "label"]), batch_format="pyarrow"
+        )
+        lab_b = lab.map_batches(
+            lambda t: t.rename_columns(["doc_b", "label"]), batch_format="pyarrow"
+        )
+        via_a = pairs.join(lab_a, join_type="inner", num_partitions=8,
+                           on=("doc_a",)).map_batches(
+            lambda t: pa.table({"node": t.column("doc_b"),
+                                "label": t.column("label")}),
+            batch_format="pyarrow",
+        )
+        via_b = pairs.join(lab_b, join_type="inner", num_partitions=8,
+                           on=("doc_b",)).map_batches(
+            lambda t: pa.table({"node": t.column("doc_a"),
+                                "label": t.column("label")}),
+            batch_format="pyarrow",
+        )
+        own = lab.map_batches(
+            lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
+        )
+        msgs = own.union(via_a, via_b)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    reps = lab.map_batches(
+        lambda t: t.rename_columns(["doc_id", "cluster_rep"]), batch_format="pyarrow"
+    )
+    joined = docs.join(reps, join_type="left_outer", num_partitions=8,
+                       on=("doc_id",))
+    return joined.map_batches(_cc_finish, batch_format="pyarrow")
+
+
+def _cc_finish(batch: pa.Table) -> pa.Table:
+    """left-outer (doc_id, cluster_rep?) → (doc_id, cluster_rep, keep);
+    unmatched docs are their own representative."""
+    ids = pc.cast(as_single_array(batch.column("doc_id")), pa.int64())
+    rep = pc.coalesce(
+        pc.cast(as_single_array(batch.column("cluster_rep")), pa.int64()), ids
+    )
+    return pa.table(
+        {"doc_id": ids, "cluster_rep": rep, "keep": pc.equal(rep, ids)}
+    )

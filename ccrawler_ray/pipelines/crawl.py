@@ -201,13 +201,15 @@ class CrawlEngine:
             self.corpus_ref = prepare_fetch_data(corpus)
         else:
             self.corpus_ref = None
-        robots = load_robots_ds(self.corpus_ds)
+        robots, robots_texts = load_robots_ds(self.corpus_ds, with_text=True)
         self.robots = robots
         self.robots_ref = ray.put(robots)
         self.delays = {h: v[0] for h, v in robots.items()}
         self.delays_ref = ray.put(self.delays)
         self.seen_pool = SeenPool(cfg.num_seen_shards)
-        self.politeness = PolitenessPool(cfg.num_politeness_partitions, self.robots_ref)
+        self.politeness = PolitenessPool(
+            cfg.num_politeness_partitions, self.robots_ref, ray.put(robots_texts)
+        )
         self._metrics: list[tuple] = []
         self._docs_out: list = []      # materialized per-gen docs_out Datasets
         self._dumps: list[pd.DataFrame] = []

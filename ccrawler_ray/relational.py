@@ -489,3 +489,22 @@ def explode_embeddings(sf_dir: str, max_vec_id: int = 10):
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def o3_sample_hash(sf_dir: str, fraction: float = 0.05):
+    """O3 (deterministic variant): hash-draw sampling — keep rows whose
+    seeded hash64(doc_id) falls under the fraction bar. Reproducible
+    across runs, partitionings, and cluster sizes (the production-sane
+    sampler for train/eval splits); ``o3_sample`` keeps Ray's seeded
+    stream sampler for comparison."""
+    from ccrawler_ray.spec import hash64_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    bar = np.uint64(int(fraction * 10_000))
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys = [str(i) for i in batch.column("doc_id").to_pylist()]
+        draws = hash64_batch(keys, seed=77) % np.uint64(10_000)
+        return batch.filter(pa.array(draws < bar))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -52,6 +52,8 @@ def values_sql(df: pd.DataFrame, types: dict[str, str]) -> str:
             return "'" + str(v).replace("'", "''") + "'"
         if t == "DOUBLE":
             return repr(float(v))
+        if t == "BOOLEAN":
+            return "true" if v else "false"
         return str(int(v))
 
     if not len(df):
@@ -384,3 +386,54 @@ def crawl_docs_out(sf_dir: str | None = None) -> pd.DataFrame:
     )
     return df.astype({"generation": np.int32, "queue_pos": np.int32,
                       "status": np.int32})
+
+
+def dedup_clusters(sf_dir: str | None = None, num_perm: int = 64,
+                   bands: int = 16, threshold: float = 0.8) -> pd.DataFrame:
+    """Union-find over the serial verified pairs → per-doc component
+    representative (min doc_id) — the oracle for the distributed
+    min-label-propagation CC."""
+    sf_dir = sf_dir or oracle_sf_dir()
+    pairs = dedup_lsh_verified(sf_dir, num_perm, bands, threshold)
+    ids, _ = _docs(sf_dir)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict[int, int] = {}
+    for i in ids:
+        r = find(int(i))
+        comp_min[r] = min(comp_min.get(r, int(i)), int(i))
+    rows = [(int(i), comp_min[find(int(i))]) for i in ids]
+    df = pd.DataFrame(rows, columns=["doc_id", "cluster_rep"])
+    df["keep"] = df["doc_id"] == df["cluster_rep"]
+    return df
+
+
+def o3_sample_hash(sf_dir: str | None = None, fraction: float = 0.05) -> pd.DataFrame:
+    """Deterministic hash-draw sample (same frozen hash64 formula the
+    engine uses — validates the distributed plumbing)."""
+    sf_dir = sf_dir or oracle_sf_dir()
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    ids = t.column("doc_id").to_pylist()
+    langs = t.column("lang").to_pylist()
+    bar = int(fraction * 10_000)
+    rows = []
+    for i, lang in zip(ids, langs):
+        h = int.from_bytes(
+            hashlib.blake2b(str(i).encode(), digest_size=8,
+                            key=(77).to_bytes(8, "little")).digest(), "little"
+        )
+        if h % 10_000 < bar:
+            rows.append((int(i), lang))
+    return pd.DataFrame(rows, columns=["doc_id", "lang"])

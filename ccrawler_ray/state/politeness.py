@@ -40,10 +40,13 @@ from ccrawler_ray.spec import (
 )
 
 
-def load_robots_ds(corpus_ds) -> dict:
+def load_robots_ds(corpus_ds, with_text: bool = False):
     """host -> (crawl_delay, disallow) from robots.txt docs, via one
-    vectorized filter pass over the corpus Dataset (columns pruned)."""
+    vectorized filter pass over the corpus Dataset (columns pruned).
+    With ``with_text`` also returns host -> raw robots.txt body (the
+    domain_state checkpoint column)."""
     robots: dict[str, tuple[int, tuple[str, ...]]] = {}
+    texts: dict[str, str] = {}
 
     def pick_robots(batch: pa.Table) -> pa.Table:
         mask = pc.ends_with(batch.column("doc_id"), "/robots.txt")
@@ -54,7 +57,11 @@ def load_robots_ds(corpus_ds) -> dict:
         for doc_id, spans in zip(batch.column("doc_id").to_pylist(),
                                  batch.column("spans").to_pylist()):
             text = "\n".join(s["text"] for s in spans if s["kind"] == "text")
-            robots[url_host(doc_id)] = parse_robots(text)
+            host = url_host(doc_id)
+            robots[host] = parse_robots(text)
+            texts[host] = text
+    if with_text:
+        return robots, texts
     return robots
 
 
@@ -66,14 +73,24 @@ def host_partition(host: str, num_partitions: int) -> int:
 class PolitenessPartition:
     """Owns politeness state for hosts with hash64(host,13)%P == part_id."""
 
-    def __init__(self, part_id: int, num_partitions: int, robots_ref):
+    def __init__(self, part_id: int, num_partitions: int, robots_ref,
+                 robots_texts_ref=None):
         # Ray auto-resolves a top-level ObjectRef argument to its value
         self.part_id = part_id
         if isinstance(robots_ref, ray.ObjectRef):
             robots_ref = ray.get(robots_ref)
+        if isinstance(robots_texts_ref, ray.ObjectRef):
+            robots_texts_ref = ray.get(robots_texts_ref)
         full = robots_ref if robots_ref is not None else {}
         self.robots = {
             h: v for h, v in full.items()
+            if host_partition(h, num_partitions) == part_id
+        }
+        texts = robots_texts_ref if robots_texts_ref is not None else {}
+        # raw robots.txt retained per owned host: the domain_state dump
+        # is self-contained (standalone restore needs no corpus pass)
+        self.robots_txt = {
+            h: t for h, t in texts.items()
             if host_partition(h, num_partitions) == part_id
         }
         # host -> [crawl_delay, last_fetch_ts_us, fetched_total]
@@ -166,7 +183,7 @@ class PolitenessPartition:
             delays.append(d)
             last.append(ts)
             total.append(n)
-        robots_txt = ["" for _ in hosts]  # raw text not retained; parsed form is
+        robots_txt = [self.robots_txt.get(h, "") for h in hosts]
         return pa.Table.from_arrays(
             [
                 pa.array(hosts, type=pa.string()),
@@ -180,23 +197,28 @@ class PolitenessPartition:
         )
 
     def restore(self, table: pa.Table) -> int:
-        for h, d, ts, hb, n in zip(
+        for h, txt, d, ts, hb, n in zip(
             table.column("host").to_pylist(),
+            table.column("robots_txt").to_pylist(),
             table.column("crawl_delay").to_pylist(),
             table.column("last_fetch_ts_us").to_pylist(),
             table.column("heartbeat_generation").to_pylist(),
             table.column("fetched_total").to_pylist(),
         ):
             self.state[h] = [d, ts, n]
+            if txt:
+                self.robots_txt[h] = txt
+                self.robots.setdefault(h, parse_robots(txt))
             self.heartbeat_generation = max(self.heartbeat_generation, hb)
         return len(self.state)
 
 
 class PolitenessPool:
-    def __init__(self, num_partitions: int, robots_ref):
+    def __init__(self, num_partitions: int, robots_ref, robots_texts_ref=None):
         self.num_partitions = num_partitions
         self.parts = [
-            PolitenessPartition.remote(i, num_partitions, robots_ref)
+            PolitenessPartition.remote(i, num_partitions, robots_ref,
+                                       robots_texts_ref)
             for i in range(num_partitions)
         ]
 

@@ -92,3 +92,36 @@ def test_politeness_partition_budget_validation():
         assert dump.loc["slow.example", "last_fetch_ts_us"] == 5000
     finally:
         pool.kill()
+
+
+def test_politeness_dump_retains_robots_txt_standalone():
+    """The domain_state dump must carry the raw robots.txt body, and a
+    pool restored ONLY from the dump (no corpus pass, no robots map)
+    must re-derive the parsed rules from it."""
+    import ray
+
+    from ccrawler_ray.state.politeness import PolitenessPool
+
+    raw = "crawl-delay: 3\ndisallow: /private"
+    robots = {"slow.example": (3, ("/private",))}
+    pool = PolitenessPool(2, ray.put(robots), ray.put({"slow.example": raw}))
+    try:
+        pool.record_admission({"slow.example": (1, 1000)}, 0, 4)
+        dump = pa.concat_tables(pool.dump_tables())
+    finally:
+        pool.kill()
+    df = dump.to_pandas().set_index("host")
+    assert df.loc["slow.example", "robots_txt"] == raw
+
+    pool2 = PolitenessPool(3, None, None)  # different P, NO robots input
+    try:
+        pool2.restore_from_table(dump)
+        # budget 4, delay 3 (re-parsed from the dumped raw text) →
+        # limit 1; 2 fetches must register as a violation again
+        v = pool2.record_admission({"slow.example": (2, 9000)}, 1, 4)
+        assert v == 1
+        dump2 = pa.concat_tables(pool2.dump_tables()).to_pandas().set_index("host")
+        assert dump2.loc["slow.example", "robots_txt"] == raw
+        assert dump2.loc["slow.example", "fetched_total"] == 3
+    finally:
+        pool2.kill()
