@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ccrawler_ray.functions import multimodal as M
     from ccrawler_ray.functions import similarity as S
     from ccrawler_ray.functions import text as T
+    from ccrawler_ray.pipelines import mix as MIX
 
     return {
         # --- per-record maps / filters / scalar fns (M-rows)
@@ -92,7 +93,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j3_semi_join": R.j3_semi_join,
         "j4_multi_join": R.j4_multi_join,
         "j5_asof_join": R.j5_asof_join,
+        "j6_range_join": R.j6_range_join,
         "w1_running_sum": R.w1_running_sum,
+        "w2_sessionize": R.w2_sessionize,
+        "w3_tumbling_window": R.w3_tumbling_window,
         "q3_shipping_priority": R.q3_shipping_priority,
         # --- sorts / top-k (O-rows)
         "o1_global_sort": R.o1_global_sort,
@@ -114,10 +118,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": lambda sf: D.dedup_minhash_lsh(sf, threshold=0.8),
         "dedup_lsh_verified": lambda sf: D.dedup_lsh_verified(sf, threshold=0.8),
         "dedup_clusters": lambda sf: D.dedup_clusters(sf, threshold=0.8),
+        "dedup_filtered_docs": lambda sf: MIX.dedup_filtered_docs(sf, threshold=0.8),
+        "training_mix_stats": lambda sf: MIX.training_mix_stats(sf, threshold=0.8),
         # max_hamming=3: the scale-safe blocking point (16-bit keys);
         # radius-derived blocking guarantees full recall (ADVICE r1)
         "dedup_simhash": lambda sf: D.dedup_simhash(sf, max_hamming=3),
         "dedup_embedding_cosine": lambda sf: D.dedup_embedding_cosine(sf, threshold=0.4),
+        "dedup_embedding_lsh": lambda sf: D.dedup_embedding_lsh(sf, threshold=0.4),
         # --- similarity search
         "ann_topk_cosine": lambda sf: S.ann_topk_cosine(sf, num_queries=5, k=5),
         "ann_lsh_topk": lambda sf: S.ann_lsh_topk(sf, num_queries=5, k=5),
@@ -170,6 +177,14 @@ FROM (SELECT doc_id, greatest(1, octet_length(encode(text)) // 64) AS nf
 """
 
 
+def _keep_values_sql(SR) -> str:
+    """Kept doc_ids (cluster representatives) from the serial CC
+    oracle, rendered as a VALUES relation k(doc_id)."""
+    kept = SR.dedup_clusters(threshold=0.8)
+    ids = ", ".join(f"({int(i)})" for i in kept.loc[kept["keep"], "doc_id"])
+    return f"SELECT * FROM (VALUES {ids}) AS k(doc_id)"
+
+
 def _serial_oracles() -> dict[str, str]:
     """Differential oracles for the non-SQL-expressible queries:
     serial Ray-free recomputation (ccrawler_ray.serial_ref) rendered
@@ -195,6 +210,26 @@ def _serial_oracles() -> dict[str, str]:
                              "keep": "BOOLEAN"}),
         "o3_sample_hash": V(SR.o3_sample_hash(),
                             {"doc_id": "BIGINT", "lang": "VARCHAR"}),
+        # mix pipeline: keep list from the serial CC oracle, the rest
+        # pure SQL over documents (hybrid differential oracle)
+        "dedup_filtered_docs": (
+            "SELECT d.doc_id, d.lang, d.n_chars FROM documents d "
+            f"JOIN ({_keep_values_sql(SR)}) k ON d.doc_id = k.doc_id"
+        ),
+        "training_mix_stats": (
+            "WITH t AS (SELECT d.doc_id, d.lang, "
+            r"len(regexp_split_to_array(d.text,'\s+')) AS n_tokens "
+            f"FROM documents d JOIN ({_keep_values_sql(SR)}) k "
+            "ON d.doc_id = k.doc_id) "
+            "SELECT lang, CASE WHEN n_tokens < 40 THEN 'short' "
+            "WHEN n_tokens <= 70 THEN 'medium' ELSE 'long' END AS bucket, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_tokens) AS BIGINT) AS total_tokens "
+            "FROM t GROUP BY lang, bucket"
+        ),
+        "dedup_embedding_lsh": V(SR.dedup_embedding_lsh(threshold=0.4),
+                                 {"vec_a": "BIGINT", "vec_b": "BIGINT",
+                                  "cos": "DOUBLE"}),
         "ann_lsh_topk": V(SR.ann_lsh_topk(num_queries=5, k=5), ann_t),
         "ann_ivf_topk": V(SR.ann_ivf_topk(num_queries=5, k=5), ann_t),
         "decode_media_meta": V(
@@ -277,12 +312,36 @@ def oracle_sql() -> dict[str, str]:
             "ASOF JOIN (SELECT * FROM events WHERE event_type='click') c "
             "ON p.user_id = c.user_id AND p.ts >= c.ts"
         ),
+        "j6_range_join": (
+            "SELECT e.event_id, e.user_id, "
+            "CAST(count(c.event_id) AS BIGINT) AS n_clicks "
+            "FROM events e LEFT JOIN events c ON c.user_id=e.user_id "
+            "AND c.event_type='click' "
+            "AND c.ts > e.ts - INTERVAL 172800 SECOND AND c.ts <= e.ts "
+            "WHERE e.event_type='error' GROUP BY e.event_id, e.user_id"
+        ),
         "w1_running_sum": (
             "SELECT event_id, user_id, "
             "CAST(sum(CAST(round(value*1000000) AS BIGINT)) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS UNBOUNDED PRECEDING) AS BIGINT)/1000000.0 AS running_value "
             "FROM events"
+        ),
+        "w2_sessionize": (
+            "WITH x AS (SELECT event_id, user_id, ts, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR ts - lag(ts) OVER w > INTERVAL 43200 SECOND THEN 1 ELSE 0 END "
+            "AS is_new FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT event_id, user_id, CAST(sum(is_new) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_no FROM x"
+        ),
+        "w3_tumbling_window": (
+            "SELECT date_trunc('hour', ts) AS w_start, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+            f"{_USUM('value')} AS sum_value FROM events GROUP BY 1"
         ),
         "q3_shipping_priority": (
             "SELECT l_orderkey, "

@@ -1,0 +1,95 @@
+"""Training-data mix pipeline: apply near-dup cluster keep decisions
+to the documents table and roll up the kept mix by language and token
+-length bucket — the acting + reporting steps a pretraining-data
+pipeline runs after dedup (SURVEY.md §2 training-data toolkit).
+
+Scale shape: the keep list is O(docs) so it is NEVER broadcast — kept
+ids flow through a narrow (int64-only) hash join against the already-
+reduced per-doc stats; text is dropped inside the first map_batches so
+no string column crosses the shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+from ccrawler_ray.functions.dedup import dedup_clusters
+
+# token-length bucket edges over whitespace tokens (documents run
+# 10..99 tokens in the conformance tables; edges split the mass)
+BUCKET_SHORT_LT = 40
+BUCKET_MEDIUM_LE = 70
+
+
+def _keep_ids(sf_dir: str, threshold: float):
+    """doc_id-only Dataset of cluster representatives (keep=true)."""
+    clusters = dedup_clusters(sf_dir, threshold=threshold)
+
+    def only_kept(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(batch.column("keep"))
+        return kept.select(["doc_id"])
+
+    return clusters.map_batches(only_kept, batch_format="pyarrow")
+
+
+def dedup_filtered_docs(sf_dir: str, threshold: float = 0.8):
+    """Documents surviving near-dup clustering (one representative per
+    cluster) — the dataset a training run would actually read."""
+    keep = _keep_ids(sf_dir, threshold)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    joined = docs.join(keep, join_type="inner", num_partitions=8,
+                       on=("doc_id",))
+    return joined.select_columns(["doc_id", "lang", "n_chars"])
+
+
+def training_mix_stats(sf_dir: str, threshold: float = 0.8):
+    """Post-dedup corpus mix: docs and whitespace-token totals per
+    (lang, token-length bucket). Token counts are computed vectorized
+    at the read (text dropped immediately); the keep join moves only
+    int64 ids; the final groupby sees <= |langs|x3 keys."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def tokens(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        n = (pl.Series(df["text"]).str.count_matches(r"\s+") + 1).to_numpy()
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "lang": df["lang"],
+             "n_tokens": n.astype(np.int64)}
+        )
+
+    stats = docs.map_batches(tokens, batch_format="pandas")
+    kept = stats.join(_keep_ids(sf_dir, threshold), join_type="inner",
+                      num_partitions=8, on=("doc_id",))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        bucket = np.where(
+            n < BUCKET_SHORT_LT, "short",
+            np.where(n <= BUCKET_MEDIUM_LE, "medium", "long"),
+        )
+        return pa.table(
+            {"lang": batch.column("lang"), "bucket": pa.array(bucket),
+             "n_tokens": pa.array(n.astype(np.int64))}
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "bucket"], as_index=False).agg(
+            n_docs=("n_tokens", "size"), total_tokens=("n_tokens", "sum")
+        )
+        return g.astype({"n_docs": "int64", "total_tokens": "int64"})
+
+    partials = kept.map_batches(bucketize, batch_format="pyarrow") \
+                   .map_batches(partial, batch_format="pandas")
+    return partials.groupby(["lang", "bucket"]).aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("total_tokens", alias_name="total_tokens"),
+    )

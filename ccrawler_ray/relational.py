@@ -508,3 +508,148 @@ def o3_sample_hash(sf_dir: str, fraction: float = 0.05):
         return batch.filter(pa.array(draws < bar))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# J6: range join (custom operator — Ray Data lacks one natively):
+# per-key time-range join via salted key shuffle + two vectorized
+# searchsorted calls per group. Partitioning assumption: one key's
+# stream fits a worker (same contract as J5/W1 per-user ops).
+# ---------------------------------------------------------------------------
+
+
+def j6_range_join(sf_dir: str, window_s: int = 172_800):
+    """For each 'error' event, the count of the same user's 'click'
+    events inside the look-back window (ts - window, ts] — the ranged
+    join an attribution/feature pipeline runs. Users are salted into
+    <=64 coarse shuffle groups (map_groups collapses at high key
+    cardinality); real per-user work happens vectorized in-group."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column("u_salt", pa.array((u % 64).astype(np.int32)))
+
+    win = np.timedelta64(window_s, "s")
+
+    def per_salt(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby("user_id", sort=False):
+            err = g[g["event_type"] == "error"]
+            if err.empty:
+                continue
+            clk = np.sort(g.loc[g["event_type"] == "click", "ts"].to_numpy())
+            ets = err["ts"].to_numpy()
+            hi = np.searchsorted(clk, ets, side="right")
+            lo = np.searchsorted(clk, ets - win, side="right")  # strict lower bound
+            out.append(pd.DataFrame(
+                {"event_id": err["event_id"].to_numpy(),
+                 "user_id": err["user_id"].to_numpy(),
+                 "n_clicks": (hi - lo).astype(np.int64)}
+            ))
+        if not out:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "user_id": pd.Series(dtype="int64"),
+                 "n_clicks": pd.Series(dtype="int64")}
+            )
+        return pd.concat(out)
+
+    return (
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby("u_salt")
+        .map_groups(per_salt, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2: sessionization (streaming window op, §2.9): gap-based session
+# assignment — the per-user stream segmentation a behavioral pipeline
+# feeds into per-session aggregates.
+# ---------------------------------------------------------------------------
+
+
+def w2_sessionize(sf_dir: str, gap_s: int = 43_200):
+    """0-based per-user session number per event: a new session starts
+    when the user's inter-event gap exceeds ``gap_s``. Salted per-user
+    shuffle; the in-group kernel is one sort + vectorized diff/cumsum
+    over ALL users in the salt group at once (no per-user loop)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column("u_salt", pa.array((u % 64).astype(np.int32)))
+
+    gap = np.timedelta64(gap_s, "s")
+
+    def per_salt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        ts = df["ts"].to_numpy()
+        uid = df["user_id"].to_numpy()
+        if not len(df):
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "user_id": pd.Series(dtype="int64"),
+                 "session_no": pd.Series(dtype="int64")}
+            )
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        big_gap = np.r_[True, (ts[1:] - ts[:-1]) > gap]
+        is_new = new_user | big_gap
+        sess = np.cumsum(is_new)
+        first_idx = np.flatnonzero(new_user)
+        base = np.repeat(sess[first_idx],
+                         np.diff(np.r_[first_idx, len(sess)]))
+        return pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy(), "user_id": uid,
+             "session_no": (sess - base).astype(np.int64)}
+        )
+
+    return (
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby("u_salt")
+        .map_groups(per_salt, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3: tumbling-window aggregate with per-window exact distinct count
+# (window + count-distinct in one op — the shape hourly rollup jobs
+# take; distinct forces in-group computation, so windows are salted
+# into coarse shuffle groups and counted exactly inside).
+# ---------------------------------------------------------------------------
+
+
+def w3_tumbling_window(sf_dir: str):
+    """Per 1-hour tumbling window: event count, exact distinct users,
+    exact value sum (micro-units)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(batch.column("ts"), unit="hour")
+        hours = pc.cast(w, pa.int64())  # epoch us of window start
+        return pa.table(
+            {"w_start": w,
+             "user_id": batch.column("user_id"),
+             "value_u": pa.array(_to_micro(
+                 batch.column("value").to_numpy(zero_copy_only=False))),
+             "w_salt": pc.cast(
+                 pc.bit_wise_and(pc.divide(hours, 3_600_000_000), 63),
+                 pa.int32())}
+        )
+
+    def per_salt(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("w_start", sort=False).agg(
+            n_events=("user_id", "size"),
+            n_users=("user_id", "nunique"),
+            sum_value=("value_u", "sum"),
+        ).reset_index()
+        g["n_events"] = g["n_events"].astype(np.int64)
+        g["n_users"] = g["n_users"].astype(np.int64)
+        g["sum_value"] = g["sum_value"] / (MICRO * 1.0)
+        return g
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("w_salt")
+        .map_groups(per_salt, batch_format="pandas")
+    )

@@ -437,3 +437,33 @@ def o3_sample_hash(sf_dir: str | None = None, fraction: float = 0.05) -> pd.Data
         if h % 10_000 < bar:
             rows.append((int(i), lang))
     return pd.DataFrame(rows, columns=["doc_id", "lang"])
+
+
+def dedup_embedding_lsh(sf_dir: str | None = None, threshold: float = 0.4,
+                        num_planes: int = 4, num_tables: int = 16,
+                        seed: int = 42) -> pd.DataFrame:
+    """Serial mirror of functions.dedup.dedup_embedding_lsh: identical
+    hyperplane bucketing; a pair is emitted iff it shares a bucket in
+    >= 1 table AND cos >= threshold (first-collision placement does not
+    change the output SET, only where the engine emits it)."""
+    sf_dir = sf_dir or oracle_sf_dir()
+    ids, mat = _embeddings(sf_dir)
+    dim = mat.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables, num_planes, dim))
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+    sig = np.einsum("tpd,nd->tnp", planes, norm) > 0
+    buckets = (sig * weights).sum(axis=2)                  # (T, n)
+    order = np.argsort(ids)
+    ids_s, norm_s = ids[order], norm[order]
+    b_s = buckets[:, order]
+    ia, ib = np.triu_indices(len(ids_s), k=1)
+    collide = (b_s[:, ia] == b_s[:, ib]).any(axis=0)
+    cos = (norm_s[ia] * norm_s[ib]).sum(axis=1)
+    keep = collide & (cos >= threshold)
+    return pd.DataFrame(
+        {"vec_a": ids_s[ia[keep]].astype(np.int64),
+         "vec_b": ids_s[ib[keep]].astype(np.int64),
+         "cos": np.round(cos[keep], 4)}
+    )

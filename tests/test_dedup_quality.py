@@ -108,3 +108,21 @@ def test_ann_lsh_recall_vs_brute_force():
     merged = approx.merge(exact, on=["query_id", "vec_id"], suffixes=("_a", "_e"))
     if len(merged):
         assert np.allclose(merged["cos_a"], merged["cos_e"], atol=1e-4)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_lsh_dedup_recall_and_precision():
+    """dedup_embedding_lsh must be a SUBSET of the exact all-pairs
+    result (perfect precision — every emitted pair is verified) with
+    recall >= 0.8 at the default plane/table economics."""
+    from ccrawler_ray.functions.dedup import (dedup_embedding_cosine,
+                                              dedup_embedding_lsh)
+
+    exact = dedup_embedding_cosine(SF, threshold=0.4).to_pandas()
+    approx = dedup_embedding_lsh(SF, threshold=0.4).to_pandas()
+    e = {(r.vec_a, r.vec_b) for r in exact.itertuples()}
+    a = {(r.vec_a, r.vec_b) for r in approx.itertuples()}
+    assert a <= e, f"false positives: {sorted(a - e)[:5]}"
+    assert len(approx) == len(a), "pair emitted more than once"
+    recall = len(a & e) / max(len(e), 1)
+    assert recall >= 0.8, f"embedding LSH recall too low: {recall:.3f}"
