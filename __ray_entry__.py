@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ccrawler_ray.functions import dedup as D
     from ccrawler_ray.functions import multimodal as M
     from ccrawler_ray.functions import similarity as S
+    from ccrawler_ray.functions import sketch as SK
     from ccrawler_ray.functions import text as T
     from ccrawler_ray.pipelines import mix as MIX
 
@@ -87,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g1_rank_topk_per_key": R.g1_rank_topk_per_key,
         "g3_metrics_rollup": R.g3_metrics_rollup,
         "g4_distinct_counts": R.g4_distinct_counts,
+        "g5_hll_distinct": SK.g5_hll_distinct,
+        "g7_quantile_hist": SK.g7_quantile_hist,
         # --- joins (J-rows)
         "j1_broadcast_join": R.j1_broadcast_join,
         "j2_anti_join": R.j2_anti_join,
@@ -94,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j4_multi_join": R.j4_multi_join,
         "j5_asof_join": R.j5_asof_join,
         "j6_range_join": R.j6_range_join,
+        "j7_bloom_semi_join": R.j7_bloom_semi_join,
         "w1_running_sum": R.w1_running_sum,
         "w2_sessionize": R.w2_sessionize,
         "w3_tumbling_window": R.w3_tumbling_window,
@@ -103,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o2_global_topk": R.o2_global_topk,
         "o3_sample": R.o3_sample,
         "o3_sample_hash": R.o3_sample_hash,
+        "o4_stratified_sample": R.o4_stratified_sample,
         # --- wide aggregate
         "q1_pricing_summary": R.q1_pricing_summary,
         # --- list explode (span analogue)
@@ -210,6 +215,12 @@ def _serial_oracles() -> dict[str, str]:
                              "keep": "BOOLEAN"}),
         "o3_sample_hash": V(SR.o3_sample_hash(),
                             {"doc_id": "BIGINT", "lang": "VARCHAR"}),
+        "o4_stratified_sample": V(SR.o4_stratified_sample(),
+                                  {"doc_id": "BIGINT", "lang": "VARCHAR"}),
+        "g5_hll_distinct": V(SR.g5_hll_distinct(),
+                             {"event_type": "VARCHAR", "est_users": "BIGINT"}),
+        "g7_quantile_hist": V(SR.g7_quantile_hist(),
+                              {"q": "DOUBLE", "est_value": "DOUBLE"}),
         # mix pipeline: keep list from the serial CC oracle, the rest
         # pure SQL over documents (hybrid differential oracle)
         "dedup_filtered_docs": (
@@ -311,6 +322,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type='purchase') p "
             "ASOF JOIN (SELECT * FROM events WHERE event_type='click') c "
             "ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "j7_bloom_semi_join": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_items, "
+            f"{_USUM('l_extendedprice*(1-l_discount)')} AS revenue "
+            "FROM lineitem WHERE l_orderkey IN "
+            "(SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)"
         ),
         "j6_range_join": (
             "SELECT e.event_id, e.user_id, "

@@ -129,6 +129,12 @@ QUERY_SUITE = [
     "token_count",
     "dedup_minhash_lsh",
     "ann_topk_cosine",
+    # round-2 additions (suite is a superset of r1's — compare the
+    # shared per-query keys across rounds, not the total)
+    "dedup_clusters",
+    "training_mix_stats",
+    "g5_hll_distinct",
+    "j6_range_join",
 ]
 
 

@@ -1,0 +1,142 @@
+"""Mergeable-sketch operators: the scale-path answers to exact wide
+aggregations (SURVEY.md §2 training-data toolkit).
+
+Both sketches here are ORDER-INDEPENDENT merges (register max / bin
+sum), so the distributed result is bitwise equal to the serial mirror
+in ``serial_ref`` no matter how Ray schedules or sizes blocks — the
+property that makes them oracle-checkable. The pattern: map_batches
+partials (one small fixed-size state per block), single-block reduce
+(state is KB-sized — the whole point of a sketch), driver never sees
+row-level data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ccrawler_ray.spec import hash64_batch
+
+HLL_P = 12                      # 2^12 = 4096 registers, ~1.6% std err
+HLL_M = 1 << HLL_P
+HLL_SEED = 31
+
+
+def _hll_alpha(m: int) -> float:
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(keys: np.ndarray) -> np.ndarray:
+    """(HLL_M,) uint8 register array for a batch of string keys."""
+    h = hash64_batch([str(k) for k in keys.tolist()], seed=HLL_SEED)
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    w = h << np.uint64(HLL_P)            # remaining 64-P bits, left-aligned
+    # rho = leading-zero count of w within 64-P bits, +1; w==0 → max
+    nz = w != 0
+    lz = np.full(len(h), 64 - HLL_P, dtype=np.int64)
+    # float64 log2 is exact for the leading-bit position of a uint64
+    # except above 2^53 — use bit-length via conversion loop-free:
+    # position of highest set bit = 63 - floor(log2(w)) is unsafe for
+    # w near 2^64; instead shift down to 32-bit halves
+    hi = (w >> np.uint64(32)).astype(np.uint32)
+    lo = (w & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    bl_hi = np.zeros(len(h), dtype=np.int64)
+    bl_lo = np.zeros(len(h), dtype=np.int64)
+    m_hi = hi != 0
+    m_lo = lo != 0
+    bl_hi[m_hi] = np.floor(np.log2(hi[m_hi].astype(np.float64))).astype(np.int64) + 1
+    bl_lo[m_lo] = np.floor(np.log2(lo[m_lo].astype(np.float64))).astype(np.int64) + 1
+    bitlen = np.where(m_hi, bl_hi + 32, bl_lo)     # bits in w
+    lz[nz] = 64 - bitlen[nz]
+    rho = np.minimum(lz + 1, 64 - HLL_P + 1).astype(np.uint8)
+    regs = np.zeros(HLL_M, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> int:
+    """Classic HLL estimator + linear-counting small-range correction,
+    floored to int (identical arithmetic in serial_ref)."""
+    m = float(HLL_M)
+    est = _hll_alpha(HLL_M) * m * m / np.sum(
+        np.power(2.0, -regs.astype(np.float64))
+    )
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return int(np.floor(est))
+
+
+def g5_hll_distinct(sf_dir: str):
+    """Approximate distinct users per event_type via HyperLogLog —
+    the shuffle-free scale path beside exact ``g4_distinct_counts``:
+    only 4 KiB of registers per (block, type) moves, never user ids."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            rows.append((et, hll_registers(g["user_id"].to_numpy()).tobytes()))
+        return pd.DataFrame(rows, columns=["event_type", "regs"])
+
+    def reduce_all(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for et, g in df.groupby("event_type", sort=True):
+            regs = np.zeros(HLL_M, dtype=np.uint8)
+            for b in g["regs"]:
+                regs = np.maximum(regs, np.frombuffer(b, dtype=np.uint8))
+            out.append((et, hll_estimate(regs)))
+        return pd.DataFrame(out, columns=["event_type", "est_users"]).astype(
+            {"est_users": "int64"}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(reduce_all, batch_format="pandas")
+    )
+
+
+QUANT_BINS = 8192
+QUANTS = (0.5, 0.9, 0.99)
+
+
+def g7_quantile_hist(sf_dir: str):
+    """Approximate quantiles of o_totalprice via a fixed-bin histogram
+    — quantiles WITHOUT a global sort: an exact min/max pass sizes the
+    bins, per-block bincounts merge by addition (order-independent),
+    and the quantile is the upper edge of the first bin whose
+    cumulative count reaches q*n. Error <= one bin width (tested)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_totalprice"])
+    lohi = ds.aggregate(ray.data.aggregate.Min("o_totalprice"),
+                        ray.data.aggregate.Max("o_totalprice"))
+    lo, hi = float(lohi["min(o_totalprice)"]), float(lohi["max(o_totalprice)"])
+    width = (hi - lo) / QUANT_BINS or 1.0
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["o_totalprice"].to_numpy(dtype=np.float64)
+        b = np.minimum(((v - lo) / width).astype(np.int64), QUANT_BINS - 1)
+        counts = np.bincount(b, minlength=QUANT_BINS).astype(np.int64)
+        return pd.DataFrame({"counts": [counts.tobytes()]})
+
+    def reduce_all(df: pd.DataFrame) -> pd.DataFrame:
+        total = np.zeros(QUANT_BINS, dtype=np.int64)
+        for b in df["counts"]:
+            total += np.frombuffer(b, dtype=np.int64)
+        cum = np.cumsum(total)
+        n = int(cum[-1])
+        rows = []
+        for q in QUANTS:
+            bin_i = int(np.searchsorted(cum, int(np.ceil(q * n))))
+            rows.append((q, np.round(lo + (bin_i + 1) * width, 4)))
+        return pd.DataFrame(rows, columns=["q", "est_value"])
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(reduce_all, batch_format="pandas")
+    )

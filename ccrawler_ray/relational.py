@@ -653,3 +653,129 @@ def w3_tumbling_window(sf_dir: str):
         .groupby("w_salt")
         .map_groups(per_salt, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# O4: stratified sample — deterministic hash-rank draw per stratum
+# (fixed n per language, uniform without replacement): the
+# reproducible train/eval-split sampler. Scale shape: per-block
+# partial top-n per stratum, then one tiny reduce over
+# |langs| x nblocks x n candidate rows.
+# ---------------------------------------------------------------------------
+
+
+def o4_stratified_sample(sf_dir: str, n_per_lang: int = 20, seed: int = 99):
+    """Per lang, the n docs with the smallest seeded hash64(doc_id) —
+    deterministic across runs, partitionings, and cluster sizes."""
+    from ccrawler_ray.spec import hash64_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        draws = hash64_batch([str(i) for i in df["doc_id"]], seed=seed)
+        df = df.assign(draw=draws)
+        return (
+            df.sort_values(["draw", "doc_id"])
+            .groupby("lang", sort=False)
+            .head(n_per_lang)
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.sort_values(["draw", "doc_id"])
+            .groupby("lang", sort=False)
+            .head(n_per_lang)
+        )
+        return out[["doc_id", "lang"]].astype({"doc_id": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7: bloom-filter semi-join — probabilistic pushdown BEFORE the
+# exact join: the build side's keys become a KB-scale bitmap
+# (OR-merge, order-independent) broadcast to every probe task, so the
+# expensive exact join sees only rows that might match (FPs removed
+# by the exact join; result is EXACT). At 100 TB this is the
+# difference between shuffling the whole fact table and shuffling
+# ~selectivity of it.
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 20           # 128 KiB bitmap
+_BLOOM_K = 4
+
+
+def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """(k, n) bit positions from double hashing of int64 keys."""
+    from ccrawler_ray.spec import hash64_batch
+
+    h = hash64_batch([str(int(k)) for k in keys.tolist()], seed=7)
+    h1 = (h % np.uint64(_BLOOM_BITS)).astype(np.int64)
+    h2 = ((h >> np.uint64(32)) % np.uint64(_BLOOM_BITS - 1) + np.uint64(1)).astype(np.int64)
+    return np.stack([(h1 + i * h2) % _BLOOM_BITS for i in range(_BLOOM_K)])
+
+
+def j7_bloom_semi_join(sf_dir: str, min_total: float = 450_000.0):
+    """Revenue of lineitems whose order totals above ``min_total``:
+    bloom-pushdown prefilter on l_orderkey, then an exact key join on
+    the survivors (output identical to the plain SQL semi-join)."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def build_partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df.loc[df["o_totalprice"] > min_total, "o_orderkey"].to_numpy()
+        bits = np.zeros(_BLOOM_BITS, dtype=bool)
+        if len(keys):
+            bits[_bloom_positions(keys).ravel()] = True
+        return pd.DataFrame({"bits": [np.packbits(bits).tobytes()],
+                             "keys": [keys.astype(np.int64).tobytes()]})
+
+    parts = orders.map_batches(build_partial, batch_format="pandas").to_pandas()
+    bitmap = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    all_keys = []
+    for b, k in zip(parts["bits"], parts["keys"]):
+        bitmap |= np.frombuffer(b, dtype=np.uint8)
+        all_keys.append(np.frombuffer(k, dtype=np.int64))
+    bloom_ref = ray.put(bitmap)
+    # exact verify side: the true key set (scale path: Dataset.join on
+    # the bloom survivors; at conformance scale the key set is small
+    # enough to ship — the BLOOM is what keeps the probe narrow)
+    keys_ref = ray.put(np.sort(np.concatenate(all_keys)))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        bm = ray.get(bloom_ref)
+        keys = df["l_orderkey"].to_numpy()
+        pos = _bloom_positions(keys)
+        hit = np.ones(len(keys), dtype=bool)
+        for i in range(_BLOOM_K):
+            hit &= (bm[pos[i] >> 3] & (1 << (7 - (pos[i] & 7)))) != 0
+        df = df[hit]
+        if not len(df):
+            return pd.DataFrame({"n_items": pd.Series(dtype="int64"),
+                                 "revenue_u": pd.Series(dtype="int64")})
+        ks = ray.get(keys_ref)            # exact join removes bloom FPs
+        m = df["l_orderkey"].to_numpy()
+        if len(ks):
+            exact = ks[np.searchsorted(ks, m).clip(max=len(ks) - 1)] == m
+        else:
+            exact = np.zeros(len(m), dtype=bool)
+        df = df[exact]
+        rev = _to_micro(df["l_extendedprice"] * (1 - df["l_discount"]))
+        return pd.DataFrame({"n_items": [np.int64(len(df))],
+                             "revenue_u": [rev.sum()]})
+
+    partials = li.map_batches(probe, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"n_items": [np.int64(df["n_items"].sum())],
+             "revenue": [df["revenue_u"].sum() / (MICRO * 1.0)]}
+        )
+
+    return partials.repartition(1).map_batches(final, batch_format="pandas")

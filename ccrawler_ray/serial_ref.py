@@ -467,3 +467,55 @@ def dedup_embedding_lsh(sf_dir: str | None = None, threshold: float = 0.4,
          "vec_b": ids_s[ib[keep]].astype(np.int64),
          "cos": np.round(cos[keep], 4)}
     )
+
+
+def g5_hll_distinct(sf_dir: str | None = None) -> pd.DataFrame:
+    """Serial HLL mirror — the register/estimator formulas are imported
+    from the engine (functions.sketch); register max over the whole
+    key set equals any per-block merge, so this is bitwise equal."""
+    from ccrawler_ray.functions.sketch import hll_estimate, hll_registers
+
+    sf_dir = sf_dir or oracle_sf_dir()
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "user_id"]).to_pandas()
+    rows = []
+    for et, g in t.groupby("event_type", sort=True):
+        rows.append((et, hll_estimate(hll_registers(g["user_id"].to_numpy()))))
+    return pd.DataFrame(rows, columns=["event_type", "est_users"]).astype(
+        {"est_users": "int64"}
+    )
+
+
+def g7_quantile_hist(sf_dir: str | None = None) -> pd.DataFrame:
+    """Serial histogram-quantile mirror (same bins, same edges)."""
+    from ccrawler_ray.functions.sketch import QUANT_BINS, QUANTS
+
+    sf_dir = sf_dir or oracle_sf_dir()
+    v = pq.read_table(f"{sf_dir}/orders.parquet",
+                      columns=["o_totalprice"]).column("o_totalprice") \
+          .to_numpy(zero_copy_only=False).astype(np.float64)
+    lo, hi = float(v.min()), float(v.max())
+    width = (hi - lo) / QUANT_BINS or 1.0
+    b = np.minimum(((v - lo) / width).astype(np.int64), QUANT_BINS - 1)
+    cum = np.cumsum(np.bincount(b, minlength=QUANT_BINS).astype(np.int64))
+    n = int(cum[-1])
+    rows = [(q, np.round(lo + (int(np.searchsorted(cum, int(np.ceil(q * n)))) + 1)
+                         * width, 4)) for q in QUANTS]
+    return pd.DataFrame(rows, columns=["q", "est_value"])
+
+
+def o4_stratified_sample(sf_dir: str | None = None, n_per_lang: int = 20,
+                         seed: int = 99) -> pd.DataFrame:
+    """Serial mirror of the deterministic hash-rank stratified sample:
+    per lang, the n docs with the smallest seeded hash64(doc_id)."""
+    sf_dir = sf_dir or oracle_sf_dir()
+    from ccrawler_ray.spec import hash64_batch
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "lang"]).to_pandas()
+    t["draw"] = hash64_batch([str(i) for i in t["doc_id"]], seed=seed)
+    out = []
+    for lang, g in t.groupby("lang", sort=True):
+        g = g.sort_values(["draw", "doc_id"]).head(n_per_lang)
+        out.append(g[["doc_id", "lang"]])
+    return pd.concat(out, ignore_index=True).astype({"doc_id": "int64"})

@@ -1,0 +1,85 @@
+"""Sketch-operator accuracy: the mergeable sketches must land within
+their theoretical error bounds of the exact answers, and the
+distributed result must be bitwise equal to the serial mirror
+(order-independent merges)."""
+
+import duckdb
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_within_error_bound_and_serial_equal():
+    from ccrawler_ray import serial_ref as SR
+    from ccrawler_ray.functions.sketch import HLL_M, g5_hll_distinct
+
+    got = g5_hll_distinct(SF).to_pandas().sort_values("event_type")
+    serial = SR.g5_hll_distinct(SF).sort_values("event_type")
+    assert got["est_users"].tolist() == serial["est_users"].tolist()
+
+    exact = duckdb.sql(
+        "SELECT event_type, count(DISTINCT user_id) AS n FROM "
+        f"read_parquet('{SF}/events.parquet') GROUP BY 1 ORDER BY 1"
+    ).df()
+    rel_err = np.abs(got["est_users"].to_numpy() - exact["n"].to_numpy()) \
+        / exact["n"].to_numpy()
+    bound = 3 * 1.04 / np.sqrt(HLL_M)          # 3 sigma
+    assert (rel_err <= bound).all(), f"HLL error {rel_err} > {bound}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quantile_hist_within_bin_width():
+    from ccrawler_ray import serial_ref as SR
+    from ccrawler_ray.functions.sketch import QUANT_BINS, g7_quantile_hist
+
+    got = g7_quantile_hist(SF).to_pandas().sort_values("q")
+    serial = SR.g7_quantile_hist(SF).sort_values("q")
+    assert got["est_value"].tolist() == serial["est_value"].tolist()
+
+    v = duckdb.sql(
+        f"SELECT o_totalprice FROM read_parquet('{SF}/orders.parquet')"
+    ).df()["o_totalprice"].to_numpy()
+    width = (v.max() - v.min()) / QUANT_BINS
+    for q, est in zip(got["q"], got["est_value"]):
+        exact = np.quantile(v, q)
+        assert abs(est - exact) <= 2 * width, (q, est, exact, width)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_semi_join_exact_and_selective():
+    """The bloom-pushdown result must be EXACT (FPs removed by the
+    verify join) and the bloom must actually be selective."""
+    import pandas as pd
+
+    from ccrawler_ray.relational import (_BLOOM_BITS, _BLOOM_K,
+                                         _bloom_positions,
+                                         j7_bloom_semi_join)
+
+    got = j7_bloom_semi_join(SF).to_pandas()
+    want = duckdb.sql(
+        "SELECT CAST(count(*) AS BIGINT) AS n_items, "
+        "CAST(sum(CAST(round((l_extendedprice*(1-l_discount))*1000000) AS BIGINT)) AS BIGINT)/1000000.0 AS revenue "
+        f"FROM read_parquet('{SF}/lineitem.parquet') WHERE l_orderkey IN "
+        f"(SELECT o_orderkey FROM read_parquet('{SF}/orders.parquet') "
+        "WHERE o_totalprice > 450000)"
+    ).df()
+    assert int(got["n_items"][0]) == int(want["n_items"][0])
+    assert abs(float(got["revenue"][0]) - float(want["revenue"][0])) < 1e-9
+
+    # bloom FP rate at this fill must stay near the theoretical rate
+    orders = duckdb.sql(
+        f"SELECT o_orderkey, o_totalprice FROM read_parquet('{SF}/orders.parquet')"
+    ).df()
+    keys = orders.loc[orders["o_totalprice"] > 450_000, "o_orderkey"].to_numpy()
+    bits = np.zeros(_BLOOM_BITS, dtype=bool)
+    bits[_bloom_positions(keys).ravel()] = True
+    others = orders.loc[orders["o_totalprice"] <= 450_000, "o_orderkey"].to_numpy()
+    pos = _bloom_positions(others)
+    fp = np.ones(len(others), dtype=bool)
+    for i in range(_BLOOM_K):
+        fp &= bits[pos[i]]
+    fill = bits.mean()
+    theo = fill ** _BLOOM_K
+    assert fp.mean() <= max(5 * theo, 0.01), (fp.mean(), theo)
