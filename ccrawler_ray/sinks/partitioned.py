@@ -1,0 +1,112 @@
+"""Resumable partitioned Parquet sink.
+
+100 TB rule: NEVER one giant output file, and a failed 12-hour job
+must not redo finished work. This sink hash-partitions the stream by a
+key column into ``part=K`` directories, each COMMITTED atomically
+(write to a temp dir → rename → per-partition manifest written last).
+A rerun lists committed partitions, filters them out of the input
+stream, and writes only the missing ones — the same manifest-last
+idiom as the crawl checkpoints (ccrawler_ray.storage).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ccrawler_ray.spec import hash64_batch
+
+PART_MANIFEST = "_PART_MANIFEST.json"
+PART_SEED = 1117
+
+
+def partition_of(keys, num_partitions: int) -> np.ndarray:
+    """Deterministic partition ids for a key column (stable across
+    runs, partitionings, and cluster sizes — the resume contract)."""
+    h = hash64_batch([str(k) for k in keys], seed=PART_SEED)
+    return (h % np.uint64(num_partitions)).astype(np.int64)
+
+
+def completed_partitions(out_dir: str | Path) -> dict[int, dict]:
+    """part_id -> manifest for every committed partition."""
+    out = {}
+    root = Path(out_dir)
+    if not root.exists():
+        return out
+    for d in root.iterdir():
+        if d.is_dir() and d.name.startswith("part=") and (d / PART_MANIFEST).exists():
+            out[int(d.name.split("=", 1)[1])] = json.loads(
+                (d / PART_MANIFEST).read_text()
+            )
+    return out
+
+
+def write_partitioned(ds, out_dir: str | Path, key_col: str,
+                      num_partitions: int = 16) -> dict:
+    """Write ``ds`` under ``out_dir/part=K/`` with per-partition commit.
+
+    Committed partitions are SKIPPED (their rows are filtered out of
+    the stream before any bytes move), so a rerun after a mid-write
+    failure finishes only the missing partitions. Returns a summary
+    {written: [...], skipped: [...], rows: {part: n}}.
+    """
+    out_root = Path(out_dir)
+    out_root.mkdir(parents=True, exist_ok=True)
+    done = completed_partitions(out_root)
+    todo = sorted(set(range(num_partitions)) - set(done))
+    if not todo:
+        return {"written": [], "skipped": sorted(done),
+                "rows": {str(p): m["rows"] for p, m in done.items()}}
+    todo_arr = np.zeros(num_partitions, dtype=bool)
+    todo_arr[todo] = True
+
+    def tag_and_filter(batch: pa.Table) -> pa.Table:
+        part = partition_of(batch.column(key_col).to_pylist(), num_partitions)
+        batch = batch.append_column("part", pa.array(part))
+        return batch.filter(pa.array(todo_arr[part]))
+
+    staging = out_root / "_staging"
+    if staging.exists():                      # leftovers of a dead run
+        shutil.rmtree(staging)
+    tagged = ds.map_batches(tag_and_filter, batch_format="pyarrow")
+    tagged.write_parquet(str(staging), partition_cols=["part"])
+
+    summary = {"written": [], "skipped": sorted(done), "rows": {}}
+    for p in todo:
+        src = staging / f"part={p}"
+        dst = out_root / f"part={p}"
+        if not src.exists():                  # partition genuinely empty
+            src.mkdir(parents=True)
+        if dst.exists():
+            shutil.rmtree(dst)
+        os.replace(src, dst)
+        rows = sum(pq.read_metadata(f).num_rows
+                   for f in dst.glob("*.parquet"))
+        tmp = dst / (PART_MANIFEST + ".tmp")
+        tmp.write_text(json.dumps({"rows": rows, "key_col": key_col,
+                                   "num_partitions": num_partitions}))
+        os.replace(tmp, dst / PART_MANIFEST)  # manifest LAST → committed
+        summary["written"].append(p)
+        summary["rows"][str(p)] = rows
+    shutil.rmtree(staging, ignore_errors=True)
+    for p, m in done.items():
+        summary["rows"][str(p)] = m["rows"]
+    return summary
+
+
+def read_partitioned(out_dir: str | Path):
+    """Read back every committed partition as one Dataset."""
+    import ray.data
+
+    files: list[str] = []
+    for p in sorted(completed_partitions(out_dir)):
+        files.extend(sorted(
+            str(f) for f in (Path(out_dir) / f"part={p}").glob("*.parquet")
+        ))
+    return ray.data.read_parquet(files)

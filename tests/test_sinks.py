@@ -1,0 +1,73 @@
+"""Resumable partitioned sink: partition-granular commit, skip-on-
+resume, and content equality with a one-shot write."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def _docs_ds():
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "lang", "n_chars"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partitioned_write_resume_skips_committed(tmp_path):
+    from ccrawler_ray.sinks.partitioned import (completed_partitions,
+                                                read_partitioned,
+                                                write_partitioned)
+
+    # one-shot reference write
+    ref_dir = tmp_path / "ref"
+    s_ref = write_partitioned(_docs_ds(), ref_dir, "doc_id", num_partitions=8)
+    assert sorted(s_ref["written"]) == list(range(8))
+    ref = read_partitioned(ref_dir).to_pandas().sort_values("doc_id")
+
+    # simulated failure: first run commits only partitions 0..3 (we
+    # drop the other commit marks as a dead run would leave them)
+    out_dir = tmp_path / "out"
+    write_partitioned(_docs_ds(), out_dir, "doc_id", num_partitions=8)
+    import shutil
+
+    for p in range(4, 8):
+        shutil.rmtree(out_dir / f"part={p}")
+    assert sorted(completed_partitions(out_dir)) == [0, 1, 2, 3]
+    mtimes_before = {
+        p: (out_dir / f"part={p}" / "_PART_MANIFEST.json").stat().st_mtime_ns
+        for p in range(4)
+    }
+
+    # resume: only the missing partitions are written
+    s2 = write_partitioned(_docs_ds(), out_dir, "doc_id", num_partitions=8)
+    assert sorted(s2["written"]) == [4, 5, 6, 7]
+    assert sorted(s2["skipped"]) == [0, 1, 2, 3]
+    for p in range(4):  # committed partitions untouched by the resume
+        mt = (out_dir / f"part={p}" / "_PART_MANIFEST.json").stat().st_mtime_ns
+        assert mt == mtimes_before[p]
+
+    got = read_partitioned(out_dir).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  ref.reset_index(drop=True))
+    # row accounting covers every partition
+    assert sum(s2["rows"][str(p)] for p in range(8)) == len(ref)
+
+    # idempotent: a third run writes nothing
+    s3 = write_partitioned(_docs_ds(), out_dir, "doc_id", num_partitions=8)
+    assert s3["written"] == [] and sorted(s3["skipped"]) == list(range(8))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partition_assignment_deterministic():
+    from ccrawler_ray.sinks.partitioned import partition_of
+
+    keys = np.arange(1000)
+    a = partition_of(keys, 16)
+    b = partition_of(keys, 16)
+    assert (a == b).all()
+    # reasonably balanced: no partition more than 2x the mean
+    counts = np.bincount(a, minlength=16)
+    assert counts.max() <= 2 * counts.mean()
