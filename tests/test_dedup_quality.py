@@ -126,3 +126,22 @@ def test_embedding_lsh_dedup_recall_and_precision():
     assert len(approx) == len(a), "pair emitted more than once"
     recall = len(a & e) / max(len(e), 1)
     assert recall >= 0.8, f"embedding LSH recall too low: {recall:.3f}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_clusters_propagation_path_equals_union_find():
+    """The distributed min-label-propagation CC (the >threshold scale
+    path) must produce the identical clustering as the single-task
+    union-find fast path."""
+    from ccrawler_ray.functions.dedup import dedup_clusters
+
+    fast = dedup_clusters(SF, threshold=0.8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    dist = dedup_clusters(SF, threshold=0.8, cc_driver_threshold=0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert fast["doc_id"].tolist() == dist["doc_id"].tolist()
+    assert fast["cluster_rep"].tolist() == dist["cluster_rep"].tolist()
+    assert fast["keep"].tolist() == dist["keep"].tolist()
+    # sanity: representatives are cluster minima and keep marks them
+    assert (fast.loc[fast["keep"], "doc_id"]
+            == fast.loc[fast["keep"], "cluster_rep"]).all()
