@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j5_asof_join": R.j5_asof_join,
         "j6_range_join": R.j6_range_join,
         "j7_bloom_semi_join": R.j7_bloom_semi_join,
+        "j8_salted_skew_join": R.j8_salted_skew_join,
         "w1_running_sum": R.w1_running_sum,
         "w2_sessionize": R.w2_sessionize,
         "w3_tumbling_window": R.w3_tumbling_window,
@@ -328,6 +329,13 @@ def oracle_sql() -> dict[str, str]:
             f"{_USUM('l_extendedprice*(1-l_discount)')} AS revenue "
             "FROM lineitem WHERE l_orderkey IN "
             "(SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)"
+        ),
+        "j8_salted_skew_join": (
+            "WITH d AS (SELECT event_type, "
+            "CAST(sum(CAST(round(value*1000000) AS BIGINT)) // count(*) "
+            "AS BIGINT) AS type_avg_u FROM events GROUP BY 1) "
+            "SELECT e.event_id, e.event_type, d.type_avg_u "
+            "FROM events e JOIN d ON e.event_type = d.event_type"
         ),
         "j6_range_join": (
             "SELECT e.event_id, e.user_id, "

@@ -779,3 +779,52 @@ def j7_bloom_semi_join(sf_dir: str, min_total: float = 450_000.0):
         )
 
     return partials.repartition(1).map_batches(final, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# J8: hot-key salted join — the skew-safe mechanism for big⋈big joins.
+# event_type has only 5 values, so EVERY key is hot: an unsalted hash
+# join funnels each key's whole fact stream through one partition. The
+# dim side is replicated once per salt value and the fact side salted
+# by a deterministic row hash, spreading each hot key over ``salt``
+# partitions. (When one side fits memory, broadcast — J1/J3/Q3 — is
+# cheaper; this operator is for when neither side can be broadcast.)
+# ---------------------------------------------------------------------------
+
+
+def j8_salted_skew_join(sf_dir: str, salt: int = 8):
+    """Each events row joined to its event_type's derived dim row
+    (per-type mean value in exact micro-units, floor-divided) via a
+    salted replicate join."""
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def dim_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.assign(vu=_to_micro(df["value"])).groupby(
+            "event_type", as_index=False
+        ).agg(su=("vu", "sum"), n=("vu", "size"))
+        return g.astype({"su": "int64", "n": "int64"})
+
+    dim = (
+        ev.map_batches(dim_partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("su", alias_name="su"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    dim["type_avg_u"] = dim["su"].to_numpy() // dim["n"].to_numpy()
+    # replicate the dim once per salt value (the salted side)
+    rep = dim.loc[dim.index.repeat(salt), ["event_type", "type_avg_u"]]
+    rep["fsalt"] = np.tile(np.arange(salt, dtype=np.int64), len(dim))
+    dim_ds = ray.data.from_pandas(rep.reset_index(drop=True)).repartition(salt)
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        e = batch.column("event_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"event_id": batch.column("event_id"),
+             "event_type": batch.column("event_type"),
+             "fsalt": pa.array((e % salt).astype(np.int64))}
+        )
+
+    fact = ev.map_batches(add_salt, batch_format="pyarrow")
+    joined = fact.join(dim_ds, join_type="inner", num_partitions=8,
+                       on=("event_type", "fsalt"))
+    return joined.select_columns(["event_id", "event_type", "type_avg_u"])
