@@ -188,6 +188,12 @@ def main() -> None:
         ray.shutdown()
         return
     crawl = run_crawl_bench(ncpu)
+    if not crawl_only:
+        # drop the crawl's per-worker broadcast caches so the query
+        # phase isn't slowed by corpus-sized idle worker heaps
+        from ccrawler_ray.pipelines.crawl import release_worker_caches
+
+        release_worker_caches()
     queries = {} if crawl_only else run_query_bench(sf_dir)
     queries["crawl"] = crawl["crawl_sec"]
     value = crawl["crawl_sec"] + sum(v for k, v in queries.items() if k != "crawl")

@@ -82,11 +82,42 @@ def _fetch_fn_factory(corpus_ref, delays_ref, failure_rate: float = 0.0):
         key = corpus_ref.hex()
         actor = _FETCH_CACHE.get(key)
         if actor is None:
+            # keep ONLY the live engine's index: stale indices from
+            # prior engines bloat reused worker heaps, and big idle
+            # heaps measurably slow later allocator-heavy pipelines
+            # (2.7x on the LSH kernels — see release_worker_caches)
+            _FETCH_CACHE.clear()
             actor = FetchActor(corpus_ref, delays_ref, failure_rate)
             _FETCH_CACHE[key] = actor
         return actor(batch)
 
     return fetch_batch
+
+
+def release_worker_caches(num_tasks: int = 256) -> None:
+    """Drop the per-worker broadcast caches (fetch index, admission
+    broadcasts) across the session's reused Ray Data worker processes.
+
+    The caches are the right call WHILE a crawl runs (corpus index
+    deserialized once per worker, not once per batch), but a finished
+    crawl leaves ~corpus-sized idle heaps in every worker, which slows
+    subsequent unrelated pipelines (measured 2.7x on the LSH dedup
+    kernels). Call between jobs in a shared session — bench.py does
+    after its crawl phase. A scatter map over many tiny blocks reaches
+    (with high probability) every worker; gc returns the pages."""
+    import gc
+
+    from ccrawler_ray.pipelines import admission as _adm
+
+    def clear(batch: pa.Table) -> pa.Table:
+        _FETCH_CACHE.clear()
+        _adm._BCAST_CACHE.clear()
+        gc.collect()
+        return batch
+
+    ray.data.range(num_tasks * 4, override_num_blocks=num_tasks) \
+        .map_batches(clear, batch_size=1, batch_format="pyarrow") \
+        .materialize()
 
 
 def _add_uh_salt(batch: pa.Table) -> pa.Table:
