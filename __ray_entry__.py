@@ -183,11 +183,12 @@ FROM (SELECT doc_id, greatest(1, octet_length(encode(text)) // 64) AS nf
 """
 
 
-def _keep_values_sql(SR) -> str:
+def _keep_values_sql(clusters) -> str:
     """Kept doc_ids (cluster representatives) from the serial CC
-    oracle, rendered as a VALUES relation k(doc_id)."""
-    kept = SR.dedup_clusters(threshold=0.8)
-    ids = ", ".join(f"({int(i)})" for i in kept.loc[kept["keep"], "doc_id"])
+    oracle result, rendered as a VALUES relation k(doc_id)."""
+    ids = ", ".join(
+        f"({int(i)})" for i in clusters.loc[clusters["keep"], "doc_id"]
+    )
     return f"SELECT * FROM (VALUES {ids}) AS k(doc_id)"
 
 
@@ -199,6 +200,9 @@ def _serial_oracles() -> dict[str, str]:
     from ccrawler_ray import serial_ref as SR
 
     V = SR.values_sql
+    # the serial CC pass is the most expensive oracle build — run it
+    # ONCE and share across the three entries that need it
+    clusters = SR.dedup_clusters(threshold=0.8)
     pair_d = {"doc_a": "BIGINT", "doc_b": "BIGINT"}
     ann_t = {"query_id": "BIGINT", "vec_id": "BIGINT", "cos": "DOUBLE",
              "rank": "BIGINT"}
@@ -211,7 +215,7 @@ def _serial_oracles() -> dict[str, str]:
                                {**pair_d, "est_jaccard": "DOUBLE"}),
         "dedup_lsh_verified": V(SR.dedup_lsh_verified(threshold=0.8),
                                 {**pair_d, "jaccard": "DOUBLE"}),
-        "dedup_clusters": V(SR.dedup_clusters(threshold=0.8),
+        "dedup_clusters": V(clusters,
                             {"doc_id": "BIGINT", "cluster_rep": "BIGINT",
                              "keep": "BOOLEAN"}),
         "o3_sample_hash": V(SR.o3_sample_hash(),
@@ -226,12 +230,12 @@ def _serial_oracles() -> dict[str, str]:
         # pure SQL over documents (hybrid differential oracle)
         "dedup_filtered_docs": (
             "SELECT d.doc_id, d.lang, d.n_chars FROM documents d "
-            f"JOIN ({_keep_values_sql(SR)}) k ON d.doc_id = k.doc_id"
+            f"JOIN ({_keep_values_sql(clusters)}) k ON d.doc_id = k.doc_id"
         ),
         "training_mix_stats": (
             "WITH t AS (SELECT d.doc_id, d.lang, "
             r"len(regexp_split_to_array(d.text,'\s+')) AS n_tokens "
-            f"FROM documents d JOIN ({_keep_values_sql(SR)}) k "
+            f"FROM documents d JOIN ({_keep_values_sql(clusters)}) k "
             "ON d.doc_id = k.doc_id) "
             "SELECT lang, CASE WHEN n_tokens < 40 THEN 'short' "
             "WHEN n_tokens <= 70 THEN 'medium' ELSE 'long' END AS bucket, "

@@ -298,9 +298,14 @@ def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
             members = df["doc_id"].to_numpy()[order]
             counts = np.bincount(codes, minlength=u)
             offs = np.concatenate([[0], np.cumsum(counts)])
-            # identical-key pairs (metric exactly 1.0): band 0 only
+            # identical-key pairs (metric exactly 1.0): band 0 only.
+            # Exact mode: an EMPTY word set pairs at jaccard 0 (union
+            # 0), not 1.0 — skip the empty-key group (the serial
+            # oracle and ngram_jaccard_pairs both score it 0).
             if band_b == 0 and (threshold is None or 1.0 >= threshold):
                 for g in np.nonzero(counts >= 2)[0]:
+                    if exact and len(uniq[g]) == 0:
+                        continue
                     grp = np.sort(members[offs[g]: offs[g + 1]])
                     if cc_edges:  # star: same component, c-1 edges
                         emit(np.full(len(grp) - 1, grp[0]), grp[1:], 1.0)
@@ -571,17 +576,21 @@ def dedup_embedding_cosine(sf_dir: str, threshold: float = 0.9):
     """
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
+    first = next(iter(ds.limit(1).iter_batches(batch_size=1,
+                                               batch_format="pyarrow")))
+    dim = max(len(first.column("embedding")[0]), 1)
 
     def normalize(batch: pa.Table) -> pa.Table:
+        # empty batches MUST use the real dim — a width-1 list schema
+        # fails block unification against non-empty blocks
         emb = as_single_array(batch.column("embedding"))
-        dim = len(emb[0]) if batch.num_rows else 0
-        m = np.asarray(emb.flatten(), dtype=np.float64).reshape(-1, max(dim, 1))
+        m = np.asarray(emb.flatten(), dtype=np.float64).reshape(-1, dim)
         if batch.num_rows:
             m = m / np.linalg.norm(m, axis=1, keepdims=True)
         return pa.table(
             {"vec_id": batch.column("vec_id"),
              "norm": pa.FixedSizeListArray.from_arrays(
-                 pa.array(m.ravel(), pa.float64()), max(dim, 1))}
+                 pa.array(m.ravel(), pa.float64()), dim)}
         )
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))

@@ -813,10 +813,9 @@ class CrawlEngine:
             denied = sum(d for _, _, d in results)
             if denied:
                 self._count(g, "politeness", "robots_denied", denied)
-            for pi, (_, n_p, d_p) in enumerate(results):
-                # real partition ids in the metrics lineage (SURVEY §4.4)
-                self._count_p(g, pi, "admission", "admitted", n_p)
+            for pi, (_, _n_p, d_p) in enumerate(results):
                 if d_p:
+                    # real partition ids in the metrics lineage (§4.4)
                     self._count_p(g, pi, "politeness", "robots_denied", d_p)
             n_adm = sum(n for _, n, _ in results)
             if n_adm == 0:
@@ -842,6 +841,14 @@ class CrawlEngine:
                 all_refs = [
                     ray.put(tbl.slice(o, chunk)) for o in range(0, tbl.num_rows, chunk)
                 ]
+                # per-partition admitted = POST-cap counts (partition
+                # rows must sum to the aggregate even when K binds)
+                aparts = self._host_partitions(adm["host"].tolist())
+                for pi, n_p in enumerate(np.bincount(aparts, minlength=len(parts))):
+                    self._count_p(g, pi, "admission", "admitted", int(n_p))
+            else:
+                for pi, (_, n_p, _) in enumerate(results):
+                    self._count_p(g, pi, "admission", "admitted", n_p)
             adm_ds = ray.data.from_arrow_refs(all_refs)
 
             t0 = _tick("admission", t0)
@@ -877,10 +884,6 @@ class CrawlEngine:
                 pipe = pipe.map_batches(
                     analyze_docs, batch_format="pyarrow", batch_size=cfg.batch_size
                 )
-            if self.extra_stages:
-                from ccrawler_ray.pipelines.stage import apply_stages
-
-                pipe = apply_stages(pipe, self.extra_stages)
             pipe = pipe.map_batches(
                 self._make_offer_stage(g + 1), batch_format="pyarrow",
                 batch_size=cfg.batch_size,
@@ -914,6 +917,14 @@ class CrawlEngine:
                 ).drop_columns(list(_audit))
 
             docs_out = fused.map_batches(to_docs_out, batch_format="pyarrow")
+            if self.extra_stages:
+                # user stages compose into the docs_out PROJECTION (the
+                # documented Stage contract, same as dataset mode) —
+                # never upstream of the dump/politeness/requeue path,
+                # where a filtering stage would corrupt accounting
+                from ccrawler_ray.pipelines.stage import apply_stages
+
+                docs_out = apply_stages(docs_out, self.extra_stages)
             self._docs_out.append(docs_out)
             t0 = _tick("dump", t0)
 

@@ -56,7 +56,10 @@ def _transient_fail_mask(canons: list[str], retries: np.ndarray,
     fails deterministically; the retry redraws."""
     keys = [f"{c}#{int(r)}" for c, r in zip(canons, retries)]
     draws = hash64_batch(keys, seed=1299) % np.uint64(1_000_000)
-    return draws < np.uint64(int(failure_rate * 1_000_000))
+    # float RHS, NOT int(rate*1e6): the scalar spec compares against
+    # the float product (0.1*1e6 == 100000.00000000001), so truncating
+    # here would fork engine vs spec on boundary draws
+    return draws.astype(np.float64) < failure_rate * 1_000_000
 
 
 class FetchActor:

@@ -145,3 +145,31 @@ def test_dedup_clusters_propagation_path_equals_union_find():
     # sanity: representatives are cluster minima and keep marks them
     assert (fast.loc[fast["keep"], "doc_id"]
             == fast.loc[fast["keep"], "cluster_rep"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_empty_docs_never_near_dup(tmp_path):
+    """Docs with empty/whitespace-only text have empty word sets —
+    exact Jaccard is 0 (union 0), so neither the verified-pair kernel
+    nor clustering may pair them (regression: the identical-key fast
+    path scored empty wsets 1.0)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ccrawler_ray.functions.dedup import dedup_clusters, dedup_lsh_verified
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["", "   ", "alpha beta gamma", "alpha beta gamma"]),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["t"] * 4),
+        "n_chars": pa.array([0, 3, 16, 16], pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    pairs = dedup_lsh_verified(str(tmp_path), threshold=0.5).to_pandas()
+    assert not ((pairs["doc_a"] == 0) & (pairs["doc_b"] == 1)).any()
+    assert ((pairs["doc_a"] == 2) & (pairs["doc_b"] == 3)).any()
+    clusters = dedup_clusters(str(tmp_path), threshold=0.5).to_pandas() \
+        .set_index("doc_id")
+    assert clusters.loc[0, "cluster_rep"] == 0 and clusters.loc[1, "cluster_rep"] == 1
+    assert clusters.loc[3, "cluster_rep"] == 2

@@ -3,6 +3,7 @@ bounded audit log (crawl-order spill), per-partition metrics lineage."""
 
 import dataclasses
 
+import pandas as pd
 import pytest
 
 from ccrawler_ray.config import CrawlConfig
@@ -106,3 +107,71 @@ def test_actor_mode_metrics_have_real_partition_ids(tiny_corpus):
                 & (m["generation"] == g) & (m["counter"] == "admitted")]
         if len(agg):
             assert grp["value"].sum() == int(agg["value"].iloc[0])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_actor_mode_stage_filters_only_docs_out(tiny_corpus):
+    """A row-filtering user stage composes into the docs_out
+    projection ONLY: crawl_order, seen set, and politeness accounting
+    must equal the no-stage run (regression: actor-mode fusion ran
+    stages upstream of the dump/requeue path)."""
+    from ccrawler_ray.config import CrawlConfig
+    from ccrawler_ray.pipelines.crawl import CrawlEngine
+    from ccrawler_ray.pipelines.stage import Stage
+
+    def drop_most(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        g = batch.column("generation").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(g % 2 == 0))
+
+    cfg = CrawlConfig(seeds=("http://h0.example/p0", "http://h1.example/p0"),
+                      max_generations=4, admission_mode="actor")
+    base_eng = CrawlEngine(tiny_corpus, cfg)
+    base = base_eng.run()
+    base_eng.shutdown()
+
+    staged_eng = CrawlEngine(
+        tiny_corpus, cfg,
+        extra_stages=[Stage("drop_odd_gen", drop_most, "batch_map")],
+    )
+    staged = staged_eng.run()
+    staged_eng.shutdown()
+
+    # the crawl itself is unchanged...
+    pd.testing.assert_frame_equal(
+        base.crawl_order.reset_index(drop=True),
+        staged.crawl_order.reset_index(drop=True),
+    )
+    assert base.seen.num_rows == staged.seen.num_rows
+    # ...and only docs_out reflects the stage's filter
+    bdf = base.docs_out.to_pandas()
+    sdf = staged.docs_out.to_pandas()
+    assert len(sdf) < len(bdf)
+    assert (sdf["generation"] % 2 == 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_actor_mode_partition_metrics_sum_under_global_cap(tiny_corpus):
+    """When the global budget binds, per-partition admitted counts must
+    be POST-cap so partition rows sum to the aggregate (regression:
+    pre-cap counts were recorded)."""
+    from ccrawler_ray.config import CrawlConfig
+    from ccrawler_ray.pipelines.crawl import CrawlEngine
+
+    cfg = CrawlConfig(seeds=("http://h0.example/p0", "http://h1.example/p0",
+                             "http://h2.example/p0", "http://h3.example/p0"),
+                      max_generations=4, admission_mode="actor",
+                      global_budget_per_generation=3)
+    eng = CrawlEngine(tiny_corpus, cfg)
+    res = eng.run()
+    eng.shutdown()
+    m = res.metrics.to_pandas() if hasattr(res.metrics, "to_pandas") else res.metrics
+    adm = m[(m["stage"] == "admission") & (m["counter"] == "admitted")]
+    agg = adm[adm["partition"] == -1].set_index("generation")["value"]
+    per = adm[adm["partition"] >= 0].groupby("generation")["value"].sum()
+    for g, v in agg.items():
+        assert per.get(g, 0) == v, (g, per.get(g, 0), v)
+    # global cap respected every generation
+    assert (agg <= 3).all()

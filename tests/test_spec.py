@@ -140,3 +140,21 @@ def test_content_hash_order_sensitive():
     a = spec.span_content_hash(["text", "media"], ["x", ""], ["", "r"])
     b = spec.span_content_hash(["media", "text"], ["", "x"], ["r", ""])
     assert a != b
+
+
+def test_transient_fail_mask_matches_scalar_spec():
+    """The vectorized engine mask must agree with the frozen scalar
+    spec for rates whose rate*1e6 is NOT exactly representable
+    (regression: int truncation forked engine vs spec on boundary
+    draws)."""
+    import numpy as np
+
+    from ccrawler_ray.spec import fetch_fails_transiently
+    from ccrawler_ray.stages.fetch import _transient_fail_mask
+
+    rate = 0.1  # 0.1 * 1e6 == 100000.00000000001
+    canons = [f"http://h{i}.example/p{i%97}" for i in range(50_000)]
+    retries = np.zeros(len(canons), dtype=np.int32)
+    mask = _transient_fail_mask(canons, retries, rate)
+    scalar = np.array([fetch_fails_transiently(c, 0, rate) for c in canons])
+    assert (mask == scalar).all()
