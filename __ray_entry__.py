@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g4_distinct_counts": R.g4_distinct_counts,
         "g5_hll_distinct": SK.g5_hll_distinct,
         "g7_quantile_hist": SK.g7_quantile_hist,
+        "g8_grouped_quantiles": SK.g8_grouped_quantiles,
+        "g9_rollup": R.g9_rollup,
         # --- joins (J-rows)
         "j1_broadcast_join": R.j1_broadcast_join,
         "j2_anti_join": R.j2_anti_join,
@@ -226,6 +228,9 @@ def _serial_oracles() -> dict[str, str]:
                              {"event_type": "VARCHAR", "est_users": "BIGINT"}),
         "g7_quantile_hist": V(SR.g7_quantile_hist(),
                               {"q": "DOUBLE", "est_value": "DOUBLE"}),
+        "g8_grouped_quantiles": V(SR.g8_grouped_quantiles(),
+                                  {"event_type": "VARCHAR", "q": "DOUBLE",
+                                   "est_value": "DOUBLE"}),
         # mix pipeline: keep list from the serial CC oracle, the rest
         # pure SQL over documents (hybrid differential oracle)
         "dedup_filtered_docs": (
@@ -298,6 +303,13 @@ def oracle_sql() -> dict[str, str]:
         "g4_distinct_counts": (
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events GROUP BY event_type"
+        ),
+        "g9_rollup": (
+            "SELECT COALESCE(l_returnflag,'ALL') AS l_returnflag, "
+            "COALESCE(l_linestatus,'ALL') AS l_linestatus, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            f"{_USUM('l_extendedprice')} AS revenue "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
         ),
         "j1_broadcast_join": (
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "

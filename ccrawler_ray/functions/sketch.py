@@ -140,3 +140,44 @@ def g7_quantile_hist(sf_dir: str):
         .repartition(1)
         .map_batches(reduce_all, batch_format="pandas")
     )
+
+
+def g8_grouped_quantiles(sf_dir: str):
+    """Per-event_type approximate value quantiles via per-group
+    histograms — the grouped form of g7: one exact min/max pass sizes
+    shared bins, per-block (group, bincount) partials merge by
+    addition, one small reduce answers every group's quantiles."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    lohi = ds.aggregate(ray.data.aggregate.Min("value"),
+                        ray.data.aggregate.Max("value"))
+    lo, hi = float(lohi["min(value)"]), float(lohi["max(value)"])
+    width = (hi - lo) / QUANT_BINS or 1.0
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            v = g["value"].to_numpy(dtype=np.float64)
+            b = np.minimum(((v - lo) / width).astype(np.int64), QUANT_BINS - 1)
+            rows.append((et, np.bincount(b, minlength=QUANT_BINS)
+                         .astype(np.int64).tobytes()))
+        return pd.DataFrame(rows, columns=["event_type", "counts"])
+
+    def reduce_all(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=True):
+            total = np.zeros(QUANT_BINS, dtype=np.int64)
+            for b in g["counts"]:
+                total += np.frombuffer(b, dtype=np.int64)
+            cum = np.cumsum(total)
+            n = int(cum[-1])
+            for q in QUANTS:
+                bin_i = int(np.searchsorted(cum, int(np.ceil(q * n))))
+                rows.append((et, q, np.round(lo + (bin_i + 1) * width, 4)))
+        return pd.DataFrame(rows, columns=["event_type", "q", "est_value"])
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(reduce_all, batch_format="pandas")
+    )

@@ -828,3 +828,43 @@ def j8_salted_skew_join(sf_dir: str, salt: int = 8):
     joined = fact.join(dim_ds, join_type="inner", num_partitions=8,
                        on=("event_type", "fsalt"))
     return joined.select_columns(["event_id", "event_type", "type_avg_u"])
+
+
+# ---------------------------------------------------------------------------
+# G9: grouping-sets rollup — subtotal levels derived by re-aggregating
+# the SMALL base aggregate (algebraic micro-unit sums), never a second
+# pass over the fact table. NULL grouping keys render as 'ALL' on both
+# sides (hash-stable vs the oracle's COALESCE).
+# ---------------------------------------------------------------------------
+
+
+def g9_rollup(sf_dir: str):
+    """ROLLUP(l_returnflag, l_linestatus): base groups, per-returnflag
+    subtotals, grand total — count + exact revenue."""
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(rev_u=_to_micro(df["l_extendedprice"]))
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            n=("rev_u", "size"), rev_u=("rev_u", "sum")
+        )
+        return g.astype({"n": "int64", "rev_u": "int64"})
+
+    base = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("n", alias_name="n"), Sum("rev_u", alias_name="rev_u"))
+        .to_pandas()
+    )
+    sub = base.groupby("l_returnflag", as_index=False).agg(
+        n=("n", "sum"), rev_u=("rev_u", "sum")
+    ).assign(l_linestatus="ALL")
+    tot = pd.DataFrame(
+        {"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+         "n": [base["n"].sum()], "rev_u": [base["rev_u"].sum()]}
+    )
+    out = pd.concat([base, sub, tot], ignore_index=True)
+    out["revenue"] = out.pop("rev_u") / (MICRO * 1.0)
+    out["n"] = out["n"].astype("int64")
+    return out[["l_returnflag", "l_linestatus", "n", "revenue"]]

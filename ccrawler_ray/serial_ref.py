@@ -519,3 +519,25 @@ def o4_stratified_sample(sf_dir: str | None = None, n_per_lang: int = 20,
         g = g.sort_values(["draw", "doc_id"]).head(n_per_lang)
         out.append(g[["doc_id", "lang"]])
     return pd.concat(out, ignore_index=True).astype({"doc_id": "int64"})
+
+
+def g8_grouped_quantiles(sf_dir: str | None = None) -> pd.DataFrame:
+    """Serial per-group histogram-quantile mirror (same shared bins)."""
+    from ccrawler_ray.functions.sketch import QUANT_BINS, QUANTS
+
+    sf_dir = sf_dir or oracle_sf_dir()
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "value"]).to_pandas()
+    v_all = t["value"].to_numpy(dtype=np.float64)
+    lo, hi = float(v_all.min()), float(v_all.max())
+    width = (hi - lo) / QUANT_BINS or 1.0
+    rows = []
+    for et, g in t.groupby("event_type", sort=True):
+        v = g["value"].to_numpy(dtype=np.float64)
+        b = np.minimum(((v - lo) / width).astype(np.int64), QUANT_BINS - 1)
+        cum = np.cumsum(np.bincount(b, minlength=QUANT_BINS).astype(np.int64))
+        n = int(cum[-1])
+        for q in QUANTS:
+            bin_i = int(np.searchsorted(cum, int(np.ceil(q * n))))
+            rows.append((et, q, np.round(lo + (bin_i + 1) * width, 4)))
+    return pd.DataFrame(rows, columns=["event_type", "q", "est_value"])
