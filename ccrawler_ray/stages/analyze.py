@@ -4,7 +4,11 @@ token/quality stats, language ID, MinHash signature, SimHash.
 
 This is the compute-heavy stage the bench exercises; it is exactly the
 work a training-data pipeline runs per crawled page. Word hashes are
-cached per worker process (Zipf vocabulary → high hit rate).
+cached per worker process (Zipf vocabulary → high hit rate), and the
+numeric kernels (minhash perms, simhash bit votes) run vectorized over
+CHUNKS of documents at once (one perm matrix + segment reductions per
+chunk — the `_batch_sig_wset` pattern) instead of per document; chunk
+size caps the (num_perm × total_words) matrix at ~100 MB.
 """
 
 from __future__ import annotations
@@ -23,8 +27,45 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 _BIT_WEIGHTS = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
+# max distinct-word hashes per vectorized chunk. SMALL on purpose: the
+# perm matrix is 64×chunk×8 B and this VM's big fresh uint64
+# allocations page-fault pathologically (measured 0.01 s at 5k words
+# vs 1–11 s at 100k+ for the SAME op — THP collapse storms); ~2 MB
+# chunks stay cache- and allocator-friendly while amortizing the
+# Python loop ~100 docs at a time
+_CHUNK_WORDS = 4_000
+
 
 ANALYSIS_COLS = ["n_tokens", "content_hash", "simhash", "minhash_sig", "pred_lang"]
+
+_EN_STOPS = frozenset({"the", "and", "of", "a", "to", "in", "is", "it"})
+
+
+def _sig_simhash_chunk(flat: np.ndarray, lens: np.ndarray):
+    """Vectorized minhash signatures + simhash votes for one chunk of
+    docs whose distinct-word hashes are concatenated in ``flat`` with
+    per-doc lengths ``lens``. Identical arithmetic to the per-doc
+    form: elementwise modular perms + segment minima, per-bit segment
+    counts → majority votes."""
+    nd = len(lens)
+    sigs = np.full((nd, NUM_PERM), _MERSENNE, dtype=np.uint64)
+    simhash = np.zeros(nd, dtype=np.uint64)
+    if not len(flat):
+        return sigs, simhash
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    nz = np.nonzero(lens)[0]
+    starts = offsets[:-1][nz]
+    vals = (_A[:, None] * flat[None, :] + _B[:, None]) % _MERSENNE
+    sigs[nz] = np.minimum.reduceat(vals, starts, axis=1).T
+    # per-bit counts per doc: 64 segment-sum passes over int8 bit rows
+    counts = np.empty((64, len(nz)), dtype=np.int64)
+    for b in range(64):
+        bit = ((flat >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+        counts[b] = np.add.reduceat(bit, starts)
+    votes = counts * 2 - lens[nz][None, :]
+    sim_nz = ((votes > 0).T * _BIT_WEIGHTS[None, :]).sum(axis=1, dtype=np.uint64)
+    simhash[nz] = sim_nz
+    return sigs, simhash
 
 
 def analyze_docs(batch: pa.Table) -> pa.Table:
@@ -44,18 +85,17 @@ def analyze_docs(batch: pa.Table) -> pa.Table:
             out = out.append_column(name, pa.array([], typ))
         return out
     spans = as_single_array(batch.column("spans"))
-    flat = spans.flatten()
-    kinds = flat.field("kind").to_pylist()
-    texts = flat.field("text").to_pylist()
+    flat_spans = spans.flatten()
+    kinds = flat_spans.field("kind").to_pylist()
+    texts = flat_spans.field("text").to_pylist()
     offsets = spans.offsets.to_numpy(zero_copy_only=False)
 
     n_tokens = np.zeros(n, dtype=np.int64)
     content_hash = np.zeros(n, dtype=np.uint64)
-    simhash = np.zeros(n, dtype=np.uint64)
-    sigs: list[list[int]] = []
+    word_sets: list[list[str]] = []
     langs: list[str] = []
 
-    en_stops = {"the", "and", "of", "a", "to", "in", "is", "it"}
+    # string pass (inherently per-doc): split, hash bytes, stopword set
     for i in range(n):
         words: list[str] = []
         h = hashlib.blake2b(digest_size=8, key=b"content0")
@@ -66,21 +106,33 @@ def analyze_docs(batch: pa.Table) -> pa.Table:
         n_tokens[i] = len(words)
         content_hash[i] = int.from_bytes(h.digest(), "little")
         ws = set(words)
-        wh = _word_hashes(ws)
-        if len(wh):
-            vals = (_A[:, None] * wh[None, :] + _B[:, None]) % _MERSENNE
-            sigs.append(vals.min(axis=1).tolist())
-            bits = (wh[:, None] & _BIT_WEIGHTS[None, :]) != 0
-            votes = bits.sum(axis=0) * 2 - len(wh)
-            simhash[i] = np.uint64((_BIT_WEIGHTS[votes > 0]).sum(dtype=np.uint64))
-        else:
-            sigs.append([int(_MERSENNE)] * NUM_PERM)
-        langs.append("en" if len(ws & en_stops) >= 1 else "unk")
+        word_sets.append(list(ws))
+        langs.append("en" if not _EN_STOPS.isdisjoint(ws) else "unk")
+
+    # numeric pass: vectorized per chunk (memory-capped perm matrix)
+    lens = np.fromiter((len(w) for w in word_sets), dtype=np.int64, count=n)
+    sigs = np.empty((n, NUM_PERM), dtype=np.uint64)
+    simhash = np.empty(n, dtype=np.uint64)
+    start = 0
+    while start < n:
+        end = start + 1
+        tot = lens[start]
+        while end < n and tot + lens[end] <= _CHUNK_WORDS:
+            tot += lens[end]
+            end += 1
+        flat = _word_hashes([w for ws in word_sets[start:end] for w in ws])
+        s, sh = _sig_simhash_chunk(flat, lens[start:end])
+        sigs[start:end] = s
+        simhash[start:end] = sh
+        start = end
 
     out = batch
     out = out.append_column("n_tokens", pa.array(n_tokens))
     out = out.append_column("content_hash", pa.array(content_hash, pa.uint64()))
     out = out.append_column("simhash", pa.array(simhash, pa.uint64()))
-    out = out.append_column("minhash_sig", pa.array(sigs, pa.list_(pa.uint64())))
+    out = out.append_column(
+        "minhash_sig",
+        pa.array([sigs[i].tolist() for i in range(n)], pa.list_(pa.uint64())),
+    )
     out = out.append_column("pred_lang", pa.array(langs, pa.string()))
     return out

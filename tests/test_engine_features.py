@@ -175,3 +175,51 @@ def test_actor_mode_partition_metrics_sum_under_global_cap(tiny_corpus):
         assert per.get(g, 0) == v, (g, per.get(g, 0), v)
     # global cap respected every generation
     assert (agg <= 3).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_analyze_vectorized_equals_per_doc_reference(tiny_corpus):
+    """The chunk-vectorized analyze kernel must be bitwise equal to
+    the straightforward per-document computation for every column."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ccrawler_ray.functions.dedup import word_hashes
+    from ccrawler_ray.stages.analyze import (_A, _B, _BIT_WEIGHTS, _MERSENNE,
+                                             NUM_PERM, analyze_docs)
+    from ccrawler_ray.spec import as_single_array
+
+    # docs-shaped batch straight from the corpus spans
+    batch = tiny_corpus.select(["doc_id", "spans"])
+    got = analyze_docs(batch)
+
+    spans = as_single_array(batch.column("spans"))
+    flat = spans.flatten()
+    kinds = flat.field("kind").to_pylist()
+    texts = flat.field("text").to_pylist()
+    offs = spans.offsets.to_numpy(zero_copy_only=False)
+    for i in range(batch.num_rows):
+        words: list = []
+        h = hashlib.blake2b(digest_size=8, key=b"content0")
+        for j in range(offs[i], offs[i + 1]):
+            if kinds[j] == "text":
+                words.extend(texts[j].split())
+                h.update(texts[j].encode())
+        assert got.column("n_tokens")[i].as_py() == len(words)
+        assert got.column("content_hash")[i].as_py() == int.from_bytes(
+            h.digest(), "little")
+        ws = set(words)
+        wh = word_hashes(ws)
+        if len(wh):
+            vals = (_A[:, None] * wh[None, :] + _B[:, None]) % _MERSENNE
+            ref_sig = vals.min(axis=1).tolist()
+            bits = (wh[:, None] & _BIT_WEIGHTS[None, :]) != 0
+            votes = bits.sum(axis=0) * 2 - len(wh)
+            ref_sim = int((_BIT_WEIGHTS[votes > 0]).sum(dtype=np.uint64))
+        else:
+            ref_sig = [int(_MERSENNE)] * NUM_PERM
+            ref_sim = 0
+        assert got.column("minhash_sig")[i].as_py() == ref_sig, i
+        assert got.column("simhash")[i].as_py() == ref_sim, i
