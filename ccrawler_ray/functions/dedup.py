@@ -97,13 +97,28 @@ def _batch_sig_wset(texts, a: np.ndarray, b: np.ndarray, want_wsets: bool):
     if total == 0:
         return out, ([b""] * n if want_wsets else None)
     h = word_hashes([w for ws in word_sets for w in ws])
-    vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)  # (P, total)
     offsets = np.concatenate([[0], np.cumsum(lens)])
     nz = np.nonzero(lens)[0]
-    # consecutive start offsets of non-empty docs delimit exactly each
-    # doc's hash segment (empty docs contribute zero-width segments)
-    mins = np.minimum.reduceat(vals, offsets[:-1][nz], axis=1)  # (P, n_nonempty)
-    out[nz] = mins.T
+    # perm pass in SMALL word chunks: this VM page-faults
+    # pathologically on large fresh uint64 allocations (0.01 s at 5k
+    # words vs 1-11 s at 100k+ for the same multiply — THP collapse),
+    # so the (P, chunk) matrix is kept ~2 MB (see stages/analyze.py)
+    chunk_words = 4_000
+    s = 0
+    while s < len(nz):
+        e = s + 1
+        tot = lens[nz[s]]
+        while e < len(nz) and tot + lens[nz[e]] <= chunk_words:
+            tot += lens[nz[e]]
+            e += 1
+        docs = nz[s:e]
+        seg = h[offsets[docs[0]]: offsets[docs[-1] + 1]]
+        vals = (a[:, None] * seg[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+        starts = offsets[:-1][docs] - offsets[docs[0]]
+        # consecutive start offsets of non-empty docs delimit exactly
+        # each doc's hash segment
+        out[docs] = np.minimum.reduceat(vals, starts, axis=1).T
+        s = e
     wsets = None
     if want_wsets:
         wsets = [np.sort(h[offsets[i]: offsets[i + 1]]).tobytes() for i in range(n)]
