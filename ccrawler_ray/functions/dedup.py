@@ -336,9 +336,17 @@ def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
             else:
                 sm = np.frombuffer(b"".join(uniq), np.uint64).reshape(u, num_perm)
             bhm = _band_hashes(sm, bands)                  # (u, bands)
+            # first-colliding-band check in ~50k-pair chunks: fancy-
+            # indexed (pairs, bands) compares over full triu ranges
+            # allocate tens of MB fresh — the large-allocation fault
+            # hazard on this VM (see _batch_sig_wset)
             ia, ib = np.triu_indices(u, k=1)
-            first = (bhm[ia] == bhm[ib]).argmax(axis=1)    # first colliding band
-            keep = first == band_b
+            keep = np.empty(len(ia), dtype=bool)
+            for s in range(0, len(ia), 50_000):
+                ca, cb = ia[s:s + 50_000], ib[s:s + 50_000]
+                keep[s:s + 50_000] = (
+                    (bhm[ca] == bhm[cb]).argmax(axis=1) == band_b
+                )
             if not keep.any():
                 continue
             ka, kb = ia[keep], ib[keep]
@@ -352,7 +360,14 @@ def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
                         union = len(wl[i]) + len(wl[j]) - inter
                         met[t] = inter / union if union else 0.0
                 else:
-                    met = (sm[ka] == sm[kb]).mean(axis=1)
+                    # chunked for the same large-allocation hazard:
+                    # sm[ka] is pairs × 512 B of fresh fancy-indexed
+                    # matrix per call
+                    met = np.empty(len(ka))
+                    for s in range(0, len(ka), 50_000):
+                        met[s:s + 50_000] = (
+                            sm[ka[s:s + 50_000]] == sm[kb[s:s + 50_000]]
+                        ).mean(axis=1)
                 sel = met >= threshold
                 ka, kb, met = ka[sel], kb[sel], met[sel]
             if not len(ka):
