@@ -475,6 +475,15 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
 _BIT_WEIGHTS = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
 
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount: unpack to bytes, sum set bits per
+    8-byte word (replaces a per-pair Python bin().count loop)."""
+    if not len(x):
+        return np.zeros(0, dtype=np.int64)
+    bits = np.unpackbits(np.ascontiguousarray(x, dtype=np.uint64).view(np.uint8))
+    return bits.reshape(len(x), 64).sum(axis=1).astype(np.int64)
+
 def _batch_simhash(texts) -> np.ndarray:
     """uint64 SimHash per text — one pass: concatenated word hashes →
     per-bit counts via segment-sum (np.add.reduceat)."""
@@ -566,7 +575,7 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3):
             di = ids["doc_id"].to_numpy()
             ia, ib = np.triu_indices(len(di), k=1)
             x = sh[ia] ^ sh[ib]
-            ham = np.array([bin(int(v)).count("1") for v in x])
+            ham = _popcount64(x)
             m = ham <= np.int64(max_hamming)
             if m.any():
                 out_a.append(di[ia][m].astype(np.int64))

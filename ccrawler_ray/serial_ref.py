@@ -166,7 +166,8 @@ def dedup_simhash(sf_dir: str | None = None, max_hamming: int = 3) -> pd.DataFra
     ids, sh = ids[order], sh[order]
     ia, ib = np.triu_indices(len(ids), k=1)
     x = sh[ia] ^ sh[ib]
-    ham = np.array([bin(int(v)).count("1") for v in x])
+    from ccrawler_ray.functions.dedup import _popcount64
+    ham = _popcount64(np.asarray(x, dtype=np.uint64))
     m = ham <= max_hamming
     return pd.DataFrame({"doc_a": ids[ia[m]], "doc_b": ids[ib[m]],
                          "hamming": ham[m].astype(np.int64)})
