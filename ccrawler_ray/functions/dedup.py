@@ -43,6 +43,13 @@ _MERSENNE = (1 << 61) - 1
 _WORD_HASH_CACHE: dict[str, int] = {}
 _WORD_HASH_CACHE_MAX = 4_000_000
 
+# max words per perm-matrix chunk, shared by every minhash/simhash
+# kernel (functions.dedup, stages.analyze): this VM page-faults
+# pathologically on large fresh uint64 allocations (0.01 s at 5k words
+# vs 1-11 s at 100k+ for the same multiply - THP collapse), so the
+# (num_perm, chunk) matrices are kept ~2 MB
+CHUNK_WORDS = 4_000
+
 
 def word_hashes(words) -> np.ndarray:
     """uint64 blake2b(8) per word, cached per worker process."""
@@ -99,11 +106,7 @@ def _batch_sig_wset(texts, a: np.ndarray, b: np.ndarray, want_wsets: bool):
     h = word_hashes([w for ws in word_sets for w in ws])
     offsets = np.concatenate([[0], np.cumsum(lens)])
     nz = np.nonzero(lens)[0]
-    # perm pass in SMALL word chunks: this VM page-faults
-    # pathologically on large fresh uint64 allocations (0.01 s at 5k
-    # words vs 1-11 s at 100k+ for the same multiply — THP collapse),
-    # so the (P, chunk) matrix is kept ~2 MB (see stages/analyze.py)
-    chunk_words = 4_000
+    chunk_words = CHUNK_WORDS
     s = 0
     while s < len(nz):
         e = s + 1
@@ -319,14 +322,20 @@ def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
             # oracle and ngram_jaccard_pairs both score it 0).
             if band_b == 0 and (threshold is None or 1.0 >= threshold):
                 for g in np.nonzero(counts >= 2)[0]:
+                    met_ident = 1.0
                     if exact and len(uniq[g]) == 0:
-                        continue
+                        # empty word sets: exact jaccard is 0 (union
+                        # 0), matching the serial oracle — pairs
+                        # qualify only when the threshold admits 0
+                        if threshold > 0.0:
+                            continue
+                        met_ident = 0.0
                     grp = np.sort(members[offs[g]: offs[g + 1]])
                     if cc_edges:  # star: same component, c-1 edges
-                        emit(np.full(len(grp) - 1, grp[0]), grp[1:], 1.0)
+                        emit(np.full(len(grp) - 1, grp[0]), grp[1:], met_ident)
                     else:
                         gi, gj = np.triu_indices(len(grp), k=1)
-                        emit(grp[gi], grp[gj], 1.0)
+                        emit(grp[gi], grp[gj], met_ident)
             if u < 2:
                 continue
             if exact:
@@ -603,6 +612,23 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3):
     return dedup.drop_columns(["pb"])
 
 
+
+def _embedding_dim(ds) -> int | None:
+    """Fixed embedding width from the first row; None for an empty
+    table (callers return an empty pair set instead of crashing)."""
+    for batch in ds.limit(1).iter_batches(batch_size=1, batch_format="pyarrow"):
+        if batch.num_rows:
+            return max(len(batch.column("embedding")[0]), 1)
+    return None
+
+
+def _empty_pairs(cols: tuple[str, str, str]) -> "ray.data.Dataset":
+    a, b, m = cols
+    return ray.data.from_arrow(pa.table(
+        {a: pa.array([], pa.int64()), b: pa.array([], pa.int64()),
+         m: pa.array([], pa.float64())}
+    ))
+
 def dedup_embedding_cosine(sf_dir: str, threshold: float = 0.9):
     """Embedding near-dup pairs: cosine >= threshold, doc_a < doc_b.
 
@@ -615,9 +641,9 @@ def dedup_embedding_cosine(sf_dir: str, threshold: float = 0.9):
     """
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    first = next(iter(ds.limit(1).iter_batches(batch_size=1,
-                                               batch_format="pyarrow")))
-    dim = max(len(first.column("embedding")[0]), 1)
+    dim = _embedding_dim(ds)
+    if dim is None:
+        return _empty_pairs(("vec_a", "vec_b", "cos"))
 
     def normalize(batch: pa.Table) -> pa.Table:
         # empty batches MUST use the real dim — a width-1 list schema
@@ -834,9 +860,9 @@ def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.4,
     salted into <=16 coarse shuffle groups per table."""
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    first = next(iter(ds.limit(1).iter_batches(batch_size=1,
-                                               batch_format="pyarrow")))
-    dim = len(first.column("embedding")[0])
+    dim = _embedding_dim(ds)
+    if dim is None:
+        return _empty_pairs(("vec_a", "vec_b", "cos"))
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_tables, num_planes, dim))
     weights = (1 << np.arange(num_planes)).astype(np.int64)

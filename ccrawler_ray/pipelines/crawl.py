@@ -82,11 +82,14 @@ def _fetch_fn_factory(corpus_ref, delays_ref, failure_rate: float = 0.0):
         key = corpus_ref.hex()
         actor = _FETCH_CACHE.get(key)
         if actor is None:
-            # keep ONLY the live engine's index: stale indices from
-            # prior engines bloat reused worker heaps, and big idle
-            # heaps measurably slow later allocator-heavy pipelines
-            # (2.7x on the LSH kernels — see release_worker_caches)
-            _FETCH_CACHE.clear()
+            # cap at 2 live indices: stale indices from prior engines
+            # bloat reused worker heaps (big idle heaps measurably
+            # slow later allocator-heavy pipelines, 2.7x on the LSH
+            # kernels — see release_worker_caches), but TWO slots keep
+            # a pair of interleaved engines from evicting each other
+            # per batch
+            if len(_FETCH_CACHE) >= 2:
+                _FETCH_CACHE.clear()
             actor = FetchActor(corpus_ref, delays_ref, failure_rate)
             _FETCH_CACHE[key] = actor
         return actor(batch)
@@ -583,9 +586,9 @@ class CrawlEngine:
             if violations:
                 raise RuntimeError(f"politeness violation in generation {g}")
 
-            # ---- 3. extract (+ fused analysis + extra stages): ONE
-            # materialization — per-generation dataset executions are
-            # the loop's fixed cost, so stages chain lazily
+            # ---- 3. extract (+ fused analysis): ONE materialization —
+            # per-generation dataset executions are the loop's fixed
+            # cost, so stages chain lazily
             docs_pipe = fetched.map_batches(
                 extract_docs, batch_format="pyarrow", batch_size=cfg.batch_size
             )
@@ -595,15 +598,20 @@ class CrawlEngine:
                 docs_pipe = docs_pipe.map_batches(
                     analyze_docs, batch_format="pyarrow", batch_size=cfg.batch_size
                 )
+            core = docs_pipe.materialize()
+            # user stages transform the docs_out OUTPUT only — never
+            # discovery/frontier (the Stage contract, identical to
+            # actor mode; a filtering stage must not change the crawl)
             if self.extra_stages:
                 from ccrawler_ray.pipelines.stage import apply_stages
 
-                docs_pipe = apply_stages(docs_pipe, self.extra_stages)
-            docs_out = docs_pipe.materialize()
+                docs_out = apply_stages(core, self.extra_stages)
+            else:
+                docs_out = core
             self._docs_out.append(docs_out)
 
             # ---- 4–6. children → discover → dedup → seen
-            children = docs_out.map_batches(
+            children = core.map_batches(
                 explode_children, batch_format="pyarrow", batch_size=cfg.batch_size
             )
             fresh = self._discover(children, g + 1, n200)

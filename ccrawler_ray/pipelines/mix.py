@@ -25,20 +25,29 @@ BUCKET_SHORT_LT = 40
 BUCKET_MEDIUM_LE = 70
 
 
-# (sf_dir, threshold) -> materialized keep-id Dataset. The clustering
-# pass is the expensive step; a real pipeline runs it ONCE and feeds
-# the keep list to every downstream consumer — dedup_filtered_docs and
+# cache key -> materialized keep-id Dataset. The clustering pass is
+# the expensive step; a real pipeline runs it ONCE and feeds the keep
+# list to every downstream consumer — dedup_filtered_docs and
 # training_mix_stats share it the same way. The cached table is
 # doc_id-only (8 B/row), deterministic for a given input, and tiny.
-_KEEP_CACHE: dict[tuple[str, float], object] = {}
+# Keyed by input mtime (stale files recompute) and liveness-checked
+# (refs from a previous Ray session recompute instead of erroring).
+_KEEP_CACHE: dict[tuple, object] = {}
 
 
 def _keep_ids(sf_dir: str, threshold: float):
     """doc_id-only Dataset of cluster representatives (keep=true)."""
-    key = (sf_dir, threshold)
+    import os
+
+    key = (sf_dir, threshold,
+           os.path.getmtime(f"{sf_dir}/documents.parquet"))
     cached = _KEEP_CACHE.get(key)
     if cached is not None:
-        return cached
+        try:
+            cached.count()
+            return cached
+        except Exception:        # refs from a dead Ray session
+            _KEEP_CACHE.clear()
     clusters = dedup_clusters(sf_dir, threshold=threshold)
 
     def only_kept(batch: pa.Table) -> pa.Table:
@@ -46,7 +55,7 @@ def _keep_ids(sf_dir: str, threshold: float):
         return kept.select(["doc_id"])
 
     keep = clusters.map_batches(only_kept, batch_format="pyarrow").materialize()
-    _KEEP_CACHE.clear()          # hold at most one (sf_dir, threshold)
+    _KEEP_CACHE.clear()          # hold at most one entry
     _KEEP_CACHE[key] = keep
     return keep
 

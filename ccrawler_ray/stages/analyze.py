@@ -18,7 +18,9 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from ccrawler_ray.functions.dedup import _minhash_params, word_hashes as _word_hashes
+from ccrawler_ray.functions.dedup import (CHUNK_WORDS as _CHUNK_WORDS,
+                                           _minhash_params,
+                                           word_hashes as _word_hashes)
 from ccrawler_ray.spec import as_single_array
 
 NUM_PERM = 64
@@ -26,14 +28,6 @@ _A, _B = _minhash_params(NUM_PERM)
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 _BIT_WEIGHTS = (np.uint64(1) << np.arange(64, dtype=np.uint64))
-
-# max distinct-word hashes per vectorized chunk. SMALL on purpose: the
-# perm matrix is 64×chunk×8 B and this VM's big fresh uint64
-# allocations page-fault pathologically (measured 0.01 s at 5k words
-# vs 1–11 s at 100k+ for the SAME op — THP collapse storms); ~2 MB
-# chunks stay cache- and allocator-friendly while amortizing the
-# Python loop ~100 docs at a time
-_CHUNK_WORDS = 4_000
 
 
 ANALYSIS_COLS = ["n_tokens", "content_hash", "simhash", "minhash_sig", "pred_lang"]
@@ -132,7 +126,11 @@ def analyze_docs(batch: pa.Table) -> pa.Table:
     out = out.append_column("simhash", pa.array(simhash, pa.uint64()))
     out = out.append_column(
         "minhash_sig",
-        pa.array([sigs[i].tolist() for i in range(n)], pa.list_(pa.uint64())),
+        pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * NUM_PERM, NUM_PERM,
+                               dtype=np.int32)),
+            pa.array(sigs.ravel(), pa.uint64()),
+        ),
     )
     out = out.append_column("pred_lang", pa.array(langs, pa.string()))
     return out

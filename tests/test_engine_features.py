@@ -110,11 +110,13 @@ def test_actor_mode_metrics_have_real_partition_ids(tiny_corpus):
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_actor_mode_stage_filters_only_docs_out(tiny_corpus):
+@pytest.mark.parametrize("mode", ["actor", "dataset"])
+def test_stage_filters_only_docs_out(tiny_corpus, mode):
     """A row-filtering user stage composes into the docs_out
-    projection ONLY: crawl_order, seen set, and politeness accounting
-    must equal the no-stage run (regression: actor-mode fusion ran
-    stages upstream of the dump/requeue path)."""
+    projection ONLY, in EVERY admission mode: crawl_order, seen set,
+    and politeness accounting must equal the no-stage run (regression:
+    actor-mode fusion ran stages upstream of the dump/requeue path;
+    dataset mode derived discovery from the staged stream)."""
     from ccrawler_ray.config import CrawlConfig
     from ccrawler_ray.pipelines.crawl import CrawlEngine
     from ccrawler_ray.pipelines.stage import Stage
@@ -127,7 +129,7 @@ def test_actor_mode_stage_filters_only_docs_out(tiny_corpus):
         return batch.filter(pa.array(g % 2 == 0))
 
     cfg = CrawlConfig(seeds=("http://h0.example/p0", "http://h1.example/p0"),
-                      max_generations=4, admission_mode="actor")
+                      max_generations=4, admission_mode=mode)
     base_eng = CrawlEngine(tiny_corpus, cfg)
     base = base_eng.run()
     base_eng.shutdown()
