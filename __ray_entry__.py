@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w1_running_sum": R.w1_running_sum,
         "w2_sessionize": R.w2_sessionize,
         "w3_tumbling_window": R.w3_tumbling_window,
+        "w4_sliding_window": R.w4_sliding_window,
         "q3_shipping_priority": R.q3_shipping_priority,
         # --- sorts / top-k (O-rows)
         "o1_global_sort": R.o1_global_sort,
@@ -131,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # max_hamming=3: the scale-safe blocking point (16-bit keys);
         # radius-derived blocking guarantees full recall (ADVICE r1)
         "dedup_simhash": lambda sf: D.dedup_simhash(sf, max_hamming=3),
+        "dedup_ngram_spans": lambda sf: D.dedup_ngram_spans(sf, n=5, min_docs=2),
         "dedup_embedding_cosine": lambda sf: D.dedup_embedding_cosine(sf, threshold=0.4),
         "dedup_embedding_lsh": lambda sf: D.dedup_embedding_lsh(sf, threshold=0.4),
         # --- similarity search
@@ -220,6 +222,10 @@ def _serial_oracles() -> dict[str, str]:
         "dedup_clusters": V(clusters,
                             {"doc_id": "BIGINT", "cluster_rep": "BIGINT",
                              "keep": "BOOLEAN"}),
+        "dedup_ngram_spans": V(SR.dedup_ngram_spans(n=5, min_docs=2),
+                               {"doc_id": "BIGINT", "n_windows": "BIGINT",
+                                "dup_windows": "BIGINT",
+                                "dup_ratio": "DOUBLE"}),
         "o3_sample_hash": V(SR.o3_sample_hash(),
                             {"doc_id": "BIGINT", "lang": "VARCHAR"}),
         "o4_stratified_sample": V(SR.o4_stratified_sample(),
@@ -383,6 +389,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_events, "
             "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
             f"{_USUM('value')} AS sum_value FROM events GROUP BY 1"
+        ),
+        "w4_sliding_window": (
+            # each event lands in the 4 hop-aligned (900 s) windows of
+            # length 3600 s that contain it
+            "SELECT make_timestamp("
+            "(CAST(floor(epoch(ts)/900) AS BIGINT) - g.i)*900000000) "
+            "AS w_start, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+            f"{_USUM('value')} AS sum_value "
+            "FROM events CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 3)) AS i) g GROUP BY 1"
         ),
         "q3_shipping_priority": (
             "SELECT l_orderkey, "

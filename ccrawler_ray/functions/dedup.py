@@ -929,3 +929,134 @@ def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.4,
     return rows.groupby(["tbl", "key_salt"]).map_groups(
         in_bucket_verify, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated n-gram spans — substring-level dedup statistics
+# ---------------------------------------------------------------------------
+
+_ROLL_BASE = 0x9E3779B97F4A7C15  # odd 64-bit golden-ratio constant
+
+
+def _roll_powers(n: int) -> np.ndarray:
+    """base^(n-1-j) mod 2^64 for j in 0..n-1 (polynomial rolling hash)."""
+    p = np.empty(n, dtype=np.uint64)
+    acc = 1
+    for j in range(n - 1, -1, -1):
+        p[j] = acc
+        acc = (acc * _ROLL_BASE) % (1 << 64)
+    return p
+
+
+def dedup_ngram_spans(sf_dir: str, n: int = 5, min_docs: int = 2):
+    """Per-doc duplicated n-gram span stats: how much of each document
+    is made of token n-grams that ALSO occur in >= ``min_docs``-1 other
+    documents — the cross-doc repeated-passage signal substring-level
+    training-data dedup thresholds on (cf. suffix-array substring dedup;
+    this is the shuffle-friendly shingle formulation).
+
+    Returns (doc_id, n_windows, dup_windows, dup_ratio) for every doc
+    with at least one n-token window; ``dup_ratio`` is floor-scaled to
+    4 decimals. Within-doc-only repeats do NOT count as duplicated.
+
+    Scale shape: the map side emits one narrow row per DISTINCT
+    (n-gram hash, doc) — token hashes via the per-worker cache, ONE
+    chunked vectorized rolling-hash pass over the batch's concatenated
+    tokens, per-doc run-length distinct via lexsort (no per-doc Python
+    loop). Cross-doc counting is a coarse-salted groupby on the hash
+    (each hash fully inside one salt group), which emits per-(salt,doc)
+    partial sums; a second tiny salted groupby folds partials per doc.
+    Nothing unbounded touches the driver; no O(n^2) anywhere.
+    """
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    pows = _roll_powers(n)
+
+    empty_rows = pa.table(
+        {"h": pa.array([], pa.uint64()), "doc_id": pa.array([], pa.int64()),
+         "n_pos": pa.array([], pa.int64()), "h_salt": pa.array([], pa.int32())}
+    )
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        dids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        words_per_doc = [t.split() for t in texts]
+        lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64,
+                           count=len(texts))
+        h = word_hashes([w for ws in words_per_doc for w in ws])
+        nw = len(h) - n + 1
+        if nw <= 0:
+            return empty_rows
+        # rolling hashes over the concatenation, built in small chunks
+        # (the large-allocation page-fault lore, see CHUNK_WORDS)
+        acc = np.empty(nw, dtype=np.uint64)
+        s = 0
+        while s < nw:
+            e = min(nw, s + 16 * CHUNK_WORDS)
+            a = np.zeros(e - s, dtype=np.uint64)
+            for j in range(n):
+                a += h[s + j: e + j] * pows[j]
+            acc[s:e] = a
+            s = e
+        # windows crossing a doc boundary are invalid
+        doc_idx = np.repeat(np.arange(len(texts)), lens)
+        valid = doc_idx[:nw] == doc_idx[n - 1: n - 1 + nw]
+        wdoc = doc_idx[:nw][valid]
+        wh = acc[valid]
+        # distinct (doc, hash) + position counts via one lexsort
+        order = np.lexsort((wh, wdoc))
+        wd, whs = wdoc[order], wh[order]
+        first = np.r_[True, (wd[1:] != wd[:-1]) | (whs[1:] != whs[:-1])]
+        starts = np.flatnonzero(first)
+        n_pos = np.diff(np.r_[starts, len(wd)])
+        out_h = whs[starts]
+        return pa.table(
+            {"h": pa.array(out_h),
+             "doc_id": pa.array(dids[wd[starts]].astype(np.int64)),
+             "n_pos": pa.array(n_pos.astype(np.int64)),
+             "h_salt": pa.array((out_h % np.uint64(256)).astype(np.int32))}
+        )
+
+    def per_hash_group(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "tot_pos": pd.Series(dtype="int64"),
+                 "dup_pos": pd.Series(dtype="int64"),
+                 "d_salt": pd.Series(dtype="int32")})
+        # rows are per (hash, doc): group size == distinct docs with h
+        ndocs = df.groupby("h", sort=False)["doc_id"].transform("size")
+        g = (
+            df.assign(dup_pos=np.where(ndocs >= min_docs, df["n_pos"], 0))
+            .groupby("doc_id", sort=False)
+            .agg(tot_pos=("n_pos", "sum"), dup_pos=("dup_pos", "sum"))
+            .reset_index()
+        )
+        g["d_salt"] = (g["doc_id"] % 64).astype(np.int32)
+        return g
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "n_windows": pd.Series(dtype="int64"),
+                 "dup_windows": pd.Series(dtype="int64"),
+                 "dup_ratio": pd.Series(dtype="float64")})
+        g = (
+            df.groupby("doc_id", sort=False)
+            .agg(n_windows=("tot_pos", "sum"), dup_windows=("dup_pos", "sum"))
+            .reset_index()
+        )
+        ratio = (g["dup_windows"].to_numpy() * 10_000
+                 // g["n_windows"].to_numpy()) / 10_000.0
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"].astype(np.int64),
+             "n_windows": g["n_windows"].astype(np.int64),
+             "dup_windows": g["dup_windows"].astype(np.int64),
+             "dup_ratio": ratio})
+
+    rows = ds.map_batches(shingle_rows, batch_format="pyarrow")
+    partials = rows.groupby("h_salt").map_groups(
+        per_hash_group, batch_format="pandas")
+    return partials.groupby("d_salt").map_groups(
+        per_doc, batch_format="pandas")

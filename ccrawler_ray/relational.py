@@ -656,6 +656,60 @@ def w3_tumbling_window(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# W4: sliding (hopping) window aggregate — each event lands in
+# window_s/hop_s overlapping windows; the map side replicates rows to
+# their hop-aligned window starts (k small vectorized tiles, no row
+# loop) and the windows shuffle through the same coarse-salt pattern
+# as W3. Exact per-window distinct forces in-group computation.
+# ---------------------------------------------------------------------------
+
+
+def w4_sliding_window(sf_dir: str, window_s: int = 3600, hop_s: int = 900):
+    """Per 1-hour window hopping every 15 min: event count, exact
+    distinct users, exact value sum (micro-units). ``window_s`` must be
+    a multiple of ``hop_s``; every event belongs to exactly
+    ``window_s/hop_s`` windows (``w_start <= ts < w_start+window_s``)."""
+    assert window_s % hop_s == 0
+    k = window_s // hop_s
+    hop_us = hop_s * MICRO
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        base = (us // hop_us) * hop_us
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        val_u = _to_micro(batch.column("value").to_numpy(zero_copy_only=False))
+        # i-major ravel pairs with np.tile's repeat order
+        starts = (base[None, :] - np.arange(k)[:, None] * hop_us).ravel()
+        return pa.table(
+            {"w_start_us": pa.array(starts),
+             "user_id": pa.array(np.tile(uid, k)),
+             "value_u": pa.array(np.tile(val_u, k)),
+             "w_salt": pa.array(((starts // hop_us) & 63).astype(np.int32))}
+        )
+
+    def per_salt(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("w_start_us", sort=False).agg(
+            n_events=("user_id", "size"),
+            n_users=("user_id", "nunique"),
+            sum_value=("value_u", "sum"),
+        ).reset_index()
+        return pd.DataFrame(
+            {"w_start": pd.to_datetime(g["w_start_us"], unit="us"),
+             "n_events": g["n_events"].astype(np.int64),
+             "n_users": g["n_users"].astype(np.int64),
+             "sum_value": g["sum_value"] / (MICRO * 1.0)}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("w_salt")
+        .map_groups(per_salt, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
 # O4: stratified sample — deterministic hash-rank draw per stratum
 # (fixed n per language, uniform without replacement): the
 # reproducible train/eval-split sampler. Scale shape: per-block

@@ -542,3 +542,36 @@ def g8_grouped_quantiles(sf_dir: str | None = None) -> pd.DataFrame:
             bin_i = int(np.searchsorted(cum, int(np.ceil(q * n))))
             rows.append((et, q, np.round(lo + (bin_i + 1) * width, 4)))
     return pd.DataFrame(rows, columns=["event_type", "q", "est_value"])
+
+
+def dedup_ngram_spans(sf_dir: str | None = None, n: int = 5,
+                      min_docs: int = 2) -> pd.DataFrame:
+    """Serial mirror of functions.dedup.dedup_ngram_spans: same rolling
+    polynomial hash (base 0x9E3779B97F4A7C15 mod 2^64 over blake2b word
+    hashes), straight-line Counters instead of the salted shuffles."""
+    from collections import Counter
+
+    ids, texts = _docs(sf_dir or oracle_sf_dir())
+    mod = 1 << 64
+    pows = [pow(0x9E3779B97F4A7C15, n - 1 - j, mod) for j in range(n)]
+    per_doc: list[tuple[int, Counter]] = []
+    docs_with_hash: Counter = Counter()
+    for did, t in zip(ids, texts):
+        hs = [_whash(w) for w in t.split()]
+        c: Counter = Counter()
+        for i in range(len(hs) - n + 1):
+            v = 0
+            for j in range(n):
+                v = (v + hs[i + j] * pows[j]) % mod
+            c[v] += 1
+        if c:
+            per_doc.append((did, c))
+            for h in c:
+                docs_with_hash[h] += 1
+    rows = []
+    for did, c in per_doc:
+        tot = sum(c.values())
+        dup = sum(k for h, k in c.items() if docs_with_hash[h] >= min_docs)
+        rows.append((did, tot, dup, (dup * 10_000 // tot) / 10_000.0))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_windows", "dup_windows", "dup_ratio"])
