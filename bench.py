@@ -135,6 +135,7 @@ QUERY_SUITE = [
     "training_mix_stats",
     "g5_hll_distinct",
     "j6_range_join",
+    "dedup_ngram_spans",
 ]
 
 

@@ -173,3 +173,39 @@ def test_empty_docs_never_near_dup(tmp_path):
         .set_index("doc_id")
     assert clusters.loc[0, "cluster_rep"] == 0 and clusters.loc[1, "cluster_rep"] == 1
     assert clusters.loc[3, "cluster_rep"] == 2
+
+
+def test_ngram_spans_cross_doc_semantics(tmp_path):
+    """dedup_ngram_spans counts exactly the windows whose 5-gram also
+    occurs in another doc: a shared verbatim passage marks its windows
+    duplicated in BOTH docs, unique text scores 0, and within-doc-only
+    repetition does not count as duplicated."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ccrawler_ray.functions.dedup import dedup_ngram_spans
+
+    passage = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
+    uniq = " ".join(f"u{i}" for i in range(10))
+    selfrep = " ".join(["r0 r1 r2 r3 r4"] * 3)  # 15 tokens, all self-repeats
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array([f"{passage} extra0 extra1",
+                          f"lead0 lead1 {passage}",
+                          uniq, selfrep, "short text"]),
+        "lang": pa.array(["en"] * 5),
+        "source": pa.array(["t"] * 5),
+        "n_chars": pa.array([0] * 5, pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = (dedup_ngram_spans(str(tmp_path), n=5, min_docs=2)
+           .to_pandas().set_index("doc_id"))
+    # the 10-token passage has 6 5-gram windows, shared by docs 0 and 1
+    assert out.loc[0, "dup_windows"] == 6 and out.loc[1, "dup_windows"] == 6
+    assert out.loc[0, "n_windows"] == 8 and out.loc[1, "n_windows"] == 8
+    assert out.loc[0, "dup_ratio"] == 0.75
+    assert out.loc[2, "dup_windows"] == 0 and out.loc[2, "n_windows"] == 6
+    # within-doc repeats are NOT cross-doc duplication
+    assert out.loc[3, "dup_windows"] == 0 and out.loc[3, "n_windows"] == 11
+    # docs with < n tokens emit no row
+    assert 4 not in out.index
