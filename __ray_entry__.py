@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o2_global_topk": R.o2_global_topk,
         "o3_sample": R.o3_sample,
         "o3_sample_hash": R.o3_sample_hash,
+        "o5_exact_quantiles": R.o5_exact_quantiles,
         "o4_stratified_sample": R.o4_stratified_sample,
         # --- wide aggregate
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -415,6 +416,11 @@ def oracle_sql() -> dict[str, str]:
         "o1_global_sort": (
             "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
             "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100"
+        ),
+        "o5_exact_quantiles": (
+            "SELECT 0.5 AS q, quantile_disc(value, 0.5) AS value FROM events "
+            "UNION ALL SELECT 0.95, quantile_disc(value, 0.95) FROM events "
+            "UNION ALL SELECT 0.99, quantile_disc(value, 0.99) FROM events"
         ),
         "o2_global_topk": (
             "SELECT o_orderkey, o_totalprice FROM orders "

@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
@@ -707,6 +707,77 @@ def w4_sliding_window(sf_dir: str, window_s: int = 3600, hop_s: int = 900):
         .groupby("w_salt")
         .map_groups(per_salt, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# O5: exact global quantiles WITHOUT a global sort — iterative
+# histogram refinement: each pass streams the (narrow, materialized)
+# value column, moves only a <=1024-bin partial histogram per block to
+# the driver, and narrows the candidate range until the target rank's
+# candidate set fits a bounded driver pull. log_1024(n) passes — 3
+# passes cover 10^9 rows; the all-to-all sort a naive exact quantile
+# needs never happens.
+# ---------------------------------------------------------------------------
+
+
+def o5_exact_quantiles(sf_dir: str, quants: tuple = (0.5, 0.95, 0.99),
+                       cap: int = 10_000, bins: int = 1024):
+    """EXACT value at each quantile (DuckDB ``quantile_disc``
+    semantics: the ceil(q*n)-th smallest, 1-based). Driver state per
+    pass is one small histogram; the final selection pulls <= ``cap``
+    candidate rows."""
+    vals = _read(sf_dir, "events", ["value"]).materialize()
+    agg = vals.aggregate(Min("value"), Max("value"), Count())
+    n = int(agg["count()"])
+    gmin, gmax = float(agg["min(value)"]), float(agg["max(value)"])
+    if n == 0:
+        return pd.DataFrame({"q": pd.Series(dtype="float64"),
+                             "value": pd.Series(dtype="float64")})
+
+    def hist_rows(lo: float, hi: float, nb: int):
+        edges = np.linspace(lo, hi, nb + 1)
+
+        def part(batch: pa.Table) -> pa.Table:
+            v = batch.column("value").to_numpy(zero_copy_only=False)
+            v = v[(v >= lo) & (v <= hi)]
+            b = np.clip(np.searchsorted(edges, v, side="right") - 1, 0, nb - 1)
+            cnt = np.bincount(b, minlength=nb)
+            nz = np.flatnonzero(cnt)
+            return pa.table({"bin": pa.array(nz.astype(np.int64)),
+                             "cnt": pa.array(cnt[nz].astype(np.int64))})
+
+        out = np.zeros(nb, dtype=np.int64)
+        for t in vals.map_batches(part, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"):
+            np.add.at(out, t.column("bin").to_numpy(),
+                      t.column("cnt").to_numpy())
+        return out, edges
+
+    def pull_sorted(lo: float, hi: float) -> np.ndarray:
+        def filt(batch: pa.Table) -> pa.Table:
+            v = batch.column("value").to_numpy(zero_copy_only=False)
+            return pa.table({"value": pa.array(v[(v >= lo) & (v <= hi)])})
+
+        rows = vals.map_batches(filt, batch_format="pyarrow").take_all()
+        return np.sort(np.array([r["value"] for r in rows]))
+
+    rows = []
+    for q in quants:
+        k = int(np.ceil(q * n - 1e-9))          # 1-based global rank
+        lo, hi, in_range = gmin, gmax, n
+        for _ in range(8):                       # 1024^8 >> any n
+            if in_range <= cap or lo == hi:
+                break
+            hist, edges = hist_rows(lo, hi, bins)
+            cum = np.cumsum(hist)
+            b = int(np.searchsorted(cum, k))     # first bin with cum >= k
+            k -= int(cum[b - 1]) if b else 0
+            in_range = int(hist[b])
+            # keep [lo,hi] closed: the last edge is inclusive above
+            lo, hi = float(edges[b]), float(edges[b + 1])
+        cand = pull_sorted(lo, hi)
+        rows.append((q, float(cand[k - 1])))
+    return pd.DataFrame(rows, columns=["q", "value"])
 
 
 # ---------------------------------------------------------------------------

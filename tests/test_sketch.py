@@ -83,3 +83,25 @@ def test_bloom_semi_join_exact_and_selective():
     fill = bits.mean()
     theo = fill ** _BLOOM_K
     assert fp.mean() <= max(5 * theo, 0.01), (fp.mean(), theo)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_o5_exact_quantiles_refinement_path():
+    """With cap far below n the histogram-refinement loop must narrow
+    the range over multiple passes and still return the EXACT
+    ceil(q*n)-th smallest (DuckDB quantile_disc semantics)."""
+    import duckdb
+
+    from ccrawler_ray.relational import o5_exact_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    got = o5_exact_quantiles(sf, cap=20).sort_values("q").reset_index(drop=True)
+    want = duckdb.sql(
+        f"SELECT 0.5 AS q, quantile_disc(value, 0.5) AS value "
+        f"FROM '{sf}/events.parquet' "
+        f"UNION ALL SELECT 0.95, quantile_disc(value, 0.95) "
+        f"FROM '{sf}/events.parquet' "
+        f"UNION ALL SELECT 0.99, quantile_disc(value, 0.99) "
+        f"FROM '{sf}/events.parquet'"
+    ).df().sort_values("q").reset_index(drop=True)
+    assert (got["value"].to_numpy() == want["value"].to_numpy()).all()
