@@ -51,3 +51,25 @@ class _SchemaHashNoiseFilter(_logging.Filter):
 _logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").addFilter(
     _SchemaHashNoiseFilter()
 )
+
+
+class _EmptyPartitionSchemaNoiseFilter(_logging.Filter):
+    """Drop the executor's 'RefBundle with a different schema' warning
+    ONLY for the columnless-empty case: groupby().map_groups sorts into
+    hash partitions and emits empty partitions as zero-column blocks
+    WITHOUT calling the UDF, so salted-shuffle stages log this on every
+    empty salt partition. A genuinely different non-empty schema still
+    warns."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # pragma: no cover
+        m = record.getMessage()
+        return not (
+            "RefBundle with a different schema" in m
+            and ("new schema: PandasBlockSchema(names=[]" in m
+                 or "new schema: None" in m)
+        )
+
+
+_logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state"
+).addFilter(_EmptyPartitionSchemaNoiseFilter())
