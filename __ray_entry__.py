@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o3_sample": R.o3_sample,
         "o3_sample_hash": R.o3_sample_hash,
         "o5_exact_quantiles": R.o5_exact_quantiles,
+        "o6_weighted_sample": R.o6_weighted_sample,
         "o4_stratified_sample": R.o4_stratified_sample,
         # --- wide aggregate
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -231,6 +232,9 @@ def _serial_oracles() -> dict[str, str]:
                             {"doc_id": "BIGINT", "lang": "VARCHAR"}),
         "o4_stratified_sample": V(SR.o4_stratified_sample(),
                                   {"doc_id": "BIGINT", "lang": "VARCHAR"}),
+        "o6_weighted_sample": V(SR.o6_weighted_sample(),
+                                {"doc_id": "BIGINT", "lang": "VARCHAR",
+                                 "n_chars": "BIGINT"}),
         "g5_hll_distinct": V(SR.g5_hll_distinct(),
                              {"event_type": "VARCHAR", "est_users": "BIGINT"}),
         "g7_quantile_hist": V(SR.g7_quantile_hist(),

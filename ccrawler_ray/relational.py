@@ -821,6 +821,48 @@ def o4_stratified_sample(sf_dir: str, n_per_lang: int = 20, seed: int = 99):
 
 
 # ---------------------------------------------------------------------------
+# O6: weighted sample without replacement — Efraimidis–Spirakis with a
+# seeded hash as the uniform draw, so the sample is deterministic and
+# independent of partitioning/cluster size. Scale shape: per-block
+# partial top-n, one tiny single-block reduce over <= n*nblocks rows.
+# ---------------------------------------------------------------------------
+
+
+def o6_weighted_sample(sf_dir: str, n: int = 50, seed: int = 123):
+    """The n documents with the largest u^(1/w) key, where u is the
+    seeded hash64(doc_id) mapped to (0,1] and w = max(n_chars, 1) —
+    i.e. a weighted-without-replacement draw biased toward longer
+    documents (the quality/length-weighted corpus-mix sampler)."""
+    from ccrawler_ray.spec import hash64_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        h = hash64_batch([str(i) for i in df["doc_id"]], seed=seed)
+        u = (h.astype(np.float64) + 1.0) / 2.0 ** 64    # (0, 1]
+        w = np.maximum(df["n_chars"].to_numpy(), 1).astype(np.float64)
+        return df.assign(key=u ** (1.0 / w))
+
+    def topn(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["key", "doc_id"],
+                              ascending=[False, True]).head(n)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = topn(df)
+        return pd.DataFrame(
+            {"doc_id": out["doc_id"].astype(np.int64),
+             "lang": out["lang"],
+             "n_chars": out["n_chars"].astype(np.int64)})
+
+    return (
+        ds.map_batches(add_key, batch_format="pandas")
+        .map_batches(topn, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
 # J7: bloom-filter semi-join — probabilistic pushdown BEFORE the
 # exact join: the build side's keys become a KB-scale bitmap
 # (OR-merge, order-independent) broadcast to every probe task, so the

@@ -575,3 +575,22 @@ def dedup_ngram_spans(sf_dir: str | None = None, n: int = 5,
         rows.append((did, tot, dup, (dup * 10_000 // tot) / 10_000.0))
     return pd.DataFrame(
         rows, columns=["doc_id", "n_windows", "dup_windows", "dup_ratio"])
+
+
+def o6_weighted_sample(sf_dir: str | None = None, n: int = 50,
+                       seed: int = 123) -> pd.DataFrame:
+    """Serial Efraimidis–Spirakis mirror (same hash64(doc_id) draw and
+    u^(1/w) key formula as relational.o6_weighted_sample)."""
+    sf_dir = sf_dir or oracle_sf_dir()
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "lang", "n_chars"]).to_pandas()
+    key = seed.to_bytes(8, "little")
+    h = np.array(
+        [int.from_bytes(
+            hashlib.blake2b(str(i).encode(), digest_size=8, key=key).digest(),
+            "little") for i in t["doc_id"]], dtype=np.uint64)
+    u = (h.astype(np.float64) + 1.0) / 2.0 ** 64
+    w = np.maximum(t["n_chars"].to_numpy(), 1).astype(np.float64)
+    t = t.assign(key=u ** (1.0 / w))
+    out = t.sort_values(["key", "doc_id"], ascending=[False, True]).head(n)
+    return out[["doc_id", "lang", "n_chars"]].reset_index(drop=True)
