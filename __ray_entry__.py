@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": lambda sf: D.dedup_clusters(sf, threshold=0.8),
         "dedup_filtered_docs": lambda sf: MIX.dedup_filtered_docs(sf, threshold=0.8),
         "training_mix_stats": lambda sf: MIX.training_mix_stats(sf, threshold=0.8),
+        "quality_filtered_docs": MIX.quality_filtered_docs,
         # max_hamming=3: the scale-safe blocking point (16-bit keys);
         # radius-derived blocking guarantees full recall (ADVICE r1)
         "dedup_simhash": lambda sf: D.dedup_simhash(sf, max_hamming=3),
@@ -209,6 +210,7 @@ def _serial_oracles() -> dict[str, str]:
     # the serial CC pass is the most expensive oracle build — run it
     # ONCE and share across the three entries that need it
     clusters = SR.dedup_clusters(threshold=0.8)
+    spans = SR.dedup_ngram_spans(n=5, min_docs=2)
     pair_d = {"doc_a": "BIGINT", "doc_b": "BIGINT"}
     ann_t = {"query_id": "BIGINT", "vec_id": "BIGINT", "cos": "DOUBLE",
              "rank": "BIGINT"}
@@ -224,10 +226,26 @@ def _serial_oracles() -> dict[str, str]:
         "dedup_clusters": V(clusters,
                             {"doc_id": "BIGINT", "cluster_rep": "BIGINT",
                              "keep": "BOOLEAN"}),
-        "dedup_ngram_spans": V(SR.dedup_ngram_spans(n=5, min_docs=2),
+        "dedup_ngram_spans": V(spans,
                                {"doc_id": "BIGINT", "n_windows": "BIGINT",
                                 "dup_windows": "BIGINT",
                                 "dup_ratio": "DOUBLE"}),
+        # quality filter chain: serial ngram-span ratios embedded as a
+        # VALUES relation, quality/lang legs in plain SQL (hybrid)
+        "quality_filtered_docs": (
+            "WITH s AS ("
+            + V(spans[["doc_id", "dup_ratio"]],
+                {"doc_id": "BIGINT", "dup_ratio": "DOUBLE"})
+            + ") SELECT d.doc_id, d.lang, "
+            r"CAST(len(regexp_split_to_array(d.text,'\s+')) AS BIGINT) "
+            "AS n_tokens, s.dup_ratio "
+            "FROM documents d JOIN s ON d.doc_id = s.doc_id "
+            "WHERE d.lang='en' "
+            r"AND len(regexp_split_to_array(d.text,'\s+')) >= 20 "
+            "AND floor(len(regexp_extract_all(d.text,'[A-Z]'))*10000.0/"
+            "greatest(d.n_chars,1))/10000 <= 0.3 "
+            "AND s.dup_ratio <= 0.5"
+        ),
         "o3_sample_hash": V(SR.o3_sample_hash(),
                             {"doc_id": "BIGINT", "lang": "VARCHAR"}),
         "o4_stratified_sample": V(SR.o4_stratified_sample(),

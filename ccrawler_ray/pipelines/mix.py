@@ -117,3 +117,46 @@ def training_mix_stats(sf_dir: str, threshold: float = 0.8):
         Sum("n_docs", alias_name="n_docs"),
         Sum("total_tokens", alias_name="total_tokens"),
     )
+
+
+def quality_filtered_docs(sf_dir: str, min_tokens: int = 20,
+                          max_upper: float = 0.3, max_dup: float = 0.5):
+    """C4-style quality filter chain: keep English docs with enough
+    tokens, a sane uppercase ratio, AND a low duplicated-5-gram ratio
+    (functions.dedup.dedup_ngram_spans) — the compose-everything
+    pre-training filter step (heuristic quality x substring dedup).
+
+    Scale shape: each leg reduces to a narrow per-doc table inside its
+    own streaming pipeline (text never crosses a shuffle); the legs
+    meet in int64-keyed hash joins — no broadcast of anything O(docs).
+    Returns (doc_id, lang, n_tokens, dup_ratio)."""
+    from ccrawler_ray.functions.dedup import dedup_ngram_spans
+    from ccrawler_ray.functions.text import quality_score
+
+    def qf(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.and_(pc.greater_equal(t.column("n_tokens"), min_tokens),
+                    pc.less_equal(t.column("upper_ratio"), max_upper))
+        return t.filter(m).select(["doc_id", "n_tokens"])
+
+    def sf(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(
+            pc.less_equal(t.column("dup_ratio"), max_dup)
+        ).select(["doc_id", "dup_ratio"])
+
+    def lf(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t.column("lang"), "en"))
+
+    q = quality_score(sf_dir).map_batches(qf, batch_format="pyarrow")
+    s = dedup_ngram_spans(sf_dir).map_batches(sf, batch_format="pyarrow")
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).map_batches(lf, batch_format="pyarrow")
+    joined = q.join(s, join_type="inner", num_partitions=8, on=("doc_id",))
+    return joined.join(docs, join_type="inner", num_partitions=8,
+                       on=("doc_id",))
