@@ -775,6 +775,11 @@ def o5_exact_quantiles(sf_dir: str, quants: tuple = (0.5, 0.95, 0.99),
             in_range = int(hist[b])
             # keep [lo,hi] closed: the last edge is inclusive above
             lo, hi = float(edges[b]), float(edges[b + 1])
+        if lo == hi:
+            # a value repeated > cap times collapses the range onto
+            # itself — the answer is known WITHOUT any driver pull
+            rows.append((q, lo))
+            continue
         cand = pull_sorted(lo, hi)
         rows.append((q, float(cand[k - 1])))
     return pd.DataFrame(rows, columns=["q", "value"])

@@ -105,3 +105,24 @@ def test_o5_exact_quantiles_refinement_path():
         f"FROM '{sf}/events.parquet'"
     ).df().sort_values("q").reset_index(drop=True)
     assert (got["value"].to_numpy() == want["value"].to_numpy()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_o5_heavy_duplicate_value_never_pulls_unbounded(tmp_path):
+    """A value repeated more often than cap collapses the refinement
+    range onto itself; the quantile must come back exact with NO
+    candidate pull of the duplicate mass."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ccrawler_ray.relational import o5_exact_quantiles
+
+    vals = [7.5] * 5000 + list(np.linspace(100.0, 200.0, 100))
+    pq.write_table(pa.table({"value": pa.array(vals, pa.float64())}),
+                   tmp_path / "events.parquet")
+    out = o5_exact_quantiles(str(tmp_path), quants=(0.5, 0.99), cap=50)
+    got = dict(zip(out["q"], out["value"]))
+    n = len(vals)
+    s = sorted(vals)
+    assert got[0.5] == s[int(np.ceil(0.5 * n)) - 1] == 7.5
+    assert got[0.99] == s[int(np.ceil(0.99 * n)) - 1]
