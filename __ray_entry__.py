@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": T.token_count,
         "token_count_bpe": T.token_count_bpe,
         "quality_score": T.quality_score,
+        "tfidf_topk": T.tfidf_topk,
         "lang_id": T.lang_id,
         "doc_fingerprint": T.doc_fingerprint,
         # --- dedup toolkit
@@ -464,6 +465,24 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             r"SELECT doc_id, CAST(len(regexp_split_to_array(text,'\s+')) AS BIGINT)"
             " AS n_tokens FROM documents"
+        ),
+        "tfidf_topk": (
+            # linear idf (tf*N/df, floor-scaled): integer-exact in both
+            # engines; ln() would not be bit-reproducible
+            r"WITH tok AS (SELECT doc_id, "
+            r"unnest(regexp_split_to_array(text, '\s+')) AS term "
+            "FROM documents WHERE trim(text) <> ''), "
+            "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM tok GROUP BY 1, 2), "
+            "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df "
+            "FROM tf GROUP BY 1), "
+            "nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents), "
+            "s AS (SELECT tf.doc_id, tf.term, (tf.tf*nd.nd*10000)//df.df "
+            "AS sc FROM tf JOIN df ON tf.term = df.term CROSS JOIN nd) "
+            "SELECT doc_id, term, sc/10000.0 AS score, rank FROM ("
+            "SELECT doc_id, term, sc, CAST(row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY sc DESC, term) AS BIGINT) AS rank "
+            "FROM s) WHERE rank <= 3"
         ),
         "token_count_bpe": (
             r"SELECT doc_id, CAST(len(regexp_extract_all(text,"

@@ -160,3 +160,91 @@ def doc_fingerprint(sf_dir: str, k: int = 8):
         return pd.DataFrame({"doc_id": df["doc_id"], "fingerprint": np.array(fps, dtype=np.uint64)})
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def tfidf_topk(sf_dir: str, k: int = 3):
+    """Top-k most characteristic terms per doc by an integer-exact
+    tf-idf score: score = tf * N / df, floor-scaled to 4 decimals
+    (LINEAR idf, not log — ln() is not bit-reproducible across
+    engines, integer arithmetic is). Ties break on term ascending.
+
+    Scale shape: the map side emits one row per DISTINCT (doc, term)
+    with its in-doc count (pd.factorize + lexsort run-length — no
+    per-doc Python loop; a doc never spans batches so batch-local rows
+    are globally distinct). Document frequency is ONE coarse-salted
+    groupby on the term (each term entirely inside one salt group:
+    group size == df), which emits scored rows; a second doc-salted
+    groupby picks each doc's top k. Nothing unbounded on the driver.
+    """
+    from ccrawler_ray.functions.dedup import word_hashes
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata count — no scan
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        dids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        words_per_doc = [t.split() for t in texts]
+        lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64,
+                           count=len(texts))
+        flat = [w for ws in words_per_doc for w in ws]
+        if not flat:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "term": pa.array([], pa.string()),
+                 "tf": pa.array([], pa.int64()),
+                 "t_salt": pa.array([], pa.int32())})
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+        doc_idx = np.repeat(np.arange(len(texts)), lens)
+        order = np.lexsort((codes, doc_idx))
+        d, c = doc_idx[order], codes[order]
+        first = np.r_[True, (d[1:] != d[:-1]) | (c[1:] != c[:-1])]
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.r_[starts, len(d)])
+        terms = uniq[c[starts]]
+        salts = (word_hashes(list(terms)) % np.uint64(64)).astype(np.int32)
+        return pa.table(
+            {"doc_id": pa.array(dids[d[starts]].astype(np.int64)),
+             "term": pa.array(terms, pa.string()),
+             "tf": pa.array(tf.astype(np.int64)),
+             "t_salt": pa.array(salts)})
+
+    def score_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "term": pd.Series(dtype="object"),
+                 "sc": pd.Series(dtype="int64"),
+                 "d_salt": pd.Series(dtype="int32")})
+        # rows are distinct (doc, term): per-term group size == df
+        dfreq = df.groupby("term", sort=False)["doc_id"].transform("size")
+        sc = (df["tf"].to_numpy() * np.int64(n_docs) * 10_000
+              // dfreq.to_numpy())
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(),
+             "term": df["term"].to_numpy(),
+             "sc": sc.astype(np.int64),
+             "d_salt": (df["doc_id"].to_numpy() % 64).astype(np.int32)})
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "term": pd.Series(dtype="object"),
+                 "score": pd.Series(dtype="float64"),
+                 "rank": pd.Series(dtype="int64")})
+        df = df.sort_values(["doc_id", "sc", "term"],
+                            ascending=[True, False, True])
+        g = df.groupby("doc_id", sort=False)
+        out = g.head(k).copy()
+        out["rank"] = out.groupby("doc_id", sort=False).cumcount() + 1
+        return pd.DataFrame(
+            {"doc_id": out["doc_id"].astype(np.int64),
+             "term": out["term"],
+             "score": out["sc"].to_numpy() / 10_000.0,
+             "rank": out["rank"].astype(np.int64)})
+
+    rows = ds.map_batches(tf_rows, batch_format="pyarrow")
+    scored = rows.groupby("t_salt").map_groups(score_rows,
+                                               batch_format="pandas")
+    return scored.groupby("d_salt").map_groups(topk, batch_format="pandas")
