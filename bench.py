@@ -136,6 +136,7 @@ QUERY_SUITE = [
     "g5_hll_distinct",
     "j6_range_join",
     "dedup_ngram_spans",
+    "tfidf_topk",
 ]
 
 
