@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": T.token_count_bpe,
         "quality_score": T.quality_score,
         "tfidf_topk": T.tfidf_topk,
+        "char_entropy": T.char_entropy,
         "lang_id": T.lang_id,
         "doc_fingerprint": T.doc_fingerprint,
         # --- dedup toolkit
@@ -218,6 +219,9 @@ def _serial_oracles() -> dict[str, str]:
     return {
         "doc_fingerprint": V(SR.doc_fingerprint(),
                              {"doc_id": "BIGINT", "fingerprint": "UBIGINT"}),
+        "char_entropy": V(SR.char_entropy(),
+                          {"doc_id": "BIGINT", "n_cp": "BIGINT",
+                           "n_unique_cp": "BIGINT", "entropy": "DOUBLE"}),
         "dedup_simhash": V(SR.dedup_simhash(max_hamming=3),
                            {**pair_d, "hamming": "BIGINT"}),
         "dedup_minhash_lsh": V(SR.dedup_minhash_lsh(threshold=0.8),

@@ -248,3 +248,39 @@ def tfidf_topk(sf_dir: str, k: int = 3):
     scored = rows.groupby("t_salt").map_groups(score_rows,
                                                batch_format="pandas")
     return scored.groupby("d_salt").map_groups(topk, batch_format="pandas")
+
+
+def char_entropy(sf_dir: str):
+    """Per-doc Shannon entropy over codepoints — the cheap
+    gibberish/boilerplate signal (natural text ~4-4.5 bits, repeated
+    padding much lower). Returns (doc_id, n_cp, n_unique_cp, entropy)
+    with entropy floor-scaled to 4 decimals.
+
+    Bit-reproducibility: the per-doc codepoint histogram is built from
+    the UTF-32 view (vectorized np.unique, SORTED by codepoint) and the
+    -p*log2(p) sum runs in that sorted order — the serial oracle uses
+    the identical formula and order, so the doubles are bitwise equal.
+    """
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        dids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_cp = np.empty(len(dids), dtype=np.int64)
+        n_uq = np.empty(len(dids), dtype=np.int64)
+        ent = np.empty(len(dids), dtype=np.float64)
+        for i, text in enumerate(batch.column("text").to_pylist()):
+            cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+            n_cp[i] = len(cps)
+            if not len(cps):
+                n_uq[i] = 0
+                ent[i] = 0.0
+                continue
+            _, counts = np.unique(cps, return_counts=True)
+            n_uq[i] = len(counts)
+            p = counts / float(len(cps))
+            ent[i] = np.floor(-(p * np.log2(p)).sum() * 10_000) / 10_000
+        return pa.table({"doc_id": pa.array(dids.astype(np.int64)),
+                         "n_cp": pa.array(n_cp), "n_unique_cp": pa.array(n_uq),
+                         "entropy": pa.array(ent)})
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -594,3 +594,22 @@ def o6_weighted_sample(sf_dir: str | None = None, n: int = 50,
     t = t.assign(key=u ** (1.0 / w))
     out = t.sort_values(["key", "doc_id"], ascending=[False, True]).head(n)
     return out[["doc_id", "lang", "n_chars"]].reset_index(drop=True)
+
+
+def char_entropy(sf_dir: str | None = None) -> pd.DataFrame:
+    """Serial mirror of functions.text.char_entropy — identical
+    histogram (sorted codepoints) and summation order, so the doubles
+    are bitwise equal to the engine's."""
+    ids, texts = _docs(sf_dir or oracle_sf_dir())
+    rows = []
+    for did, text in zip(ids, texts):
+        cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+        if not len(cps):
+            rows.append((did, 0, 0, 0.0))
+            continue
+        _, counts = np.unique(cps, return_counts=True)
+        p = counts / float(len(cps))
+        ent = float(np.floor(-(p * np.log2(p)).sum() * 10_000) / 10_000)
+        rows.append((did, len(cps), len(counts), ent))
+    return pd.DataFrame(rows,
+                        columns=["doc_id", "n_cp", "n_unique_cp", "entropy"])
