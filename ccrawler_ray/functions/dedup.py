@@ -1003,6 +1003,8 @@ def dedup_ngram_spans(sf_dir: str, n: int = 5, min_docs: int = 2):
         valid = doc_idx[:nw] == doc_idx[n - 1: n - 1 + nw]
         wdoc = doc_idx[:nw][valid]
         wh = acc[valid]
+        if not len(wdoc):  # >= n tokens in total but none in one doc
+            return empty_rows
         # distinct (doc, hash) + position counts via one lexsort
         order = np.lexsort((wh, wdoc))
         wd, whs = wdoc[order], wh[order]

@@ -734,12 +734,27 @@ def o5_exact_quantiles(sf_dir: str, quants: tuple = (0.5, 0.95, 0.99),
         return pd.DataFrame({"q": pd.Series(dtype="float64"),
                              "value": pd.Series(dtype="float64")})
 
-    def hist_rows(lo: float, hi: float, nb: int):
+    def _mask(v: np.ndarray, lo: float, hi: float, closed_hi: bool):
+        # ranges are half-open [lo, hi) except while the selection
+        # keeps descending through TOP bins, where hi is the true
+        # global max and stays inclusive — without this, duplicates
+        # sitting exactly on a selected bin's upper edge would ride
+        # along into the final pull and blow the <= cap contract
+        return (v >= lo) & ((v <= hi) if closed_hi else (v < hi))
+
+    hist_cache: dict = {}  # (lo, hi, closed_hi) -> (hist, edges);
+    # shared across quantiles so the identical first full-range pass
+    # runs ONCE, not once per quantile
+
+    def hist_rows(lo: float, hi: float, closed_hi: bool, nb: int):
+        key = (lo, hi, closed_hi)
+        if key in hist_cache:
+            return hist_cache[key]
         edges = np.linspace(lo, hi, nb + 1)
 
         def part(batch: pa.Table) -> pa.Table:
             v = batch.column("value").to_numpy(zero_copy_only=False)
-            v = v[(v >= lo) & (v <= hi)]
+            v = v[_mask(v, lo, hi, closed_hi)]
             b = np.clip(np.searchsorted(edges, v, side="right") - 1, 0, nb - 1)
             cnt = np.bincount(b, minlength=nb)
             nz = np.flatnonzero(cnt)
@@ -751,12 +766,13 @@ def o5_exact_quantiles(sf_dir: str, quants: tuple = (0.5, 0.95, 0.99),
                 batch_format="pyarrow"):
             np.add.at(out, t.column("bin").to_numpy(),
                       t.column("cnt").to_numpy())
+        hist_cache[key] = (out, edges)
         return out, edges
 
-    def pull_sorted(lo: float, hi: float) -> np.ndarray:
+    def pull_sorted(lo: float, hi: float, closed_hi: bool) -> np.ndarray:
         def filt(batch: pa.Table) -> pa.Table:
             v = batch.column("value").to_numpy(zero_copy_only=False)
-            return pa.table({"value": pa.array(v[(v >= lo) & (v <= hi)])})
+            return pa.table({"value": pa.array(v[_mask(v, lo, hi, closed_hi)])})
 
         rows = vals.map_batches(filt, batch_format="pyarrow").take_all()
         return np.sort(np.array([r["value"] for r in rows]))
@@ -765,22 +781,23 @@ def o5_exact_quantiles(sf_dir: str, quants: tuple = (0.5, 0.95, 0.99),
     for q in quants:
         k = int(np.ceil(q * n - 1e-9))          # 1-based global rank
         lo, hi, in_range = gmin, gmax, n
+        closed_hi = True                         # [gmin, gmax] is closed
         for _ in range(8):                       # 1024^8 >> any n
             if in_range <= cap or lo == hi:
                 break
-            hist, edges = hist_rows(lo, hi, bins)
+            hist, edges = hist_rows(lo, hi, closed_hi, bins)
             cum = np.cumsum(hist)
             b = int(np.searchsorted(cum, k))     # first bin with cum >= k
             k -= int(cum[b - 1]) if b else 0
             in_range = int(hist[b])
-            # keep [lo,hi] closed: the last edge is inclusive above
             lo, hi = float(edges[b]), float(edges[b + 1])
+            closed_hi = closed_hi and b == bins - 1
         if lo == hi:
             # a value repeated > cap times collapses the range onto
             # itself — the answer is known WITHOUT any driver pull
             rows.append((q, lo))
             continue
-        cand = pull_sorted(lo, hi)
+        cand = pull_sorted(lo, hi, closed_hi)
         rows.append((q, float(cand[k - 1])))
     return pd.DataFrame(rows, columns=["q", "value"])
 

@@ -209,3 +209,24 @@ def test_ngram_spans_cross_doc_semantics(tmp_path):
     assert out.loc[3, "dup_windows"] == 0 and out.loc[3, "n_windows"] == 11
     # docs with < n tokens emit no row
     assert 4 not in out.index
+
+
+def test_ngram_spans_all_short_docs_batch(tmp_path):
+    """A batch whose docs together have >= n tokens but where NO single
+    doc reaches n tokens must yield an empty result, not an IndexError
+    (every window crosses a doc boundary)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ccrawler_ray.functions.dedup import dedup_ngram_spans
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a b c d", "e f g", "h i j k"]),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["t"] * 3),
+        "n_chars": pa.array([7, 5, 7], pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = dedup_ngram_spans(str(tmp_path), n=5, min_docs=2).to_pandas()
+    assert len(out) == 0

@@ -126,3 +126,28 @@ def test_o5_heavy_duplicate_value_never_pulls_unbounded(tmp_path):
     s = sorted(vals)
     assert got[0.5] == s[int(np.ceil(0.5 * n)) - 1] == 7.5
     assert got[0.99] == s[int(np.ceil(0.99 * n)) - 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_o5_edge_aligned_duplicates_stay_exact(tmp_path):
+    """Duplicate mass sitting exactly on a refinement bin edge belongs
+    to the bin ABOVE the edge; the half-open range bookkeeping must
+    keep ranks exact on both sides of it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ccrawler_ray.relational import o5_exact_quantiles
+
+    # range [0, 1024] with 1024 bins puts edges on integers; pile
+    # duplicates exactly on the inner edge 512.0
+    vals = [0.0, 1024.0] + list(np.linspace(1.0, 511.0, 200)) + [512.0] * 3000 \
+        + list(np.linspace(513.0, 1023.0, 200))
+    pq.write_table(pa.table({"value": pa.array(vals, pa.float64())}),
+                   tmp_path / "events.parquet")
+    n = len(vals)
+    s = sorted(vals)
+    quants = (0.05, 0.5, 0.97)
+    out = o5_exact_quantiles(str(tmp_path), quants=quants, cap=100)
+    got = dict(zip(out["q"], out["value"]))
+    for q in quants:
+        assert got[q] == s[int(np.ceil(q * n)) - 1], q
