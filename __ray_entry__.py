@@ -138,6 +138,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # radius-derived blocking guarantees full recall (ADVICE r1)
         "dedup_simhash": lambda sf: D.dedup_simhash(sf, max_hamming=3),
         "dedup_ngram_spans": lambda sf: D.dedup_ngram_spans(sf, n=5, min_docs=2),
+        # bench_mod=13: smallest eval set whose near-dup twin in the
+        # training split actually trips the contaminated flag at sf0.01
+        "decontaminate_overlap": lambda sf: D.decontaminate_overlap(
+            sf, n=5, min_overlap=2, bench_mod=13),
         "dedup_embedding_cosine": lambda sf: D.dedup_embedding_cosine(sf, threshold=0.4),
         "dedup_embedding_lsh": lambda sf: D.dedup_embedding_lsh(sf, threshold=0.4),
         # --- similarity search
@@ -251,6 +255,11 @@ def _serial_oracles() -> dict[str, str]:
             "greatest(d.n_chars,1))/10000 <= 0.3 "
             "AND s.dup_ratio <= 0.5"
         ),
+        "decontaminate_overlap": V(SR.decontaminate_overlap(
+                                       n=5, min_overlap=2, bench_mod=13),
+                                   {"doc_id": "BIGINT", "n_windows": "BIGINT",
+                                    "n_overlap": "BIGINT",
+                                    "contaminated": "BOOLEAN"}),
         "o3_sample_hash": V(SR.o3_sample_hash(),
                             {"doc_id": "BIGINT", "lang": "VARCHAR"}),
         "o4_stratified_sample": V(SR.o4_stratified_sample(),

@@ -1062,3 +1062,81 @@ def dedup_ngram_spans(sf_dir: str, n: int = 5, min_docs: int = 2):
         per_hash_group, batch_format="pandas")
     return partials.groupby("d_salt").map_groups(
         per_doc, batch_format="pandas")
+
+
+def decontaminate_overlap(sf_dir: str, n: int = 5, min_overlap: int = 2,
+                          bench_mod: int = 97):
+    """Benchmark decontamination: for every training doc, count its
+    distinct token n-grams that also appear in the EVAL set (docs with
+    ``doc_id % bench_mod == 0`` — the deterministic stand-in for a
+    held-out benchmark), and flag docs at >= ``min_overlap`` as
+    contaminated. The standard pre-training leakage check.
+
+    Scale shape: the eval set is SMALL by construction, so its n-gram
+    hash set is built once on the driver and broadcast via ``ray.put``
+    (sorted uint64 array, searchsorted probes) — the training-side scan
+    is a single map_batches with NO shuffle at all. Returns
+    (doc_id, n_windows, n_overlap, contaminated) for non-eval docs.
+    """
+
+    pows = _roll_powers(n)
+
+    def _window_hash_list(texts: list) -> list:
+        """Per-text array of DISTINCT window hashes (engine formula)."""
+        out = []
+        for t in texts:
+            ws = t.split()
+            h = word_hashes(ws)
+            if len(h) < n:
+                out.append(np.empty(0, dtype=np.uint64))
+                continue
+            acc = np.zeros(len(h) - n + 1, dtype=np.uint64)
+            for j in range(n):
+                acc += h[j: len(h) - n + 1 + j] * pows[j]
+            out.append(np.unique(acc))
+        return out
+
+    # eval side: batch-side filter so ONLY eval rows reach the driver
+    # (a real pipeline reads the benchmark from its own small table)
+    def only_bench(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(d % bench_mod == 0))
+
+    bench_rows = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+        .map_batches(only_bench, batch_format="pyarrow")
+        .take_all()
+    )
+    bench_hashes = np.unique(np.concatenate(
+        [np.empty(0, dtype=np.uint64)]
+        + _window_hash_list([r["text"] for r in bench_rows])
+    ))
+    bench_ref = ray.put(bench_hashes)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        dids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = (dids % bench_mod) != 0
+        dids = dids[keep]
+        texts = [t for t, m in zip(batch.column("text").to_pylist(), keep)
+                 if m]
+        bh = ray.get(bench_ref)
+        nw = np.empty(len(texts), dtype=np.int64)
+        ov = np.empty(len(texts), dtype=np.int64)
+        for i, whs in enumerate(_window_hash_list(texts)):
+            nw[i] = len(whs)
+            if len(whs) and len(bh):
+                idx = np.searchsorted(bh, whs)
+                idx[idx == len(bh)] = 0
+                ov[i] = int((bh[idx] == whs).sum())
+            else:
+                ov[i] = 0
+        return pa.table(
+            {"doc_id": pa.array(dids.astype(np.int64)),
+             "n_windows": pa.array(nw), "n_overlap": pa.array(ov),
+             "contaminated": pa.array(ov >= min_overlap)})
+
+    return ds.map_batches(scan, batch_format="pyarrow")

@@ -613,3 +613,37 @@ def char_entropy(sf_dir: str | None = None) -> pd.DataFrame:
         rows.append((did, len(cps), len(counts), ent))
     return pd.DataFrame(rows,
                         columns=["doc_id", "n_cp", "n_unique_cp", "entropy"])
+
+
+def decontaminate_overlap(sf_dir: str | None = None, n: int = 5,
+                          min_overlap: int = 2,
+                          bench_mod: int = 97) -> pd.DataFrame:
+    """Serial mirror of functions.dedup.decontaminate_overlap: same
+    rolling window hashes; the eval n-gram set is a plain Python set."""
+    ids, texts = _docs(sf_dir or oracle_sf_dir())
+    mod = 1 << 64
+    pows = [pow(0x9E3779B97F4A7C15, n - 1 - j, mod) for j in range(n)]
+
+    def whashes(text: str) -> set:
+        hs = [_whash(w) for w in text.split()]
+        out = set()
+        for i in range(len(hs) - n + 1):
+            v = 0
+            for j in range(n):
+                v = (v + hs[i + j] * pows[j]) % mod
+            out.add(v)
+        return out
+
+    bench: set = set()
+    for did, t in zip(ids, texts):
+        if did % bench_mod == 0:
+            bench |= whashes(t)
+    rows = []
+    for did, t in zip(ids, texts):
+        if did % bench_mod == 0:
+            continue
+        ws = whashes(t)
+        ov = len(ws & bench)
+        rows.append((did, len(ws), ov, ov >= min_overlap))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_windows", "n_overlap", "contaminated"])

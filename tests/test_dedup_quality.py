@@ -230,3 +230,35 @@ def test_ngram_spans_all_short_docs_batch(tmp_path):
     pq.write_table(t, tmp_path / "documents.parquet")
     out = dedup_ngram_spans(str(tmp_path), n=5, min_docs=2).to_pandas()
     assert len(out) == 0
+
+
+def test_decontaminate_overlap_semantics(tmp_path):
+    """decontaminate_overlap counts DISTINCT training-doc 5-grams that
+    also occur in the eval split (doc_id % bench_mod == 0): a verbatim
+    copy of an eval passage is contaminated, unique text scores 0, and
+    eval docs themselves emit no row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ccrawler_ray.functions.dedup import decontaminate_overlap
+
+    passage = "the quick brown fox jumps over the lazy dog tonight"  # 10 tok
+    uniq = " ".join(f"u{i}" for i in range(10))
+    t = pa.table({
+        # doc 0 is the eval doc (0 % 5 == 0); 1 copies its passage
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([passage, f"lead0 lead1 {passage}", uniq, "short"]),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["t"] * 4),
+        "n_chars": pa.array([0] * 4, pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = (decontaminate_overlap(str(tmp_path), n=5, min_overlap=2,
+                                 bench_mod=5)
+           .to_pandas().set_index("doc_id"))
+    assert 0 not in out.index  # eval rows excluded from the output
+    # the 10-token shared passage contributes its 6 distinct 5-grams
+    assert out.loc[1, "n_overlap"] == 6 and bool(out.loc[1, "contaminated"])
+    assert out.loc[2, "n_overlap"] == 0 and not bool(out.loc[2, "contaminated"])
+    # sub-n-token docs have zero windows and are clean
+    assert out.loc[3, "n_windows"] == 0 and out.loc[3, "n_overlap"] == 0
