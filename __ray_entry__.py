@@ -105,6 +105,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w2_sessionize": R.w2_sessionize,
         "w3_tumbling_window": R.w3_tumbling_window,
         "w4_sliding_window": R.w4_sliding_window,
+        "w5_lag_lead": R.w5_lag_lead,
+        "g10_pivot": R.g10_pivot,
+        "o7_wordcount_topk": R.o7_wordcount_topk,
         "q3_shipping_priority": R.q3_shipping_priority,
         # --- sorts / top-k (O-rows)
         "o1_global_sort": R.o1_global_sort,
@@ -438,6 +441,33 @@ def oracle_sql() -> dict[str, str]:
             f"{_USUM('value')} AS sum_value "
             "FROM events CROSS JOIN "
             "(SELECT unnest(generate_series(0, 3)) AS i) g GROUP BY 1"
+        ),
+        "w5_lag_lead": (
+            "SELECT event_id, user_id, "
+            "CAST(COALESCE(epoch_us(ts) - epoch_us(lag(ts) OVER w), -1) "
+            "AS BIGINT) AS gap_us, "
+            "COALESCE(lead(value) OVER w, -1.0) AS next_value "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "g10_pivot": (
+            "SELECT source, "
+            "CAST(sum(CASE WHEN lang='de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de, "
+            "CAST(sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en, "
+            "CAST(sum(CASE WHEN lang='es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es, "
+            "CAST(sum(CASE WHEN lang='fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr, "
+            "CAST(sum(CASE WHEN lang='zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh, "
+            "CAST(sum(CASE WHEN lang NOT IN ('de','en','es','fr','zh') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_other, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY source"
+        ),
+        "o7_wordcount_topk": (
+            r"WITH tok AS (SELECT unnest(regexp_split_to_array(text, '\s+')) "
+            "AS term FROM documents WHERE trim(text) <> ''), "
+            "g AS (SELECT term, CAST(count(*) AS BIGINT) AS n "
+            "FROM tok GROUP BY term) "
+            "SELECT term, n FROM g ORDER BY n DESC, term LIMIT 20"
         ),
         "q3_shipping_priority": (
             "SELECT l_orderkey, "

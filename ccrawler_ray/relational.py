@@ -1057,3 +1057,136 @@ def g9_rollup(sf_dir: str):
     out["revenue"] = out.pop("rev_u") / (MICRO * 1.0)
     out["n"] = out["n"].astype("int64")
     return out[["l_returnflag", "l_linestatus", "n", "revenue"]]
+
+
+# ---------------------------------------------------------------------------
+# W5: lag/lead window — per-user previous-event gap and next-event
+# value. Same salted per-user shuffle as W2; the in-group kernel is
+# one sort + vectorized shifts over ALL users in the salt group.
+# ---------------------------------------------------------------------------
+
+
+def w5_lag_lead(sf_dir: str):
+    """Per event: microseconds since the user's previous event
+    (``gap_us``, -1 for the user's first event) and the user's next
+    event value (``next_value``, -1.0 for the last). No arithmetic on
+    the carried value, so float equality with the oracle is exact."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "u_salt", pa.array((u % 64).astype(np.int32)))
+
+    def per_salt(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "user_id": pd.Series(dtype="int64"),
+                 "gap_us": pd.Series(dtype="int64"),
+                 "next_value": pd.Series(dtype="float64")})
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        val = df["value"].to_numpy()
+        same_prev = np.r_[False, uid[1:] == uid[:-1]]
+        gap = np.full(len(df), -1, dtype=np.int64)
+        gap[same_prev] = (ts - np.r_[0, ts[:-1]])[same_prev]
+        nxt = np.full(len(df), -1.0, dtype=np.float64)
+        same_next = np.r_[uid[1:] == uid[:-1], False]
+        nxt[same_next] = np.r_[val[1:], 0.0][same_next]
+        return pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy(), "user_id": uid,
+             "gap_us": gap, "next_value": nxt})
+
+    return (
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby("u_salt")
+        .map_groups(per_salt, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G10: pivot (conditional aggregation) — one output row per source,
+# one count column per language. The map side crosstabs each batch
+# (already-wide partials), so the shuffle carries |sources| × 7 ints,
+# never the fact rows.
+# ---------------------------------------------------------------------------
+
+_PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def g10_pivot(sf_dir: str):
+    """Docs per source pivoted by lang (fixed column set; unexpected
+    langs land in n_other) plus total chars across all langs."""
+    ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        known = df["lang"].where(df["lang"].isin(_PIVOT_LANGS), "other")
+        w = pd.crosstab(df["source"], known)
+        for lang in (*_PIVOT_LANGS, "other"):
+            if lang not in w.columns:
+                w[lang] = 0
+        w = w.rename(columns={l: f"n_{l}" for l in (*_PIVOT_LANGS, "other")})
+        w["sum_chars"] = df.groupby("source")["n_chars"].sum()
+        cols = [f"n_{l}" for l in (*_PIVOT_LANGS, "other")] + ["sum_chars"]
+        return w[cols].astype("int64").reset_index()
+
+    aggs = [Sum(f"n_{l}", alias_name=f"n_{l}")
+            for l in (*_PIVOT_LANGS, "other")]
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(*aggs, Sum("sum_chars", alias_name="sum_chars"))
+    )
+    cols = ["source"] + [f"n_{l}" for l in (*_PIVOT_LANGS, "other")] \
+        + ["sum_chars"]
+    return out.select_columns(cols)
+
+
+# ---------------------------------------------------------------------------
+# O7: global word-count top-k. Map side pre-aggregates per-batch term
+# counts (factorize — no Python loop); terms shuffle once into coarse
+# hash-salt groups; each group emits only its LOCAL top-k (safe: a
+# term lives entirely inside one salt group), so the driver sees at
+# most salts×k rows for the final exact sort.
+# ---------------------------------------------------------------------------
+
+
+def o7_wordcount_topk(sf_dir: str, k: int = 20):
+    """Top-k whitespace-delimited terms by global count; ties break on
+    term ascending."""
+    from ccrawler_ray.functions.dedup import word_hashes
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        flat = [w for t in texts for w in t.split()]
+        if not flat:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "t_salt": pa.array([], pa.int32())})
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        salts = (word_hashes(list(uniq)) % np.uint64(64)).astype(np.int32)
+        return pa.table({"term": pa.array(uniq, pa.string()),
+                         "n": pa.array(cnt),
+                         "t_salt": pa.array(salts)})
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"term": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        g = df.groupby("term", as_index=False)["n"].sum()
+        g = g.sort_values(["n", "term"], ascending=[False, True])
+        return g.head(k).astype({"n": "int64"})
+
+    cand = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("t_salt")
+        .map_groups(local_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    cand = cand.sort_values(["n", "term"], ascending=[False, True])
+    return cand.head(k).reset_index(drop=True)
