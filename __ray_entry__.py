@@ -70,6 +70,7 @@ def _crawl_docs_out(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from ccrawler_ray import relational as R
     from ccrawler_ray.functions import dedup as D
+    from ccrawler_ray.functions import graph as G
     from ccrawler_ray.functions import multimodal as M
     from ccrawler_ray.functions import similarity as S
     from ccrawler_ray.functions import sketch as SK
@@ -127,6 +128,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": T.quality_score,
         "tfidf_topk": T.tfidf_topk,
         "char_entropy": T.char_entropy,
+        "search_bm25": T.search_bm25,
+        # --- iterative graph analytics
+        "link_pagerank": G.link_pagerank,
         "lang_id": T.lang_id,
         "doc_fingerprint": T.doc_fingerprint,
         # --- dedup toolkit
@@ -231,6 +235,12 @@ def _serial_oracles() -> dict[str, str]:
                            "n_unique_cp": "BIGINT", "entropy": "DOUBLE"}),
         "dedup_simhash": V(SR.dedup_simhash(max_hamming=3),
                            {**pair_d, "hamming": "BIGINT"}),
+        "search_bm25": V(SR.search_bm25(),
+                         {"doc_id": "BIGINT", "score": "DOUBLE",
+                          "rank": "BIGINT"}),
+        "link_pagerank": V(SR.link_pagerank(),
+                           {"doc_id": "BIGINT", "rank_u": "BIGINT",
+                            "rank": "DOUBLE"}),
         "dedup_minhash_lsh": V(SR.dedup_minhash_lsh(threshold=0.8),
                                {**pair_d, "est_jaccard": "DOUBLE"}),
         "dedup_lsh_verified": V(SR.dedup_lsh_verified(threshold=0.8),

@@ -1,0 +1,123 @@
+"""Iterative link-graph analytics (PageRank) as a Ray Data pipeline.
+
+The operator runs over any ``(src, dst, outdeg)`` edge Dataset; the
+``queries()`` entry instantiates it on a deterministic preferential-
+attachment graph derived from the documents table (the crawl corpus's
+own href expander has uniform in-degree by construction, which would
+make PageRank trivially flat).
+
+Graph spec (FROZEN — mirrored bit-for-bit in serial_ref.link_pagerank):
+  node i in 0..n-1; for i > 0 the raw targets are
+  ``splitmix64(4*i + k) % i`` for k in 1..3, deduplicated in k order;
+  node 0 has no outlinks (the dangling node). Links point strictly to
+  lower ids, so old pages accumulate in-links like the real web.
+
+PageRank runs in exact int64 micro-units (U = 1e12): teleport, damping
+and per-edge contributions are all floor-divided integers, so block
+summation order cannot change the result — the distributed run is
+bitwise equal to the serial oracle at any partitioning.
+
+Scale notes: the rank vector is driver/worker-resident by design
+(n × 8 bytes — fine to ~1e8 nodes; beyond that the same iteration
+works with ranks sharded by the dst hash instead of broadcast). Edges
+are materialized ONCE and re-scanned per iteration (the legitimate
+iterative-reuse case); per-block partials are pre-aggregated sparse
+(dst, contrib) pairs, so driver traffic per iteration is
+O(min(n, block_edges) × num_blocks), never O(edges).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+_U = 10**12          # rank mass scale (micro-micro units)
+_DAMP_NUM = 85       # damping 0.85 as an exact rational 85/100
+_DAMP_DEN = 100
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 (wrapping)."""
+    z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def pagerank_edges(sf_dir: str):
+    """Deterministic preferential-attachment edge Dataset
+    ``(src, dst, outdeg)`` over the documents table (doc_id column
+    only — column-pruned read). Node 0 emits no edges."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ids = ids[ids > 0].astype(np.int64)
+        if not len(ids):
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64()),
+                             "outdeg": pa.array([], pa.int64())})
+        u = ids.astype(np.uint64)
+        t1 = (_splitmix64(u * np.uint64(4) + np.uint64(1)) % u).astype(np.int64)
+        t2 = (_splitmix64(u * np.uint64(4) + np.uint64(2)) % u).astype(np.int64)
+        t3 = (_splitmix64(u * np.uint64(4) + np.uint64(3)) % u).astype(np.int64)
+        keep2 = t2 != t1
+        keep3 = (t3 != t1) & (t3 != t2)
+        od = 1 + keep2.astype(np.int64) + keep3.astype(np.int64)
+        src = np.concatenate([ids, ids[keep2], ids[keep3]])
+        dst = np.concatenate([t1, t2[keep2], t3[keep3]])
+        odeg = np.concatenate([od, od[keep2], od[keep3]])
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                         "outdeg": pa.array(odeg)})
+
+    return ds.map_batches(edges, batch_format="pyarrow")
+
+
+def link_pagerank(sf_dir: str, iters: int = 10, k_top: int = 100
+                  ) -> pd.DataFrame:
+    """Exact-integer PageRank over the frozen preferential graph.
+
+    Returns the top ``k_top`` nodes as (doc_id, rank_u, rank) ordered
+    by rank_u desc, doc_id asc — rank_u is the exact int64 mass,
+    rank = rank_u / 1e12 for readability.
+    """
+    n = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+    edges = pagerank_edges(sf_dir).materialize()
+
+    r = np.full(n, _U // n, dtype=np.int64)
+    for _ in range(iters):
+        ref = ray.put(r)
+
+        def contrib(batch: pa.Table, _ref=ref) -> pa.Table:
+            rr = ray.get(_ref)
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            od = batch.column("outdeg").to_numpy(zero_copy_only=False)
+            c = (np.int64(_DAMP_NUM) * rr[src]) // (np.int64(_DAMP_DEN) * od)
+            uniq, inv = np.unique(dst, return_inverse=True)
+            s = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(s, inv, c)
+            return pa.table({"dst": pa.array(uniq), "c": pa.array(s)})
+
+        # node 0 is the only dangling node by the frozen graph spec
+        dang_u = int(r[0])
+        base_u = (15 * _U) // (100 * n) + \
+            (_DAMP_NUM * dang_u) // (_DAMP_DEN * n)
+        r_new = np.full(n, base_u, dtype=np.int64)
+        for b in edges.map_batches(
+                contrib, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"):
+            np.add.at(r_new,
+                      b.column("dst").to_numpy(zero_copy_only=False),
+                      b.column("c").to_numpy(zero_copy_only=False))
+        r = r_new
+
+    out = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "rank_u": r})
+    out = out.sort_values(["rank_u", "doc_id"],
+                          ascending=[False, True]).head(k_top)
+    out["rank"] = out["rank_u"] / float(_U)
+    return out.reset_index(drop=True)

@@ -284,3 +284,102 @@ def char_entropy(sf_dir: str):
                          "entropy": pa.array(ent)})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search. Two narrow passes: pass 1 projects the heavy
+# text down to an int-only (doc_id, dl, tf_j...) table, materialized
+# once (O(n x m) ints, ~100 bytes/doc); corpus stats are a tiny
+# per-block partial sum; scoring + per-block top-k stream over the
+# projection, so the driver only ever sees num_blocks x k rows.
+#
+# Bit-reproducibility: scores are float64 but every input (tf, dl,
+# df, N, total_len) is an exact integer and the op ORDER is frozen
+# (see _bm25_score_cols) — serial_ref.search_bm25 evaluates the same
+# expressions in the same order, so the doubles are bitwise equal.
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_score_cols(tf: np.ndarray, dl: np.ndarray, idf: np.ndarray,
+                     n_docs: int, total_len: int) -> np.ndarray:
+    """FROZEN scoring kernel (shared shape with serial_ref): Lucene-
+    style BM25 with accumulation in query-term order."""
+    dln = dl.astype(np.float64) * float(n_docs) / float(total_len)
+    den_base = _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dln)
+    s = np.zeros(len(dl), dtype=np.float64)
+    for j in range(tf.shape[1]):
+        tfj = tf[:, j].astype(np.float64)
+        s += idf[j] * (tfj * (_BM25_K1 + 1.0)) / (tfj + den_base)
+    return s
+
+
+def search_bm25(sf_dir: str, terms: tuple = ("join", "vector", "spark", "fast"),
+                k: int = 20) -> pd.DataFrame:
+    """Global BM25 top-k docs for a fixed query-term set.
+
+    Returns (doc_id, score, rank) for the k best-scoring docs that
+    contain at least one query term; ties break on doc_id ascending.
+    """
+    m = len(terms)
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def tf_dl(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        dids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        words_per = [t.split() for t in texts]
+        dl = np.fromiter((len(w) for w in words_per), dtype=np.int64,
+                         count=len(texts))
+        tf = np.zeros((len(texts), m), dtype=np.int64)
+        if dl.sum():
+            flat = np.asarray([w for ws in words_per for w in ws],
+                              dtype=object)
+            didx = np.repeat(np.arange(len(texts)), dl)
+            for j, term in enumerate(terms):
+                hit = flat == term
+                if hit.any():
+                    np.add.at(tf[:, j], didx[hit], 1)
+        cols = {"doc_id": pa.array(dids.astype(np.int64)),
+                "dl": pa.array(dl)}
+        for j in range(m):
+            cols[f"tf_{j}"] = pa.array(tf[:, j])
+        return pa.table(cols)
+
+    inter = ds.map_batches(tf_dl, batch_format="pyarrow").materialize()
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        cols = {"n": pa.array([batch.num_rows], pa.int64()),
+                "tl": pa.array([int(np.sum(
+                    batch.column("dl").to_numpy(zero_copy_only=False)))],
+                    pa.int64())}
+        for j in range(m):
+            tfj = batch.column(f"tf_{j}").to_numpy(zero_copy_only=False)
+            cols[f"df_{j}"] = pa.array([int((tfj > 0).sum())], pa.int64())
+        return pa.table(cols)
+
+    stats = inter.map_batches(
+        stat_partial, batch_format="pyarrow").to_pandas().sum()
+    n_docs, total_len = int(stats["n"]), int(stats["tl"])
+    dfreq = np.array([stats[f"df_{j}"] for j in range(m)], dtype=np.int64)
+    idf = np.log((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        dids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        dl = batch.column("dl").to_numpy(zero_copy_only=False)
+        tf = np.stack([batch.column(f"tf_{j}").to_numpy(zero_copy_only=False)
+                       for j in range(m)], axis=1)
+        s = _bm25_score_cols(tf, dl, idf, n_docs, total_len)
+        keep = s > 0.0
+        dids, s = dids[keep], s[keep]
+        order = np.lexsort((dids, -s))[:k]
+        return pa.table({"doc_id": pa.array(dids[order].astype(np.int64)),
+                         "score": pa.array(s[order])})
+
+    cand = inter.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["score", "doc_id"],
+                            ascending=[False, True]).head(k)
+    cand = cand.reset_index(drop=True)
+    cand["rank"] = np.arange(1, len(cand) + 1, dtype=np.int64)
+    return cand

@@ -647,3 +647,82 @@ def decontaminate_overlap(sf_dir: str | None = None, n: int = 5,
         rows.append((did, len(ws), ov, ov >= min_overlap))
     return pd.DataFrame(
         rows, columns=["doc_id", "n_windows", "n_overlap", "contaminated"])
+
+
+def _splitmix64_int(x: int) -> int:
+    """Scalar splitmix64 (Python ints, wrapping at 2^64) — independent
+    implementation of functions.graph._splitmix64's frozen spec."""
+    mask = (1 << 64) - 1
+    z = (x + 0x9E3779B97F4A7C15) & mask
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+    return z ^ (z >> 31)
+
+
+def link_pagerank(sf_dir: str | None = None, iters: int = 10,
+                  k_top: int = 100) -> pd.DataFrame:
+    """Serial mirror of functions.graph.link_pagerank — same frozen
+    graph spec and exact int64 iteration, but built with Python ints
+    and dicts (genuinely independent: integer math is associative, so
+    the two implementations must agree bit-for-bit)."""
+    ids, _ = _docs(sf_dir or oracle_sf_dir())
+    n = len(ids)
+    U = 10**12
+    targets: dict[int, list[int]] = {}
+    for i in range(1, n):
+        ts: list[int] = []
+        for kk in (1, 2, 3):
+            t = _splitmix64_int(4 * i + kk) % i
+            if t not in ts:
+                ts.append(t)
+        targets[i] = ts
+    r = [U // n] * n
+    for _ in range(iters):
+        dang = r[0]
+        base = (15 * U) // (100 * n) + (85 * dang) // (100 * n)
+        new = [base] * n
+        for s, ts in targets.items():
+            c = (85 * r[s]) // (100 * len(ts))
+            for d in ts:
+                new[d] += c
+        r = new
+    out = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                        "rank_u": np.asarray(r, dtype=np.int64)})
+    out = out.sort_values(["rank_u", "doc_id"],
+                          ascending=[False, True]).head(k_top)
+    out["rank"] = out["rank_u"] / float(U)
+    return out.reset_index(drop=True)
+
+
+def search_bm25(sf_dir: str | None = None,
+                terms: tuple = ("join", "vector", "spark", "fast"),
+                k: int = 20) -> pd.DataFrame:
+    """Serial mirror of functions.text.search_bm25 — identical frozen
+    op order (_bm25_score_cols), exact-integer inputs, so the float64
+    scores are bitwise equal to the engine's."""
+    ids, texts = _docs(sf_dir or oracle_sf_dir())
+    m = len(terms)
+    tf = np.zeros((len(ids), m), dtype=np.int64)
+    dl = np.zeros(len(ids), dtype=np.int64)
+    for i, t in enumerate(texts):
+        ws = t.split()
+        dl[i] = len(ws)
+        for j, term in enumerate(terms):
+            tf[i, j] = ws.count(term)
+    n_docs, total_len = len(ids), int(dl.sum())
+    dfreq = (tf > 0).sum(axis=0).astype(np.int64)
+    idf = np.log((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+    dln = dl.astype(np.float64) * float(n_docs) / float(total_len)
+    den_base = 1.2 * (1.0 - 0.75 + 0.75 * dln)
+    s = np.zeros(len(ids), dtype=np.float64)
+    for j in range(m):
+        tfj = tf[:, j].astype(np.float64)
+        s += idf[j] * (tfj * (1.2 + 1.0)) / (tfj + den_base)
+    keep = s > 0.0
+    out = pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64)[keep],
+                        "score": s[keep]})
+    out = out.sort_values(["score", "doc_id"],
+                          ascending=[False, True]).head(k)
+    out = out.reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out
