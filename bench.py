@@ -137,6 +137,9 @@ QUERY_SUITE = [
     "j6_range_join",
     "dedup_ngram_spans",
     "tfidf_topk",
+    "o7_wordcount_topk",
+    "search_bm25",
+    "link_pagerank",
 ]
 
 
