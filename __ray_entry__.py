@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g5_hll_distinct": SK.g5_hll_distinct,
         "g7_quantile_hist": SK.g7_quantile_hist,
         "g8_grouped_quantiles": SK.g8_grouped_quantiles,
+        "g11_countmin_est": SK.g11_countmin_est,
         "g9_rollup": R.g9_rollup,
         # --- joins (J-rows)
         "j1_broadcast_join": R.j1_broadcast_join,
@@ -287,6 +288,8 @@ def _serial_oracles() -> dict[str, str]:
         "g8_grouped_quantiles": V(SR.g8_grouped_quantiles(),
                                   {"event_type": "VARCHAR", "q": "DOUBLE",
                                    "est_value": "DOUBLE"}),
+        "g11_countmin_est": V(SR.g11_countmin_est(),
+                              {"term": "VARCHAR", "est_n": "BIGINT"}),
         # mix pipeline: keep list from the serial CC oracle, the rest
         # pure SQL over documents (hybrid differential oracle)
         "dedup_filtered_docs": (

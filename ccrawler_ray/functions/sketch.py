@@ -181,3 +181,65 @@ def g8_grouped_quantiles(sf_dir: str):
         .repartition(1)
         .map_batches(reduce_all, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# G11: count-min sketch term-frequency estimation — the fixed-memory
+# scale path beside exact o7_wordcount_topk. Per-block partial = one
+# D×W int64 counter matrix (32 KiB) built with bincount; merge is
+# elementwise addition (order-independent ⇒ bitwise equal to the
+# serial mirror at any partitioning); point queries never touch rows.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4
+CMS_W = 1024
+# fixed query set: frequent terms + one absent probe ("zeppelin") to
+# show the sketch's one-sided error (estimate >= truth, 0 only if no
+# colliding mass)
+CMS_TERMS = ("join", "hash", "row", "batch", "scan", "vector", "spark",
+             "zeppelin")
+
+
+def cms_cols(whs: np.ndarray, row: int) -> np.ndarray:
+    """FROZEN column map (mirrored in serial_ref.g11_countmin_est):
+    splitmix64(word_hash + row + 1) mod W."""
+    from ccrawler_ray.functions.graph import _splitmix64
+
+    return (_splitmix64(whs + np.uint64(row + 1))
+            % np.uint64(CMS_W)).astype(np.int64)
+
+
+def g11_countmin_est(sf_dir: str):
+    """Estimated global counts for the fixed CMS_TERMS query set via a
+    merged count-min sketch over all document terms."""
+    from ccrawler_ray.functions.dedup import word_hashes
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        flat = [w for t in batch.column("text").to_pylist()
+                for w in t.split()]
+        cms = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        if flat:
+            whs = word_hashes(flat)
+            for r in range(CMS_D):
+                cms[r] = np.bincount(cms_cols(whs, r), minlength=CMS_W)
+        return pd.DataFrame({"cms": [cms.tobytes()]})
+
+    def reduce_all(df: pd.DataFrame) -> pd.DataFrame:
+        cms = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        for b in df["cms"]:
+            cms += np.frombuffer(b, dtype=np.int64).reshape(CMS_D, CMS_W)
+        qh = word_hashes(list(CMS_TERMS))
+        est = np.min(
+            np.stack([cms[r, cms_cols(qh, r)] for r in range(CMS_D)]),
+            axis=0)
+        return pd.DataFrame({"term": list(CMS_TERMS),
+                             "est_n": est.astype(np.int64)})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(reduce_all, batch_format="pandas")
+    )

@@ -726,3 +726,28 @@ def search_bm25(sf_dir: str | None = None,
     out = out.reset_index(drop=True)
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out
+
+
+def g11_countmin_est(sf_dir: str | None = None) -> pd.DataFrame:
+    """Serial mirror of functions.sketch.g11_countmin_est — one global
+    Counter pass, counts added at the same frozen splitmix64 columns
+    (integer sums are order-independent, so bitwise equal)."""
+    from collections import Counter
+
+    from ccrawler_ray.functions.sketch import CMS_D, CMS_TERMS, CMS_W
+
+    _, texts = _docs(sf_dir or oracle_sf_dir())
+    mask = (1 << 64) - 1
+    counts = Counter(w for t in texts for w in t.split())
+    cms = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for w, c in counts.items():
+        wh = _whash(w)
+        for r in range(CMS_D):
+            cms[r, _splitmix64_int((wh + r + 1) & mask) % CMS_W] += c
+    rows = []
+    for term in CMS_TERMS:
+        wh = _whash(term)
+        est = min(cms[r, _splitmix64_int((wh + r + 1) & mask) % CMS_W]
+                  for r in range(CMS_D))
+        rows.append((term, int(est)))
+    return pd.DataFrame(rows, columns=["term", "est_n"])

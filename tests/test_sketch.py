@@ -151,3 +151,34 @@ def test_o5_edge_aligned_duplicates_stay_exact(tmp_path):
     got = dict(zip(out["q"], out["value"]))
     for q in quants:
         assert got[q] == s[int(np.ceil(q * n)) - 1], q
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_g11_countmin_one_sided_and_partition_independent():
+    """CMS estimates never undercount, and elementwise-int merge means
+    block partitioning cannot change the bits (engine ≡ serial even
+    with tiny blocks)."""
+    import collections
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ccrawler_ray import serial_ref as SR
+    from ccrawler_ray.functions.sketch import g11_countmin_est
+
+    sf = "/root/testdata/sf0.001"
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 16 * 1024
+    try:
+        got = g11_countmin_est(sf).to_pandas()
+    finally:
+        ctx.target_max_block_size = old
+    want = SR.g11_countmin_est(sf)
+    assert (got["term"].to_numpy() == want["term"].to_numpy()).all()
+    assert (got["est_n"].to_numpy() == want["est_n"].to_numpy()).all()
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["text"])
+    exact = collections.Counter(
+        w for s in t.column("text").to_pylist() for w in s.split())
+    for _, r in got.iterrows():
+        assert r["est_n"] >= exact[r["term"]]
