@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- per-record maps / filters / scalar fns (M-rows)
         "m2_filter_validate": R.m2_filter_validate,
         "m9_content_hash": R.m9_content_hash,
+        "m10_normalize_text": R.m10_normalize_text,
         "scalar_string_ops": R.scalar_string_ops,
         # --- dedup (D-rows)
         "d1_exact_dedup": R.d1_exact_dedup,
@@ -336,6 +337,14 @@ def oracle_sql() -> dict[str, str]:
             "WHERE lang='en' AND n_chars>=100 AND n_chars<400"
         ),
         "m9_content_hash": "SELECT doc_id, md5(text) AS content_md5 FROM documents",
+        "m10_normalize_text": (
+            "SELECT doc_id, "
+            "trim(regexp_replace(lower(nfc_normalize(text)), "
+            r"'[ \t\n\f\r]+', ' ', 'g')) AS norm_text, "
+            "CAST(len(trim(regexp_replace(lower(nfc_normalize(text)), "
+            r"'[ \t\n\f\r]+', ' ', 'g'))) AS BIGINT) AS n_chars_norm "
+            "FROM documents"
+        ),
         "scalar_string_ops": (
             "SELECT doc_id, upper(lang) AS lang_u, substr(text,1,10) AS prefix10, "
             "source || ':' || lang AS src_tag FROM documents"

@@ -18,6 +18,7 @@ small pandas result); each has a matching DuckDB oracle SQL in
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -1190,3 +1191,34 @@ def o7_wordcount_topk(sf_dir: str, k: int = 20):
     )
     cand = cand.sort_values(["n", "term"], ascending=[False, True])
     return cand.head(k).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# M10: text normalization — the canonical pre-tokenization cleanup
+# (NFC, casefold-to-lower, whitespace collapse). Pure per-record map:
+# streams, never shuffles. The whitespace class is the explicit ASCII
+# set on BOTH sides (python re's \s matches unicode spaces, RE2's
+# does not — the explicit class keeps engine ≡ oracle on any input).
+# ---------------------------------------------------------------------------
+
+_WS_RE = re.compile(r"[ \t\n\f\r]+")
+
+
+def m10_normalize_text(sf_dir: str):
+    """Per doc: NFC-normalized, lowercased, whitespace-collapsed text
+    plus its codepoint length."""
+    import unicodedata
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        norm = [
+            _WS_RE.sub(" ", unicodedata.normalize("NFC", x).lower()).strip(" ")
+            for x in t.column("text").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "norm_text": pa.array(norm, pa.string()),
+             "n_chars_norm": pa.array([len(x) for x in norm], pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
