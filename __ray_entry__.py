@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o5_exact_quantiles": R.o5_exact_quantiles,
         "o6_weighted_sample": R.o6_weighted_sample,
         "o4_stratified_sample": R.o4_stratified_sample,
+        "o8_hash_split": R.o8_hash_split,
         # --- wide aggregate
         "q1_pricing_summary": R.q1_pricing_summary,
         # --- list explode (span analogue)
@@ -513,6 +514,13 @@ def oracle_sql() -> dict[str, str]:
         "o2_global_topk": (
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "o8_hash_split": (
+            "WITH b AS (SELECT doc_id, CAST(CAST(('0x' || "
+            "substr(md5(text),1,8)) AS UBIGINT) % 100 AS BIGINT) AS bucket "
+            "FROM documents) "
+            "SELECT doc_id, bucket, CASE WHEN bucket < 90 THEN 'train' "
+            "WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b"
         ),
         "q1_pricing_summary": (
             f"SELECT l_returnflag, l_linestatus, {_USUM('l_quantity')} AS sum_qty, "

@@ -1222,3 +1222,34 @@ def m10_normalize_text(sf_dir: str):
              "n_chars_norm": pa.array([len(x) for x in norm], pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# O8: deterministic train/val/test split — bucketed on a CONTENT hash
+# (md5 of the text, like m9) so the assignment is stable across
+# re-shuffles/re-partitions and identical near-duplicate payloads land
+# in the same split (the leakage-safe convention for training data).
+# Pure per-record map: streams, never shuffles.
+# ---------------------------------------------------------------------------
+
+SPLIT_TRAIN_LT = 90      # buckets 0..89  -> train
+SPLIT_VAL_LT = 95        # buckets 90..94 -> val; 95..99 -> test
+
+
+def o8_hash_split(sf_dir: str):
+    """Per doc: (doc_id, bucket, split) with bucket = first 8 hex
+    chars of md5(text) mod 100."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        buckets = np.fromiter(
+            (int(hashlib.md5(x.encode()).hexdigest()[:8], 16) % 100
+             for x in t.column("text").to_pylist()),
+            dtype=np.int64, count=t.num_rows)
+        split = np.where(buckets < SPLIT_TRAIN_LT, "train",
+                         np.where(buckets < SPLIT_VAL_LT, "val", "test"))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "bucket": pa.array(buckets),
+                         "split": pa.array(split.tolist(), pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
