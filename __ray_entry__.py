@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g7_quantile_hist": SK.g7_quantile_hist,
         "g8_grouped_quantiles": SK.g8_grouped_quantiles,
         "g11_countmin_est": SK.g11_countmin_est,
+        "g12_embedding_centroids": R.g12_embedding_centroids,
         "g9_rollup": R.g9_rollup,
         # --- joins (J-rows)
         "j1_broadcast_join": R.j1_broadcast_join,
@@ -528,6 +529,17 @@ def oracle_sql() -> dict[str, str]:
             f"{_USUM('l_extendedprice*(1-l_discount)')} AS sum_revenue, "
             "CAST(count(*) AS BIGINT) AS count_order "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "g12_embedding_centroids": (
+            "WITH e AS (SELECT vec_id, gs.i - 1 AS dim, "
+            "CAST(round(CAST(embedding[gs.i] AS DOUBLE)*1000000) AS BIGINT) "
+            "AS v_u FROM embeddings, "
+            "(SELECT unnest(generate_series(1,64)) AS i) gs), "
+            "j AS (SELECT d.lang, e.dim, e.v_u FROM e "
+            "JOIN documents d ON e.vec_id = d.doc_id) "
+            "SELECT lang, CAST(dim AS BIGINT) AS dim, "
+            "CAST(sum(v_u) AS DOUBLE)/count(*) AS mean_val "
+            "FROM j GROUP BY lang, dim"
         ),
         "explode_embeddings": (
             "SELECT vec_id, gs.i - 1 AS dim, "

@@ -1253,3 +1253,76 @@ def o8_hash_split(sf_dir: str):
                          "split": pa.array(split.tolist(), pa.string())})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# G12: per-language embedding centroids — the vector aggregate (class
+# centroid) over a narrow hash-partitioned join. The lang side is
+# O(docs), so it is JOINED (never broadcast); the map side pre-sums
+# int64 micro-unit dims per (batch, lang) so the shuffle carries
+# |langs| x (dims+1) ints per block. The mean is ONE double division
+# of identical exact ints on both sides (sums stay < 2^53 here; at
+# larger scale emit sum_u/n separately and divide downstream).
+# ---------------------------------------------------------------------------
+
+EMB_DIMS = 64
+
+
+def g12_embedding_centroids(sf_dir: str):
+    """Per (lang, dim): mean embedding component as mean_val DOUBLE
+    (micro-unit-quantized components, exact integer sums).
+
+    The quantized vector rides the join PACKED AS BINARY (512 B/row):
+    Acero hash joins reject list<float> non-key payloads, and the
+    packed form is also the narrower wire format."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    langs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def quantize(t: pa.Table) -> pa.Table:
+        mat = np.stack(
+            t.column("embedding").to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        # half-AWAY rounding (sign*floor(|x|*1e6+0.5)) to match DuckDB
+        # round() exactly even on .5 ties — np.round is half-even and
+        # dyadic float32 inputs CAN land exactly on .5 micro-units
+        mat_u = (np.sign(mat)
+                 * np.floor(np.abs(mat) * MICRO + 0.5)).astype(np.int64)
+        return pa.table({"vec_id": t.column("vec_id"),
+                         "emb_u": pa.array(list(mat_u.tobytes()[i * 8 * EMB_DIMS:
+                                                                (i + 1) * 8 * EMB_DIMS]
+                                                for i in range(len(mat_u))),
+                                           pa.binary())})
+
+    joined = emb.map_batches(quantize, batch_format="pyarrow").join(
+        langs, join_type="inner", num_partitions=8,
+        on=("vec_id",), right_on=("doc_id",),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        mat_u = np.frombuffer(b"".join(df["emb_u"]),
+                              dtype=np.int64).reshape(len(df), EMB_DIMS)
+        rows = []
+        for lang, idx in df.groupby("lang", sort=False).indices.items():
+            s = mat_u[idx].sum(axis=0)
+            rows.append({"lang": lang, "n": len(idx),
+                         **{f"s_{j}": s[j] for j in range(EMB_DIMS)}})
+        out = pd.DataFrame(rows)
+        return out.astype({c: "int64" for c in out.columns if c != "lang"})
+
+    aggs = [Sum(f"s_{j}", alias_name=f"s_{j}") for j in range(EMB_DIMS)]
+    agg = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(*aggs, Sum("n", alias_name="n"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, r in df.iterrows():
+            n = int(r["n"])
+            for j in range(EMB_DIMS):
+                out.append((r["lang"], j, float(int(r[f"s_{j}"])) / n))
+        o = pd.DataFrame(out, columns=["lang", "dim", "mean_val"])
+        return o.astype({"dim": "int64", "mean_val": "float64"})
+
+    return agg.map_batches(finish, batch_format="pandas")
