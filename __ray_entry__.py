@@ -487,10 +487,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY source"
         ),
         "o7_wordcount_topk": (
+            # term <> '' drops the empty token regexp_split emits for
+            # leading/trailing whitespace (python split() never does)
             r"WITH tok AS (SELECT unnest(regexp_split_to_array(text, '\s+')) "
             "AS term FROM documents WHERE trim(text) <> ''), "
             "g AS (SELECT term, CAST(count(*) AS BIGINT) AS n "
-            "FROM tok GROUP BY term) "
+            "FROM tok WHERE term <> '' GROUP BY term) "
             "SELECT term, n FROM g ORDER BY n DESC, term LIMIT 20"
         ),
         "q3_shipping_priority": (

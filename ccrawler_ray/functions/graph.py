@@ -105,7 +105,7 @@ def link_pagerank(sf_dir: str, iters: int = 10, k_top: int = 100
 
         # node 0 is the only dangling node by the frozen graph spec
         dang_u = int(r[0])
-        base_u = (15 * _U) // (100 * n) + \
+        base_u = ((_DAMP_DEN - _DAMP_NUM) * _U) // (_DAMP_DEN * n) + \
             (_DAMP_NUM * dang_u) // (_DAMP_DEN * n)
         r_new = np.full(n, base_u, dtype=np.int64)
         for b in edges.map_batches(

@@ -1196,9 +1196,15 @@ def o7_wordcount_topk(sf_dir: str, k: int = 20):
 # ---------------------------------------------------------------------------
 # M10: text normalization — the canonical pre-tokenization cleanup
 # (NFC, casefold-to-lower, whitespace collapse). Pure per-record map:
-# streams, never shuffles. The whitespace class is the explicit ASCII
-# set on BOTH sides (python re's \s matches unicode spaces, RE2's
-# does not — the explicit class keeps engine ≡ oracle on any input).
+# streams, never shuffles. Parity envelope vs the DuckDB oracle: the
+# whitespace class is the explicit ASCII set on BOTH sides (python
+# re's \s matches unicode spaces, RE2's does not), and strip targets
+# ' ' only to mirror trim(); case mapping is the one residual
+# divergence — python str.lower() applies FULL Unicode casing
+# (Greek final sigma, Turkish İ → 2 codepoints) where DuckDB lower()
+# is per-codepoint simple mapping, so engine ≡ oracle holds for
+# text whose codepoints case-map 1:1 (all of ASCII/CJK/the fixture
+# corpus) but not for e.g. trailing 'Σ'.
 # ---------------------------------------------------------------------------
 
 _WS_RE = re.compile(r"[ \t\n\f\r]+")
@@ -1287,11 +1293,12 @@ def g12_embedding_centroids(sf_dir: str):
         # dyadic float32 inputs CAN land exactly on .5 micro-units
         mat_u = (np.sign(mat)
                  * np.floor(np.abs(mat) * MICRO + 0.5)).astype(np.int64)
+        buf = mat_u.tobytes()          # serialize the block matrix ONCE
+        w = 8 * EMB_DIMS
         return pa.table({"vec_id": t.column("vec_id"),
-                         "emb_u": pa.array(list(mat_u.tobytes()[i * 8 * EMB_DIMS:
-                                                                (i + 1) * 8 * EMB_DIMS]
-                                                for i in range(len(mat_u))),
-                                           pa.binary())})
+                         "emb_u": pa.array(
+                             [buf[i * w:(i + 1) * w]
+                              for i in range(len(mat_u))], pa.binary())})
 
     joined = emb.map_batches(quantize, batch_format="pyarrow").join(
         langs, join_type="inner", num_partitions=8,
