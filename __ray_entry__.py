@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g8_grouped_quantiles": SK.g8_grouped_quantiles,
         "g11_countmin_est": SK.g11_countmin_est,
         "g12_embedding_centroids": R.g12_embedding_centroids,
+        "g13_user_value_drift": R.g13_user_value_drift,
         "g9_rollup": R.g9_rollup,
         # --- joins (J-rows)
         "j1_broadcast_join": R.j1_broadcast_join,
@@ -531,6 +532,22 @@ def oracle_sql() -> dict[str, str]:
             f"{_USUM('l_extendedprice*(1-l_discount)')} AS sum_revenue, "
             "CAST(count(*) AS BIGINT) AS count_order "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "g13_user_value_drift": (
+            # integer moment sums; the n*Sxy - Sx*Sy combine exceeds
+            # int64, so it runs in HUGEINT here / python ints engine-side
+            "WITH m AS (SELECT min(CAST(epoch_us(ts) // 1000000 AS BIGINT)) "
+            "AS t0 FROM events), "
+            "b AS (SELECT user_id, "
+            "CAST(epoch_us(ts) // 1000000 AS BIGINT) - m.t0 AS x, "
+            "CAST(round(value*1000000) AS BIGINT) AS y FROM events, m), "
+            "s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy, "
+            "CAST(sum(x*y) AS HUGEINT) AS sxy, "
+            "CAST(sum(x*x) AS HUGEINT) AS sxx FROM b GROUP BY user_id) "
+            "SELECT user_id, n, CASE WHEN n*sxx - sx*sx = 0 THEN 0.0 "
+            "ELSE CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "CAST(n*sxx - sx*sx AS DOUBLE) END AS slope FROM s"
         ),
         "g12_embedding_centroids": (
             "WITH e AS (SELECT vec_id, gs.i - 1 AS dim, "

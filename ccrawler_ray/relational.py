@@ -1333,3 +1333,60 @@ def g12_embedding_centroids(sf_dir: str):
         return o.astype({"dim": "int64", "mean_val": "float64"})
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# G13: per-user value drift — group-wise linear regression slope from
+# EXACT integer moment sums (n, Sx, Sy, Sxy, Sxx). x is epoch seconds
+# rebased to the global min (keeps x^2 terms inside int64: 30-day
+# span -> Sxx <= ~7e14); y is micro-units. The map side pre-sums the
+# five moments per (batch, user) so the shuffle carries moment rows,
+# never events; the final per-user slope combines the int64 sums in
+# PYTHON ints (n*Sxy - Sx*Sy can exceed int64; the oracle uses
+# HUGEINT) and lands as one double division — bitwise equal both
+# sides (HUGEINT::DOUBLE and float(int) round identically).
+# ---------------------------------------------------------------------------
+
+
+def g13_user_value_drift(sf_dir: str):
+    """Per user: event count and least-squares slope of value (in
+    micro-units) over time (seconds). slope = 0.0 when degenerate
+    (single event / all events in one second)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    t0 = ds.min("ts")
+    t0_s = int(np.datetime64(t0, "us").astype(np.int64) // 1_000_000)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = (df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+             // 1_000_000 - t0_s)
+        y = _to_micro(df["value"])
+        g = pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                          "n": np.int64(1), "sx": x, "sy": y,
+                          "sxy": x * y, "sxx": x * x})
+        out = g.groupby("user_id", as_index=False).sum()
+        out["u_salt"] = (out["user_id"] % 64).astype(np.int32)
+        return out
+
+    def slope_per_user(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "slope": pd.Series(dtype="float64")})
+        s = df.groupby("user_id", as_index=False)[
+            ["n", "sx", "sy", "sxy", "sxx"]].sum()
+        slopes = np.empty(len(s), dtype=np.float64)
+        for i, r in enumerate(s.itertuples(index=False)):
+            n, sx, sy, sxy, sxx = (int(r.n), int(r.sx), int(r.sy),
+                                   int(r.sxy), int(r.sxx))
+            den = n * sxx - sx * sx          # python ints: no overflow
+            num = n * sxy - sx * sy
+            slopes[i] = float(num) / float(den) if den else 0.0
+        return pd.DataFrame({"user_id": s["user_id"].astype(np.int64),
+                             "n": s["n"].astype(np.int64),
+                             "slope": slopes})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("u_salt")
+        .map_groups(slope_per_user, batch_format="pandas")
+    )
