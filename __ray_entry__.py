@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m2_filter_validate": R.m2_filter_validate,
         "m9_content_hash": R.m9_content_hash,
         "m10_normalize_text": R.m10_normalize_text,
+        "m11_json_extract": R.m11_json_extract,
         "scalar_string_ops": R.scalar_string_ops,
         # --- dedup (D-rows)
         "d1_exact_dedup": R.d1_exact_dedup,
@@ -518,6 +519,10 @@ def oracle_sql() -> dict[str, str]:
         "o2_global_topk": (
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "m11_json_extract": (
+            "SELECT event_id, coalesce(CAST(json_extract_string(props, "
+            "'$.k') AS BIGINT), -1) AS k FROM events"
         ),
         "o8_hash_split": (
             "WITH b AS (SELECT doc_id, CAST(CAST(('0x' || "

@@ -1390,3 +1390,31 @@ def g13_user_value_drift(sf_dir: str):
         .groupby("u_salt")
         .map_groups(slope_per_user, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# M11: semi-structured (JSON) field extraction — the payload-parsing
+# scalar op every event pipeline needs. Pure per-record map; the
+# parse is stdlib json per string (inherently per-string; C-speed),
+# nothing else leaves the batch except the projected field.
+# ---------------------------------------------------------------------------
+
+
+def m11_json_extract(sf_dir: str):
+    """Per event: the integer field ``k`` parsed out of the JSON
+    ``props`` payload (NULL-safe: missing/unparseable -> -1)."""
+    import json
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ks = np.empty(t.num_rows, dtype=np.int64)
+        for i, s in enumerate(t.column("props").to_pylist()):
+            try:
+                ks[i] = int(json.loads(s)["k"])
+            except (ValueError, TypeError, KeyError):
+                ks[i] = -1
+        return pa.table({"event_id": t.column("event_id"),
+                         "k": pa.array(ks)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
