@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w3_tumbling_window": R.w3_tumbling_window,
         "w4_sliding_window": R.w4_sliding_window,
         "w5_lag_lead": R.w5_lag_lead,
+        "w6_ntile": R.w6_ntile,
         "g10_pivot": R.g10_pivot,
         "o7_wordcount_topk": R.o7_wordcount_topk,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -475,6 +476,11 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(lead(value) OVER w, -1.0) AS next_value "
             "FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "w6_ntile": (
+            "SELECT event_id, user_id, CAST(ntile(4) OVER ("
+            "PARTITION BY user_id ORDER BY value DESC, event_id) "
+            "AS BIGINT) AS tile FROM events"
         ),
         "g10_pivot": (
             "SELECT source, "

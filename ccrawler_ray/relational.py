@@ -1418,3 +1418,49 @@ def m11_json_extract(sf_dir: str):
                          "k": pa.array(ks)})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# W6: ntile window — per-user quartile assignment by value. Same
+# salted per-user shuffle as W2/W5; the in-group kernel reproduces
+# SQL NTILE's remainder rule exactly (first n%k buckets get
+# ceil(n/k) rows) with one sort + vectorized position arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def w6_ntile(sf_dir: str, k: int = 4):
+    """Per event: its user's NTILE(k) bucket ordered by
+    (value desc, event_id)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "u_salt", pa.array((u % 64).astype(np.int32)))
+
+    def per_salt(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "user_id": pd.Series(dtype="int64"),
+                 "tile": pd.Series(dtype="int64")})
+        df = df.sort_values(["user_id", "value", "event_id"],
+                            ascending=[True, False, True])
+        uid = df["user_id"].to_numpy()
+        starts = np.r_[0, np.flatnonzero(uid[1:] != uid[:-1]) + 1]
+        sizes = np.diff(np.r_[starts, len(uid)])
+        n = np.repeat(sizes, sizes)                       # partition size
+        i = np.arange(len(uid)) - np.repeat(starts, sizes)  # 0-based pos
+        big, r = n // k + 1, n % k
+        in_big = i < r * big
+        tile = np.where(in_big, i // big,
+                        r + (i - r * big) // np.maximum(n // k, 1)) + 1
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "user_id": uid,
+                             "tile": tile.astype(np.int64)})
+
+    return (
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby("u_salt")
+        .map_groups(per_salt, batch_format="pandas")
+    )
