@@ -84,6 +84,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m10_normalize_text": R.m10_normalize_text,
         "m11_json_extract": R.m11_json_extract,
         "scalar_string_ops": R.scalar_string_ops,
+        # --- set ops (S-rows)
+        "s1_set_intersect": R.s1_set_intersect,
+        "s2_set_except": R.s2_set_except,
         # --- dedup (D-rows)
         "d1_exact_dedup": R.d1_exact_dedup,
         "d3_content_dedup": R.d3_content_dedup,
@@ -357,6 +360,18 @@ def oracle_sql() -> dict[str, str]:
         "d1_exact_dedup": (
             "SELECT lang, source, min(doc_id) AS first_doc FROM documents "
             "GROUP BY lang, source"
+        ),
+        "s1_set_intersect": (
+            "SELECT DISTINCT user_id FROM events WHERE event_type='click' "
+            "INTERSECT "
+            "SELECT DISTINCT user_id FROM events WHERE event_type='purchase'"
+        ),
+        "s2_set_except": (
+            "SELECT DISTINCT user_id, date_trunc('day', ts) AS day "
+            "FROM events WHERE event_type='click' "
+            "EXCEPT "
+            "SELECT DISTINCT user_id, date_trunc('day', ts) "
+            "FROM events WHERE event_type='error'"
         ),
         "d3_content_dedup": (
             "SELECT md5(text) AS content_md5, min(doc_id) AS first_doc "

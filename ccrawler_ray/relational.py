@@ -1464,3 +1464,84 @@ def w6_ntile(sf_dir: str, k: int = 4):
         .groupby("u_salt")
         .map_groups(per_salt, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# S1/S2: distinct set ops (INTERSECT / EXCEPT) over user activity.
+# One pass over events builds per-(batch, user) activity BITMASKS
+# (map-side distinct), a salted shuffle ORs them per user, and the
+# set op is a mask filter — the fact table crosses the wire as at
+# most one small int row per (batch, user), never per event.
+# ---------------------------------------------------------------------------
+
+_ACT_BITS = {"click": 1, "purchase": 2, "error": 4}
+
+
+def _user_activity_masks(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].map(_ACT_BITS).fillna(0).astype(np.int64)
+        g = pd.DataFrame({"user_id": df["user_id"], "mask": m}).groupby(
+            "user_id", as_index=False)["mask"].agg(lambda s: int(np.bitwise_or.reduce(s)))
+        g["u_salt"] = (g["user_id"] % 64).astype(np.int32)
+        return g.astype({"mask": "int64"})
+
+    def or_per_user(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "mask": pd.Series(dtype="int64")})
+        g = df.groupby("user_id", as_index=False)["mask"].agg(
+            lambda s: int(np.bitwise_or.reduce(s)))
+        return g.astype({"user_id": "int64", "mask": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("u_salt")
+        .map_groups(or_per_user, batch_format="pandas")
+    )
+
+
+def s1_set_intersect(sf_dir: str):
+    """Users who both clicked AND purchased (DISTINCT INTERSECT)."""
+    masks = _user_activity_masks(sf_dir)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (df["mask"].to_numpy() & 3) == 3
+        return df.loc[keep, ["user_id"]]
+
+    return masks.map_batches(f, batch_format="pandas")
+
+
+def s2_set_except(sf_dir: str):
+    """(user, day) pairs with a click but no error that day (DISTINCT
+    EXCEPT at user-day granularity — user-level EXCEPT is empty by
+    construction at this event density, every user hits every type)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].map(_ACT_BITS).fillna(0).astype(np.int64)
+        g = pd.DataFrame({"user_id": df["user_id"],
+                          "day": df["ts"].dt.floor("D"),
+                          "mask": m}).groupby(
+            ["user_id", "day"], as_index=False)["mask"].agg(
+            lambda s: int(np.bitwise_or.reduce(s)))
+        g["u_salt"] = (g["user_id"] % 64).astype(np.int32)
+        return g.astype({"mask": "int64"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "day": pd.Series(dtype="datetime64[us]")})
+        g = df.groupby(["user_id", "day"], as_index=False)["mask"].agg(
+            lambda s: int(np.bitwise_or.reduce(s)))
+        m = g["mask"].to_numpy()
+        keep = ((m & 1) == 1) & ((m & 4) == 0)
+        return g.loc[keep, ["user_id", "day"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("u_salt")
+        .map_groups(finish, batch_format="pandas")
+    )
