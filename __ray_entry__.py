@@ -116,6 +116,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w4_sliding_window": R.w4_sliding_window,
         "w5_lag_lead": R.w5_lag_lead,
         "w6_ntile": R.w6_ntile,
+        "w7_rolling_mean": R.w7_rolling_mean,
+        "g14_group_median": R.g14_group_median,
+        "d5_latest_per_key": R.d5_latest_per_key,
         "g10_pivot": R.g10_pivot,
         "o7_wordcount_topk": R.o7_wordcount_topk,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -496,6 +499,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, CAST(ntile(4) OVER ("
             "PARTITION BY user_id ORDER BY value DESC, event_id) "
             "AS BIGINT) AS tile FROM events"
+        ),
+        "w7_rolling_mean": (
+            # micro-unit windowed int sum, then the same two double
+            # divisions as the engine (su/1e6 then /n)
+            "SELECT event_id, user_id, "
+            "(CAST(sum(CAST(round(value*1000000) AS BIGINT)) OVER w "
+            "AS BIGINT)/1000000.0) / count(*) OVER w AS rolling_mean "
+            "FROM events WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS 4 PRECEDING)"
+        ),
+        "g14_group_median": (
+            "SELECT event_type, quantile_disc(value, 0.5) AS median_value "
+            "FROM events GROUP BY event_type"
+        ),
+        "d5_latest_per_key": (
+            "SELECT user_id, event_type, event_id, ts, value FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
         ),
         "g10_pivot": (
             "SELECT source, "

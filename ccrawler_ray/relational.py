@@ -1545,3 +1545,114 @@ def s2_set_except(sf_dir: str):
         .groupby("u_salt")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# W7: rolling mean over the last 5 rows per user (bounded-preceding
+# window). Salted per-user shuffle; the in-group kernel is one sort +
+# cumsum-difference over micro-unit ints, so the window sums are
+# exact and the mean is one double division — bitwise equal to the
+# AVG(...) OVER (ROWS 4 PRECEDING) oracle.
+# ---------------------------------------------------------------------------
+
+
+def w7_rolling_mean(sf_dir: str, window: int = 5):
+    """Per event: mean of the user's last `window` values (incl. the
+    current row), ordered by (ts, event_id)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "u_salt", pa.array((u % 64).astype(np.int32)))
+
+    def per_salt(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "user_id": pd.Series(dtype="int64"),
+                 "rolling_mean": pd.Series(dtype="float64")})
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        uid = df["user_id"].to_numpy()
+        yu = _to_micro(df["value"])
+        starts = np.r_[0, np.flatnonzero(uid[1:] != uid[:-1]) + 1]
+        sizes = np.diff(np.r_[starts, len(uid)])
+        pos = np.arange(len(uid)) - np.repeat(starts, sizes)  # 0-based
+        cs = np.cumsum(yu)
+        # windowed sum = cs[i] - cs[i-w] clipped at the user start
+        back = np.minimum(pos, window - 1)
+        first_cs = cs - yu                # cumsum BEFORE each row
+        prev_idx = np.arange(len(uid)) - back
+        wsum = cs - first_cs[prev_idx]
+        n_in_w = back + 1
+        return pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy(), "user_id": uid,
+             "rolling_mean": (wsum / MICRO) / n_in_w})
+
+    return (
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby("u_salt")
+        .map_groups(per_salt, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G14: exact per-group median (quantile_disc) — the EXACT per-group
+# quantile at scale is an in-group sort after one salted shuffle
+# (beside the mergeable-histogram approximation g8). Discrete
+# quantile returns a member of the set, so no float combining at all.
+# ---------------------------------------------------------------------------
+
+
+def g14_group_median(sf_dir: str):
+    """Per event_type: the discrete median of value (element at rank
+    ceil(0.5 n), DuckDB quantile_disc convention)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def med(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for et, g in df.groupby("event_type", sort=False):
+            v = np.sort(g["value"].to_numpy())
+            out.append((et, float(v[int(np.ceil(0.5 * len(v))) - 1])))
+        return pd.DataFrame(out, columns=["event_type", "median_value"])
+
+    # event_type cardinality is tiny (5): group directly, no salt
+    return ds.groupby("event_type").map_groups(med, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# D5: latest-per-key compaction (CDC/upsert semantics) — keep each
+# (user, event_type)'s newest event by (ts, event_id). Map-side
+# per-batch compaction first, then one salted shuffle of the
+# survivors: the wire carries at most one row per (batch, key).
+# ---------------------------------------------------------------------------
+
+
+def d5_latest_per_key(sf_dir: str):
+    """Latest (event_id, ts, value) per (user_id, event_type)."""
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "ts", "value"])
+
+    def compact(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])  # last row wins
+        g = df.groupby(["user_id", "event_type"], as_index=False).last()
+        g["u_salt"] = (g["user_id"] % 64).astype(np.int32)
+        return g
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype="int64"),
+                 "event_type": pd.Series(dtype="object"),
+                 "event_id": pd.Series(dtype="int64"),
+                 "ts": pd.Series(dtype="datetime64[us]"),
+                 "value": pd.Series(dtype="float64")})
+        df = df.sort_values(["ts", "event_id"])
+        g = df.groupby(["user_id", "event_type"], as_index=False).last()
+        return g[["user_id", "event_type", "event_id", "ts", "value"]]
+
+    return (
+        ds.map_batches(compact, batch_format="pandas")
+        .groupby("u_salt")
+        .map_groups(finish, batch_format="pandas")
+    )
