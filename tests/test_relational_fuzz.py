@@ -54,3 +54,51 @@ def test_window_kernels_fuzz_vs_duckdb(tmp_path):
             got = _to_pandas(qs[name](str(d)))
             want = con.sql(sqls[name]).df()
             _assert_frames_match(got, want, f"case{ci}:{name}")
+
+
+DOC_QUERIES = ("m2_filter_validate", "m9_content_hash",
+               "m10_normalize_text", "o7_wordcount_topk", "o8_hash_split",
+               "g10_pivot", "token_count", "token_count_bpe",
+               "quality_score")
+
+
+def _random_docs(rng: np.random.Generator, n: int) -> pa.Table:
+    vocab = (["Join", "HASH", "row", "batch", "Scan", "vector", "spark",
+              "fast", "模型", "数据", "a1", "42", "x-y", "Fast"]
+             + [f"w{i}" for i in range(20)])
+    texts = []
+    for _ in range(n):
+        k = int(rng.integers(1, 60))
+        texts.append(" ".join(rng.choice(vocab, k)))
+    langs = rng.choice(["en", "de", "zh"], n)
+    srcs = rng.choice(["s0", "s1", "s2"], n)
+    return pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs.tolist(), pa.string()),
+        "source": pa.array(srcs.tolist(), pa.string()),
+        "n_chars": pa.array(np.fromiter((len(t) for t in texts),
+                                        dtype=np.int64, count=n))})
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_document_kernels_fuzz_vs_duckdb(tmp_path):
+    """Random documents within the corpus contract (non-empty,
+    single-space tokens; mixed case / CJK / digits / punctuation,
+    heavy term ties for the top-k tie-break)."""
+    import __ray_entry__ as E
+    from tests.test_queries_oracle import _assert_frames_match, _to_pandas
+
+    qs, sqls = E.queries(), E.oracle_sql()
+    rng = np.random.default_rng(42)
+    for ci, n in enumerate((1, 37, 300)):
+        d = tmp_path / f"docs{ci}"
+        d.mkdir()
+        pq.write_table(_random_docs(rng, n), d / "documents.parquet")
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+        for name in DOC_QUERIES:
+            got = _to_pandas(qs[name](str(d)))
+            want = con.sql(sqls[name]).df()
+            _assert_frames_match(got, want, f"docs{ci}:{name}")
