@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_cosine": lambda sf: S.ann_topk_cosine(sf, num_queries=5, k=5),
         "ann_lsh_topk": lambda sf: S.ann_lsh_topk(sf, num_queries=5, k=5),
         "ann_ivf_topk": lambda sf: S.ann_ivf_topk(sf, num_queries=5, k=5),
+        "ann_pq_topk": lambda sf: S.ann_pq_topk(sf, num_queries=5, k=5),
         # --- multimodal plumbing
         "decode_media_meta": M.decode_media_meta,
         "media_pipeline": M.media_pipeline,
@@ -324,6 +325,9 @@ def _serial_oracles() -> dict[str, str]:
                                   "cos": "DOUBLE"}),
         "ann_lsh_topk": V(SR.ann_lsh_topk(num_queries=5, k=5), ann_t),
         "ann_ivf_topk": V(SR.ann_ivf_topk(num_queries=5, k=5), ann_t),
+        "ann_pq_topk": V(SR.ann_pq_topk(num_queries=5, k=5),
+                         {"query_id": "BIGINT", "vec_id": "BIGINT",
+                          "adist": "DOUBLE", "rank": "BIGINT"}),
         "decode_media_meta": V(
             SR.decode_media_meta(),
             {"doc_id": "BIGINT", "media_type": "VARCHAR", "n_bytes": "BIGINT",

@@ -256,3 +256,140 @@ def ann_lsh_topk(sf_dir: str, num_queries: int = 5, k: int = 5,
 
     cands = ds.map_batches(bucketize, batch_format="pandas")
     return _topk_reduce(cands, k, dedup=True)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ANN — the compressed-domain scale path: vectors
+# live in the index as M_SUB uint8 codes (8 B vs 512 B raw, 64×), so
+# a 100 TB embedding corpus's PQ index fits the object store. Codebook
+# training is per-subspace Lloyd's with the same quantized-int64
+# partial sums as kmeans_centroids (order-independent merge ⇒ the
+# serial mirror reproduces centroids, codes and ADC distances
+# bitwise). Search is asymmetric distance computation: per query one
+# (M_SUB × PQ_K) table, per vector M_SUB table lookups — no float
+# math against raw vectors at query time.
+# ---------------------------------------------------------------------------
+
+PQ_SUBS = 8
+PQ_K = 16
+
+
+def _pq_codebooks(ds, dim: int, iters: int = 5) -> np.ndarray:
+    """(PQ_SUBS, PQ_K, dim//PQ_SUBS) codebooks; init = subvectors of
+    the PQ_K smallest vec_ids (sort+limit moves PQ_K rows)."""
+    sub = dim // PQ_SUBS
+    init = ds.sort("vec_id").limit(PQ_K).to_pandas()
+    base = np.stack(init["embedding"].to_numpy()).astype(np.float64)
+    cents = np.stack(
+        [base[:, s * sub:(s + 1) * sub] for s in range(PQ_SUBS)])
+    for _ in range(iters):
+        c_ref = ray.put(cents)
+
+        def partial(df: pd.DataFrame, _c_ref=c_ref) -> pd.DataFrame:
+            c = ray.get(_c_ref)
+            rows = []
+            if len(df):
+                m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+                for s in range(PQ_SUBS):
+                    ms = m[:, s * sub:(s + 1) * sub]
+                    d = ((ms[:, None, :] - c[s][None, :, :]) ** 2).sum(axis=2)
+                    a = d.argmin(axis=1)
+                    for ci in np.unique(a):
+                        sel = np.round(
+                            ms[a == ci] * KMEANS_QSCALE).astype(np.int64)
+                        rows.append({"sub": int(s), "cluster": int(ci),
+                                     "n": int((a == ci).sum()),
+                                     "vsum": sel.sum(axis=0).tolist()})
+            if not rows:
+                return pd.DataFrame({"sub": pd.Series(dtype="int64"),
+                                     "cluster": pd.Series(dtype="int64"),
+                                     "n": pd.Series(dtype="int64"),
+                                     "vsum": pd.Series(dtype="object")})
+            return pd.DataFrame(rows)
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        new = cents.copy()
+        for (s, ci), g in parts.groupby(["sub", "cluster"]):
+            n = g["n"].sum()
+            if n:
+                isum = np.sum(np.stack(
+                    [np.asarray(v, dtype=np.int64) for v in g["vsum"]]),
+                    axis=0)
+                new[int(s)][int(ci)] = isum / (KMEANS_QSCALE * n)
+        cents = new
+    return cents
+
+
+def ann_pq_topk(sf_dir: str, num_queries: int = 5, k: int = 5,
+                iters: int = 5):
+    """Approximate top-k by PQ/ADC distance (asc, ties vec_id asc) for
+    the query set vec_id < num_queries, self excluded. Returns
+    (query_id, vec_id, adist, rank)."""
+    qids, qm = _query_matrix(sf_dir, num_queries)
+    dim = qm.shape[1]
+    sub = dim // PQ_SUBS
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+    cents = _pq_codebooks(ds, dim, iters=iters)
+    c_ref = ray.put(cents)
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(c_ref)
+        if not len(df):
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "codes": pd.Series(dtype="object")})
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        codes = np.empty((len(m), PQ_SUBS), dtype=np.uint8)
+        for s in range(PQ_SUBS):
+            ms = m[:, s * sub:(s + 1) * sub]
+            d = ((ms[:, None, :] - c[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d.argmin(axis=1).astype(np.uint8)
+        return pd.DataFrame({"vec_id": df["vec_id"].astype(np.int64),
+                             "codes": [r.tobytes() for r in codes]})
+
+    enc = ds.map_batches(encode, batch_format="pandas").materialize()
+
+    # per-query ADC tables: T[q, s, c] = ||q_s - cent[s, c]||^2
+    T = np.empty((len(qids), PQ_SUBS, PQ_K), dtype=np.float64)
+    for s in range(PQ_SUBS):
+        qs = qm[:, s * sub:(s + 1) * sub]
+        T[:, s, :] = ((qs[:, None, :] - cents[s][None, :, :]) ** 2).sum(axis=2)
+    t_ref = ray.put((qids, T))
+    srange = np.arange(PQ_SUBS)
+
+    def search(df: pd.DataFrame) -> pd.DataFrame:
+        qids_, T_ = ray.get(t_ref)
+        if not len(df):
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "vec_id": pd.Series(dtype="int64"),
+                                 "adist": pd.Series(dtype="float64")})
+        codes = np.frombuffer(b"".join(df["codes"]),
+                              dtype=np.uint8).reshape(len(df), PQ_SUBS)
+        vids = df["vec_id"].to_numpy()
+        out = []
+        for qi, qid in enumerate(qids_):
+            dist = T_[qi][srange[None, :], codes].sum(axis=1)
+            mask = vids != qid
+            g = pd.DataFrame({"query_id": np.int64(qid),
+                              "vec_id": vids[mask], "adist": dist[mask]})
+            out.append(g.sort_values(["adist", "vec_id"]).head(k))
+        return pd.concat(out)
+
+    cands = enc.map_batches(search, batch_format="pandas")
+
+    def reduce_all(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for _, g in df.groupby("query_id", sort=True):
+            g = g.sort_values(["adist", "vec_id"]).head(k)
+            parts.append(g.assign(
+                rank=np.arange(1, len(g) + 1, dtype=np.int64)))
+        if not parts:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "vec_id": pd.Series(dtype="int64"),
+                                 "adist": pd.Series(dtype="float64"),
+                                 "rank": pd.Series(dtype="int64")})
+        return pd.concat(parts)
+
+    return cands.repartition(1).map_batches(reduce_all,
+                                            batch_format="pandas")

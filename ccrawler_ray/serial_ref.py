@@ -751,3 +751,53 @@ def g11_countmin_est(sf_dir: str | None = None) -> pd.DataFrame:
                   for r in range(CMS_D))
         rows.append((term, int(est)))
     return pd.DataFrame(rows, columns=["term", "est_n"])
+
+
+def ann_pq_topk(sf_dir: str | None = None, num_queries: int = 5,
+                k: int = 5, iters: int = 5) -> pd.DataFrame:
+    """Serial mirror of functions.similarity.ann_pq_topk — identical
+    quantized-int64 codebook training (order-independent merge makes
+    the distributed partials sum to these exact ints), encoding and
+    ADC lookups, so distances are bitwise equal."""
+    from ccrawler_ray.functions.similarity import KMEANS_QSCALE, PQ_K, PQ_SUBS
+
+    ids, mat = _embeddings(sf_dir or oracle_sf_dir())
+    mat = mat.astype(np.float64)
+    dim = mat.shape[1]
+    sub = dim // PQ_SUBS
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    base = mat[:PQ_K]
+    cents = np.stack(
+        [base[:, s * sub:(s + 1) * sub] for s in range(PQ_SUBS)])
+    for _ in range(iters):
+        new = cents.copy()
+        for s in range(PQ_SUBS):
+            ms = mat[:, s * sub:(s + 1) * sub]
+            d = ((ms[:, None, :] - cents[s][None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for ci in np.unique(a):
+                sel = np.round(ms[a == ci] * KMEANS_QSCALE).astype(np.int64)
+                new[s][ci] = sel.sum(axis=0) / (KMEANS_QSCALE
+                                                * int((a == ci).sum()))
+        cents = new
+    codes = np.empty((len(mat), PQ_SUBS), dtype=np.uint8)
+    for s in range(PQ_SUBS):
+        ms = mat[:, s * sub:(s + 1) * sub]
+        d = ((ms[:, None, :] - cents[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d.argmin(axis=1).astype(np.uint8)
+    srange = np.arange(PQ_SUBS)
+    rows = []
+    for qid in range(num_queries):
+        qv = mat[ids == qid][0]
+        T = np.empty((PQ_SUBS, PQ_K), dtype=np.float64)
+        for s in range(PQ_SUBS):
+            T[s] = ((qv[s * sub:(s + 1) * sub][None, :]
+                     - cents[s]) ** 2).sum(axis=1)
+        dist = T[srange[None, :], codes].sum(axis=1)
+        mask = ids != qid
+        g = pd.DataFrame({"query_id": np.int64(qid), "vec_id": ids[mask],
+                          "adist": dist[mask]})
+        g = g.sort_values(["adist", "vec_id"]).head(k)
+        rows.append(g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64)))
+    return pd.concat(rows).reset_index(drop=True)

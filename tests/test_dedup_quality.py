@@ -262,3 +262,27 @@ def test_decontaminate_overlap_semantics(tmp_path):
     assert out.loc[2, "n_overlap"] == 0 and not bool(out.loc[2, "contaminated"])
     # sub-n-token docs have zero windows and are clean
     assert out.loc[3, "n_windows"] == 0 and out.loc[3, "n_overlap"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_pq_bitwise_vs_serial_and_recall():
+    """PQ/ADC engine output is bitwise-equal to the serial mirror
+    (quantized-int64 codebook training is order-independent), and the
+    8x16-code compressed search still recovers a usable fraction of
+    the exact cosine top-k."""
+    import pandas as pd
+
+    from ccrawler_ray import serial_ref as SR
+    from ccrawler_ray.functions.similarity import ann_pq_topk, ann_topk_cosine
+
+    eng = (ann_pq_topk(SF, num_queries=5, k=5).to_pandas()
+           .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    ser = (SR.ann_pq_topk(SF, num_queries=5, k=5)
+           .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    cols = ["query_id", "vec_id", "adist", "rank"]
+    pd.testing.assert_frame_equal(eng[cols], ser[cols])
+
+    exact = ann_topk_cosine(SF, num_queries=5, k=5).to_pandas()
+    et = {(r.query_id, r.vec_id) for r in exact.itertuples()}
+    at = {(r.query_id, r.vec_id) for r in eng.itertuples()}
+    assert len(et & at) / len(et) >= 0.2, "PQ recall collapsed"
