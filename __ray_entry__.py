@@ -117,6 +117,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w5_lag_lead": R.w5_lag_lead,
         "w6_ntile": R.w6_ntile,
         "w7_rolling_mean": R.w7_rolling_mean,
+        "w8_late_events": R.w8_late_events,
+        "g15_corr": R.g15_corr,
+        "j9_full_outer_join": R.j9_full_outer_join,
         "g14_group_median": R.g14_group_median,
         "d5_latest_per_key": R.d5_latest_per_key,
         "g10_pivot": R.g10_pivot,
@@ -141,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": T.quality_score,
         "tfidf_topk": T.tfidf_topk,
         "char_entropy": T.char_entropy,
+        "pii_scrub": T.pii_scrub,
         "search_bm25": T.search_bm25,
         # --- iterative graph analytics
         "link_pagerank": G.link_pagerank,
@@ -169,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": lambda sf: S.ann_lsh_topk(sf, num_queries=5, k=5),
         "ann_ivf_topk": lambda sf: S.ann_ivf_topk(sf, num_queries=5, k=5),
         "ann_pq_topk": lambda sf: S.ann_pq_topk(sf, num_queries=5, k=5),
+        "ann_ivf_pq": lambda sf: S.ann_ivf_pq(sf, num_queries=5, k=5),
         # --- multimodal plumbing
         "decode_media_meta": M.decode_media_meta,
         "media_pipeline": M.media_pipeline,
@@ -328,6 +333,9 @@ def _serial_oracles() -> dict[str, str]:
         "ann_pq_topk": V(SR.ann_pq_topk(num_queries=5, k=5),
                          {"query_id": "BIGINT", "vec_id": "BIGINT",
                           "adist": "DOUBLE", "rank": "BIGINT"}),
+        "ann_ivf_pq": V(SR.ann_ivf_pq(num_queries=5, k=5),
+                        {"query_id": "BIGINT", "vec_id": "BIGINT",
+                         "adist": "DOUBLE", "rank": "BIGINT"}),
         "decode_media_meta": V(
             SR.decode_media_meta(),
             {"doc_id": "BIGINT", "media_type": "VARCHAR", "n_bytes": "BIGINT",
@@ -339,6 +347,24 @@ def _serial_oracles() -> dict[str, str]:
              "ord_key": "VARCHAR", "canon": "VARCHAR", "status": "INTEGER"},
         ),
     }
+
+
+def _pii_scrub_sql() -> str:
+    """Nested regexp_replace in the SAME fixed pattern order as the
+    engine (patterns imported from the one frozen tuple), each count
+    taken on the text state that pattern sees."""
+    from ccrawler_ray.functions.text import PII_PATTERNS
+
+    s, counts = "text", []
+    for i, (_name, pat, token) in enumerate(PII_PATTERNS):
+        counts.append(f"len(regexp_extract_all({s}, '{pat}')) AS n{i}")
+        s = f"regexp_replace({s}, '{pat}', '{token}', 'g')"
+    return (
+        f"SELECT doc_id, {s} AS clean, "
+        f"CAST({' + '.join(f'n{i}' for i in range(len(counts)))} AS BIGINT) "
+        "AS n_redactions FROM (SELECT doc_id, text, "
+        + ", ".join(counts) + " FROM documents)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -503,6 +529,58 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, CAST(ntile(4) OVER ("
             "PARTITION BY user_id ORDER BY value DESC, event_id) "
             "AS BIGINT) AS tile FROM events"
+        ),
+        "pii_scrub": _pii_scrub_sql(),
+        "g15_corr": (
+            # exact HUGEINT moment sums, then the same IEEE double
+            # ops as the engine's finalize — bitwise-stable corr
+            "WITH s AS (SELECT l_returnflag, "
+            "CAST(count(*) AS HUGEINT) AS n, "
+            "sum(CAST(CAST(round(l_quantity*100) AS BIGINT) AS HUGEINT)) "
+            "AS sx, "
+            "sum(CAST(CAST(round(l_extendedprice*100) AS BIGINT) "
+            "AS HUGEINT)) AS sy, "
+            "sum(CAST(CAST(round(l_quantity*100) AS BIGINT)"
+            "*CAST(round(l_extendedprice*100) AS BIGINT) AS HUGEINT)) "
+            "AS sxy, "
+            "sum(CAST(CAST(round(l_quantity*100) AS BIGINT)"
+            "*CAST(round(l_quantity*100) AS BIGINT) AS HUGEINT)) AS sxx, "
+            "sum(CAST(CAST(round(l_extendedprice*100) AS BIGINT)"
+            "*CAST(round(l_extendedprice*100) AS BIGINT) AS HUGEINT)) "
+            "AS syy FROM lineitem GROUP BY 1) "
+            "SELECT l_returnflag, CAST(n AS BIGINT) AS n, "
+            "CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * "
+            "sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_qty_price "
+            "FROM s"
+        ),
+        "w8_late_events": (
+            # watermark = running max event-time over PRIOR arrivals
+            # (arrival order = event_id) minus 3600 s lateness
+            "WITH y AS (SELECT event_id, epoch_us(ts) AS t, "
+            "max(epoch_us(ts)) OVER (ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm "
+            "FROM events) "
+            "SELECT event_id, CAST(CASE WHEN wm IS NOT NULL "
+            "AND t < wm - 3600000000 THEN 1 ELSE 0 END AS BIGINT) AS late, "
+            "CAST(CASE WHEN wm IS NULL THEN 0 "
+            "ELSE greatest(0, wm - 3600000000 - t) END AS BIGINT) "
+            "AS lateness_us FROM y"
+        ),
+        "j9_full_outer_join": (
+            "WITH a AS (SELECT user_id AS key, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            f"{_USUM('value')} AS sum_value "
+            "FROM events WHERE user_id % 3 != 0 GROUP BY 1), "
+            "c AS (SELECT c_custkey, c_acctbal FROM customer "
+            "WHERE c_custkey < 10) "
+            "SELECT COALESCE(a.key, c.c_custkey) AS key, "
+            "COALESCE(a.n_events, 0) AS n_events, "
+            "COALESCE(a.sum_value, 0.0) AS sum_value, "
+            "COALESCE(c.c_acctbal, -1.0) AS c_acctbal, "
+            "CASE WHEN a.key IS NULL THEN 'customer' "
+            "WHEN c.c_custkey IS NULL THEN 'events' ELSE 'both' END AS side "
+            "FROM a FULL OUTER JOIN c ON a.key = c.c_custkey"
         ),
         "w7_rolling_mean": (
             # micro-unit windowed int sum, then the same two double

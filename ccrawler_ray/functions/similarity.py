@@ -393,3 +393,124 @@ def ann_pq_topk(sf_dir: str, num_queries: int = 5, k: int = 5,
 
     return cands.repartition(1).map_batches(reduce_all,
                                             batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the composition production ANN indexes (FAISS-style) run at
+# corpus scale: a coarse k-means quantizer routes each vector to an
+# inverted list, PQ codes its RESIDUAL (v - centroid) in 8 bytes, and a
+# query scans only its n_probe nearest lists with per-list ADC tables.
+# Both trainers use the quantized-int64 partial-sum rule, so cluster
+# assignments, residual codebooks, codes and ADC distances are bitwise
+# reproducible under any partitioning (serial mirror: serial_ref).
+# ---------------------------------------------------------------------------
+
+
+def ann_ivf_pq(sf_dir: str, num_queries: int = 5, k: int = 5,
+               n_clusters: int = 16, n_probe: int = 4, iters: int = 5):
+    """Approximate top-k by residual-PQ ADC distance over the n_probe
+    nearest inverted lists. Returns (query_id, vec_id, adist, rank)."""
+    qids, qm = _query_matrix(sf_dir, num_queries)
+    dim = qm.shape[1]
+    sub = dim // PQ_SUBS
+    cents = kmeans_centroids(sf_dir, k=n_clusters)
+    c_ref = ray.put(cents)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def to_residual(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "cluster": pd.Series(dtype="int64"),
+                                 "embedding": pd.Series(dtype="object")})
+        c = ray.get(c_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        r = m - c[a]
+        return pd.DataFrame({"vec_id": df["vec_id"].astype(np.int64),
+                             "cluster": a.astype(np.int64),
+                             "embedding": list(r)})
+
+    res = ds.map_batches(to_residual, batch_format="pandas").materialize()
+    pq_cents = _pq_codebooks(res, dim, iters=iters)  # trained on residuals
+    p_ref = ray.put(pq_cents)
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "cluster": pd.Series(dtype="int64"),
+                                 "codes": pd.Series(dtype="object")})
+        p = ray.get(p_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        codes = np.empty((len(m), PQ_SUBS), dtype=np.uint8)
+        for s in range(PQ_SUBS):
+            ms = m[:, s * sub:(s + 1) * sub]
+            d = ((ms[:, None, :] - p[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d.argmin(axis=1).astype(np.uint8)
+        return pd.DataFrame({"vec_id": df["vec_id"].to_numpy(),
+                             "cluster": df["cluster"].to_numpy(),
+                             "codes": [r.tobytes() for r in codes]})
+
+    enc = res.map_batches(encode, batch_format="pandas")
+
+    # probed lists + per-(query, list) ADC tables on the RESIDUAL
+    # query: r_qc = q - coarse_centroid[c]
+    qd = ((cents[None, :, :] - qm[:, None, :]) ** 2).sum(axis=2)
+    probes = np.argsort(qd, axis=1)[:, :n_probe]          # (nq, n_probe)
+    T = np.empty((len(qids), n_probe, PQ_SUBS, PQ_K), dtype=np.float64)
+    for qi in range(len(qids)):
+        for pi, c in enumerate(probes[qi]):
+            r = qm[qi] - cents[c]
+            for s in range(PQ_SUBS):
+                T[qi, pi, s, :] = (
+                    (r[s * sub:(s + 1) * sub][None, :]
+                     - pq_cents[s]) ** 2).sum(axis=1)
+    t_ref = ray.put((qids, probes, T))
+    srange = np.arange(PQ_SUBS)
+
+    def search(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                              "vec_id": pd.Series(dtype="int64"),
+                              "adist": pd.Series(dtype="float64")})
+        if not len(df):
+            return empty
+        qids_, pr, T_ = ray.get(t_ref)
+        codes = np.frombuffer(b"".join(df["codes"]),
+                              dtype=np.uint8).reshape(len(df), PQ_SUBS)
+        vids = df["vec_id"].to_numpy()
+        clus = df["cluster"].to_numpy()
+        out = []
+        for qi, qid in enumerate(qids_):
+            for pi, c in enumerate(pr[qi]):
+                mask = (clus == c) & (vids != qid)
+                if not mask.any():
+                    continue
+                dist = T_[qi, pi][srange[None, :], codes[mask]].sum(axis=1)
+                out.append(pd.DataFrame(
+                    {"query_id": np.int64(qid), "vec_id": vids[mask],
+                     "adist": dist}))
+        if not out:
+            return empty
+        cand = pd.concat(out)
+        return (cand.sort_values(["adist", "vec_id"])
+                .groupby("query_id", sort=False).head(k))
+
+    cands = enc.map_batches(search, batch_format="pandas")
+
+    def reduce_all(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for _, g in df.groupby("query_id", sort=True):
+            g = g.sort_values(["adist", "vec_id"]).head(k)
+            parts.append(g.assign(
+                rank=np.arange(1, len(g) + 1, dtype=np.int64)))
+        if not parts:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "vec_id": pd.Series(dtype="int64"),
+                                 "adist": pd.Series(dtype="float64"),
+                                 "rank": pd.Series(dtype="int64")})
+        return pd.concat(parts)
+
+    return cands.repartition(1).map_batches(reduce_all,
+                                            batch_format="pandas")

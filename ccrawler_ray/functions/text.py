@@ -383,3 +383,39 @@ def search_bm25(sf_dir: str, terms: tuple = ("join", "vector", "spark", "fast"),
     cand = cand.reset_index(drop=True)
     cand["rank"] = np.arange(1, len(cand) + 1, dtype=np.int64)
     return cand
+
+
+# ---------------------------------------------------------------------------
+# M12: PII scrub — the redaction pass every training-data pipeline
+# runs before tokenization. Patterns applied in a FIXED order (email →
+# phone → ipv4), each counted on the text state it sees, so the
+# (clean, n_redactions) pair is deterministic and the DuckDB oracle
+# (nested regexp_replace + regexp_extract_all) reproduces it exactly.
+# Vectorized via polars (rust-regex) — no per-row Python.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_scrub(sf_dir: str):
+    """(doc_id, clean, n_redactions): text with emails, phone numbers
+    and IPv4 literals replaced by typed tokens."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        t = pl.Series(df["text"])
+        n = np.zeros(len(df), dtype=np.int64)
+        for _name, pat, token in PII_PATTERNS:
+            n += t.str.count_matches(pat).to_numpy().astype(np.int64)
+            t = t.str.replace_all(pat, token)
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "clean": t.to_numpy(),
+                             "n_redactions": n})
+
+    return ds.map_batches(f, batch_format="pandas")

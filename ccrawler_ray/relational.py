@@ -1656,3 +1656,195 @@ def d5_latest_per_key(sf_dir: str):
         .groupby("u_salt")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# W8: watermark / late-data marking — the streaming-ingest semantics a
+# training-data pipeline needs for event logs: arrival order is
+# event_id; the watermark is the running max event-time over ALL prior
+# arrivals minus an allowed lateness. A GLOBAL ordered scan is the
+# classic two-pass distributed prefix: (1) per coarse arrival bucket,
+# max event-time (tiny partial-agg table to the driver), (2) exclusive
+# prefix-max over buckets broadcast as carry-ins, in-bucket shifted
+# cummax vectorized. No global sort, one coarse shuffle.
+# ---------------------------------------------------------------------------
+
+
+def w8_late_events(sf_dir: str, lateness_s: int = 3600,
+                   n_buckets: int = 256):
+    """Per event (arrival order = event_id): late flag and lateness_us
+    vs the watermark max(prior ts) - lateness."""
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    n = ds.count()
+    bsize = max(1, -(-n // n_buckets))  # ceil: bucket count is FIXED,
+    late_us = lateness_s * MICRO       # independent of data size
+
+    def partial_max(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = eid // bsize
+        ub = np.unique(b)
+        mx = np.array([ts[b == x].max() for x in ub], dtype=np.int64)
+        return pa.table({"bucket": pa.array(ub, pa.int64()),
+                         "bmax": pa.array(mx, pa.int64())})
+
+    parts = ds.map_batches(partial_max, batch_format="pyarrow").to_pandas()
+    bmax = parts.groupby("bucket")["bmax"].max().sort_index()
+    # carry-in for bucket k = max over buckets < k (sentinel: none)
+    NONE = np.int64(-(1 << 62))
+    carry = np.r_[NONE, np.maximum.accumulate(bmax.to_numpy())[:-1]]
+    carry_ref = ray.put(dict(zip(bmax.index.to_numpy(), carry)))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(eid // bsize, pa.int64()))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "late": pd.Series(dtype="int64"),
+                                 "lateness_us": pd.Series(dtype="int64")})
+        cmap = ray.get(carry_ref)
+        df = df.sort_values("event_id")
+        ts = df["ts"].astype("int64").to_numpy()
+        cin = np.int64(cmap[int(df["bucket"].iloc[0])])
+        # watermark BEFORE each row: shifted cummax seeded by carry-in
+        wm = np.r_[cin, np.maximum.accumulate(ts)[:-1]]
+        wm = np.maximum(wm, cin)
+        has = wm != NONE
+        late = (has & (ts < wm - late_us)).astype(np.int64)
+        lateness = np.where(has, np.maximum(0, wm - late_us - ts),
+                            0).astype(np.int64)
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "late": late, "lateness_us": lateness})
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9: FULL OUTER join — Ray Data's Dataset.join is inner-only; the
+# scale-correct composition is ONE hash shuffle: tag both sides, salt
+# by key, and outer-merge inside each coarse group (map-side partial
+# aggregation first so the wire carries one row per (batch, key)).
+# ---------------------------------------------------------------------------
+
+
+def j9_full_outer_join(sf_dir: str):
+    """Per-user event rollup (user_id % 3 != 0) FULL OUTER customer
+    (c_custkey < 10): key, n_events, sum_value, c_acctbal, side."""
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+
+    def ev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["user_id"] % 3 != 0]
+        g = df.assign(v_u=_to_micro(df["value"])).groupby(
+            "user_id", as_index=False).agg(
+                n_events=("v_u", "size"), sum_u=("v_u", "sum"))
+        return pd.DataFrame({"key": g["user_id"].astype(np.int64),
+                             "n_events": g["n_events"].astype(np.int64),
+                             "sum_u": g["sum_u"].astype(np.int64),
+                             "c_acctbal": np.full(len(g), np.nan,
+                                                  dtype=np.float64),
+                             "is_cust": np.zeros(len(g), dtype=np.int64)})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def cust_tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_custkey"] < 10]
+        return pd.DataFrame({"key": df["c_custkey"].astype(np.int64),
+                             "n_events": np.zeros(len(df), dtype=np.int64),
+                             "sum_u": np.zeros(len(df), dtype=np.int64),
+                             "c_acctbal": df["c_acctbal"].astype(np.float64),
+                             "is_cust": np.ones(len(df), dtype=np.int64)})
+
+    both = ev.map_batches(ev_partial, batch_format="pandas").union(
+        cust.map_batches(cust_tag, batch_format="pandas"))
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        return t.append_column("k_salt", pa.array(k % 64, pa.int64()))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"key": pd.Series(dtype="int64"),
+                                 "n_events": pd.Series(dtype="int64"),
+                                 "sum_value": pd.Series(dtype="float64"),
+                                 "c_acctbal": pd.Series(dtype="float64"),
+                                 "side": pd.Series(dtype="object")})
+        g = df.groupby("key", as_index=False).agg(
+            n_events=("n_events", "sum"), sum_u=("sum_u", "sum"),
+            c_acctbal=("c_acctbal", "max"), is_cust=("is_cust", "max"))
+        has_ev = g["n_events"] > 0
+        has_cu = g["is_cust"] > 0
+        side = np.where(has_ev & has_cu, "both",
+                        np.where(has_ev, "events", "customer"))
+        return pd.DataFrame({
+            "key": g["key"].astype(np.int64),
+            "n_events": g["n_events"].astype(np.int64),
+            "sum_value": g["sum_u"].astype(np.int64) / (MICRO * 1.0),
+            "c_acctbal": np.where(
+                has_cu, g["c_acctbal"].astype(np.float64), -1.0),
+            "side": side})
+
+    return (
+        both.map_batches(add_salt, batch_format="pyarrow")
+        .groupby("k_salt")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G15: per-group Pearson correlation, EXACT across any partitioning —
+# the five moment sums are integers (quantity/price in hundredths);
+# the sum of squared prices would overflow int64 at scale, so each
+# element's square is split into 2^32 limbs summed separately and the
+# exact big integer is reconstructed at finalize. Both engine and
+# oracle then run the IDENTICAL IEEE double ops on the same exact
+# integers, so the correlation is bitwise reproducible regardless of
+# block order — the property a 256-node run must preserve.
+# ---------------------------------------------------------------------------
+
+
+def g15_corr(sf_dir: str):
+    """Per l_returnflag: n and corr(l_quantity, l_extendedprice)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.round(df["l_quantity"].to_numpy() * 100).astype(np.int64)
+        y = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        y2 = y * y
+        t = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "n": np.ones(len(df), dtype=np.int64),
+            "sx": x, "sy": y, "sxy": x * y, "sxx": x * x,
+            "syy_hi": y2 >> np.int64(32),
+            "syy_lo": y2 & np.int64(0xFFFFFFFF)})
+        return t.groupby("l_returnflag", as_index=False).sum()
+
+    agg = ds.map_batches(partial, batch_format="pandas").groupby(
+        "l_returnflag").aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy_hi", alias_name="syy_hi"),
+            Sum("syy_lo", alias_name="syy_lo"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for r in df.itertuples():
+            n, sx, sy = int(r.n), int(r.sx), int(r.sy)
+            syy = (int(r.syy_hi) << 32) + int(r.syy_lo)  # exact big int
+            num = n * int(r.sxy) - sx * sy
+            d1 = n * int(r.sxx) - sx * sx
+            d2 = n * syy - sy * sy
+            corr = np.float64(num) / (np.sqrt(np.float64(d1))
+                                      * np.sqrt(np.float64(d2)))
+            out.append((r.l_returnflag, n, float(corr)))
+        return pd.DataFrame(out, columns=["l_returnflag", "n",
+                                          "corr_qty_price"])
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -801,3 +801,80 @@ def ann_pq_topk(sf_dir: str | None = None, num_queries: int = 5,
         g = g.sort_values(["adist", "vec_id"]).head(k)
         rows.append(g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64)))
     return pd.concat(rows).reset_index(drop=True)
+
+
+def _pq_train_encode(mat: np.ndarray, iters: int):
+    """Serial PQ codebook training + encoding over rows already in
+    vec_id order — same quantized-int64 update rule as the engine's
+    _pq_codebooks, so (cents, codes) are bitwise equal."""
+    from ccrawler_ray.functions.similarity import KMEANS_QSCALE, PQ_K, PQ_SUBS
+
+    dim = mat.shape[1]
+    sub = dim // PQ_SUBS
+    base = mat[:PQ_K]
+    cents = np.stack(
+        [base[:, s * sub:(s + 1) * sub] for s in range(PQ_SUBS)])
+    for _ in range(iters):
+        new = cents.copy()
+        for s in range(PQ_SUBS):
+            ms = mat[:, s * sub:(s + 1) * sub]
+            d = ((ms[:, None, :] - cents[s][None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for ci in np.unique(a):
+                sel = np.round(ms[a == ci] * KMEANS_QSCALE).astype(np.int64)
+                new[s][ci] = sel.sum(axis=0) / (KMEANS_QSCALE
+                                                * int((a == ci).sum()))
+        cents = new
+    codes = np.empty((len(mat), PQ_SUBS), dtype=np.uint8)
+    for s in range(PQ_SUBS):
+        ms = mat[:, s * sub:(s + 1) * sub]
+        d = ((ms[:, None, :] - cents[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d.argmin(axis=1).astype(np.uint8)
+    return cents, codes
+
+
+def ann_ivf_pq(sf_dir: str | None = None, num_queries: int = 5,
+               k: int = 5, n_clusters: int = 16, n_probe: int = 4,
+               iters: int = 5) -> pd.DataFrame:
+    """Serial mirror of functions.similarity.ann_ivf_pq: coarse
+    k-means (shared bitwise trainer), residual PQ, n_probe inverted
+    lists, ADC distances — bitwise equal to the engine."""
+    from ccrawler_ray.functions.similarity import PQ_K, PQ_SUBS
+
+    ids, mat = _embeddings(sf_dir or oracle_sf_dir())
+    mat = mat.astype(np.float64)
+    dim = mat.shape[1]
+    sub = dim // PQ_SUBS
+    coarse = kmeans_centroids(sf_dir, k=n_clusters, iters=5)
+    d = ((mat[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+    resid = mat - coarse[assign]
+    order = np.argsort(ids)
+    ids, resid, assign = ids[order], resid[order], assign[order]
+    pq_cents, codes = _pq_train_encode(resid, iters)
+    srange = np.arange(PQ_SUBS)
+    rows = []
+    for qid in range(num_queries):
+        qv = mat[order][ids == qid][0]
+        qd = ((coarse - qv[None, :]) ** 2).sum(axis=1)
+        probes = np.argsort(qd)[:n_probe]
+        got = []
+        for c in probes:
+            mask = (assign == c) & (ids != qid)
+            if not mask.any():
+                continue
+            r = qv - coarse[c]
+            T = np.empty((PQ_SUBS, PQ_K), dtype=np.float64)
+            for s in range(PQ_SUBS):
+                T[s] = ((r[s * sub:(s + 1) * sub][None, :]
+                         - pq_cents[s]) ** 2).sum(axis=1)
+            got.append(pd.DataFrame(
+                {"query_id": np.int64(qid), "vec_id": ids[mask],
+                 "adist": T[srange[None, :], codes[mask]].sum(axis=1)}))
+        g = (pd.concat(got).sort_values(["adist", "vec_id"]).head(k)
+             if got else pd.DataFrame(
+                 {"query_id": pd.Series(dtype="int64"),
+                  "vec_id": pd.Series(dtype="int64"),
+                  "adist": pd.Series(dtype="float64")}))
+        rows.append(g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64)))
+    return pd.concat(rows).reset_index(drop=True)

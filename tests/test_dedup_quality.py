@@ -286,3 +286,26 @@ def test_ann_pq_bitwise_vs_serial_and_recall():
     et = {(r.query_id, r.vec_id) for r in exact.itertuples()}
     at = {(r.query_id, r.vec_id) for r in eng.itertuples()}
     assert len(et & at) / len(et) >= 0.2, "PQ recall collapsed"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_ivf_pq_bitwise_vs_serial_and_recall():
+    """IVF-PQ (coarse quantizer + residual PQ + n_probe inverted
+    lists) is bitwise-equal to the serial mirror and keeps usable
+    recall vs the exact cosine top-k."""
+    import pandas as pd
+
+    from ccrawler_ray import serial_ref as SR
+    from ccrawler_ray.functions.similarity import ann_ivf_pq, ann_topk_cosine
+
+    eng = (ann_ivf_pq(SF, num_queries=5, k=5).to_pandas()
+           .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    ser = (SR.ann_ivf_pq(SF, num_queries=5, k=5)
+           .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    cols = ["query_id", "vec_id", "adist", "rank"]
+    pd.testing.assert_frame_equal(eng[cols], ser[cols])
+
+    exact = ann_topk_cosine(SF, num_queries=5, k=5).to_pandas()
+    et = {(r.query_id, r.vec_id) for r in exact.itertuples()}
+    at = {(r.query_id, r.vec_id) for r in eng.itertuples()}
+    assert len(et & at) / len(et) >= 0.2, "IVF-PQ recall collapsed"

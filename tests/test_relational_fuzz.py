@@ -11,7 +11,8 @@ import pyarrow.parquet as pq
 import pytest
 
 QUERIES = ("w5_lag_lead", "w6_ntile", "w7_rolling_mean",
-           "g14_group_median", "d5_latest_per_key", "s2_set_except")
+           "g14_group_median", "d5_latest_per_key", "s2_set_except",
+           "w8_late_events", "j9_full_outer_join")
 
 
 def _random_events(rng: np.random.Generator, n: int, n_users: int,
@@ -48,8 +49,19 @@ def test_window_kernels_fuzz_vs_duckdb(tmp_path):
         d.mkdir()
         pq.write_table(_random_events(rng, n, n_users, tie_prob),
                        d / "events.parquet")
+        # small random customer side for the full-outer join (keys
+        # overlapping, customer-only, and events-only by construction)
+        nc = int(rng.integers(1, 20))
+        pq.write_table(
+            pa.table({"c_custkey": pa.array(
+                rng.permutation(50)[:nc].astype(np.int64)),
+                "c_acctbal": pa.array(
+                    np.round(rng.random(nc) * 1000, 2))}),
+            d / "customer.parquet")
         con = duckdb.connect()
         con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+        con.sql(
+            f"CREATE VIEW customer AS SELECT * FROM '{d}/customer.parquet'")
         for name in QUERIES:
             got = _to_pandas(qs[name](str(d)))
             want = con.sql(sqls[name]).df()
@@ -59,12 +71,15 @@ def test_window_kernels_fuzz_vs_duckdb(tmp_path):
 DOC_QUERIES = ("m2_filter_validate", "m9_content_hash",
                "m10_normalize_text", "o7_wordcount_topk", "o8_hash_split",
                "g10_pivot", "token_count", "token_count_bpe",
-               "quality_score")
+               "quality_score", "pii_scrub")
 
 
 def _random_docs(rng: np.random.Generator, n: int) -> pa.Table:
     vocab = (["Join", "HASH", "row", "batch", "Scan", "vector", "spark",
-              "fast", "模型", "数据", "a1", "42", "x-y", "Fast"]
+              "fast", "模型", "数据", "a1", "42", "x-y", "Fast",
+              # PII and near-miss tokens for the scrub kernel
+              "bob@x.io", "a.b+c@corp.example.com", "555-123-4567",
+              "10.0.0.1", "999.999.999.999", "12.34", "a@b", "1-2-3"]
              + [f"w{i}" for i in range(20)])
     texts = []
     for _ in range(n):
