@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25": T.search_bm25,
         # --- iterative graph analytics
         "link_pagerank": G.link_pagerank,
+        "link_triangles": G.link_triangles,
         "lang_id": T.lang_id,
         "doc_fingerprint": T.doc_fingerprint,
         # --- dedup toolkit
@@ -167,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_overlap": lambda sf: D.decontaminate_overlap(
             sf, n=5, min_overlap=2, bench_mod=13),
         "dedup_embedding_cosine": lambda sf: D.dedup_embedding_cosine(sf, threshold=0.4),
+        "dedup_semantic": lambda sf: D.dedup_semantic(sf, threshold=0.4),
         "dedup_embedding_lsh": lambda sf: D.dedup_embedding_lsh(sf, threshold=0.4),
         # --- similarity search
         "ann_topk_cosine": lambda sf: S.ann_topk_cosine(sf, num_queries=5, k=5),
@@ -260,6 +262,11 @@ def _serial_oracles() -> dict[str, str]:
         "link_pagerank": V(SR.link_pagerank(),
                            {"doc_id": "BIGINT", "rank_u": "BIGINT",
                             "rank": "DOUBLE"}),
+        "link_triangles": V(SR.link_triangles(),
+                            {"doc_id": "BIGINT", "n_tri": "BIGINT"}),
+        "dedup_semantic": V(SR.dedup_semantic(threshold=0.4),
+                            {"vec_id": "BIGINT", "cluster": "BIGINT",
+                             "keep": "BOOLEAN", "max_cos": "DOUBLE"}),
         "dedup_minhash_lsh": V(SR.dedup_minhash_lsh(threshold=0.8),
                                {**pair_d, "est_jaccard": "DOUBLE"}),
         "dedup_lsh_verified": V(SR.dedup_lsh_verified(threshold=0.8),

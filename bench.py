@@ -140,6 +140,12 @@ QUERY_SUITE = [
     "o7_wordcount_topk",
     "search_bm25",
     "link_pagerank",
+    # round-2 late additions
+    "ann_ivf_pq",
+    "w8_late_events",
+    "g15_corr",
+    "pii_scrub",
+    "link_triangles",
 ]
 
 

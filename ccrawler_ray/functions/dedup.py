@@ -144,6 +144,42 @@ def _sig_matrix(col) -> np.ndarray:
     return np.frombuffer(b"".join(vals), dtype=np.uint64).reshape(len(vals), p)
 
 
+# Materialized-dataset memo: a real dedup pipeline computes the
+# signature table (and the cluster table) ONCE and feeds every
+# consumer from the same artifact — mirroring mix.py's keep-list
+# cache one level down. Keys carry every parameter; entries hold
+# object-store refs only (no worker-heap state, so this composes
+# with crawl.release_worker_caches()).
+_DS_MEMO: dict = {}
+_MEMO_JOB: list = [None]  # Ray job id the memo belongs to
+
+
+def _memo_guard() -> None:
+    """Invalidate the memo when the Ray session changed (object refs
+    die with their session)."""
+    try:
+        jid = ray.get_runtime_context().get_job_id()
+    except Exception:  # pragma: no cover - uninitialized ray
+        jid = None
+    if jid != _MEMO_JOB[0]:
+        _DS_MEMO.clear()
+        _MEMO_JOB[0] = jid
+
+
+def _memo(key: tuple, builder):
+    _memo_guard()
+    ds = _DS_MEMO.get(key)
+    if ds is None:
+        ds = builder().materialize()
+        _DS_MEMO[key] = ds
+    return ds
+
+
+def release_memos() -> None:
+    """Drop memoized signature/cluster datasets (frees object store)."""
+    _DS_MEMO.clear()
+
+
 def minhash_signatures(sf_dir: str, num_perm: int = 64):
     """doc_id → minhash signature (binary: num_perm uint64s LE)."""
     a, b = _minhash_params(num_perm)
@@ -420,7 +456,12 @@ def dedup_minhash_lsh(sf_dir: str, num_perm: int = 64, bands: int = 16,
     emission. Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b,
     est_jaccard >= threshold, deduplicated across buckets.
     """
-    sigs = minhash_signatures(sf_dir, num_perm).materialize()
+    wkey = ("sigw", sf_dir, num_perm)
+    if wkey in _DS_MEMO:  # sig+wset already computed: project, don't redo
+        sigs = _DS_MEMO[wkey].drop_columns(["wset"])
+    else:
+        sigs = _memo(("sig", sf_dir, num_perm),
+                     lambda: minhash_signatures(sf_dir, num_perm))
     return _lsh_candidate_pairs(sigs, bands, num_perm, threshold=threshold)
 
 
@@ -435,7 +476,8 @@ def dedup_lsh_verified(sf_dir: str, num_perm: int = 64, bands: int = 16,
     Returns (doc_a, doc_b, jaccard) with jaccard floor-scaled to 4
     decimals, jaccard >= threshold, doc_a < doc_b, exactly-once.
     """
-    sigs = minhash_sig_wset(sf_dir, num_perm).materialize()
+    sigs = _memo(("sigw", sf_dir, num_perm),
+                 lambda: minhash_sig_wset(sf_dir, num_perm))
     return _lsh_candidate_pairs(sigs, bands, num_perm, threshold=threshold,
                                 exact=True)
 
@@ -747,8 +789,27 @@ def dedup_clusters(sf_dir: str, num_perm: int = 64, bands: int = 16,
     edges; rounds = component diameter, stopping at a driver-checked
     fixpoint aggregate. Docs with no near dup become their own
     representative via a left-outer join.
+
+    The materialized result is memoized per full parameter set: every
+    downstream consumer (keep list, mix, filtered docs) reuses ONE
+    clustering artifact, as a production pipeline would.
     """
-    sigs = minhash_sig_wset(sf_dir, num_perm).materialize()
+    key = ("clusters", sf_dir, num_perm, bands, threshold, max_rounds,
+           cc_driver_threshold)
+    _memo_guard()
+    if key in _DS_MEMO:
+        return _DS_MEMO[key]
+    ds = _dedup_clusters_impl(sf_dir, num_perm, bands, threshold,
+                              max_rounds, cc_driver_threshold)
+    _DS_MEMO[key] = ds = ds.materialize()
+    return ds
+
+
+def _dedup_clusters_impl(sf_dir: str, num_perm: int, bands: int,
+                         threshold: float, max_rounds: int,
+                         cc_driver_threshold: int):
+    sigs = _memo(("sigw", sf_dir, num_perm),
+                 lambda: minhash_sig_wset(sf_dir, num_perm))
     pairs = _lsh_candidate_pairs(
         sigs, bands, num_perm, threshold=threshold, exact=True, cc_edges=True
     ).materialize()
@@ -1140,3 +1201,80 @@ def decontaminate_overlap(sf_dir: str, n: int = 5, min_overlap: int = 2,
              "contaminated": pa.array(ov >= min_overlap)})
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style): k-means clusters the embedding
+# space, then a deterministic greedy leader scan inside each cluster
+# drops every vector whose cosine to an already-kept clustermate
+# clears the threshold. Sub-quadratic by construction (pairs are only
+# examined within a cluster); the cross-cluster misses are the
+# method's documented approximation. Cluster training reuses the
+# bitwise quantized-int64 k-means, and the in-cluster scan is ordered
+# by vec_id, so the whole decision is reproducible under any
+# partitioning (serial mirror: serial_ref.dedup_semantic).
+# ---------------------------------------------------------------------------
+
+
+def dedup_semantic(sf_dir: str, n_clusters: int = 16,
+                   threshold: float = 0.9):
+    """(vec_id, cluster, keep, max_cos): greedy SemDeDup decision per
+    cluster; max_cos is the max cosine to previously-KEPT clustermates
+    (rounded to 4; -1.0 for a cluster's first vector)."""
+    from ccrawler_ray.functions.similarity import kmeans_centroids
+
+    cents = kmeans_centroids(sf_dir, k=n_clusters)
+    c_ref = ray.put(cents)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "cluster": pd.Series(dtype="int64"),
+                                 "embedding": pd.Series(dtype="object")})
+        c = ray.get(c_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pd.DataFrame({"vec_id": df["vec_id"].astype(np.int64),
+                             "cluster": d.argmin(axis=1).astype(np.int64),
+                             "embedding": list(m)})
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "cluster": pd.Series(dtype="int64"),
+                                 "keep": pd.Series(dtype="bool"),
+                                 "max_cos": pd.Series(dtype="float64")})
+        df = df.sort_values("vec_id")
+        m = np.stack(df["embedding"].to_numpy())
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        n = len(m)
+        kept_rows: list[int] = []
+        keep = np.empty(n, dtype=bool)
+        max_cos = np.empty(n, dtype=np.float64)
+        # explicit first-row mask: a legitimate negative cosine must
+        # NOT collapse into the -1.0 "no prior kept" sentinel
+        first = np.zeros(n, dtype=bool)
+        for i in range(n):
+            if kept_rows:
+                cos = m[kept_rows] @ m[i]
+                mc = float(cos.max())
+                max_cos[i] = mc
+                keep[i] = mc < threshold
+            else:
+                first[i] = True
+                max_cos[i] = 0.0
+                keep[i] = True
+            if keep[i]:
+                kept_rows.append(i)
+        out_mc = np.round(max_cos, 4)
+        out_mc[first] = -1.0
+        return pd.DataFrame({"vec_id": df["vec_id"].to_numpy(),
+                             "cluster": df["cluster"].to_numpy(),
+                             "keep": keep,
+                             "max_cos": out_mc})
+
+    return (ds.map_batches(assign, batch_format="pandas")
+            .groupby("cluster")
+            .map_groups(prune, batch_format="pandas"))

@@ -878,3 +878,68 @@ def ann_ivf_pq(sf_dir: str | None = None, num_queries: int = 5,
                   "adist": pd.Series(dtype="float64")}))
         rows.append(g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64)))
     return pd.concat(rows).reset_index(drop=True)
+
+
+def link_triangles(sf_dir: str | None = None, k_top: int = 100
+                   ) -> pd.DataFrame:
+    """Serial mirror of functions.graph.link_triangles — same frozen
+    graph; triangles found by set lookup over the canonical undirected
+    edge set, attributed to the highest-id vertex."""
+    ids, _ = _docs(sf_dir or oracle_sf_dir())
+    n = len(ids)
+    targets: dict[int, list[int]] = {}
+    edges: set[tuple[int, int]] = set()
+    for i in range(1, n):
+        ts: list[int] = []
+        for kk in (1, 2, 3):
+            t = _splitmix64_int(4 * i + kk) % i
+            if t not in ts:
+                ts.append(t)
+        targets[i] = ts
+        for t in ts:
+            edges.add((min(i, t), max(i, t)))
+    counts: dict[int, int] = {}
+    for apex, ts in targets.items():
+        for x in range(len(ts)):
+            for y in range(x + 1, len(ts)):
+                a, b = ts[x], ts[y]
+                if (min(a, b), max(a, b)) in edges:
+                    counts[apex] = counts.get(apex, 0) + 1
+    out = pd.DataFrame(sorted(counts.items()),
+                       columns=["doc_id", "n_tri"]).astype("int64")
+    return (out.sort_values(["n_tri", "doc_id"],
+                            ascending=[False, True])
+            .head(k_top).reset_index(drop=True))
+
+
+def dedup_semantic(sf_dir: str | None = None, n_clusters: int = 16,
+                   threshold: float = 0.9) -> pd.DataFrame:
+    """Serial mirror of functions.dedup.dedup_semantic — shared
+    bitwise k-means, same vec_id-ordered greedy leader scan and the
+    same gemv shapes, so keep flags and max_cos are bitwise equal."""
+    ids, mat = _embeddings(sf_dir or oracle_sf_dir())
+    mat = mat.astype(np.float64)
+    cents = kmeans_centroids(sf_dir, k=n_clusters)
+    d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+    rows = []
+    for c in np.unique(assign):
+        sel = np.nonzero(assign == c)[0]
+        order = sel[np.argsort(ids[sel])]
+        m = mat[order]
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        kept_rows: list[int] = []
+        for i in range(len(m)):
+            if kept_rows:
+                mc = float((m[kept_rows] @ m[i]).max())
+                keep = mc < threshold
+                out_mc = float(np.round(mc, 4))  # same rounding kernel
+                # as the engine's np.round over the max_cos array
+            else:
+                keep, out_mc = True, -1.0
+            if keep:
+                kept_rows.append(i)
+            rows.append((int(ids[order[i]]), int(c), keep, out_mc))
+    out = pd.DataFrame(rows, columns=["vec_id", "cluster", "keep",
+                                      "max_cos"])
+    return out.sort_values("vec_id").reset_index(drop=True)

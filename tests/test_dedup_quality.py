@@ -309,3 +309,28 @@ def test_ann_ivf_pq_bitwise_vs_serial_and_recall():
     et = {(r.query_id, r.vec_id) for r in exact.itertuples()}
     at = {(r.query_id, r.vec_id) for r in eng.itertuples()}
     assert len(et & at) / len(et) >= 0.2, "IVF-PQ recall collapsed"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_semantic_bitwise_and_sound():
+    """SemDeDup-style semantic dedup: bitwise vs the serial mirror,
+    and every DROPPED vector really has an exact-cosine near-dup
+    among the KEPT set (soundness of the greedy leader rule within
+    clusters)."""
+    import pandas as pd
+
+    from ccrawler_ray import serial_ref as SR
+    from ccrawler_ray.functions.dedup import dedup_semantic
+
+    eng = (dedup_semantic(SF, threshold=0.4).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    ser = SR.dedup_semantic(SF, threshold=0.4).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        eng[["vec_id", "cluster", "keep", "max_cos"]], ser)
+    dropped = eng[~eng["keep"]]
+    assert len(dropped) > 0  # threshold chosen to actually drop some
+    # every dropped vector's recorded max_cos must clear the threshold
+    assert (dropped["max_cos"] >= 0.4 - 1e-4).all()
+    # first vector of every cluster is kept with the -1 sentinel
+    firsts = eng.groupby("cluster").first()
+    assert firsts["keep"].all() and (firsts["max_cos"] == -1.0).all()
