@@ -1227,27 +1227,42 @@ def dedup_semantic(sf_dir: str, n_clusters: int = 16,
     c_ref = ray.put(cents)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
+    dim = _embedding_dim(ds)
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
-                                 "cluster": pd.Series(dtype="int64"),
-                                 "embedding": pd.Series(dtype="object")})
-        c = ray.get(c_ref)
-        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-        return pd.DataFrame({"vec_id": df["vec_id"].astype(np.int64),
-                             "cluster": d.argmin(axis=1).astype(np.int64),
-                             "embedding": list(m)})
+    def assign(batch: pa.Table) -> pa.Table:
+        # Arrow FixedSizeList throughout: hashable block schema (no
+        # executor schema-dedup warnings) and zero-copy float64 reads
+        emb = as_single_array(batch.column("embedding"))
+        m = np.asarray(emb.flatten(), dtype=np.float64).reshape(-1, dim)
+        if batch.num_rows:
+            c = ray.get(c_ref)
+            d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1).astype(np.int64)
+        else:
+            a = np.empty(0, dtype=np.int64)
+        # vectors packed as binary (like the sig columns): nested list
+        # schemas trip Ray's reduce-stage schema hashing; raw float64
+        # bytes round-trip exactly
+        return pa.table(
+            {"vec_id": pc.cast(batch.column("vec_id"), pa.int64()),
+             "cluster": pa.array(a),
+             "emb": pa.array([m[i].tobytes() for i in range(len(m))],
+                             pa.binary())})
 
-    def prune(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
+    def prune(t: pa.Table) -> pd.DataFrame:
+        if not t.num_rows:
             return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
                                  "cluster": pd.Series(dtype="int64"),
                                  "keep": pd.Series(dtype="bool"),
                                  "max_cos": pd.Series(dtype="float64")})
-        df = df.sort_values("vec_id")
-        m = np.stack(df["embedding"].to_numpy())
+        vids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        clus = t.column("cluster").to_numpy(zero_copy_only=False)
+        m = np.frombuffer(
+            b"".join(as_single_array(t.column("emb")).to_pylist()),
+            dtype=np.float64).reshape(-1, dim)
+        order = np.argsort(vids)
+        df = pd.DataFrame({"vec_id": vids[order], "cluster": clus[order]})
+        m = m[order]
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
         n = len(m)
         kept_rows: list[int] = []
@@ -1275,6 +1290,6 @@ def dedup_semantic(sf_dir: str, n_clusters: int = 16,
                              "keep": keep,
                              "max_cos": out_mc})
 
-    return (ds.map_batches(assign, batch_format="pandas")
+    return (ds.map_batches(assign, batch_format="pyarrow")
             .groupby("cluster")
-            .map_groups(prune, batch_format="pandas"))
+            .map_groups(prune, batch_format="pyarrow"))
