@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w6_ntile": R.w6_ntile,
         "w7_rolling_mean": R.w7_rolling_mean,
         "w8_late_events": R.w8_late_events,
+        "w9_percent_rank": R.w9_percent_rank,
+        "w10_funnel": R.w10_funnel,
         "g15_corr": R.g15_corr,
         "j9_full_outer_join": R.j9_full_outer_join,
         "g14_group_median": R.g14_group_median,
@@ -136,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o8_hash_split": R.o8_hash_split,
         # --- wide aggregate
         "q1_pricing_summary": R.q1_pricing_summary,
+        "q6_forecast_revenue": R.q6_forecast_revenue,
         # --- list explode (span analogue)
         "explode_embeddings": R.explode_embeddings,
         # --- text analysis toolkit
@@ -145,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": T.tfidf_topk,
         "char_entropy": T.char_entropy,
         "pii_scrub": T.pii_scrub,
+        "model_score_docs": T.model_score_docs,
         "search_bm25": T.search_bm25,
         # --- iterative graph analytics
         "link_pagerank": G.link_pagerank,
@@ -155,9 +159,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": lambda sf: D.ngram_jaccard_pairs(sf, threshold=0.8),
         "dedup_minhash_lsh": lambda sf: D.dedup_minhash_lsh(sf, threshold=0.8),
         "dedup_lsh_verified": lambda sf: D.dedup_lsh_verified(sf, threshold=0.8),
+        # surfaced as the bounded per-doc rollup: the raw pair stream
+        # is quadratic-ish on the small-vocab corpus (87k pairs at 500
+        # docs) — too big for a VALUES oracle and not the actionable
+        # artifact anyway
+        "dedup_containment_stats":
+            lambda sf: D.dedup_containment_stats(sf, threshold=0.8),
         "dedup_clusters": lambda sf: D.dedup_clusters(sf, threshold=0.8),
         "dedup_filtered_docs": lambda sf: MIX.dedup_filtered_docs(sf, threshold=0.8),
         "training_mix_stats": lambda sf: MIX.training_mix_stats(sf, threshold=0.8),
+        "corpus_prep_stats": MIX.corpus_prep_stats,
         "quality_filtered_docs": MIX.quality_filtered_docs,
         # max_hamming=3: the scale-safe blocking point (16-bit keys);
         # radius-derived blocking guarantees full recall (ADVICE r1)
@@ -264,6 +275,9 @@ def _serial_oracles() -> dict[str, str]:
                             "rank": "DOUBLE"}),
         "link_triangles": V(SR.link_triangles(),
                             {"doc_id": "BIGINT", "n_tri": "BIGINT"}),
+        "corpus_prep_stats": V(SR.corpus_prep_stats(),
+                               {"lang": "VARCHAR", "n_docs": "BIGINT",
+                                "sum_tokens": "BIGINT"}),
         "dedup_semantic": V(SR.dedup_semantic(threshold=0.4),
                             {"vec_id": "BIGINT", "cluster": "BIGINT",
                              "keep": "BOOLEAN", "max_cos": "DOUBLE"}),
@@ -271,6 +285,10 @@ def _serial_oracles() -> dict[str, str]:
                                {**pair_d, "est_jaccard": "DOUBLE"}),
         "dedup_lsh_verified": V(SR.dedup_lsh_verified(threshold=0.8),
                                 {**pair_d, "jaccard": "DOUBLE"}),
+        "dedup_containment_stats": V(
+            SR.dedup_containment_stats(threshold=0.8),
+            {"doc_id": "BIGINT", "n_pairs": "BIGINT",
+             "max_containment": "DOUBLE"}),
         "dedup_clusters": V(clusters,
                             {"doc_id": "BIGINT", "cluster_rep": "BIGINT",
                              "keep": "BOOLEAN"}),
@@ -538,6 +556,23 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS tile FROM events"
         ),
         "pii_scrub": _pii_scrub_sql(),
+        "model_score_docs": (
+            # same frozen integer weights as text.MODEL_WEIGHTS
+            "SELECT doc_id, CAST(logit AS BIGINT) AS logit, "
+            "logit >= 0 AS keep FROM (SELECT doc_id, "
+            r"35*(len(regexp_extract_all(text,'\s+'))+1) - 2*n_chars "
+            "- 50*len(regexp_extract_all(text,'[A-Z]')) "
+            "- 20*len(regexp_extract_all(text,'[0-9]')) + 900 AS logit "
+            "FROM documents)"
+        ),
+        "q6_forecast_revenue": (
+            "SELECT "
+            f"{_USUM('l_extendedprice*l_discount')} AS revenue, "
+            "CAST(count(*) AS BIGINT) AS n_items FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1995-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-01-01' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        ),
         "g15_corr": (
             # exact HUGEINT moment sums, then the same IEEE double
             # ops as the engine's finalize — bitwise-stable corr
@@ -560,6 +595,33 @@ def oracle_sql() -> dict[str, str]:
             "(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * "
             "sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_qty_price "
             "FROM s"
+        ),
+        "w10_funnel": (
+            "WITH x AS (SELECT event_id, user_id, ts, event_type, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR ts - lag(ts) OVER w > INTERVAL 43200 SECOND THEN 1 ELSE 0 "
+            "END AS is_new FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT *, CAST(sum(is_new) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_no "
+            "FROM x), "
+            "c AS (SELECT *, max(CASE WHEN event_type='click' THEN 1 "
+            "ELSE 0 END) OVER (PARTITION BY user_id, session_no "
+            "ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "AS click_before FROM s) "
+            "SELECT user_id, session_no, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "bool_or(event_type='purchase' "
+            "AND COALESCE(click_before, 0) = 1) AS converted "
+            "FROM c GROUP BY user_id, session_no"
+        ),
+        "w9_percent_rank": (
+            "SELECT event_id, user_id, "
+            "percent_rank() OVER w AS pct_rank, "
+            "cume_dist() OVER w AS cume FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY value DESC)"
         ),
         "w8_late_events": (
             # watermark = running max event-time over PRIOR arrivals

@@ -245,7 +245,8 @@ def _inter_count(x: np.ndarray, y: np.ndarray) -> int:
 def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
                          threshold: float | None = None,
                          exact: bool = False,
-                         cc_edges: bool = False):
+                         cc_edges: bool = False,
+                         containment: bool = False):
     """Banded LSH pairs (doc_a < doc_b), each emitted EXACTLY ONCE.
 
     The signature (and in exact mode the word-hash set) rides along in
@@ -273,8 +274,11 @@ def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
         raise ValueError("exact mode requires a threshold")
     if cc_edges and not exact:
         raise ValueError("cc_edges requires exact mode")
+    if containment and (not exact or cc_edges):
+        raise ValueError("containment requires exact pair mode")
     metric_col = None if cc_edges else (
-        "jaccard" if exact else ("est_jaccard" if threshold is not None else None)
+        ("containment" if containment else "jaccard") if exact
+        else ("est_jaccard" if threshold is not None else None)
     )
     key_col = "wset" if exact else "sig"
 
@@ -402,8 +406,13 @@ def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
                     met = np.empty(len(ka))
                     for t, (i, j) in enumerate(zip(ka, kb)):
                         inter = _inter_count(wl[i], wl[j])
-                        union = len(wl[i]) + len(wl[j]) - inter
-                        met[t] = inter / union if union else 0.0
+                        if containment:
+                            # max-containment: inter / smaller set —
+                            # catches a short doc embedded in a long one
+                            denom = min(len(wl[i]), len(wl[j]))
+                        else:
+                            denom = len(wl[i]) + len(wl[j]) - inter
+                        met[t] = inter / denom if denom else 0.0
                 else:
                     # chunked for the same large-allocation hazard:
                     # sm[ka] is pairs × 512 B of fresh fancy-indexed
@@ -480,6 +489,65 @@ def dedup_lsh_verified(sf_dir: str, num_perm: int = 64, bands: int = 16,
                  lambda: minhash_sig_wset(sf_dir, num_perm))
     return _lsh_candidate_pairs(sigs, bands, num_perm, threshold=threshold,
                                 exact=True)
+
+
+def dedup_containment(sf_dir: str, num_perm: int = 64, bands: int = 16,
+                      threshold: float = 0.8):
+    """Subset-duplicate pairs by EXACT max-containment
+    (|A∩B| / min(|A|,|B|)) computed on MinHash-LSH candidates — the
+    asymmetric near-dup check (quotes, prefixed copies, embedded docs)
+    that plain Jaccard under-scores. Candidate RECALL is governed by
+    the Jaccard LSH economics: a tiny doc inside a huge one may not
+    collide in any band — the documented limitation of
+    containment-via-minhash (at scale the remedy is more bands or a
+    shingle-sampling index, not an all-pairs scan). Returns
+    (doc_a, doc_b, containment), floor-scaled to 4, exactly-once."""
+    sigs = _memo(("sigw", sf_dir, num_perm),
+                 lambda: minhash_sig_wset(sf_dir, num_perm))
+    return _lsh_candidate_pairs(sigs, bands, num_perm, threshold=threshold,
+                                exact=True, containment=True)
+
+
+def dedup_containment_stats(sf_dir: str, num_perm: int = 64,
+                            bands: int = 16, threshold: float = 0.8):
+    """Per-doc containment rollup — the bounded O(docs) surface over
+    the (potentially quadratic-ish on a small-vocab corpus) pair
+    stream: for every doc in >= 1 high-containment pair,
+    (doc_id, n_pairs, max_containment). Map-side partial agg per
+    batch, then one salted shuffle of at most one row per
+    (batch, doc)."""
+    pairs = dedup_containment(sf_dir, num_perm, bands, threshold)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "n_pairs": pd.Series(dtype="int64"),
+                                 "max_containment": pd.Series(
+                                     dtype="float64"),
+                                 "d_salt": pd.Series(dtype="int32")})
+        both = pd.DataFrame({
+            "doc_id": np.concatenate([df["doc_a"].to_numpy(),
+                                      df["doc_b"].to_numpy()]),
+            "c": np.concatenate([df["containment"].to_numpy()] * 2)})
+        g = both.groupby("doc_id", as_index=False).agg(
+            n_pairs=("c", "size"), max_containment=("c", "max"))
+        g["d_salt"] = (g["doc_id"] % 64).astype(np.int32)
+        return g
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "n_pairs": pd.Series(dtype="int64"),
+                                 "max_containment": pd.Series(
+                                     dtype="float64")})
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_pairs=("n_pairs", "sum"),
+            max_containment=("max_containment", "max"))
+        return g.astype({"doc_id": "int64", "n_pairs": "int64"})
+
+    return (pairs.map_batches(partial, batch_format="pandas")
+            .groupby("d_salt")
+            .map_groups(finish, batch_format="pandas"))
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5):

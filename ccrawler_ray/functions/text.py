@@ -419,3 +419,47 @@ def pii_scrub(sf_dir: str):
                              "n_redactions": n})
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Model scoring as an ACTOR POOL — the batched-inference pattern for a
+# quality classifier at corpus scale: the model is "loaded" once per
+# actor (__init__), scoring is one vectorized pass per batch. The
+# model here is a frozen integer-weight linear scorer over exact
+# count features, so the logit is int64-exact and the DuckDB oracle
+# reproduces it bit-for-bit (a real fasttext/transformer scorer slots
+# into the same class with only __init__/__call__ changing).
+# ---------------------------------------------------------------------------
+
+MODEL_WEIGHTS = {"w_tokens": 35, "w_chars": -2, "w_upper": -50,
+                 "w_digits": -20, "bias": 900}
+
+
+class QualityModel:
+    def __init__(self):
+        # stands in for the model load (weights file / checkpoint):
+        # runs once per actor, NOT once per batch
+        self.w = dict(MODEL_WEIGHTS)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        t = pl.Series(df["text"])
+        n_tok = (t.str.count_matches(_TOKEN_RE) + 1).to_numpy().astype(np.int64)
+        n_up = t.str.count_matches(r"[A-Z]").to_numpy().astype(np.int64)
+        n_dig = t.str.count_matches(r"[0-9]").to_numpy().astype(np.int64)
+        n_chars = df["n_chars"].to_numpy().astype(np.int64)
+        w = self.w
+        logit = (w["w_tokens"] * n_tok + w["w_chars"] * n_chars
+                 + w["w_upper"] * n_up + w["w_digits"] * n_dig + w["bias"])
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "logit": logit,
+                             "keep": logit >= 0})
+
+
+def model_score_docs(sf_dir: str):
+    """(doc_id, logit, keep): frozen linear quality model scored by an
+    actor pool (concurrency=2 — sized up with the cluster)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text", "n_chars"])
+    return ds.map_batches(QualityModel, batch_format="pandas",
+                          concurrency=2)

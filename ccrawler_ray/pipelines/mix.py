@@ -160,3 +160,79 @@ def quality_filtered_docs(sf_dir: str, min_tokens: int = 20,
     joined = q.join(s, join_type="inner", num_partitions=8, on=("doc_id",))
     return joined.join(docs, join_type="inner", num_partitions=8,
                        on=("doc_id",))
+
+
+def corpus_prep_stats(sf_dir: str, min_tokens: int = 20,
+                      max_upper: float = 0.3, max_dup: float = 0.5,
+                      threshold: float = 0.8, bench_mod: int = 13):
+    """The full pre-training corpus-prep composition: a document
+    survives iff it passes EVERY leg —
+      quality (n_tokens >= min_tokens, upper_ratio <= max_upper),
+      substring dedup (dup_ratio <= max_dup),
+      the frozen linear quality model (logit >= 0),
+      decontamination (not contaminated; eval docs excluded),
+      near-dup clustering (cluster representative / keep).
+    Returns the surviving mix per language: (lang, n_docs, sum_tokens).
+
+    Scale shape: each leg is its own streaming pipeline reduced to a
+    narrow int64 doc_id(+small) table; legs meet in hash joins (no
+    broadcast of any O(docs) side); the final rollup groups by the
+    tiny lang key. The clustering leg reuses the memoized artifact.
+    """
+    from ccrawler_ray.functions.dedup import (decontaminate_overlap,
+                                              dedup_ngram_spans)
+    from ccrawler_ray.functions.text import model_score_docs, quality_score
+
+    def qf(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.and_(pc.greater_equal(t.column("n_tokens"), min_tokens),
+                    pc.less_equal(t.column("upper_ratio"), max_upper))
+        return t.filter(m).select(["doc_id", "n_tokens"])
+
+    def sf(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.less_equal(t.column("dup_ratio"), max_dup)
+                        ).select(["doc_id"])
+
+    def mf(t: pa.Table) -> pa.Table:
+        return t.filter(t.column("keep")).select(["doc_id"])
+
+    def cf(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.invert(t.column("contaminated"))
+                        ).select(["doc_id"])
+
+    q = quality_score(sf_dir).map_batches(qf, batch_format="pyarrow")
+    s = dedup_ngram_spans(sf_dir).map_batches(sf, batch_format="pyarrow")
+    m = model_score_docs(sf_dir).map_batches(mf, batch_format="pyarrow")
+    c = decontaminate_overlap(sf_dir, bench_mod=bench_mod).map_batches(
+        cf, batch_format="pyarrow")
+    k = _keep_ids(sf_dir, threshold)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    kept = q
+    for leg in (s, m, c, k):
+        kept = kept.join(leg, join_type="inner", num_partitions=8,
+                         on=("doc_id",))
+    kept = kept.join(docs, join_type="inner", num_partitions=8,
+                     on=("doc_id",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"lang": t.column("lang").to_pylist(),
+                           "n_tokens": t.column("n_tokens").to_numpy(
+                               zero_copy_only=False)})
+        g = df.groupby("lang", as_index=False).agg(
+            n_docs=("n_tokens", "size"), sum_tokens=("n_tokens", "sum"))
+        return pa.table({"lang": pa.array(g["lang"], pa.string()),
+                         "n_docs": pa.array(g["n_docs"].astype(np.int64)),
+                         "sum_tokens": pa.array(
+                             g["sum_tokens"].astype(np.int64))})
+
+    return (kept.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("sum_tokens", alias_name="sum_tokens")))

@@ -1848,3 +1848,165 @@ def g15_corr(sf_dir: str):
                                           "corr_qty_price"])
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Q6: forecast-revenue filter+aggregate — the canonical predicate-
+# pushdown benchmark shape: a read pruned to 4 columns, a fully
+# vectorized Arrow mask, ONE micro-unit partial sum per block, a
+# scalar reduce. No shuffle at all.
+# ---------------------------------------------------------------------------
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """sum(l_extendedprice * l_discount) for 1995 shipments with
+    discount in [0.05, 0.07] and quantity < 24."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        lo = np.datetime64("1995-01-01", "us").astype(np.int64)
+        hi = np.datetime64("1996-01-01", "us").astype(np.int64)
+        mask = ((ship >= lo) & (ship < hi)
+                & (disc >= 0.05) & (disc <= 0.07) & (qty < 24))
+        rev = _to_micro(price[mask] * disc[mask])
+        return pa.table({"rev_u": pa.array([int(rev.sum())], pa.int64()),
+                         "n": pa.array([int(mask.sum())], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    agg = parts.aggregate(Sum("rev_u", alias_name="revenue"),
+                          Sum("n", alias_name="n_items"))
+    return pd.DataFrame(
+        {"revenue": [int(agg["revenue"] or 0) / (MICRO * 1.0)],
+         "n_items": [int(agg["n_items"] or 0)]})
+
+
+# ---------------------------------------------------------------------------
+# W9: percent_rank + cume_dist — rank-normalized per-key position
+# (the feature scaler a training pipeline uses for per-group score
+# normalization). Same salted one-shuffle shape as W6; ranks are
+# exact ints, the two ratios are single IEEE divisions of those ints
+# (bitwise identical to the oracle's window functions).
+# ---------------------------------------------------------------------------
+
+
+def w9_percent_rank(sf_dir: str):
+    """Per event: percent_rank() and cume_dist() within its user,
+    ordered by value DESC (tie-invariant outputs)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "u_salt", pa.array((u % 64).astype(np.int32)))
+
+    def per_salt(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "user_id": pd.Series(dtype="int64"),
+                 "pct_rank": pd.Series(dtype="float64"),
+                 "cume": pd.Series(dtype="float64")})
+        df = df.sort_values(["user_id", "value", "event_id"],
+                            ascending=[True, False, True])
+        uid = df["user_id"].to_numpy()
+        val = df["value"].to_numpy()
+        starts = np.r_[0, np.flatnonzero(uid[1:] != uid[:-1]) + 1]
+        sizes = np.diff(np.r_[starts, len(uid)])
+        n = np.repeat(sizes, sizes)
+        pos = np.arange(len(uid)) - np.repeat(starts, sizes)
+        # peer groups: new (user, value) combination starts a rank
+        newv = np.r_[True, (uid[1:] != uid[:-1]) | (val[1:] != val[:-1])]
+        # rank = position of the peer group's first row + 1
+        grp_start = np.maximum.accumulate(np.where(newv,
+                                                   np.arange(len(uid)), -1))
+        rank = grp_start - np.repeat(starts, sizes) + 1
+        # cume peer end: last row of the peer group, via reversed scan
+        rev_new = np.r_[(uid[1:] != uid[:-1]) | (val[1:] != val[:-1]), True]
+        idx = np.where(rev_new, np.arange(len(uid)), len(uid))
+        grp_end = np.minimum.accumulate(idx[::-1])[::-1]
+        peers_thru = grp_end - np.repeat(starts, sizes) + 1
+        pct = np.where(n > 1, (rank - 1) / np.maximum(n - 1, 1), 0.0)
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "user_id": uid,
+                             "pct_rank": pct,
+                             "cume": peers_thru / n})
+
+    return (
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby("u_salt")
+        .map_groups(per_salt, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W10: sessionized funnel — click → purchase conversion within a
+# session (the composition of W2's gap sessionization with ordered
+# conversion semantics). One salted shuffle; the in-group kernel is
+# the W2 diff/cumsum plus a segmented shifted-cummax "click seen
+# strictly before" flag — no per-user or per-session Python loop.
+# ---------------------------------------------------------------------------
+
+
+def w10_funnel(sf_dir: str, gap_s: int = 43_200):
+    """Per (user, session): event count and whether a purchase
+    followed a click strictly later in (ts, event_id) order."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "u_salt", pa.array((u % 64).astype(np.int32)))
+
+    gap = np.timedelta64(gap_s, "s")
+
+    def per_salt(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype="int64"),
+                 "session_no": pd.Series(dtype="int64"),
+                 "n_events": pd.Series(dtype="int64"),
+                 "converted": pd.Series(dtype="bool")})
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        ts = df["ts"].to_numpy()
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        is_new = new_user | np.r_[True, (ts[1:] - ts[:-1]) > gap]
+        sess = np.cumsum(is_new)                     # global session id
+        first_idx = np.flatnonzero(new_user)
+        base = np.repeat(sess[first_idx],
+                         np.diff(np.r_[first_idx, len(sess)]))
+        session_no = (sess - base).astype(np.int64)
+        # "click seen strictly before" within the session: cummax of
+        # is_click reset at session starts, then shifted by one row
+        is_click = (et == "click").astype(np.int64)
+        sstart = np.flatnonzero(is_new)
+        seg = np.repeat(np.arange(len(sstart)),
+                        np.diff(np.r_[sstart, len(sess)]))
+        cum = np.cumsum(is_click)
+        seen_incl = (cum - np.repeat(np.r_[0, cum[sstart[1:] - 1]]
+                                     if len(sstart) > 1 else [0],
+                                     np.diff(np.r_[sstart, len(sess)]))
+                     ) > 0
+        prev = np.r_[False, seen_incl[:-1]]
+        prev[sstart] = False                         # session first row
+        conv_evt = (et == "purchase") & prev
+        out = pd.DataFrame({"user_id": uid, "session_no": session_no,
+                            "one": np.ones(len(uid), dtype=np.int64),
+                            "conv": conv_evt})
+        g = out.groupby(["user_id", "session_no"], as_index=False).agg(
+            n_events=("one", "sum"), converted=("conv", "max"))
+        return g.astype({"user_id": "int64", "session_no": "int64",
+                         "n_events": "int64", "converted": "bool"})
+
+    return (
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby("u_salt")
+        .map_groups(per_salt, batch_format="pandas")
+    )

@@ -228,6 +228,28 @@ def dedup_lsh_verified(sf_dir: str | None = None, num_perm: int = 64,
         if rows else pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
 
 
+def dedup_containment(sf_dir: str | None = None, num_perm: int = 64,
+                      bands: int = 16, threshold: float = 0.8
+                      ) -> pd.DataFrame:
+    """Serial mirror of functions.dedup.dedup_containment — same
+    LSH candidate set, exact |A∩B| / min(|A|,|B|) filter."""
+    sf_dir = sf_dir or oracle_sf_dir()
+    ids, wsets, sigs = _doc_signatures(sf_dir, num_perm)
+    sets = [frozenset(w.tolist()) for w in wsets]
+    rows = []
+    for i, j in _lsh_candidates(sigs, bands):
+        inter = len(sets[i] & sets[j])
+        denom = min(len(sets[i]), len(sets[j]))
+        c = inter / denom if denom else 0.0
+        if c >= threshold:
+            a, b = int(ids[i]), int(ids[j])
+            rows.append((min(a, b), max(a, b),
+                         float(np.floor(c * 10000) / 10000)))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "containment"]) \
+        if rows else pd.DataFrame(
+            {"doc_a": [], "doc_b": [], "containment": []})
+
+
 # ---------------------------------------------------------------------------
 # ANN references
 # ---------------------------------------------------------------------------
@@ -943,3 +965,72 @@ def dedup_semantic(sf_dir: str | None = None, n_clusters: int = 16,
     out = pd.DataFrame(rows, columns=["vec_id", "cluster", "keep",
                                       "max_cos"])
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def corpus_prep_stats(sf_dir: str | None = None, min_tokens: int = 20,
+                      max_upper: float = 0.3, max_dup: float = 0.5,
+                      threshold: float = 0.8, bench_mod: int = 13
+                      ) -> pd.DataFrame:
+    """Serial mirror of pipelines.mix.corpus_prep_stats: every filter
+    leg recomputed serially (quality + frozen model from the same
+    formulas, spans/decontaminate/clusters from their serial mirrors),
+    intersected, rolled up per language."""
+    import re
+
+    from ccrawler_ray.functions.text import MODEL_WEIGHTS
+
+    sf = sf_dir or oracle_sf_dir()
+    df = pq.read_table(
+        f"{sf}/documents.parquet",
+        columns=["doc_id", "text", "lang", "n_chars"]).to_pandas()
+    tok = df["text"].map(
+        lambda t: len(re.findall(r"\s+", t)) + 1).to_numpy(np.int64)
+    nup = df["text"].map(
+        lambda t: len(re.findall(r"[A-Z]", t))).to_numpy(np.int64)
+    ndig = df["text"].map(
+        lambda t: len(re.findall(r"[0-9]", t))).to_numpy(np.int64)
+    nch = df["n_chars"].to_numpy(np.int64)
+    upper_ratio = np.floor(nup * 10000.0 / np.maximum(nch, 1)) / 10000
+    w = MODEL_WEIGHTS
+    logit = (w["w_tokens"] * tok + w["w_chars"] * nch
+             + w["w_upper"] * nup + w["w_digits"] * ndig + w["bias"])
+    ok = pd.Series((tok >= min_tokens) & (upper_ratio <= max_upper)
+                   & (logit >= 0), index=df["doc_id"].to_numpy())
+
+    spans = dedup_ngram_spans(sf)
+    s_ok = set(spans.loc[spans["dup_ratio"] <= max_dup, "doc_id"])
+    dec = decontaminate_overlap(sf, bench_mod=bench_mod)
+    c_ok = set(dec.loc[~dec["contaminated"], "doc_id"])
+    clus = dedup_clusters(sf, threshold=threshold)
+    k_ok = set(clus.loc[clus["keep"], "doc_id"])
+
+    df = df.assign(n_tokens=tok)
+    keep = (ok.to_numpy()
+            & df["doc_id"].isin(s_ok).to_numpy()
+            & df["doc_id"].isin(c_ok).to_numpy()
+            & df["doc_id"].isin(k_ok).to_numpy())
+    kept = df[keep]
+    out = kept.groupby("lang", as_index=False).agg(
+        n_docs=("n_tokens", "size"), sum_tokens=("n_tokens", "sum"))
+    return out.astype({"n_docs": "int64", "sum_tokens": "int64"}
+                      ).sort_values("lang").reset_index(drop=True)
+
+
+def dedup_containment_stats(sf_dir: str | None = None, num_perm: int = 64,
+                            bands: int = 16, threshold: float = 0.8
+                            ) -> pd.DataFrame:
+    """Serial mirror of functions.dedup.dedup_containment_stats —
+    rollup of the serial pair set."""
+    pairs = dedup_containment(sf_dir, num_perm, bands, threshold)
+    if not len(pairs):
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_pairs": pd.Series(dtype="int64"),
+                             "max_containment": pd.Series(dtype="float64")})
+    both = pd.DataFrame({
+        "doc_id": np.concatenate([pairs["doc_a"].to_numpy(),
+                                  pairs["doc_b"].to_numpy()]),
+        "c": np.concatenate([pairs["containment"].to_numpy()] * 2)})
+    g = both.groupby("doc_id", as_index=False).agg(
+        n_pairs=("c", "size"), max_containment=("c", "max"))
+    return (g.astype({"doc_id": "int64", "n_pairs": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))

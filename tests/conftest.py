@@ -13,7 +13,11 @@ def ray_session():
     if not ray.is_initialized():
         ray.init(
             address="local",
-            num_cpus=4,
+            # 8 cpus: the 90-query conformance sweep is fixed-overhead
+            # bound (one Dataset execution per query); results are
+            # partition-count-independent by design, so more cpus only
+            # change wall-clock
+            num_cpus=8,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",

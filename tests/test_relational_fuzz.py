@@ -12,7 +12,8 @@ import pytest
 
 QUERIES = ("w5_lag_lead", "w6_ntile", "w7_rolling_mean",
            "g14_group_median", "d5_latest_per_key", "s2_set_except",
-           "w8_late_events", "j9_full_outer_join")
+           "w8_late_events", "j9_full_outer_join", "w9_percent_rank",
+           "w10_funnel")
 
 
 def _random_events(rng: np.random.Generator, n: int, n_users: int,
@@ -71,7 +72,7 @@ def test_window_kernels_fuzz_vs_duckdb(tmp_path):
 DOC_QUERIES = ("m2_filter_validate", "m9_content_hash",
                "m10_normalize_text", "o7_wordcount_topk", "o8_hash_split",
                "g10_pivot", "token_count", "token_count_bpe",
-               "quality_score", "pii_scrub")
+               "quality_score", "pii_scrub", "model_score_docs")
 
 
 def _random_docs(rng: np.random.Generator, n: int) -> pa.Table:
