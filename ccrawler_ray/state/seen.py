@@ -70,16 +70,123 @@ class _Bloom:
         return float(np.unpackbits(self.bits.view(np.uint8)).mean())
 
 
+CUCKOO_BUCKET = 4          # slots per bucket (standard 4-way)
+CUCKOO_MAX_KICKS = 500     # bounded eviction chain before overflow
+
+
+class _Cuckoo:
+    """Cuckoo filter over uint64 keys — the other half of the
+    "bloom/cuckoo" scale path: ~16 bits/URL at <1% FP like the bloom,
+    but SUPPORTS DELETION (a crawl that re-queues or expires URLs can
+    retract membership; a bloom cannot). 4-slot buckets, 16-bit
+    fingerprints, partial-key eviction with a bounded kick chain and a
+    deterministic per-shard RNG; keys that exhaust the chain land in
+    an exact overflow set (never a false negative)."""
+
+    def __init__(self, capacity: int, seed: int = 0):
+        nb = 1
+        while nb * CUCKOO_BUCKET < capacity * 1.1:
+            nb <<= 1
+        self.nbuckets = nb
+        self.mask = np.uint64(nb - 1)
+        self.slots = np.zeros((nb, CUCKOO_BUCKET), dtype=np.uint16)
+        self.overflow: set[int] = set()
+        self._rng = np.random.default_rng(0xC0C0 + seed)
+        self.n_items = 0
+
+    @staticmethod
+    def _fp(key: np.uint64) -> np.uint16:
+        f = np.uint16((int(key) >> 48) & 0xFFFF)
+        return f if f else np.uint16(1)
+
+    def _i2(self, i1: int, fp: np.uint16) -> int:
+        return int((np.uint64(i1)
+                    ^ (np.uint64(fp) * np.uint64(0x5BD1E995))) & self.mask)
+
+    def add(self, keys: np.ndarray) -> None:
+        for k in keys.tolist():
+            key = np.uint64(k)
+            fp = self._fp(key)
+            i1 = int(key & self.mask)
+            i2 = self._i2(i1, fp)
+            placed = False
+            for b in (i1, i2):
+                row = self.slots[b]
+                empty = np.nonzero(row == 0)[0]
+                if len(empty):
+                    row[empty[0]] = fp
+                    placed = True
+                    break
+            if not placed:
+                b, cur = (i1 if self._rng.integers(2) else i2), fp
+                for _ in range(CUCKOO_MAX_KICKS):
+                    s = int(self._rng.integers(CUCKOO_BUCKET))
+                    cur, self.slots[b, s] = self.slots[b, s], cur
+                    b = self._i2(b, cur)
+                    row = self.slots[b]
+                    empty = np.nonzero(row == 0)[0]
+                    if len(empty):
+                        row[empty[0]] = cur
+                        placed = True
+                        break
+                if not placed:
+                    # evicted fingerprint has no home: keep it exactly
+                    self.overflow.add(int(cur))
+            self.n_items += 1
+
+    def might_contain(self, keys: np.ndarray) -> np.ndarray:
+        out = np.empty(len(keys), dtype=bool)
+        for i, k in enumerate(keys.tolist()):
+            key = np.uint64(k)
+            fp = self._fp(key)
+            i1 = int(key & self.mask)
+            i2 = self._i2(i1, fp)
+            out[i] = (bool((self.slots[i1] == fp).any())
+                      or bool((self.slots[i2] == fp).any())
+                      or int(fp) in self.overflow)
+        return out
+
+    def remove(self, keys: np.ndarray) -> np.ndarray:
+        """Delete one fingerprint copy per key; returns found mask —
+        the operation a bloom cannot offer."""
+        out = np.zeros(len(keys), dtype=bool)
+        for i, k in enumerate(keys.tolist()):
+            key = np.uint64(k)
+            fp = self._fp(key)
+            i1 = int(key & self.mask)
+            i2 = self._i2(i1, fp)
+            for b in (i1, i2):
+                hit = np.nonzero(self.slots[b] == fp)[0]
+                if len(hit):
+                    self.slots[b, hit[0]] = 0
+                    out[i] = True
+                    break
+            else:
+                if int(fp) in self.overflow:
+                    self.overflow.discard(int(fp))
+                    out[i] = True
+            if out[i]:
+                self.n_items -= 1
+        return out
+
+    def fill_ratio(self) -> float:
+        return float((self.slots != 0).mean())
+
+
 @ray.remote(num_cpus=0.05)
 class SeenShard:
     """One shard of the URL-seen pool. max_restarts=0: state is restored
     from checkpoint dumps, not by Ray restart (SURVEY.md §4.5)."""
 
-    def __init__(self, shard_id: int, capacity: int = 1_000_000, exact: bool = True):
+    def __init__(self, shard_id: int, capacity: int = 1_000_000,
+                 exact: bool = True, membership: str = "bloom"):
         self.shard_id = shard_id
         self.exact = exact
         self.table: dict[int, tuple[str, str]] = {}
-        self.bloom = _Bloom(capacity)
+        # "bloom" (default) or "cuckoo" — functionally equivalent probe
+        # (approximate, no false negatives); cuckoo adds deletion
+        self.bloom = (_Cuckoo(capacity, seed=shard_id)
+                      if membership == "cuckoo" else _Bloom(capacity))
         self._pending: list[pa.Table] = []
 
     def check_and_add(self, url_hashes: np.ndarray, canons: list[str],

@@ -125,3 +125,51 @@ def test_politeness_dump_retains_robots_txt_standalone():
         assert dump2.loc["slow.example", "fetched_total"] == 3
     finally:
         pool2.kill()
+
+
+def test_cuckoo_membership_fp_rate_and_delete():
+    """Cuckoo filter half of the bloom/cuckoo scale path: no false
+    negatives, FP rate in the 16-bit-fingerprint ballpark, and —
+    unlike the bloom — deletion retracts membership."""
+    from ccrawler_ray.state.seen import _Cuckoo
+
+    rng = np.random.default_rng(7)
+    present = rng.integers(1, 1 << 63, 20_000, dtype=np.int64).astype(np.uint64)
+    absent = rng.integers(1, 1 << 63, 20_000, dtype=np.int64).astype(np.uint64)
+    absent = np.setdiff1d(absent, present)
+    c = _Cuckoo(capacity=20_000)
+    c.add(present)
+    assert c.might_contain(present).all(), "false negative"
+    fp = c.might_contain(absent).mean()
+    # 2 buckets x 4 slots x 2^-16 per probe ~ 1.2e-4; allow slack
+    assert fp < 0.01, f"cuckoo FP rate too high: {fp:.4f}"
+    assert 0.3 < c.fill_ratio() < 0.95
+
+    # deletion: remove half, they must stop matching (minus FP noise)
+    drop = present[:10_000]
+    removed = c.remove(drop)
+    assert removed.all()
+    still = c.might_contain(drop).mean()
+    assert still < 0.01, f"deleted keys still present: {still:.4f}"
+    # the other half is untouched
+    assert c.might_contain(present[10_000:]).all()
+
+
+def test_seen_shard_cuckoo_mode_equivalent():
+    """SeenShard(membership='cuckoo') gives identical first-wins
+    answers (the exact dict is authoritative; the filter is the
+    approximate probe)."""
+    import ray
+
+    from ccrawler_ray.state.seen import SeenShard
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=2, include_dashboard=False,
+                 logging_level="ERROR", ignore_reinit_error=True)
+    sh = SeenShard.remote(0, capacity=1000, membership="cuckoo")
+    h = hash64_batch(["http://a/1", "http://a/2", "http://a/1"])
+    fresh = ray.get(sh.check_and_add.remote(
+        h, ["http://a/1", "http://a/2", "http://a/1"], ["k1", "k2", "k3"]))
+    assert fresh.tolist() == [True, True, False]
+    probe = ray.get(sh.might_contain.remote(h))
+    assert probe.all()  # no false negatives through the actor surface
