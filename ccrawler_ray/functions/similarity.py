@@ -274,9 +274,22 @@ PQ_SUBS = 8
 PQ_K = 16
 
 
-def _pq_codebooks(ds, dim: int, iters: int = 5) -> np.ndarray:
+def _pq_codebooks(ds, dim: int, iters: int = 5,
+                  train_mod: int = 1) -> np.ndarray:
     """(PQ_SUBS, PQ_K, dim//PQ_SUBS) codebooks; init = subvectors of
-    the PQ_K smallest vec_ids (sort+limit moves PQ_K rows)."""
+    the PQ_K smallest vec_ids (sort+limit moves PQ_K rows).
+
+    train_mod > 1 trains on the deterministic subsample
+    vec_id % train_mod == 0 — the production practice at corpus scale
+    (quantizers train on ~1e6 vectors, never the full 1e10; passes
+    over the training set shrink by the same factor). Encoding always
+    covers every vector. The subsample is id-derived, so the serial
+    mirror reproduces it exactly."""
+    if train_mod > 1:
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["vec_id"] % train_mod == 0]
+
+        ds = ds.map_batches(keep, batch_format="pandas").materialize()
     sub = dim // PQ_SUBS
     init = ds.sort("vec_id").limit(PQ_K).to_pandas()
     base = np.stack(init["embedding"].to_numpy()).astype(np.float64)
@@ -321,7 +334,7 @@ def _pq_codebooks(ds, dim: int, iters: int = 5) -> np.ndarray:
 
 
 def ann_pq_topk(sf_dir: str, num_queries: int = 5, k: int = 5,
-                iters: int = 5):
+                iters: int = 5, train_mod: int = 1):
     """Approximate top-k by PQ/ADC distance (asc, ties vec_id asc) for
     the query set vec_id < num_queries, self excluded. Returns
     (query_id, vec_id, adist, rank)."""
@@ -331,7 +344,7 @@ def ann_pq_topk(sf_dir: str, num_queries: int = 5, k: int = 5,
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).materialize()
-    cents = _pq_codebooks(ds, dim, iters=iters)
+    cents = _pq_codebooks(ds, dim, iters=iters, train_mod=train_mod)
     c_ref = ray.put(cents)
 
     def encode(df: pd.DataFrame) -> pd.DataFrame:
@@ -407,7 +420,8 @@ def ann_pq_topk(sf_dir: str, num_queries: int = 5, k: int = 5,
 
 
 def ann_ivf_pq(sf_dir: str, num_queries: int = 5, k: int = 5,
-               n_clusters: int = 16, n_probe: int = 4, iters: int = 5):
+               n_clusters: int = 16, n_probe: int = 4, iters: int = 5,
+               train_mod: int = 2):
     """Approximate top-k by residual-PQ ADC distance over the n_probe
     nearest inverted lists. Returns (query_id, vec_id, adist, rank)."""
     qids, qm = _query_matrix(sf_dir, num_queries)
@@ -434,7 +448,8 @@ def ann_ivf_pq(sf_dir: str, num_queries: int = 5, k: int = 5,
                              "embedding": list(r)})
 
     res = ds.map_batches(to_residual, batch_format="pandas").materialize()
-    pq_cents = _pq_codebooks(res, dim, iters=iters)  # trained on residuals
+    pq_cents = _pq_codebooks(res, dim, iters=iters,  # trained on residuals
+                             train_mod=train_mod)
     p_ref = ray.put(pq_cents)
 
     def encode(df: pd.DataFrame) -> pd.DataFrame:

@@ -51,7 +51,10 @@ def values_sql(df: pd.DataFrame, types: dict[str, str]) -> str:
         if t == "VARCHAR":
             return "'" + str(v).replace("'", "''") + "'"
         if t == "DOUBLE":
-            return repr(float(v))
+            # Bare decimal literals go through DuckDB's DECIMAL parser
+            # and can land 1 ulp off; the VARCHAR->DOUBLE cast uses the
+            # exact round-trip float parser (repr is shortest-roundtrip).
+            return f"CAST('{float(v)!r}' AS DOUBLE)"
         if t == "BOOLEAN":
             return "true" if v else "false"
         return str(int(v))
@@ -776,12 +779,13 @@ def g11_countmin_est(sf_dir: str | None = None) -> pd.DataFrame:
 
 
 def ann_pq_topk(sf_dir: str | None = None, num_queries: int = 5,
-                k: int = 5, iters: int = 5) -> pd.DataFrame:
+                k: int = 5, iters: int = 5,
+                train_mod: int = 1) -> pd.DataFrame:
     """Serial mirror of functions.similarity.ann_pq_topk — identical
-    quantized-int64 codebook training (order-independent merge makes
-    the distributed partials sum to these exact ints), encoding and
-    ADC lookups, so distances are bitwise equal."""
-    from ccrawler_ray.functions.similarity import KMEANS_QSCALE, PQ_K, PQ_SUBS
+    quantized-int64 codebook training on the same deterministic
+    vec_id % train_mod subsample, encoding and ADC lookups, so
+    distances are bitwise equal."""
+    from ccrawler_ray.functions.similarity import PQ_K, PQ_SUBS
 
     ids, mat = _embeddings(sf_dir or oracle_sf_dir())
     mat = mat.astype(np.float64)
@@ -789,25 +793,8 @@ def ann_pq_topk(sf_dir: str | None = None, num_queries: int = 5,
     sub = dim // PQ_SUBS
     order = np.argsort(ids)
     ids, mat = ids[order], mat[order]
-    base = mat[:PQ_K]
-    cents = np.stack(
-        [base[:, s * sub:(s + 1) * sub] for s in range(PQ_SUBS)])
-    for _ in range(iters):
-        new = cents.copy()
-        for s in range(PQ_SUBS):
-            ms = mat[:, s * sub:(s + 1) * sub]
-            d = ((ms[:, None, :] - cents[s][None, :, :]) ** 2).sum(axis=2)
-            a = d.argmin(axis=1)
-            for ci in np.unique(a):
-                sel = np.round(ms[a == ci] * KMEANS_QSCALE).astype(np.int64)
-                new[s][ci] = sel.sum(axis=0) / (KMEANS_QSCALE
-                                                * int((a == ci).sum()))
-        cents = new
-    codes = np.empty((len(mat), PQ_SUBS), dtype=np.uint8)
-    for s in range(PQ_SUBS):
-        ms = mat[:, s * sub:(s + 1) * sub]
-        d = ((ms[:, None, :] - cents[s][None, :, :]) ** 2).sum(axis=2)
-        codes[:, s] = d.argmin(axis=1).astype(np.uint8)
+    train_sel = None if train_mod <= 1 else (ids % train_mod == 0)
+    cents, codes = _pq_train_encode(mat, iters, train_sel=train_sel)
     srange = np.arange(PQ_SUBS)
     rows = []
     for qid in range(num_queries):
@@ -825,21 +812,25 @@ def ann_pq_topk(sf_dir: str | None = None, num_queries: int = 5,
     return pd.concat(rows).reset_index(drop=True)
 
 
-def _pq_train_encode(mat: np.ndarray, iters: int):
+def _pq_train_encode(mat: np.ndarray, iters: int,
+                     train_sel: np.ndarray | None = None):
     """Serial PQ codebook training + encoding over rows already in
     vec_id order — same quantized-int64 update rule as the engine's
-    _pq_codebooks, so (cents, codes) are bitwise equal."""
+    _pq_codebooks, so (cents, codes) are bitwise equal. ``train_sel``
+    restricts TRAINING to a row subset (the engine's deterministic
+    vec_id % train_mod subsample); encoding always covers every row."""
     from ccrawler_ray.functions.similarity import KMEANS_QSCALE, PQ_K, PQ_SUBS
 
     dim = mat.shape[1]
     sub = dim // PQ_SUBS
-    base = mat[:PQ_K]
+    tm = mat if train_sel is None else mat[train_sel]
+    base = tm[:PQ_K]
     cents = np.stack(
         [base[:, s * sub:(s + 1) * sub] for s in range(PQ_SUBS)])
     for _ in range(iters):
         new = cents.copy()
         for s in range(PQ_SUBS):
-            ms = mat[:, s * sub:(s + 1) * sub]
+            ms = tm[:, s * sub:(s + 1) * sub]
             d = ((ms[:, None, :] - cents[s][None, :, :]) ** 2).sum(axis=2)
             a = d.argmin(axis=1)
             for ci in np.unique(a):
@@ -857,7 +848,7 @@ def _pq_train_encode(mat: np.ndarray, iters: int):
 
 def ann_ivf_pq(sf_dir: str | None = None, num_queries: int = 5,
                k: int = 5, n_clusters: int = 16, n_probe: int = 4,
-               iters: int = 5) -> pd.DataFrame:
+               iters: int = 5, train_mod: int = 2) -> pd.DataFrame:
     """Serial mirror of functions.similarity.ann_ivf_pq: coarse
     k-means (shared bitwise trainer), residual PQ, n_probe inverted
     lists, ADC distances — bitwise equal to the engine."""
@@ -873,7 +864,8 @@ def ann_ivf_pq(sf_dir: str | None = None, num_queries: int = 5,
     resid = mat - coarse[assign]
     order = np.argsort(ids)
     ids, resid, assign = ids[order], resid[order], assign[order]
-    pq_cents, codes = _pq_train_encode(resid, iters)
+    train_sel = None if train_mod <= 1 else (ids % train_mod == 0)
+    pq_cents, codes = _pq_train_encode(resid, iters, train_sel=train_sel)
     srange = np.arange(PQ_SUBS)
     rows = []
     for qid in range(num_queries):
