@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": T.quality_score,
         "tfidf_topk": T.tfidf_topk,
         "char_entropy": T.char_entropy,
+        "repetition_stats": T.repetition_stats,
         "pii_scrub": T.pii_scrub,
         "model_score_docs": T.model_score_docs,
         "search_bm25": T.search_bm25,
@@ -169,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_filtered_docs": lambda sf: MIX.dedup_filtered_docs(sf, threshold=0.8),
         "training_mix_stats": lambda sf: MIX.training_mix_stats(sf, threshold=0.8),
         "corpus_prep_stats": MIX.corpus_prep_stats,
+        "mix_interleave": MIX.mix_interleave,
         "quality_filtered_docs": MIX.quality_filtered_docs,
         # max_hamming=3: the scale-safe blocking point (16-bit keys);
         # radius-derived blocking guarantees full recall (ADVICE r1)
@@ -265,6 +267,12 @@ def _serial_oracles() -> dict[str, str]:
         "char_entropy": V(SR.char_entropy(),
                           {"doc_id": "BIGINT", "n_cp": "BIGINT",
                            "n_unique_cp": "BIGINT", "entropy": "DOUBLE"}),
+        "repetition_stats": V(SR.repetition_stats(),
+                              {"doc_id": "BIGINT", "n_words": "BIGINT",
+                               "dup_word_frac": "DOUBLE",
+                               "top_bigram_frac": "DOUBLE",
+                               "dup_5gram_frac": "DOUBLE",
+                               "keep": "BOOLEAN"}),
         "dedup_simhash": V(SR.dedup_simhash(max_hamming=3),
                            {**pair_d, "hamming": "BIGINT"}),
         "search_bm25": V(SR.search_bm25(),
@@ -275,6 +283,9 @@ def _serial_oracles() -> dict[str, str]:
                             "rank": "DOUBLE"}),
         "link_triangles": V(SR.link_triangles(),
                             {"doc_id": "BIGINT", "n_tri": "BIGINT"}),
+        "mix_interleave": V(SR.mix_interleave(),
+                            {"pos": "BIGINT", "doc_id": "BIGINT",
+                             "source": "VARCHAR", "pri": "DOUBLE"}),
         "corpus_prep_stats": V(SR.corpus_prep_stats(),
                                {"lang": "VARCHAR", "n_docs": "BIGINT",
                                 "sum_tokens": "BIGINT"}),

@@ -386,6 +386,91 @@ def search_bm25(sf_dir: str, terms: tuple = ("join", "vector", "spark", "fast"),
 
 
 # ---------------------------------------------------------------------------
+# Repetition signals — the Gopher-style repetitive-content filter
+# (Rae et al. 2021 §A1.1 use duplicate-line and n-gram fractions; this
+# corpus has no line structure, so the signals are word-n-gram based).
+# All three ratios are integer-over-integer with floor-scaling to 4
+# decimals, so the serial mirror is exact.
+# ---------------------------------------------------------------------------
+
+_REP_C1 = 0x9E3779B97F4A7C15  # same odd mixing constant as the shinglers
+# C^4..C^0 mod 2^64, folded in exact int math (scalar uint64 powers
+# would raise numpy overflow warnings; array ops wrap silently)
+_REP_POWS = tuple(np.uint64(pow(_REP_C1, p, 1 << 64)) for p in (4, 3, 2, 1))
+REP_TOP2_MAX = 0.18   # keep thresholds (Gopher-ish)
+REP_DUP5_MAX = 0.30
+
+
+def _repetition_row(h: np.ndarray):
+    """FROZEN per-doc kernel over the word-hash array (shared with
+    serial_ref.repetition_stats): returns (n_words, dup_word_frac,
+    top_bigram_frac, dup_5gram_frac, keep)."""
+    n = len(h)
+    if n == 0:
+        return 0, 0.0, 0.0, 0.0, True
+    nu = len(np.unique(h))
+    dupw = float(np.floor((n - nu) * 10_000.0 / n) / 10_000)
+    C = np.uint64(_REP_C1)
+    if n >= 2:  # uint64 * / + wrap mod 2^64 silently in numpy
+        b = h[:-1] * C + h[1:]
+        _, c2 = np.unique(b, return_counts=True)
+        top2 = float(np.floor(int(c2.max()) * 10_000.0 / (n - 1)) / 10_000)
+    else:
+        top2 = 0.0
+    if n >= 5:
+        g = h[: n - 4] * _REP_POWS[0]
+        for j, p in enumerate(_REP_POWS[1:] + (np.uint64(1),), start=1):
+            g = g + h[j : n - 5 + j + 1] * p
+        _, c5 = np.unique(g, return_counts=True)
+        dup_slots = int(c5[c5 >= 2].sum())
+        dup5 = float(np.floor(dup_slots * 10_000.0 / (n - 4)) / 10_000)
+    else:
+        dup5 = 0.0
+    keep = top2 <= REP_TOP2_MAX and dup5 <= REP_DUP5_MAX
+    return n, dupw, top2, dup5, keep
+
+
+def repetition_stats(sf_dir: str):
+    """(doc_id, n_words, dup_word_frac, top_bigram_frac,
+    dup_5gram_frac, keep): word-n-gram repetition signals per doc.
+
+    dup_word_frac   = repeated word occurrences / words
+    top_bigram_frac = occurrences of the most frequent bigram / bigram
+                      slots (n-1)
+    dup_5gram_frac  = 5-gram slots whose gram occurs >= 2x / slots (n-4)
+
+    Embarrassingly parallel map — one batch pass, word hashes from the
+    per-worker cache, np.unique per doc (C-speed; no cross-doc state).
+    """
+    from ccrawler_ray.functions.dedup import word_hashes
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        dids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        words_per = [t.split() for t in texts]
+        lens = np.fromiter((len(w) for w in words_per), dtype=np.int64,
+                           count=len(texts))
+        h_all = word_hashes([w for ws in words_per for w in ws])
+        offs = np.r_[np.int64(0), np.cumsum(lens)]
+        nw = np.empty(len(texts), dtype=np.int64)
+        fr = np.empty((len(texts), 3), dtype=np.float64)
+        keep = np.empty(len(texts), dtype=bool)
+        for i in range(len(texts)):
+            nw[i], fr[i, 0], fr[i, 1], fr[i, 2], keep[i] = _repetition_row(
+                h_all[offs[i]:offs[i + 1]])
+        return pa.table({"doc_id": pa.array(dids.astype(np.int64)),
+                         "n_words": pa.array(nw),
+                         "dup_word_frac": pa.array(fr[:, 0]),
+                         "top_bigram_frac": pa.array(fr[:, 1]),
+                         "dup_5gram_frac": pa.array(fr[:, 2]),
+                         "keep": pa.array(keep)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # M12: PII scrub — the redaction pass every training-data pipeline
 # runs before tokenization. Patterns applied in a FIXED order (email →
 # phone → ipv4), each counted on the text state it sees, so the

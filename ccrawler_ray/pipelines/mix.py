@@ -119,6 +119,88 @@ def training_mix_stats(sf_dir: str, threshold: float = 0.8):
     )
 
 
+# ---------------------------------------------------------------------------
+# Weighted source interleave — the "data mixing" step that turns
+# per-source corpora into ONE training stream with prescribed sampling
+# ratios. Each doc races an exponential clock at its source's rate
+# (pri = -ln(u)/w, u seeded-hash-uniform): sorting by pri yields a
+# stream whose every prefix holds the sources in proportion to their
+# weights — the standard Gumbel/exponential-race construction, fully
+# deterministic given the seed.
+# ---------------------------------------------------------------------------
+
+MIX_SEED = 713
+_MIX_BOUNDS = np.arange(1, 256) / 32.0   # monotone pri buckets (frozen)
+
+
+def mix_weights(sources) -> np.ndarray:
+    """FROZEN per-source sampling weight: 1 + (numeric suffix mod 4) —
+    srcN weights cycle 1,2,3,4. Parsed once per DISTINCT source."""
+    import re
+
+    codes, uniq = pd.factorize(np.asarray(sources, dtype=object))
+    wu = np.array([1.0 + (int(re.sub(r"\D", "", s) or "0") % 4)
+                   for s in uniq], dtype=np.float64)
+    return wu[codes]
+
+
+def mix_interleave(sf_dir: str, seed: int = MIX_SEED):
+    """(pos, doc_id, source, pri): the full interleaved training order.
+
+    Scale shape: the global position is NOT assigned on the driver —
+    docs land in 256 monotone priority buckets (searchsorted over
+    frozen bounds), per-bucket counts reduce to 256 ints whose prefix
+    sums are the bucket offsets, and each bucket numbers itself with a
+    vectorized in-group sort (pos = offset + arange). One narrow
+    shuffle of (doc_id, source, pri); nothing O(docs) on the driver.
+    """
+    from ccrawler_ray.spec import hash64_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+
+    def add_pri(df: pd.DataFrame) -> pd.DataFrame:
+        h = hash64_batch([str(i) for i in df["doc_id"]], seed=seed)
+        u = (h.astype(np.float64) + 1.0) / 2.0 ** 64     # (0, 1]
+        pri = -np.log(u) / mix_weights(df["source"].to_numpy())
+        bucket = np.searchsorted(_MIX_BOUNDS, pri, side="right")
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype(np.int64),
+             "source": df["source"], "pri": pri,
+             "bucket": bucket.astype(np.int32)})
+
+    withp = ds.map_batches(add_pri, batch_format="pandas").materialize()
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bucket", as_index=False).size()
+        return pd.DataFrame({"bucket": g["bucket"].astype(np.int64),
+                             "n": g["size"].astype(np.int64)})
+
+    counts = withp.map_batches(
+        count_partial, batch_format="pandas").to_pandas()
+    per_bucket = np.zeros(len(_MIX_BOUNDS) + 1, dtype=np.int64)
+    np.add.at(per_bucket, counts["bucket"].to_numpy(),
+              counts["n"].to_numpy())
+    offsets = np.r_[np.int64(0), np.cumsum(per_bucket)[:-1]]  # 2 KB
+
+    def number(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"pos": pd.Series(dtype="int64"),
+                 "doc_id": pd.Series(dtype="int64"),
+                 "source": pd.Series(dtype="object"),
+                 "pri": pd.Series(dtype="float64")})
+        df = df.sort_values(["pri", "doc_id"])
+        base = offsets[int(df["bucket"].iloc[0])]
+        return pd.DataFrame(
+            {"pos": base + np.arange(1, len(df) + 1, dtype=np.int64),
+             "doc_id": df["doc_id"].to_numpy(),
+             "source": df["source"].to_numpy(),
+             "pri": df["pri"].to_numpy()})
+
+    return withp.groupby("bucket").map_groups(number, batch_format="pandas")
+
+
 def quality_filtered_docs(sf_dir: str, min_tokens: int = 20,
                           max_upper: float = 0.3, max_dup: float = 0.5):
     """C4-style quality filter chain: keep English docs with enough

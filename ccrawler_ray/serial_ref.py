@@ -640,6 +640,71 @@ def char_entropy(sf_dir: str | None = None) -> pd.DataFrame:
                         columns=["doc_id", "n_cp", "n_unique_cp", "entropy"])
 
 
+def mix_interleave(sf_dir: str | None = None, seed: int | None = None) -> pd.DataFrame:
+    """Serial mirror of pipelines.mix.mix_interleave — same frozen
+    hash/weight/priority formulas (spec.hash64_batch, mix_weights),
+    one flat lexsort instead of the bucket-offset machinery, so the
+    comparison exercises exactly the distributed numbering."""
+    from ccrawler_ray.pipelines.mix import MIX_SEED, mix_weights
+    from ccrawler_ray.spec import hash64_batch
+
+    t = pq.read_table(f"{sf_dir or oracle_sf_dir()}/documents.parquet",
+                      columns=["doc_id", "source"])
+    ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+    sources = np.asarray(t.column("source").to_pylist(), dtype=object)
+    h = hash64_batch([str(i) for i in ids],
+                     seed=MIX_SEED if seed is None else seed)
+    u = (h.astype(np.float64) + 1.0) / 2.0 ** 64
+    pri = -np.log(u) / mix_weights(sources)
+    order = np.lexsort((ids, pri))
+    return pd.DataFrame({"pos": np.arange(1, len(ids) + 1, dtype=np.int64),
+                         "doc_id": ids[order],
+                         "source": sources[order],
+                         "pri": pri[order]})
+
+
+def repetition_stats(sf_dir: str | None = None) -> pd.DataFrame:
+    """Serial mirror of functions.text.repetition_stats — same word
+    hashes (_whash == word_hashes formula), same mixing constant and
+    floor-scaled integer ratios, so every double is bitwise equal."""
+    from ccrawler_ray.functions.text import (REP_DUP5_MAX, REP_TOP2_MAX,
+                                             _REP_C1)
+
+    ids, texts = _docs(sf_dir or oracle_sf_dir())
+    C = np.uint64(_REP_C1)
+    pows = tuple(np.uint64(pow(_REP_C1, p, 1 << 64))
+                 for p in (4, 3, 2, 1)) + (np.uint64(1),)
+    rows = []
+    for did, text in zip(ids, texts):
+        h = np.array([_whash(w) for w in text.split()], dtype=np.uint64)
+        n = len(h)
+        if n == 0:
+            rows.append((did, 0, 0.0, 0.0, 0.0, True))
+            continue
+        dupw = float(np.floor((n - len(np.unique(h))) * 10_000.0 / n)
+                     / 10_000)
+        if n >= 2:
+            _, c2 = np.unique(h[:-1] * C + h[1:], return_counts=True)
+            top2 = float(np.floor(int(c2.max()) * 10_000.0 / (n - 1))
+                         / 10_000)
+        else:
+            top2 = 0.0
+        if n >= 5:
+            g = h[: n - 4] * pows[0]
+            for j, p in enumerate(pows[1:], start=1):
+                g = g + h[j: n - 5 + j + 1] * p
+            _, c5 = np.unique(g, return_counts=True)
+            dup5 = float(np.floor(int(c5[c5 >= 2].sum()) * 10_000.0
+                                  / (n - 4)) / 10_000)
+        else:
+            dup5 = 0.0
+        keep = top2 <= REP_TOP2_MAX and dup5 <= REP_DUP5_MAX
+        rows.append((did, n, dupw, top2, dup5, keep))
+    return pd.DataFrame(rows, columns=["doc_id", "n_words",
+                                       "dup_word_frac", "top_bigram_frac",
+                                       "dup_5gram_frac", "keep"])
+
+
 def decontaminate_overlap(sf_dir: str | None = None, n: int = 5,
                           min_overlap: int = 2,
                           bench_mod: int = 97) -> pd.DataFrame:
