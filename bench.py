@@ -146,6 +146,8 @@ QUERY_SUITE = [
     "g15_corr",
     "pii_scrub",
     "link_triangles",
+    "repetition_stats",
+    "mix_interleave",
 ]
 
 
