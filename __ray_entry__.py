@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g7_quantile_hist": SK.g7_quantile_hist,
         "g8_grouped_quantiles": SK.g8_grouped_quantiles,
         "g11_countmin_est": SK.g11_countmin_est,
+        "g16_heavy_hitters": SK.g16_heavy_hitters,
         "g12_embedding_centroids": R.g12_embedding_centroids,
         "g13_user_value_drift": R.g13_user_value_drift,
         "g9_rollup": R.g9_rollup,
@@ -404,6 +405,8 @@ def _pii_scrub_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ccrawler_ray.functions.sketch import HH_K as SK_HH_K
+
     jacc = (
         "len(list_intersect(a.ws,b.ws))*1.0/"
         "(len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws)))"
@@ -700,6 +703,17 @@ def oracle_sql() -> dict[str, str]:
             "g AS (SELECT term, CAST(count(*) AS BIGINT) AS n "
             "FROM tok WHERE term <> '' GROUP BY term) "
             "SELECT term, n FROM g ORDER BY n DESC, term LIMIT 20"
+        ),
+        "g16_heavy_hitters": (
+            # exact heavy hitters: integer-compare threshold, same
+            # token semantics as o7 (empty-token guard)
+            r"WITH tok AS (SELECT unnest(regexp_split_to_array(text, '\s+')) "
+            "AS term FROM documents WHERE trim(text) <> ''), "
+            "g AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt "
+            "FROM tok WHERE term <> '' GROUP BY term), "
+            "tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok "
+            "WHERE term <> '') "
+            f"SELECT term, cnt FROM g, tot WHERE cnt * {SK_HH_K} > n"
         ),
         "q3_shipping_priority": (
             "SELECT l_orderkey, "

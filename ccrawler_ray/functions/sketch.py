@@ -243,3 +243,76 @@ def g11_countmin_est(sf_dir: str):
         .repartition(1)
         .map_batches(reduce_all, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# G16: exact heavy hitters, two narrow passes, NO term shuffle — the
+# scale pattern for "which tokens dominate the corpus" (vocabulary
+# pruning, stop-list induction, contamination tokens). The result is
+# EXACT, so the oracle is plain SQL.
+# ---------------------------------------------------------------------------
+
+HH_K = 32    # report terms with cnt * HH_K > total tokens (> 1/32 mass)
+
+
+def g16_heavy_hitters(sf_dir: str, k: int = HH_K):
+    """(term, cnt): every term whose exact corpus count satisfies
+    cnt * k > total_tokens.
+
+    Pass 1 prunes per block: a globally heavy term must be locally
+    heavy (cnt_b * k > n_b) in >= 1 block — otherwise summing the
+    per-block bounds gives cnt * k <= n, contradiction — so the union
+    of local heavy hitters (< k terms per block by construction) is a
+    complete candidate superset; only those terms reach the driver.
+    Pass 2 broadcasts the candidate list (ray.put once) and reduces
+    per-block exact candidate counts + block token totals — an
+    order-independent int64 merge — then filters exactly.
+    """
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def local_heavy(batch: pa.Table) -> pa.Table:
+        flat = [w for t in batch.column("text").to_pylist()
+                for w in t.split()]
+        if not flat:
+            return pa.table({"term": pa.array([], pa.string())})
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        keep = cnt * k > len(flat)
+        return pa.table({"term": pa.array(uniq[keep], pa.string())})
+
+    cand = np.unique(ds.map_batches(local_heavy, batch_format="pyarrow")
+                     .to_pandas()["term"].to_numpy())  # < k per block
+    cand_ref = ray.put(cand)
+
+    def count_partial(batch: pa.Table) -> pd.DataFrame:
+        cl = ray.get(cand_ref)
+        flat = [w for t in batch.column("text").to_pylist()
+                for w in t.split()]
+        vec = np.zeros(len(cl), dtype=np.int64)
+        if flat and len(cl):
+            codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+            cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+            pos = pd.Index(cl).get_indexer(uniq)
+            m = pos >= 0
+            vec[pos[m]] = cnt[m]          # uniq is distinct per batch
+        return pd.DataFrame({"n_b": [len(flat)], "cnt": [vec.tobytes()]})
+
+    def reduce_all(df: pd.DataFrame) -> pd.DataFrame:
+        cl = ray.get(cand_ref)
+        tot = np.zeros(len(cl), dtype=np.int64)
+        n = 0
+        for nb, b in zip(df["n_b"], df["cnt"]):
+            n += int(nb)
+            tot += np.frombuffer(b, dtype=np.int64)
+        keep = tot * k > n
+        return pd.DataFrame({"term": pd.Series(cl[keep], dtype="object"),
+                             "cnt": tot[keep].astype(np.int64)})
+
+    return (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(reduce_all, batch_format="pandas")
+    )
