@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_lsh": lambda sf: D.dedup_embedding_lsh(sf, threshold=0.4),
         # --- similarity search
         "ann_topk_cosine": lambda sf: S.ann_topk_cosine(sf, num_queries=5, k=5),
+        "ann_filtered_topk": lambda sf: S.ann_filtered_topk(sf, num_queries=5, k=5),
         "ann_lsh_topk": lambda sf: S.ann_lsh_topk(sf, num_queries=5, k=5),
         "ann_ivf_topk": lambda sf: S.ann_ivf_topk(sf, num_queries=5, k=5),
         "ann_pq_topk": lambda sf: S.ann_pq_topk(sf, num_queries=5, k=5),
@@ -842,6 +843,18 @@ def oracle_sql() -> dict[str, str]:
             "s AS (SELECT q.qid AS query_id, e.vec_id, "
             "list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS c "
             "FROM q, embeddings e WHERE e.vec_id != q.qid), "
+            "r AS (SELECT query_id, vec_id, c, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank FROM s) "
+            "SELECT query_id, vec_id, round(c,4) AS cos, CAST(rank AS BIGINT) AS rank "
+            "FROM r WHERE rank <= 5"
+        ),
+        "ann_filtered_topk": (
+            "WITH q AS (SELECT vec_id AS qid, label AS ql, "
+            "embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5), "
+            "s AS (SELECT q.qid AS query_id, e.vec_id, "
+            "list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS c "
+            "FROM q, embeddings e "
+            "WHERE e.vec_id != q.qid AND e.label = q.ql), "
             "r AS (SELECT query_id, vec_id, c, row_number() OVER ("
             "PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank FROM s) "
             "SELECT query_id, vec_id, round(c,4) AS cos, CAST(rank AS BIGINT) AS rank "

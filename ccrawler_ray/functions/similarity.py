@@ -79,6 +79,60 @@ def ann_topk_cosine(sf_dir: str, num_queries: int = 5, k: int = 5):
     return _topk_reduce(partials, k)
 
 
+def ann_filtered_topk(sf_dir: str, num_queries: int = 5, k: int = 5):
+    """Metadata-FILTERED exact top-k cosine: each query's candidates
+    are restricted to vectors sharing its ``label`` (same-category
+    search — the standard filtered-vector-search feature).
+
+    The filter is pushed INTO the read: the corpus scan carries
+    ``label isin(query labels)`` so row groups with no eligible label
+    never leave storage; the residual per-query equality test is a
+    vectorized mask inside the batch. Same partial-topk + small-reduce
+    shape as ann_topk_cosine.
+    """
+    qdf = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        filter=pc.field("vec_id") < num_queries,
+    ).to_pandas().sort_values("vec_id")
+    qids = qdf["vec_id"].to_numpy()
+    qlabels = qdf["label"].to_numpy()
+    qm = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    q_ref = ray.put((qids, qlabels, qn))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        filter=pc.field("label").isin(np.unique(qlabels).tolist()),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _empty_scores()
+        qids_, qlabels_, qn_ = ray.get(q_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        vids = df["vec_id"].to_numpy()
+        labels = df["label"].to_numpy()
+        cos = qn_ @ m.T
+        out = []
+        for qi, (qid, ql) in enumerate(zip(qids_, qlabels_)):
+            mask = (labels == ql) & (vids != qid)
+            c = cos[qi][mask]
+            v = vids[mask]
+            take = min(len(c), 64)
+            if not take:
+                continue
+            idx = np.argpartition(-c, take - 1)[:take]
+            out.append(pd.DataFrame(
+                {"query_id": qid, "vec_id": v[idx], "cos": c[idx]}))
+        return pd.concat(out) if out else _empty_scores()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return _topk_reduce(partials, k)
+
+
 def _topk_final(df: pd.DataFrame, k: int) -> pd.DataFrame:
     if len(df) == 0:  # dtyped empty: keeps the executor schema stable
         out = _empty_scores()
