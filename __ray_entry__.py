@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g8_grouped_quantiles": SK.g8_grouped_quantiles,
         "g11_countmin_est": SK.g11_countmin_est,
         "g16_heavy_hitters": SK.g16_heavy_hitters,
+        "g17_string_agg": R.g17_string_agg,
         "g12_embedding_centroids": R.g12_embedding_centroids,
         "g13_user_value_drift": R.g13_user_value_drift,
         "g9_rollup": R.g9_rollup,
@@ -704,6 +705,15 @@ def oracle_sql() -> dict[str, str]:
             "g AS (SELECT term, CAST(count(*) AS BIGINT) AS n "
             "FROM tok WHERE term <> '' GROUP BY term) "
             "SELECT term, n FROM g ORDER BY n DESC, term LIMIT 20"
+        ),
+        "g17_string_agg": (
+            "WITH r AS (SELECT lang, doc_id, row_number() OVER ("
+            "PARTITION BY lang ORDER BY doc_id) AS rn FROM documents), "
+            "t AS (SELECT lang, string_agg(CAST(doc_id AS VARCHAR), ',' "
+            "ORDER BY doc_id) AS top_ids FROM r WHERE rn <= 5 GROUP BY lang), "
+            "c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM documents GROUP BY lang) "
+            "SELECT c.lang, c.n_docs, t.top_ids FROM c JOIN t USING(lang)"
         ),
         "g16_heavy_hitters": (
             # exact heavy hitters: integer-compare threshold, same

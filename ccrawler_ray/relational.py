@@ -2010,3 +2010,40 @@ def w10_funnel(sf_dir: str, gap_s: int = 43_200):
         .groupby("u_salt")
         .map_groups(per_salt, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# G17: string/list aggregation — build a per-group VARCHAR artifact
+# (here: the 5 smallest doc_ids as CSV) with a map-side combine, so
+# the shuffle moves <= 5 ids + one count per (block, lang), never the
+# rows. The list-building groupby class (string_agg / array_agg).
+# ---------------------------------------------------------------------------
+
+
+def g17_string_agg(sf_dir: str, top_n: int = 5):
+    """(lang, n_docs, top_ids): per-language doc count and the top_n
+    smallest doc_ids joined as a comma-separated string."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", sort=False)
+        out = g.agg(n=("doc_id", "size")).reset_index()
+        heads = (df.sort_values("doc_id").groupby("lang", sort=False)
+                 .head(top_n).groupby("lang", sort=False)["doc_id"]
+                 .apply(lambda s: s.tolist()).reset_index(name="cand"))
+        return out.merge(heads, on="lang").astype({"n": "int64"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"lang": pd.Series(dtype="object"),
+                                 "n_docs": pd.Series(dtype="int64"),
+                                 "top_ids": pd.Series(dtype="object")})
+        ids = np.sort(np.concatenate(
+            [np.asarray(c, dtype=np.int64) for c in df["cand"]]))[:top_n]
+        return pd.DataFrame(
+            {"lang": [df["lang"].iloc[0]],
+             "n_docs": np.array([df["n"].sum()], dtype=np.int64),
+             "top_ids": [",".join(str(i) for i in ids)]})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("lang").map_groups(final, batch_format="pandas"))
