@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_pq": lambda sf: S.ann_ivf_pq(sf, num_queries=5, k=5),
         # --- multimodal plumbing
         "decode_media_meta": M.decode_media_meta,
+        "media_dedup_exact": M.media_dedup_exact,
         "media_pipeline": M.media_pipeline,
         "media_byte_stats": M.media_byte_stats,
         # --- the crawl itself
@@ -869,6 +870,15 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank FROM s) "
             "SELECT query_id, vec_id, round(c,4) AS cos, CAST(rank AS BIGINT) AS rank "
             "FROM r WHERE rank <= 5"
+        ),
+        "media_dedup_exact": (
+            # payload == encode(text) by construction (synth_media), so
+            # md5(text) over UTF-8 is the payload digest
+            "SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END "
+            "AS media_type, md5(text) AS payload_md5, "
+            "CAST(min(doc_id) AS BIGINT) AS keep_doc_id, "
+            "CAST(count(*) AS BIGINT) AS n_copies "
+            "FROM documents GROUP BY 1, 2"
         ),
         "media_byte_stats": (
             "SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type, "

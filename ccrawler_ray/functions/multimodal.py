@@ -151,3 +151,36 @@ def media_byte_stats(sf_dir: str):
     return media.groupby("media_type").aggregate(
         Count(alias_name="n_docs"), Sum("n_bytes", alias_name="total_bytes")
     )
+
+
+def media_dedup_exact(sf_dir: str):
+    """Exact dedup over the BINARY payload column: one row per
+    distinct (media_type, md5(payload)) with the smallest doc_id kept
+    and the copy count — D3 for opaque media bytes. Map-side combine
+    (per-batch group to partials) bounds the shuffle to one row per
+    distinct payload per block; the payload itself never crosses the
+    shuffle, only its 32-char digest."""
+    import pandas as pd
+    from ray.data.aggregate import Min, Sum
+
+    media = synth_media(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5(p).hexdigest()
+                for p in t.column("payload").to_pylist()]
+        df = pd.DataFrame(
+            {"media_type": t.column("media_type").to_pylist(),
+             "payload_md5": md5s,
+             "doc_id": t.column("doc_id").to_numpy(zero_copy_only=False)})
+        g = df.groupby(["media_type", "payload_md5"], as_index=False).agg(
+            keep_doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
+        return pa.table(
+            {"media_type": pa.array(g["media_type"], pa.string()),
+             "payload_md5": pa.array(g["payload_md5"], pa.string()),
+             "keep_doc_id": pa.array(g["keep_doc_id"].astype("int64")),
+             "n_copies": pa.array(g["n_copies"].astype("int64"))})
+
+    return (media.map_batches(partial, batch_format="pyarrow")
+            .groupby(["media_type", "payload_md5"])
+            .aggregate(Min("keep_doc_id", alias_name="keep_doc_id"),
+                       Sum("n_copies", alias_name="n_copies")))
