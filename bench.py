@@ -148,6 +148,9 @@ QUERY_SUITE = [
     "link_triangles",
     "repetition_stats",
     "mix_interleave",
+    "g16_heavy_hitters",
+    "ann_filtered_topk",
+    "media_dedup_exact",
 ]
 
 
