@@ -42,6 +42,51 @@ def _query_matrix(sf_dir: str, num_queries: int):
     return ids, mat
 
 
+_BLOCK_CAP = 64
+
+
+def _block_top_idx(c: np.ndarray, v: np.ndarray,
+                   cap: int = _BLOCK_CAP) -> np.ndarray:
+    """Indices of the block's top-cap candidates in the EXACT final
+    order key (cos desc, vec_id asc). A bare argpartition keeps an
+    arbitrary subset of a tie plateau at the cutoff and can drop the
+    smallest vec_ids the oracle's ORDER BY would rank."""
+    if not len(c):
+        return np.empty(0, dtype=np.int64)
+    return np.lexsort((v, -c))[: min(len(c), cap)]
+
+
+def _brute_topk(ds, q_ref, k: int):
+    """Shared brute-force scorer: per-batch normalized matmul against
+    the broadcast queries, exact-ordered per-block candidate cap,
+    small final reduce. q_ref holds (qids, qlabels-or-None, qn); when
+    labels are present each query only scores same-label candidates."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _empty_scores()
+        qids_, qlabels_, qn_ = ray.get(q_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        vids = df["vec_id"].to_numpy()
+        labels = df["label"].to_numpy() if qlabels_ is not None else None
+        cos = qn_ @ m.T  # (nq, batch)
+        out = []
+        for qi, qid in enumerate(qids_):
+            mask = vids != qid  # exclude self
+            if labels is not None:
+                mask &= labels == qlabels_[qi]
+            c = cos[qi][mask]
+            v = vids[mask]
+            idx = _block_top_idx(c, v)
+            if len(idx):
+                out.append(pd.DataFrame(
+                    {"query_id": qid, "vec_id": v[idx], "cos": c[idx]}))
+        return pd.concat(out) if out else _empty_scores()
+
+    return _topk_reduce(ds.map_batches(partial, batch_format="pandas"), k)
+
+
 def ann_topk_cosine(sf_dir: str, num_queries: int = 5, k: int = 5):
     """Exact top-k cosine neighbors (excluding self) for the query set
     ``vec_id < num_queries``; ties broken by vec_id asc.
@@ -52,31 +97,11 @@ def ann_topk_cosine(sf_dir: str, num_queries: int = 5, k: int = 5):
     """
     qids, qm = _query_matrix(sf_dir, num_queries)
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-    q_ref = ray.put((qids, qn))
+    q_ref = ray.put((qids, None, qn))
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return _empty_scores()
-        qids_, qn_ = ray.get(q_ref)
-        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        vids = df["vec_id"].to_numpy()
-        cos = qn_ @ m.T  # (nq, batch)
-        out = []
-        for qi, qid in enumerate(qids_):
-            mask = vids != qid  # exclude self
-            c = cos[qi][mask]
-            v = vids[mask]
-            take = min(len(c), 64)
-            idx = np.argpartition(-c, take - 1)[:take] if take else []
-            out.append(pd.DataFrame({"query_id": qid, "vec_id": v[idx], "cos": c[idx]}))
-        return pd.concat(out) if out else _empty_scores()
-
-    partials = ds.map_batches(partial, batch_format="pandas")
-    return _topk_reduce(partials, k)
+    return _brute_topk(ds, q_ref, k)
 
 
 def ann_filtered_topk(sf_dir: str, num_queries: int = 5, k: int = 5):
@@ -106,31 +131,7 @@ def ann_filtered_topk(sf_dir: str, num_queries: int = 5, k: int = 5):
         columns=["vec_id", "embedding", "label"],
         filter=pc.field("label").isin(np.unique(qlabels).tolist()),
     )
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return _empty_scores()
-        qids_, qlabels_, qn_ = ray.get(q_ref)
-        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        vids = df["vec_id"].to_numpy()
-        labels = df["label"].to_numpy()
-        cos = qn_ @ m.T
-        out = []
-        for qi, (qid, ql) in enumerate(zip(qids_, qlabels_)):
-            mask = (labels == ql) & (vids != qid)
-            c = cos[qi][mask]
-            v = vids[mask]
-            take = min(len(c), 64)
-            if not take:
-                continue
-            idx = np.argpartition(-c, take - 1)[:take]
-            out.append(pd.DataFrame(
-                {"query_id": qid, "vec_id": v[idx], "cos": c[idx]}))
-        return pd.concat(out) if out else _empty_scores()
-
-    partials = ds.map_batches(partial, batch_format="pandas")
-    return _topk_reduce(partials, k)
+    return _brute_topk(ds, q_ref, k)
 
 
 def _topk_final(df: pd.DataFrame, k: int) -> pd.DataFrame:

@@ -288,25 +288,32 @@ def g16_heavy_hitters(sf_dir: str, k: int = HH_K):
     cand_ref = ray.put(cand)
 
     def count_partial(batch: pa.Table) -> pd.DataFrame:
+        # SPARSE partials — (candidate index, count) pairs for the
+        # candidates actually present in the batch plus one idx=-1 row
+        # carrying the block token total, so reduce volume is linear in
+        # occurrences, not |candidates| x |blocks|
         cl = ray.get(cand_ref)
         flat = [w for t in batch.column("text").to_pylist()
                 for w in t.split()]
-        vec = np.zeros(len(cl), dtype=np.int64)
+        idx = np.array([-1], dtype=np.int64)
+        cnt = np.array([len(flat)], dtype=np.int64)
         if flat and len(cl):
             codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
-            cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+            bc = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
             pos = pd.Index(cl).get_indexer(uniq)
             m = pos >= 0
-            vec[pos[m]] = cnt[m]          # uniq is distinct per batch
-        return pd.DataFrame({"n_b": [len(flat)], "cnt": [vec.tobytes()]})
+            idx = np.r_[pos[m], idx]
+            cnt = np.r_[bc[m], cnt]
+        return pd.DataFrame({"idx": idx, "cnt": cnt})
 
     def reduce_all(df: pd.DataFrame) -> pd.DataFrame:
         cl = ray.get(cand_ref)
+        sel = df["idx"].to_numpy()
+        cn = df["cnt"].to_numpy()
+        n = int(cn[sel < 0].sum())
         tot = np.zeros(len(cl), dtype=np.int64)
-        n = 0
-        for nb, b in zip(df["n_b"], df["cnt"]):
-            n += int(nb)
-            tot += np.frombuffer(b, dtype=np.int64)
+        m = sel >= 0
+        np.add.at(tot, sel[m], cn[m])
         keep = tot * k > n
         return pd.DataFrame({"term": pd.Series(cl[keep], dtype="object"),
                              "cnt": tot[keep].astype(np.int64)})
