@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ccrawler_ray.functions import sketch as SK
     from ccrawler_ray.functions import text as T
     from ccrawler_ray.pipelines import mix as MIX
+    from ccrawler_ray.sources import jsonl as JL
 
     return {
         # --- per-record maps / filters / scalar fns (M-rows)
@@ -195,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing
         "decode_media_meta": M.decode_media_meta,
         "media_dedup_exact": M.media_dedup_exact,
+        "io_jsonl_roundtrip": JL.io_jsonl_roundtrip,
         "media_pipeline": M.media_pipeline,
         "media_byte_stats": M.media_byte_stats,
         # --- the crawl itself
@@ -870,6 +872,11 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank FROM s) "
             "SELECT query_id, vec_id, round(c,4) AS cos, CAST(rank AS BIGINT) AS rank "
             "FROM r WHERE rank <= 5"
+        ),
+        "io_jsonl_roundtrip": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY lang"
         ),
         "media_dedup_exact": (
             # payload == encode(text) by construction (synth_media), so

@@ -66,7 +66,9 @@ class _EmptyPartitionSchemaNoiseFilter(_logging.Filter):
         return not (
             "RefBundle with a different schema" in m
             and ("new schema: PandasBlockSchema(names=[]" in m
-                 or "new schema: None" in m)
+                 or "new schema: None" in m
+                 # empty Arrow schema str()s to "" → "new schema: ."
+                 or "new schema: . This may" in m)
         )
 
 
