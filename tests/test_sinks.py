@@ -71,3 +71,19 @@ def test_partition_assignment_deterministic():
     # reasonably balanced: no partition more than 2x the mean
     counts = np.bincount(a, minlength=16)
     assert counts.max() <= 2 * counts.mean()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jsonl_roundtrip_full_fidelity(tmp_path):
+    """Every row and column survives documents -> JSONL -> documents
+    (unicode text included), with the canonical schema restored."""
+    import ray.data
+
+    from ccrawler_ray.sources.jsonl import read_docs_jsonl, write_docs_jsonl
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet")
+    write_docs_jsonl(docs, str(tmp_path / "jl"))
+    back = (read_docs_jsonl(str(tmp_path / "jl")).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    orig = docs.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back[orig.columns.tolist()], orig)
