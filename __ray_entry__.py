@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g11_countmin_est": SK.g11_countmin_est,
         "g16_heavy_hitters": SK.g16_heavy_hitters,
         "g17_string_agg": R.g17_string_agg,
+        "g18_unpivot": R.g18_unpivot,
         "g12_embedding_centroids": R.g12_embedding_centroids,
         "g13_user_value_drift": R.g13_user_value_drift,
         "g9_rollup": R.g9_rollup,
@@ -708,6 +709,18 @@ def oracle_sql() -> dict[str, str]:
             "g AS (SELECT term, CAST(count(*) AS BIGINT) AS n "
             "FROM tok WHERE term <> '' GROUP BY term) "
             "SELECT term, n FROM g ORDER BY n DESC, term LIMIT 20"
+        ),
+        "g18_unpivot": (
+            "WITH langs(lang) AS (VALUES ('de'),('en'),('es'),('fr'),"
+            "('zh'),('other')), "
+            "src AS (SELECT DISTINCT source FROM documents), "
+            "cnt AS (SELECT source, CASE WHEN lang IN "
+            "('de','en','es','fr','zh') THEN lang ELSE 'other' END AS lang, "
+            "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2) "
+            "SELECT s.source, l.lang, "
+            "CAST(COALESCE(c.n, 0) AS BIGINT) AS n_docs "
+            "FROM src s CROSS JOIN langs l "
+            "LEFT JOIN cnt c ON c.source = s.source AND c.lang = l.lang"
         ),
         "g17_string_agg": (
             "WITH r AS (SELECT lang, doc_id, row_number() OVER ("

@@ -2047,3 +2047,21 @@ def g17_string_agg(sf_dir: str, top_n: int = 5):
 
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby("lang").map_groups(final, batch_format="pandas"))
+
+
+def g18_unpivot(sf_dir: str):
+    """UNPIVOT (melt): g10's wide per-source lang counts back to long
+    (source, lang, n_docs) — one row per (source, known lang)
+    INCLUDING zeros: the pivot's implicit zeros become explicit rows,
+    which a direct groupby would omit. The melt is a per-batch
+    reshape; the only shuffle is the one g10 already pays."""
+    wide = g10_pivot(sf_dir)
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        value_cols = [f"n_{l}" for l in (*_PIVOT_LANGS, "other")]
+        m = df.melt(id_vars=["source"], value_vars=value_cols,
+                    var_name="lang", value_name="n_docs")
+        m["lang"] = m["lang"].str[2:]
+        return m.astype({"n_docs": "int64"})
+
+    return wide.map_batches(melt, batch_format="pandas")
