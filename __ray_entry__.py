@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- wide aggregate
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_forecast_revenue": R.q6_forecast_revenue,
+        "q18_big_orders": R.q18_big_orders,
         # --- list explode (span analogue)
         "explode_embeddings": R.explode_embeddings,
         # --- text analysis toolkit
@@ -709,6 +710,14 @@ def oracle_sql() -> dict[str, str]:
             "g AS (SELECT term, CAST(count(*) AS BIGINT) AS n "
             "FROM tok WHERE term <> '' GROUP BY term) "
             "SELECT term, n FROM g ORDER BY n DESC, term LIMIT 20"
+        ),
+        "q18_big_orders": (
+            "WITH s AS (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) "
+            "AS sum_qty FROM lineitem GROUP BY 1 "
+            "HAVING sum(l_quantity) > 250) "
+            "SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, s.sum_qty "
+            "FROM s JOIN orders o ON o.o_orderkey = s.l_orderkey "
+            "ORDER BY s.sum_qty DESC, o.o_orderkey LIMIT 20"
         ),
         "g18_unpivot": (
             "WITH langs(lang) AS (VALUES ('de'),('en'),('es'),('fr'),"

@@ -2065,3 +2065,47 @@ def g18_unpivot(sf_dir: str):
         return m.astype({"n_docs": "int64"})
 
     return wide.map_batches(melt, batch_format="pandas")
+
+
+def q18_big_orders(sf_dir: str, min_qty: int = 250, k: int = 20):
+    """TPC-H Q18 shape — aggregate-HAVING then join back to detail:
+    orders whose total lineitem quantity exceeds min_qty, joined to
+    their order rows; top-k by (sum_qty desc, o_orderkey asc).
+
+    Scale shape: per-block partial sums combine before the orderkey
+    aggregate (integer-exact — quantities are whole numbers); the
+    HAVING filter shrinks the key set to the tail BEFORE the detail
+    join, so the join moves only surviving int64 keys."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", as_index=False)["l_quantity"].sum()
+        return pd.DataFrame(
+            {"l_orderkey": g["l_orderkey"].astype(np.int64),
+             "sum_qty": g["l_quantity"].astype(np.int64)})
+
+    sums = (li.map_batches(partial, batch_format="pandas")
+            .groupby("l_orderkey")
+            .aggregate(Sum("sum_qty", alias_name="sum_qty")))
+
+    def having(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater(t.column("sum_qty"), min_qty))
+
+    big = sums.map_batches(having, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    joined = big.join(orders, join_type="inner", num_partitions=8,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+    out = joined.sort(["sum_qty", "l_orderkey"],
+                      descending=[True, False]).limit(k)
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o_orderkey": df["l_orderkey"].astype(np.int64),
+             "o_custkey": df["o_custkey"].astype(np.int64),
+             "o_orderdate": df["o_orderdate"],
+             "sum_qty": df["sum_qty"].astype(np.int64)})
+
+    return out.map_batches(rename, batch_format="pandas")
