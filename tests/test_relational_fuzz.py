@@ -72,7 +72,9 @@ def test_window_kernels_fuzz_vs_duckdb(tmp_path):
 DOC_QUERIES = ("m2_filter_validate", "m9_content_hash",
                "m10_normalize_text", "o7_wordcount_topk", "o8_hash_split",
                "g10_pivot", "token_count", "token_count_bpe",
-               "quality_score", "pii_scrub", "model_score_docs")
+               "quality_score", "pii_scrub", "model_score_docs",
+               "g16_heavy_hitters", "g17_string_agg", "g18_unpivot",
+               "media_dedup_exact")
 
 
 def _random_docs(rng: np.random.Generator, n: int) -> pa.Table:
@@ -118,3 +120,33 @@ def test_document_kernels_fuzz_vs_duckdb(tmp_path):
             got = _to_pandas(qs[name](str(d)))
             want = con.sql(sqls[name]).df()
             _assert_frames_match(got, want, f"docs{ci}:{name}")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_serial_mirror_kernels_fuzz(tmp_path):
+    """Random-document differential for the serial-mirrored text/mix
+    kernels: engine vs the Ray-free serial_ref recomputation must be
+    bitwise equal on corpora the conformance tables never exercise
+    (single doc, repeated-phrase docs, unicode, heavy dup sources)."""
+    from ccrawler_ray import serial_ref as SR
+    from ccrawler_ray.functions.text import repetition_stats
+    from ccrawler_ray.pipelines.mix import mix_interleave
+    from tests.test_queries_oracle import _assert_frames_match, _to_pandas
+
+    rng = np.random.default_rng(7)
+    for ci, n in enumerate((1, 23, 400)):
+        d = tmp_path / f"rdocs{ci}"
+        d.mkdir()
+        t = _random_docs(rng, n)
+        # inject pathological repetition into a slice of the docs
+        txt = t.column("text").to_pylist()
+        for i in range(0, len(txt), 5):
+            txt[i] = ("p q r s t " * 4).strip()
+        t = t.set_column(1, "text", pa.array(txt, pa.string()))
+        pq.write_table(t, d / "documents.parquet")
+        got = _to_pandas(repetition_stats(str(d)))
+        want = SR.repetition_stats(str(d))
+        _assert_frames_match(got, want, f"rdocs{ci}:repetition_stats")
+        got = _to_pandas(mix_interleave(str(d)))
+        want = SR.mix_interleave(str(d))
+        _assert_frames_match(got, want, f"rdocs{ci}:mix_interleave")
