@@ -151,6 +151,9 @@ QUERY_SUITE = [
     "g16_heavy_hitters",
     "ann_filtered_topk",
     "media_dedup_exact",
+    "q18_big_orders",
+    "g18_unpivot",
+    "io_jsonl_roundtrip",
 ]
 
 

@@ -2080,20 +2080,24 @@ def q18_big_orders(sf_dir: str, min_qty: int = 250, k: int = 20):
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("l_orderkey", as_index=False)["l_quantity"].sum()
+        ok = g["l_orderkey"].to_numpy().astype(np.int64)
         return pd.DataFrame(
-            {"l_orderkey": g["l_orderkey"].astype(np.int64),
-             "sum_qty": g["l_quantity"].astype(np.int64)})
+            {"l_orderkey": ok,
+             "sum_qty": g["l_quantity"].astype(np.int64),
+             # coarse salt: a Ray groupby over ~|orders| distinct keys
+             # collapses (map_groups/aggregate pay per-key overhead —
+             # CLAUDE lore); each orderkey lives wholly in one of <=64
+             # salt groups, so in-group pandas sum+HAVING is exact
+             "salt": (ok % 64).astype(np.int32)})
 
-    sums = (li.map_batches(partial, batch_format="pandas")
-            .groupby("l_orderkey")
-            .aggregate(Sum("sum_qty", alias_name="sum_qty")))
+    def sum_having(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", as_index=False)["sum_qty"].sum()
+        g = g[g["sum_qty"] > min_qty]
+        return pd.DataFrame({"l_orderkey": g["l_orderkey"].astype(np.int64),
+                             "sum_qty": g["sum_qty"].astype(np.int64)})
 
-    def having(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return t.filter(pc.greater(t.column("sum_qty"), min_qty))
-
-    big = sums.map_batches(having, batch_format="pyarrow")
+    big = (li.map_batches(partial, batch_format="pandas")
+           .groupby("salt").map_groups(sum_having, batch_format="pandas"))
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate"])
     joined = big.join(orders, join_type="inner", num_partitions=8,
