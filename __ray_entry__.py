@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ccrawler_ray.functions import sketch as SK
     from ccrawler_ray.functions import text as T
     from ccrawler_ray.pipelines import mix as MIX
+    from ccrawler_ray.sources import csvio as CSV
     from ccrawler_ray.sources import jsonl as JL
 
     return {
@@ -199,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_media_meta": M.decode_media_meta,
         "media_dedup_exact": M.media_dedup_exact,
         "io_jsonl_roundtrip": JL.io_jsonl_roundtrip,
+        "io_csv_roundtrip": CSV.io_csv_roundtrip,
         "media_pipeline": M.media_pipeline,
         "media_byte_stats": M.media_byte_stats,
         # --- the crawl itself
@@ -899,6 +901,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY lang"
+        ),
+        "io_csv_roundtrip": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(min(doc_id) AS BIGINT) AS min_doc, "
+            "CAST(max(doc_id) AS BIGINT) AS max_doc "
+            "FROM documents GROUP BY source"
         ),
         "media_dedup_exact": (
             # payload == encode(text) by construction (synth_media), so

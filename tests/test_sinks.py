@@ -87,3 +87,44 @@ def test_jsonl_roundtrip_full_fidelity(tmp_path):
             .sort_values("doc_id").reset_index(drop=True))
     orig = docs.to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(back[orig.columns.tolist()], orig)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_csv_roundtrip_full_fidelity(tmp_path):
+    """Every row and column survives documents -> CSV -> documents,
+    including text the CSV format must quote (commas, double quotes,
+    embedded newlines, unicode) and empty strings."""
+    import pyarrow as pa
+    import ray.data
+
+    from ccrawler_ray.sources.csvio import read_docs_csv, write_docs_csv
+
+    nasty = [
+        'comma, separated, words',
+        'a "quoted" phrase and ""doubled"" quotes',
+        'line one\nline two\r\nline three',
+        'unicode: naïve café 東京 🚀',
+        '',                       # empty text cell must stay "", not null
+        '  leading and trailing  ',
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(nasty)), type=pa.int64()),
+        "text": pa.array(nasty, type=pa.string()),
+        "lang": pa.array(["en"] * len(nasty)),
+        "source": pa.array(["synthetic"] * len(nasty)),
+        "n_chars": pa.array([len(s) for s in nasty], type=pa.int64()),
+    })
+    docs = ray.data.from_arrow(tbl)
+    write_docs_csv(docs, str(tmp_path / "csv_nasty"))
+    back = (read_docs_csv(str(tmp_path / "csv_nasty")).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    orig = tbl.to_pandas()
+    pd.testing.assert_frame_equal(back[orig.columns.tolist()], orig)
+
+    # and the real table round-trips too
+    real = ray.data.read_parquet(f"{SF}/documents.parquet")
+    write_docs_csv(real, str(tmp_path / "csv_real"))
+    got = (read_docs_csv(str(tmp_path / "csv_real")).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = real.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
