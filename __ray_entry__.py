@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": T.repetition_stats,
         "pii_scrub": T.pii_scrub,
         "model_score_docs": T.model_score_docs,
+        "lm_perplexity": T.lm_perplexity,
         "search_bm25": T.search_bm25,
         # --- iterative graph analytics
         "link_pagerank": G.link_pagerank,
@@ -277,6 +278,9 @@ def _serial_oracles() -> dict[str, str]:
         "char_entropy": V(SR.char_entropy(),
                           {"doc_id": "BIGINT", "n_cp": "BIGINT",
                            "n_unique_cp": "BIGINT", "entropy": "DOUBLE"}),
+        "lm_perplexity": V(SR.lm_perplexity(),
+                           {"doc_id": "BIGINT", "n_words": "BIGINT",
+                            "xent": "DOUBLE", "keep": "BOOLEAN"}),
         "repetition_stats": V(SR.repetition_stats(),
                               {"doc_id": "BIGINT", "n_words": "BIGINT",
                                "dup_word_frac": "DOUBLE",

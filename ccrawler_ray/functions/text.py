@@ -548,3 +548,176 @@ def model_score_docs(sf_dir: str):
     ds = _read_docs(sf_dir, ["doc_id", "text", "n_chars"])
     return ds.map_batches(QualityModel, batch_format="pandas",
                           concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity quality filter (CCNet-style: score every doc by
+# how "language-like" it is under an n-gram LM trained on the corpus
+# itself, keep the low-perplexity side). Two passes:
+#
+#   train — the doc_id % LM_TRAIN_MOD < LM_TRAIN_KEEP split streams
+#     through one map_batches that emits per-block PARTIAL unigram /
+#     bigram counts (np.unique per block — the shuffle moves one row
+#     per distinct key per block, never the tokens), then one
+#     coarse-salted groupby sums real keys inside <=64 groups. The
+#     finished model is vocab-bounded (not corpus-bounded), so
+#     collecting it to the driver and ray.put-ing it to the scorers is
+#     the broadcast-small-side pattern, not a materialization.
+#   score — an actor pool (model deserialized once per actor in
+#     __init__) maps every doc to its per-word cross-entropy.
+#
+# Bit-reproducibility: counts are exact int64; the per-doc float path
+# (_lm_doc_xent) is a frozen op order over exact-int inputs, and
+# serial_ref.lm_perplexity calls the SAME kernel on serially-trained
+# counts — doubles are bitwise equal iff the distributed training
+# produced exactly the serial counts, which is the differential.
+# ---------------------------------------------------------------------------
+
+LM_TRAIN_MOD = 10
+LM_TRAIN_KEEP = 8          # doc_id % 10 < 8 trains the model
+LM_XENT_MAX = 4.93         # keep threshold, bits/word (median-ish on
+                           # the synthetic corpus so the filter splits)
+
+
+def _lm_lookup(keys: np.ndarray, cnts: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Exact count lookup: sorted-uint64 searchsorted, 0 for misses."""
+    if len(keys) == 0:
+        return np.zeros(len(q), dtype=np.int64)
+    idx = np.searchsorted(keys, q).clip(max=len(keys) - 1)
+    return np.where(keys[idx] == q, cnts[idx], np.int64(0))
+
+
+def _lm_doc_xent(h: np.ndarray, uni_k, uni_c, bi_k, bi_c,
+                 n_tokens: int, vocab: int) -> float:
+    """FROZEN per-doc kernel (shared with serial_ref.lm_perplexity):
+    average -log2 P(word_i | word_{i-1}) with add-one smoothing, first
+    word from the unigram model, floor-scaled to 4 decimals."""
+    n = len(h)
+    if n == 0:
+        return 0.0
+    probs = np.empty(n, dtype=np.float64)
+    c0 = _lm_lookup(uni_k, uni_c, h[:1])
+    probs[0] = (c0[0] + 1.0) / (n_tokens + vocab)
+    if n > 1:
+        bk = h[:-1] * np.uint64(_REP_C1) + h[1:]
+        cb = _lm_lookup(bi_k, bi_c, bk)
+        cu = _lm_lookup(uni_k, uni_c, h[:-1])
+        probs[1:] = (cb + 1.0) / (cu + np.float64(vocab))
+    bits = -np.log2(probs).sum()
+    return float(np.floor(bits * 10_000.0 / n) / 10_000)
+
+
+def _lm_train_counts(ds) -> dict:
+    """Distributed LM training: partial counts per block, one salted
+    groupby, vocab-bounded result assembled into sorted lookup arrays."""
+    from ccrawler_ray.functions.dedup import word_hashes
+
+    def count_rows(batch: pa.Table) -> pa.Table:
+        dids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        C = np.uint64(_REP_C1)
+        uni_parts, bi_parts = [], []
+        for did, text in zip(dids, texts):
+            if did % LM_TRAIN_MOD >= LM_TRAIN_KEEP:
+                continue
+            h = word_hashes(text.split())
+            uni_parts.append(h)
+            if len(h) > 1:
+                bi_parts.append(h[:-1] * C + h[1:])
+        kinds, keys, cnts = [], [], []
+        for kind, parts in ((0, uni_parts), (1, bi_parts)):
+            if not parts:
+                continue
+            k, c = np.unique(np.concatenate(parts), return_counts=True)
+            kinds.append(np.full(len(k), kind, dtype=np.int8))
+            keys.append(k)
+            cnts.append(c.astype(np.int64))
+        if not kinds:
+            return pa.table({"kind": pa.array([], pa.int8()),
+                             "key": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64()),
+                             "salt": pa.array([], pa.int32())})
+        kind = np.concatenate(kinds)
+        key = np.concatenate(keys)
+        cnt = np.concatenate(cnts)
+        salt = (key % np.uint64(64)).astype(np.int32)
+        return pa.table({"kind": pa.array(kind),
+                         "key": pa.array(key.view(np.int64)),
+                         "cnt": pa.array(cnt),
+                         "salt": pa.array(salt)})
+
+    def sum_group(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"kind": pd.Series(dtype="int8"),
+                                 "key": pd.Series(dtype="int64"),
+                                 "cnt": pd.Series(dtype="int64")})
+        key = df["key"].to_numpy()
+        uk, inv = np.unique(key, return_inverse=True)
+        tot = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(tot, inv, df["cnt"].to_numpy())
+        return pd.DataFrame({"kind": np.full(len(uk), df["kind"].iloc[0],
+                                             dtype=np.int8),
+                             "key": uk, "cnt": tot})
+
+    parts = ds.map_batches(count_rows, batch_format="pyarrow")
+    summed = parts.groupby(["kind", "salt"]).map_groups(
+        sum_group, batch_format="pandas")
+    pdf = summed.to_pandas()   # vocab-bounded, small by assumption
+    model = {}
+    for kind, name in ((0, "uni"), (1, "bi")):
+        sub = pdf[pdf["kind"] == kind]
+        k = sub["key"].to_numpy().view(np.uint64)
+        order = np.argsort(k, kind="stable")
+        model[f"{name}_k"] = np.ascontiguousarray(k[order])
+        model[f"{name}_c"] = np.ascontiguousarray(
+            sub["cnt"].to_numpy()[order])
+    model["n_tokens"] = int(model["uni_c"].sum())
+    model["vocab"] = int(len(model["uni_k"]))
+    return model
+
+
+class LMScorer:
+    """Actor-pool scorer: the broadcast model is fetched from the
+    object store ONCE per actor, not per batch."""
+
+    def __init__(self, model_ref, xent_max: float):
+        import ray
+
+        self.m = (ray.get(model_ref)
+                  if isinstance(model_ref, ray.ObjectRef) else model_ref)
+        self.xent_max = xent_max
+        for k in ("uni_k", "uni_c", "bi_k", "bi_c"):   # lookup arrays
+            self.m[k] = np.asarray(self.m[k])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ccrawler_ray.functions.dedup import word_hashes
+
+        m = self.m
+        dids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        nw = np.empty(len(texts), dtype=np.int64)
+        xe = np.empty(len(texts), dtype=np.float64)
+        for i, text in enumerate(texts):
+            h = word_hashes(text.split())
+            nw[i] = len(h)
+            xe[i] = _lm_doc_xent(h, m["uni_k"], m["uni_c"],
+                                 m["bi_k"], m["bi_c"],
+                                 m["n_tokens"], m["vocab"])
+        return pa.table({"doc_id": pa.array(dids.astype(np.int64)),
+                         "n_words": pa.array(nw),
+                         "xent": pa.array(xe),
+                         "keep": pa.array(xe <= self.xent_max)})
+
+
+def lm_perplexity(sf_dir: str, xent_max: float = LM_XENT_MAX):
+    """(doc_id, n_words, xent, keep): bigram-LM cross-entropy per doc
+    (bits/word, add-one smoothing), model trained on the
+    doc_id % 10 < 8 split of the same corpus; keep = xent <= LM_XENT_MAX."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    # vocab-bounded model: Ray auto-puts large constructor args in the
+    # object store once; passing the dict (not an explicit ref) keeps
+    # actor restarts self-contained
+    model = _lm_train_counts(ds)
+    return ds.map_batches(LMScorer,
+                          fn_constructor_args=(model, xent_max),
+                          batch_format="pyarrow", concurrency=2)

@@ -1091,3 +1091,46 @@ def dedup_containment_stats(sf_dir: str | None = None, num_perm: int = 64,
         n_pairs=("c", "size"), max_containment=("c", "max"))
     return (g.astype({"doc_id": "int64", "n_pairs": "int64"})
             .sort_values("doc_id").reset_index(drop=True))
+
+
+def lm_perplexity(sf_dir: str | None = None,
+                  xent_max: float | None = None) -> pd.DataFrame:
+    """Serial mirror of functions.text.lm_perplexity: unigram/bigram
+    counts built with plain Python dicts over the same training split,
+    scored through the SAME frozen kernel (_lm_doc_xent) — doubles are
+    bitwise equal iff the distributed training reproduced these counts
+    exactly (the differential)."""
+    from ccrawler_ray.functions.text import (LM_TRAIN_KEEP, LM_TRAIN_MOD,
+                                             LM_XENT_MAX, _REP_C1,
+                                             _lm_doc_xent)
+
+    if xent_max is None:
+        xent_max = LM_XENT_MAX
+    ids, texts = _docs(sf_dir or oracle_sf_dir())
+    uni: dict[int, int] = {}
+    bi: dict[int, int] = {}
+    mod = 1 << 64
+    for did, text in zip(ids, texts):
+        if did % LM_TRAIN_MOD >= LM_TRAIN_KEEP:
+            continue
+        hs = [_whash(w) for w in text.split()]
+        for x in hs:
+            uni[x] = uni.get(x, 0) + 1
+        for a, b in zip(hs, hs[1:]):
+            k = (a * _REP_C1 + b) % mod
+            bi[k] = bi.get(k, 0) + 1
+
+    def arrays(d: dict[int, int]):
+        ks = np.array(sorted(d), dtype=np.uint64)
+        cs = np.array([d[int(k)] for k in ks], dtype=np.int64)
+        return ks, cs
+
+    uni_k, uni_c = arrays(uni)
+    bi_k, bi_c = arrays(bi)
+    n_tokens, vocab = int(uni_c.sum()), len(uni_k)
+    rows = []
+    for did, text in zip(ids, texts):
+        h = np.array([_whash(w) for w in text.split()], dtype=np.uint64)
+        xe = _lm_doc_xent(h, uni_k, uni_c, bi_k, bi_c, n_tokens, vocab)
+        rows.append((did, len(h), xe, xe <= xent_max))
+    return pd.DataFrame(rows, columns=["doc_id", "n_words", "xent", "keep"])

@@ -1,6 +1,8 @@
-"""Ray-free unit tests for the frozen per-doc text kernels."""
+"""Unit tests for the frozen per-doc text kernels (Ray-free except
+the lm_perplexity engine≡serial differential)."""
 
 import numpy as np
+import pytest
 
 from ccrawler_ray.functions.dedup import word_hashes
 from ccrawler_ray.functions.text import (REP_DUP5_MAX, REP_TOP2_MAX,
@@ -56,3 +58,54 @@ def test_repetition_dup5_counts_all_duplicated_slots():
     n, _, _, dup5, _ = _row(text)
     assert n == 30
     assert dup5 == np.floor(2 * 10_000 / (n - 4)) / 10_000
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM perplexity
+# ---------------------------------------------------------------------------
+
+
+def test_lm_kernel_known_values():
+    """Hand-checked xent on a 2-doc toy model."""
+    from ccrawler_ray.functions.text import _lm_doc_xent, _lm_lookup, _REP_C1
+
+    # vocabulary {a, b}; training text "a b a b": uni a=2 b=2, bigrams
+    # ab=2 ba=1; N=4 V=2
+    ha, hb = np.uint64(11), np.uint64(22)
+    uni_k = np.sort(np.array([ha, hb]))
+    uni_c = np.array([2, 2], dtype=np.int64)
+    C = np.uint64(_REP_C1)
+    kab = ha * C + hb
+    kba = hb * C + ha
+    bi_k = np.sort(np.array([kab, kba]))
+    bi_c = np.array([2 if bi_k[0] == kab else 1,
+                     1 if bi_k[1] == kba else 2], dtype=np.int64)
+    # doc "a b": p(a)=(2+1)/(4+2)=0.5, p(b|a)=(2+1)/(2+2)=0.75
+    h = np.array([ha, hb], dtype=np.uint64)
+    want = float(np.floor(-(np.log2(0.5) + np.log2(0.75)) * 10_000 / 2)
+                 / 10_000)
+    assert _lm_doc_xent(h, uni_k, uni_c, bi_k, bi_c, 4, 2) == want
+    # empty doc
+    assert _lm_doc_xent(np.array([], dtype=np.uint64),
+                        uni_k, uni_c, bi_k, bi_c, 4, 2) == 0.0
+    # OOV word: p = 1/(4+2) unigram, bigram denom = 0+V
+    hx = np.uint64(33)
+    assert _lm_lookup(uni_k, uni_c, np.array([hx], dtype=np.uint64))[0] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lm_perplexity_engine_eq_serial():
+    """Distributed training + actor-pool scoring is bitwise equal to
+    the serial dict-trained mirror at sf0.001."""
+    import pandas as pd
+
+    from ccrawler_ray import serial_ref as SR
+    from ccrawler_ray.functions.text import lm_perplexity
+
+    sf = "/root/testdata/sf0.001"
+    got = (lm_perplexity(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = SR.lm_perplexity(sf).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)   # no tolerance: bitwise
+    # the keep threshold actually splits the corpus
+    assert 0.05 < got["keep"].mean() < 0.95
