@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": lambda sf: D.ngram_jaccard_pairs(sf, threshold=0.8),
         "dedup_minhash_lsh": lambda sf: D.dedup_minhash_lsh(sf, threshold=0.8),
         "dedup_lsh_verified": lambda sf: D.dedup_lsh_verified(sf, threshold=0.8),
+        "dedup_incremental": D.dedup_incremental,
         # surfaced as the bounded per-doc rollup: the raw pair stream
         # is quadratic-ish on the small-vocab corpus (87k pairs at 500
         # docs) — too big for a VALUES oracle and not the actionable
@@ -308,6 +309,9 @@ def _serial_oracles() -> dict[str, str]:
                              "keep": "BOOLEAN", "max_cos": "DOUBLE"}),
         "dedup_minhash_lsh": V(SR.dedup_minhash_lsh(threshold=0.8),
                                {**pair_d, "est_jaccard": "DOUBLE"}),
+        "dedup_incremental": V(SR.dedup_incremental(),
+                               {"doc_id": "BIGINT", "dup_of": "BIGINT",
+                                "est_jaccard": "DOUBLE"}),
         "dedup_lsh_verified": V(SR.dedup_lsh_verified(threshold=0.8),
                                 {**pair_d, "jaccard": "DOUBLE"}),
         "dedup_containment_stats": V(

@@ -1361,3 +1361,139 @@ def dedup_semantic(sf_dir: str, n_clusters: int = 16,
     return (ds.map_batches(assign, batch_format="pyarrow")
             .groupby("cluster")
             .map_groups(prune, batch_format="pyarrow"))
+
+
+def dedup_incremental(sf_dir: str, num_perm: int = 64, bands: int = 16,
+                      threshold: float = 0.8, new_mod: int = 5):
+    """Incremental ingestion dedup: docs with doc_id % new_mod == 0 are
+    the NEW batch, everything else the already-ingested BASE index.
+    Each new doc is checked against the base only (new-vs-new is the
+    full-corpus kernel's job): an LSH band collision plus estimated
+    Jaccard >= threshold marks it a duplicate of ``dup_of`` — the
+    SMALLEST qualifying base doc_id. Returns
+    (doc_id, dup_of, est_jaccard); new docs with no qualifying base
+    near-dup emit nothing.
+
+    Scale shape: reuses the memoized signature dataset; candidates come
+    from the same band-bucket groupby as the LSH kernel, collapsed to
+    signature reps before the quadratic step; each bucket emits AT MOST
+    one row per new member (its in-bucket min qualifying base), and the
+    final doc-salted min-reduce collapses the per-band emissions — the
+    min-base rule makes output exactly-once WITHOUT first-colliding-
+    band bookkeeping, because est_jaccard is a pure function of the two
+    signatures (every emission of a pair carries the same value) and
+    the global-min pair provably appears in the bucket of its first
+    colliding band.
+    """
+    sigs = _memo(("sig", sf_dir, num_perm),
+                 lambda: minhash_signatures(sf_dir, num_perm))
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "band": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.uint64()),
+                             "bh_salt": pa.array([], pa.int32()),
+                             "sig": pa.array([], pa.binary())})
+        bh = _band_hashes(_sig_matrix(batch.column("signature")), bands)
+        flat = bh.ravel()
+        rep_idx = pa.array(np.repeat(np.arange(n), bands))
+        return pa.table({
+            "doc_id": pa.array(np.repeat(
+                batch.column("doc_id").to_numpy(zero_copy_only=False), bands)),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "band_hash": pa.array(flat, pa.uint64()),
+            "bh_salt": pa.array((flat % np.uint64(16)).astype(np.int32)),
+            "sig": batch.column("signature").take(rep_idx)})
+
+    band_rows = sigs.map_batches(to_bands, batch_format="pyarrow")
+    I64MAX = np.iinfo(np.int64).max
+
+    def empty_out() -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "dup_of": pd.Series(dtype="int64"),
+                             "est_jaccard": pd.Series(dtype="float64"),
+                             "d_salt": pd.Series(dtype="int32")})
+
+    def bucket_candidates(gdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(gdf):
+            return empty_out()
+        out_n, out_b, out_e = [], [], []
+        for _, df in gdf.groupby("band_hash", sort=False):
+            df = df.drop_duplicates("doc_id")
+            ids = df["doc_id"].to_numpy()
+            is_new = (ids % new_mod) == 0
+            if not is_new.any() or is_new.all():
+                continue
+            codes, uniq = pd.factorize(df["sig"], sort=False)
+            u = len(uniq)
+            base_min = np.full(u, I64MAX, dtype=np.int64)
+            np.minimum.at(base_min, codes[~is_new], ids[~is_new])
+            has_base = base_min != I64MAX
+            new_codes = codes[is_new]
+            new_ids = ids[is_new]
+            # identical-signature collisions: est exactly 1.0
+            sel = has_base[new_codes]
+            if sel.any() and 1.0 >= threshold:
+                out_n.append(new_ids[sel])
+                out_b.append(base_min[new_codes[sel]])
+                out_e.append(np.ones(int(sel.sum())))
+            # cross-rep candidates: every (new rep, base rep) pair in
+            # this bucket already collided in THIS band
+            ncodes = np.unique(new_codes)
+            bcodes = np.flatnonzero(has_base)
+            if not len(ncodes) or not len(bcodes) or u < 2:
+                continue
+            sm = np.frombuffer(b"".join(uniq), np.uint64).reshape(u, num_perm)
+            nb, bb = np.meshgrid(ncodes, bcodes, indexing="ij")
+            nb, bb = nb.ravel(), bb.ravel()
+            keep_mask = nb != bb
+            nb, bb = nb[keep_mask], bb[keep_mask]
+            if not len(nb):
+                continue
+            est = np.empty(len(nb))
+            for s in range(0, len(nb), 50_000):   # large-alloc hazard
+                est[s:s + 50_000] = (
+                    sm[nb[s:s + 50_000]] == sm[bb[s:s + 50_000]]
+                ).mean(axis=1)
+            qual = est >= threshold
+            if not qual.any():
+                continue
+            nb, bb, est = nb[qual], bb[qual], est[qual]
+            # per new rep keep only the min qualifying base
+            order = np.lexsort((base_min[bb], nb))
+            nb_s, bb_s, est_s = nb[order], bb[order], est[order]
+            first = np.r_[True, nb_s[1:] != nb_s[:-1]]
+            pick_b = base_min[bb_s[first]]
+            pick_e = est_s[first]
+            code_pos = {int(c): t for t, c in enumerate(nb_s[first])}
+            m = np.fromiter((code_pos.get(int(c), -1) for c in new_codes),
+                            dtype=np.int64, count=len(new_codes))
+            hit = m >= 0
+            if hit.any():
+                out_n.append(new_ids[hit])
+                out_b.append(pick_b[m[hit]])
+                out_e.append(pick_e[m[hit]])
+        if not out_n:
+            return empty_out()
+        n_arr = np.concatenate(out_n).astype(np.int64)
+        return pd.DataFrame({"doc_id": n_arr,
+                             "dup_of": np.concatenate(out_b).astype(np.int64),
+                             "est_jaccard": np.concatenate(out_e),
+                             "d_salt": (n_arr % 64).astype(np.int32)})
+
+    cand = band_rows.groupby(["band", "bh_salt"]).map_groups(
+        bucket_candidates, batch_format="pandas")
+
+    def reduce_min(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return empty_out().drop(columns=["d_salt"])
+        df = df.sort_values(["doc_id", "dup_of"]).drop_duplicates("doc_id")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "dup_of": df["dup_of"].to_numpy(),
+            "est_jaccard": np.round(df["est_jaccard"].to_numpy(), 4)})
+
+    return cand.groupby("d_salt").map_groups(reduce_min,
+                                             batch_format="pandas")

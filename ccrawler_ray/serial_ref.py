@@ -1134,3 +1134,31 @@ def lm_perplexity(sf_dir: str | None = None,
         xe = _lm_doc_xent(h, uni_k, uni_c, bi_k, bi_c, n_tokens, vocab)
         rows.append((did, len(h), xe, xe <= xent_max))
     return pd.DataFrame(rows, columns=["doc_id", "n_words", "xent", "keep"])
+
+
+def dedup_incremental(sf_dir: str | None = None, num_perm: int = 64,
+                      bands: int = 16, threshold: float = 0.8,
+                      new_mod: int = 5) -> pd.DataFrame:
+    """Serial mirror of functions.dedup.dedup_incremental: every NEW
+    doc (doc_id % new_mod == 0) scanned against every BASE doc — a
+    band-hash collision in ANY band plus raw signature-agreement
+    >= threshold qualifies; dup_of is the smallest qualifying base id
+    and est_jaccard the (rounded) agreement with exactly that base."""
+    ids, texts = _docs(sf_dir or oracle_sf_dir())
+    a, b = _minhash_params(num_perm)
+    sigs = np.stack([_minhash_sig(_word_hash_set(t), a, b) for t in texts])
+    bh = np.stack([_fnv_band_hashes(s, bands) for s in sigs])
+    ids = np.asarray(ids, dtype=np.int64)
+    is_new = (ids % new_mod) == 0
+    base_ids, base_sig, base_bh = ids[~is_new], sigs[~is_new], bh[~is_new]
+    rows = []
+    for i in np.flatnonzero(is_new):
+        collide = (bh[i][None, :] == base_bh).any(axis=1)
+        est = (sigs[i][None, :] == base_sig).mean(axis=1)
+        qual = collide & (est >= threshold)
+        if not qual.any():
+            continue
+        j = np.flatnonzero(qual)[np.argmin(base_ids[qual])]
+        rows.append((int(ids[i]), int(base_ids[j]),
+                     float(np.round(est[j], 4))))
+    return pd.DataFrame(rows, columns=["doc_id", "dup_of", "est_jaccard"])

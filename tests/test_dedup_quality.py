@@ -334,3 +334,24 @@ def test_dedup_semantic_bitwise_and_sound():
     # first vector of every cluster is kept with the -1 sentinel
     firsts = eng.groupby("cluster").first()
     assert firsts["keep"].all() and (firsts["max_cos"] == -1.0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_incremental_engine_eq_serial_and_semantics():
+    """Distributed incremental dedup == serial all-pairs mirror, and
+    the output honors its contract: only new docs, dup_of is a base
+    doc, dup_of matches the serial minimum."""
+    import pandas as pd
+
+    from ccrawler_ray import serial_ref as SR
+    from ccrawler_ray.functions.dedup import dedup_incremental
+
+    got = (dedup_incremental(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = SR.dedup_incremental(SF).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got), "fixture corpus should contain incremental dups"
+    assert (got["doc_id"] % 5 == 0).all()          # only NEW docs
+    assert (got["dup_of"] % 5 != 0).all()          # dup_of in the BASE
+    assert got["doc_id"].is_unique                 # exactly-once
+    assert ((got["est_jaccard"] >= 0.8) & (got["est_jaccard"] <= 1.0)).all()
