@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "io_csv_roundtrip": CSV.io_csv_roundtrip,
         "media_pipeline": M.media_pipeline,
         "media_byte_stats": M.media_byte_stats,
+        "media_dedup_near": M.media_dedup_near,
         # --- the crawl itself
         "crawl_docs_out": _crawl_docs_out,
     }
@@ -290,6 +291,8 @@ def _serial_oracles() -> dict[str, str]:
                                "keep": "BOOLEAN"}),
         "dedup_simhash": V(SR.dedup_simhash(max_hamming=3),
                            {**pair_d, "hamming": "BIGINT"}),
+        "media_dedup_near": V(SR.media_dedup_near(max_hamming=3),
+                              {**pair_d, "hamming": "BIGINT"}),
         "search_bm25": V(SR.search_bm25(),
                          {"doc_id": "BIGINT", "score": "DOUBLE",
                           "rank": "BIGINT"}),

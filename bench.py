@@ -154,6 +154,9 @@ QUERY_SUITE = [
     "q18_big_orders",
     "g18_unpivot",
     "io_jsonl_roundtrip",
+    "io_csv_roundtrip",
+    "lm_perplexity",
+    "dedup_incremental",
 ]
 
 

@@ -653,7 +653,14 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3):
     max_hamming <= 3 (16-bit blocks); larger radii are supported but
     documented as small-scale (ADVICE r1: the old fixed 4-block scheme
     silently missed pairs with hamming in 4..max)."""
-    sigs = simhash_signatures(sf_dir).materialize()
+    return _simhash_pairs(simhash_signatures(sf_dir).materialize(),
+                          max_hamming)
+
+
+def _simhash_pairs(sigs, max_hamming: int):
+    """Radius-derived blocking + in-bucket hamming verify over any
+    (doc_id, simhash:uint64) Dataset — shared by the text SimHash
+    dedup and the media byte-shingle variant."""
     blocks = _hamming_blocks(max_hamming)
     nblocks = len(blocks)
 

@@ -184,3 +184,67 @@ def media_dedup_exact(sf_dir: str):
             .groupby(["media_type", "payload_md5"])
             .aggregate(Min("keep_doc_id", alias_name="keep_doc_id"),
                        Sum("n_copies", alias_name="n_copies")))
+
+
+# ---------------------------------------------------------------------------
+# Media NEAR-dup: byte-shingle SimHash over the opaque binary payload.
+# The payload is never decoded — 8-byte rolling windows (distinct,
+# splitmix64-mixed so low-entropy byte streams still vote on all 64
+# bits) vote a 64-bit SimHash per payload; pairing reuses the
+# radius-derived blocking + in-bucket hamming verify of the text
+# SimHash kernel (functions.dedup._simhash_pairs). Payload bytes never
+# cross the shuffle — only (doc_id, simhash).
+# ---------------------------------------------------------------------------
+
+MEDIA_SHINGLE_BYTES = 8
+
+
+def _byte_shingle_simhash(payloads) -> np.ndarray:
+    """FROZEN kernel (mirrored by serial_ref.media_dedup_near): uint64
+    SimHash over DISTINCT little-endian 8-byte windows; payloads
+    shorter than a window hash as one zero-padded shingle; empty
+    payloads hash to 0."""
+    from ccrawler_ray.functions.dedup import _BIT_WEIGHTS
+    from ccrawler_ray.functions.graph import _splitmix64
+
+    W = MEDIA_SHINGLE_BYTES
+    out = np.zeros(len(payloads), dtype=np.uint64)
+    for i, p in enumerate(payloads):
+        if len(p) == 0:
+            continue
+        if len(p) < W:
+            sh = np.array([int.from_bytes(p, "little")], dtype=np.uint64)
+        else:
+            arr = np.frombuffer(p, dtype=np.uint8)
+            wins = np.lib.stride_tricks.sliding_window_view(arr, W)
+            v = np.zeros(len(wins), dtype=np.uint64)
+            for j in range(W):
+                v |= wins[:, j].astype(np.uint64) << np.uint64(8 * j)
+            sh = np.unique(v)
+        hs = _splitmix64(sh)
+        bits = ((hs[:, None] & _BIT_WEIGHTS[None, :]) != 0).astype(np.int64)
+        votes = bits.sum(axis=0) * 2 - len(hs)
+        out[i] = ((votes > 0) * _BIT_WEIGHTS).sum(dtype=np.uint64)
+    return out
+
+
+def media_simhash(sf_dir: str):
+    """doc_id → byte-shingle SimHash of the media payload."""
+    media = synth_media(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        sh = _byte_shingle_simhash(batch.column("payload").to_pylist())
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "simhash": pa.array(sh, pa.uint64())})
+
+    # small batches: payload bytes × batch × concurrency in worker heap
+    return media.map_batches(f, batch_format="pyarrow", batch_size=256)
+
+
+def media_dedup_near(sf_dir: str, max_hamming: int = 3):
+    """(doc_a, doc_b, hamming): near-duplicate media payloads within
+    the hamming radius — the binary-column analog of dedup_simhash
+    (100% recall at the radius by pigeonhole blocking)."""
+    from ccrawler_ray.functions.dedup import _simhash_pairs
+
+    return _simhash_pairs(media_simhash(sf_dir).materialize(), max_hamming)

@@ -1162,3 +1162,41 @@ def dedup_incremental(sf_dir: str | None = None, num_perm: int = 64,
         rows.append((int(ids[i]), int(base_ids[j]),
                      float(np.round(est[j], 4))))
     return pd.DataFrame(rows, columns=["doc_id", "dup_of", "est_jaccard"])
+
+
+def media_dedup_near(sf_dir: str | None = None,
+                     max_hamming: int = 3) -> pd.DataFrame:
+    """Serial mirror of functions.multimodal.media_dedup_near: same
+    frozen byte-shingle SimHash formula (distinct zero-padded LE
+    windows, splitmix64 mix, votes>0 bit rule) computed with
+    independent serial code, then BRUTE-FORCE all-pairs hamming —
+    the engine's pigeonhole blocking guarantees identical pairs."""
+    from ccrawler_ray.functions.multimodal import MEDIA_SHINGLE_BYTES
+
+    ids, texts = _docs(sf_dir or oracle_sf_dir())
+    W = MEDIA_SHINGLE_BYTES
+    sims = np.zeros(len(ids), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        p = t.encode("utf-8")
+        if len(p) == 0:
+            continue
+        if len(p) < W:
+            sset = {int.from_bytes(p, "little")}
+        else:
+            sset = {int.from_bytes(p[j:j + W], "little")
+                    for j in range(len(p) - W + 1)}
+        hs = np.fromiter((_splitmix64_int(s) for s in sset),
+                         dtype=np.uint64, count=len(sset))
+        bits = np.unpackbits(hs.view(np.uint8).reshape(len(hs), 8),
+                             axis=1, bitorder="little").astype(np.int64)
+        votes = bits.sum(axis=0) * 2 - len(hs)
+        on = np.flatnonzero(votes > 0)
+        sims[i] = np.uint64(sum(1 << int(b) for b in on))
+    ids = np.asarray(ids, dtype=np.int64)
+    ia, ib = np.triu_indices(len(ids), k=1)
+    x = sims[ia] ^ sims[ib]
+    ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                        axis=1).sum(axis=1).astype(np.int64)
+    m = ham <= max_hamming
+    return pd.DataFrame({"doc_a": ids[ia][m], "doc_b": ids[ib][m],
+                         "hamming": ham[m]})

@@ -355,3 +355,35 @@ def test_dedup_incremental_engine_eq_serial_and_semantics():
     assert (got["dup_of"] % 5 != 0).all()          # dup_of in the BASE
     assert got["doc_id"].is_unique                 # exactly-once
     assert ((got["est_jaccard"] >= 0.8) & (got["est_jaccard"] <= 1.0)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_dedup_near_engine_eq_serial_bruteforce():
+    """Byte-shingle SimHash blocking finds EXACTLY the brute-force
+    hamming<=3 pair set (pigeonhole recall), bitwise serial mirror."""
+    import pandas as pd
+
+    from ccrawler_ray import serial_ref as SR
+    from ccrawler_ray.functions.multimodal import media_dedup_near
+
+    got = (media_dedup_near(SF).to_pandas()
+           .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    want = (SR.media_dedup_near(SF)
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got), "fixture corpus should contain near-dup payloads"
+    assert (got["doc_a"] < got["doc_b"]).all()
+    assert (got["hamming"] <= 3).all()
+
+
+def test_byte_shingle_simhash_edge_payloads():
+    """Frozen kernel edges: empty payload -> 0; short payloads hash as
+    one zero-padded shingle; identical payloads -> identical hashes."""
+    from ccrawler_ray.functions.multimodal import _byte_shingle_simhash
+
+    h = _byte_shingle_simhash([b"", b"abc", b"abc", b"abcdefgh" * 4])
+    assert h[0] == 0
+    assert h[1] == h[2] != 0
+    # short payload: single shingle -> simhash == splitmix64(padded LE)
+    from ccrawler_ray.serial_ref import _splitmix64_int
+    assert h[1] == _splitmix64_int(int.from_bytes(b"abc", "little"))
