@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w8_late_events": R.w8_late_events,
         "w9_percent_rank": R.w9_percent_rank,
         "w10_funnel": R.w10_funnel,
+        "w11_ewma": R.w11_ewma,
         "g15_corr": R.g15_corr,
         "j9_full_outer_join": R.j9_full_outer_join,
         "g14_group_median": R.g14_group_median,
@@ -141,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o6_weighted_sample": R.o6_weighted_sample,
         "o4_stratified_sample": R.o4_stratified_sample,
         "o8_hash_split": R.o8_hash_split,
+        "o10_pack_sequences": T.o10_pack_sequences,
         # --- wide aggregate
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_forecast_revenue": R.q6_forecast_revenue,
@@ -280,6 +282,9 @@ def _serial_oracles() -> dict[str, str]:
         "char_entropy": V(SR.char_entropy(),
                           {"doc_id": "BIGINT", "n_cp": "BIGINT",
                            "n_unique_cp": "BIGINT", "entropy": "DOUBLE"}),
+        "w11_ewma": V(SR.w11_ewma(),
+                      {"event_id": "BIGINT", "user_id": "BIGINT",
+                       "value": "DOUBLE", "ewma": "DOUBLE"}),
         "lm_perplexity": V(SR.lm_perplexity(),
                            {"doc_id": "BIGINT", "n_words": "BIGINT",
                             "xent": "DOUBLE", "keep": "BOOLEAN"}),
@@ -797,6 +802,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT doc_id, bucket, CASE WHEN bucket < 90 THEN 'train' "
             "WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b"
+        ),
+        "o10_pack_sequences": (
+            # concat-then-chunk packing: per-source exclusive token
+            # prefix in doc_id order -> fixed 512-token bins
+            r"WITH t AS (SELECT doc_id, source, "
+            r"CAST(len(regexp_split_to_array(text,'\s+')) AS BIGINT) "
+            "AS n_tokens FROM documents), "
+            "p AS (SELECT doc_id, source, n_tokens, "
+            "sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "- n_tokens AS pre FROM t) "
+            "SELECT doc_id, source, n_tokens, "
+            "CAST(pre // 512 AS BIGINT) AS bin_id, "
+            "CAST(pre % 512 AS BIGINT) AS bin_off, "
+            "CAST((pre + n_tokens - 1) // 512 AS BIGINT) AS end_bin "
+            "FROM p"
         ),
         "q1_pricing_summary": (
             f"SELECT l_returnflag, l_linestatus, {_USUM('l_quantity')} AS sum_qty, "

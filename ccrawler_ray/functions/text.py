@@ -721,3 +721,85 @@ def lm_perplexity(sf_dir: str, xent_max: float = LM_XENT_MAX):
     return ds.map_batches(LMScorer,
                           fn_constructor_args=(model, xent_max),
                           batch_format="pyarrow", concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-then-chunk, the GPT-pretraining layout):
+# within each source, documents concatenate in doc_id order and the
+# token stream is cut into fixed-capacity bins; a doc may span bins.
+# bin_id/bin_off are pure functions of the per-source EXCLUSIVE token
+# prefix sum, so the distributed form is the two-pass prefix pattern
+# (per-(source, monotone doc_id bucket) partial sums -> tiny driver
+# offset table -> in-bucket cumsum), never a global ordered scan.
+# ---------------------------------------------------------------------------
+
+PACK_CAPACITY = 512
+
+
+def o10_pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY,
+                       n_buckets: int = 256):
+    """(doc_id, source, n_tokens, bin_id, bin_off, end_bin): where each
+    doc's tokens land when its source's docs are concatenated in doc_id
+    order and chunked into ``capacity``-token bins. Token count is the
+    whitespace rule shared with token_count (== DuckDB
+    len(regexp_split_to_array(text, '\\s+')))."""
+    import polars as pl
+
+    max_id = int(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]).max("doc_id"))
+    width = max((max_id + n_buckets) // n_buckets, 1)
+
+    ds = _read_docs(sf_dir, ["doc_id", "text", "source"])
+
+    def tok_rows(df: pd.DataFrame) -> pd.DataFrame:
+        seps = pl.Series(df["text"]).str.count_matches(_TOKEN_RE).to_numpy()
+        did = df["doc_id"].to_numpy()
+        return pd.DataFrame({
+            "doc_id": did,
+            "source": df["source"],
+            "n_tokens": (seps + 1).astype(np.int64),
+            "bkt": (did // width).astype(np.int32)})
+
+    rows = ds.map_batches(tok_rows, batch_format="pandas").materialize()
+
+    # pass 1: per-(source, bucket) token sums — map-side combine, tiny
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "bkt"], as_index=False)["n_tokens"].sum()
+        return g.rename(columns={"n_tokens": "s"})
+
+    pdf = (rows.map_batches(partial, batch_format="pandas")
+           .to_pandas()    # <= sources x n_buckets rows
+           .groupby(["source", "bkt"], as_index=False)["s"].sum())
+    # exclusive per-source prefix over bucket order -> offset table
+    pdf = pdf.sort_values(["source", "bkt"])
+    pdf["off"] = pdf.groupby("source")["s"].cumsum() - pdf["s"]
+    offsets = {(s, int(b)): int(o) for s, b, o in
+               zip(pdf["source"], pdf["bkt"], pdf["off"])}
+
+    cap = np.int64(capacity)
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "source": pd.Series(dtype="object"),
+                 "n_tokens": pd.Series(dtype="int64"),
+                 "bin_id": pd.Series(dtype="int64"),
+                 "bin_off": pd.Series(dtype="int64"),
+                 "end_bin": pd.Series(dtype="int64")})
+        df = df.sort_values(["source", "doc_id"])
+        tok = df["n_tokens"].to_numpy()
+        bkt = int(df["bkt"].iloc[0])
+        base = np.fromiter((offsets[(s, bkt)] for s in df["source"]),
+                           dtype=np.int64, count=len(df))
+        cum = df.groupby("source", sort=False)["n_tokens"].cumsum().to_numpy()
+        pre = base + cum - tok
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "source": df["source"].to_numpy(),
+            "n_tokens": tok,
+            "bin_id": pre // cap,
+            "bin_off": pre % cap,
+            "end_bin": (pre + tok - 1) // cap})
+
+    return rows.groupby("bkt").map_groups(pack, batch_format="pandas")

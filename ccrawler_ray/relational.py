@@ -2113,3 +2113,57 @@ def q18_big_orders(sf_dir: str, min_qty: int = 250, k: int = 20):
              "sum_qty": df["sum_qty"].astype(np.int64)})
 
     return out.map_batches(rename, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# W11: exponentially weighted moving average per key — the streaming
+# smoother (monitoring/anomaly baselines). Salted per-user shuffle;
+# the in-group kernel runs the FROZEN recurrence
+#   y[0] = x[0];  y[i] = EWMA_ALPHA*x[i] + EWMA_BETA*y[i-1]
+# vectorized ACROSS users per within-user rank step (the loop is over
+# max-events-per-user, not rows), with the exact same two multiplies
+# and one add the serial oracle evaluates — bitwise-equal doubles.
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.25
+EWMA_BETA = 1.0 - EWMA_ALPHA
+
+
+def w11_ewma(sf_dir: str):
+    """(event_id, user_id, value, ewma): per-user EWMA of ``value``
+    over (ts, event_id) order."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column("u_salt", pa.array((u % 64).astype(np.int32)))
+
+    a, b = np.float64(EWMA_ALPHA), np.float64(EWMA_BETA)
+
+    def per_salt(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "user_id": pd.Series(dtype="int64"),
+                 "value": pd.Series(dtype="float64"),
+                 "ewma": pd.Series(dtype="float64")})
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        uid = df["user_id"].to_numpy()
+        x = df["value"].to_numpy()
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        # within-user rank (0-based): arange minus each user's start
+        starts = np.flatnonzero(new_user)
+        runlen = np.diff(np.r_[starts, len(uid)])
+        rank = np.arange(len(uid)) - np.repeat(starts, runlen)
+        y = x.copy()                      # rank-0 rows: y = x
+        for r in range(1, int(rank.max()) + 1 if len(rank) else 0):
+            idx = np.flatnonzero(rank == r)
+            if not len(idx):
+                break
+            y[idx] = a * x[idx] + b * y[idx - 1]
+        return pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy(),
+             "user_id": uid, "value": x, "ewma": y})
+
+    return (ds.map_batches(add_salt, batch_format="pyarrow")
+            .groupby("u_salt").map_groups(per_salt, batch_format="pandas"))

@@ -1200,3 +1200,31 @@ def media_dedup_near(sf_dir: str | None = None,
     m = ham <= max_hamming
     return pd.DataFrame({"doc_a": ids[ia][m], "doc_b": ids[ib][m],
                          "hamming": ham[m]})
+
+
+def w11_ewma(sf_dir: str | None = None) -> pd.DataFrame:
+    """Serial mirror of relational.w11_ewma: plain per-user Python
+    recurrence y[i] = EWMA_ALPHA*x[i] + EWMA_BETA*y[i-1] over the same
+    (ts, event_id) order — identical two multiplies + one add, so
+    doubles are bitwise equal."""
+    from ccrawler_ray.relational import EWMA_ALPHA, EWMA_BETA
+
+    t = pq.read_table(f"{(sf_dir or oracle_sf_dir())}/events.parquet",
+                      columns=["event_id", "user_id", "ts", "value"])
+    df = (t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+          .reset_index(drop=True))
+    a, b = np.float64(EWMA_ALPHA), np.float64(EWMA_BETA)
+    out = np.empty(len(df), dtype=np.float64)
+    prev_u, prev_y = None, None
+    for i, (u, x) in enumerate(zip(df["user_id"].to_numpy(),
+                                   df["value"].to_numpy())):
+        if u != prev_u:
+            y = np.float64(x)
+        else:
+            y = a * np.float64(x) + b * prev_y
+        out[i] = y
+        prev_u, prev_y = u, y
+    return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                         "user_id": df["user_id"].to_numpy(),
+                         "value": df["value"].to_numpy(),
+                         "ewma": out})
