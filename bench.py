@@ -157,6 +157,9 @@ QUERY_SUITE = [
     "io_csv_roundtrip",
     "lm_perplexity",
     "dedup_incremental",
+    "media_dedup_near",
+    "o10_pack_sequences",
+    "w11_ewma",
 ]
 
 
