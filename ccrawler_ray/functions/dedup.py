@@ -242,6 +242,57 @@ def _inter_count(x: np.ndarray, y: np.ndarray) -> int:
     return int(np.count_nonzero(y[pos] == x))
 
 
+def _triu_pairs(n: int):
+    """All i<j index pairs — np.triu_indices(n, 1) semantics via three
+    vector ops instead of an n×n boolean mask + nonzero (profiled: the
+    mask path was ~8% of the whole LSH kernel at sf0.1)."""
+    row_cnt = np.arange(n - 1, 0, -1, dtype=np.int64)
+    ia = np.repeat(np.arange(n - 1, dtype=np.int64), row_cnt)
+    start = np.zeros(n - 1, dtype=np.int64)
+    np.cumsum(row_cnt[:-1], out=start[1:])
+    ib = np.arange(len(ia), dtype=np.int64) - start[ia] + ia + 1
+    return ia, ib
+
+
+_BITSET_BUDGET_BYTES = 64 << 20   # bucket bitset matrix cap (per task)
+
+
+def _pair_inter_counts(wl: list, ka: np.ndarray, kb: np.ndarray) -> np.ndarray:
+    """|A∩B| for many pairs over one bucket's word-hash sets.
+
+    Fast path: pack the bucket's vocabulary into per-rep BITSETS
+    (u × ceil(W/64) uint64) and popcount chunked pairwise ANDs —
+    replaces a per-pair Python searchsorted loop that dominated the
+    exact-verify kernel (measured: the cc_edges pass spent ~10 s at
+    sf0.1 iterating ~4.5M rep pairs). Falls back to the merge loop
+    when the bitset matrix would exceed the budget (huge-vocab
+    buckets). Integer-exact either way — identical outputs."""
+    u = len(wl)
+    out = np.empty(len(ka), dtype=np.int64)
+    all_w = np.concatenate(wl) if u else np.empty(0, np.uint64)
+    vocab = np.unique(all_w)
+    nw = (len(vocab) + 63) >> 6
+    if nw and u * nw * 8 <= _BITSET_BUDGET_BYTES:
+        M = np.zeros((u, nw), dtype=np.uint64)
+        one = np.uint64(1)
+        lens = np.fromiter((len(w) for w in wl), dtype=np.int64, count=u)
+        rep_idx = np.repeat(np.arange(u, dtype=np.int64), lens)
+        idx = np.searchsorted(vocab, all_w).astype(np.uint64)
+        np.bitwise_or.at(M, (rep_idx, (idx >> np.uint64(6)).astype(np.int64)),
+                         one << (idx & np.uint64(63)))
+        # chunked AND+popcount: ~2 MB of unpacked bits per chunk (the
+        # large-allocation fault hazard, see _batch_sig_wset)
+        chunk = max(1024, (2 << 20) // max(nw * 64, 1))
+        for s in range(0, len(ka), chunk):
+            band = M[ka[s:s + chunk]] & M[kb[s:s + chunk]]
+            bits = np.unpackbits(band.view(np.uint8), axis=1)
+            out[s:s + chunk] = bits.sum(axis=1, dtype=np.int64)
+        return out
+    for t, (i, j) in enumerate(zip(ka, kb)):
+        out[t] = _inter_count(wl[i], wl[j])
+    return out
+
+
 def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
                          threshold: float | None = None,
                          exact: bool = False,
@@ -339,21 +390,43 @@ def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
         def emit(a: np.ndarray, b: np.ndarray, e) -> None:
             lo = np.minimum(a, b)
             hi = np.maximum(a, b)
-            out_a.append(lo.astype(np.int64))
-            out_b.append(hi.astype(np.int64))
+            out_a.append(lo.astype(np.int64, copy=False))
+            out_b.append(hi.astype(np.int64, copy=False))
             if metric_col:
                 out_e.append(e if isinstance(e, np.ndarray) else np.full(len(lo), e))
 
-        for _, df in gdf.groupby("band_hash", sort=False):
-            df = df.drop_duplicates("doc_id")
-            m = len(df)
-            if m < 2:
+        # bucket iteration in pure numpy: one argsort on band_hash +
+        # boundary scan (profiled: the former per-bucket pandas
+        # groupby/drop_duplicates/__getitem__ calls were ~45% of the
+        # whole kernel at sf0.1 — 4.6k tiny frames of fixed overhead)
+        bh_arr = gdf["band_hash"].to_numpy()
+        doc_all = gdf["doc_id"].to_numpy().astype(np.int64, copy=False)
+        key_all = gdf[key_col].to_numpy()
+        sig_all = gdf["sig"].to_numpy() if exact else None
+        order0 = np.argsort(bh_arr, kind="stable")
+        bh_sorted = bh_arr[order0]
+        b_starts = np.flatnonzero(np.r_[True, bh_sorted[1:] != bh_sorted[:-1]])
+        b_ends = np.r_[b_starts[1:], len(bh_sorted)]
+        for t in range(len(b_starts)):
+            sl = order0[b_starts[t]:b_ends[t]]
+            if len(sl) < 2:
                 continue
+            doc = doc_all[sl]
+            # docs are unique per bucket by construction (one row per
+            # (doc, band)); dedup defensively if an upstream ever
+            # unions overlapping signature sets
+            if len(np.unique(doc)) != len(doc):  # pragma: no cover
+                _, uidx = np.unique(doc, return_index=True)
+                sl = sl[np.sort(uidx)]
+                doc = doc_all[sl]
+                if len(doc) < 2:
+                    continue
+            keys = key_all[sl]
             # collapse to unique keys: members grouped by sig / wset
-            codes, uniq = pd.factorize(df[key_col], sort=False)
+            codes, uniq = pd.factorize(keys, sort=False)
             u = len(uniq)
             order = np.argsort(codes, kind="stable")
-            members = df["doc_id"].to_numpy()[order]
+            members = doc[order]
             counts = np.bincount(codes, minlength=u)
             offs = np.concatenate([[0], np.cumsum(counts)])
             # identical-key pairs (metric exactly 1.0): band 0 only.
@@ -374,13 +447,13 @@ def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
                     if cc_edges:  # star: same component, c-1 edges
                         emit(np.full(len(grp) - 1, grp[0]), grp[1:], met_ident)
                     else:
-                        gi, gj = np.triu_indices(len(grp), k=1)
+                        gi, gj = _triu_pairs(len(grp))
                         emit(grp[gi], grp[gj], met_ident)
             if u < 2:
                 continue
             if exact:
                 first_pos = order[offs[:-1]]
-                sig_bytes = df["sig"].to_numpy()[first_pos]
+                sig_bytes = sig_all[sl][first_pos]
                 sm = np.frombuffer(b"".join(sig_bytes), np.uint64).reshape(u, num_perm)
             else:
                 sm = np.frombuffer(b"".join(uniq), np.uint64).reshape(u, num_perm)
@@ -389,7 +462,7 @@ def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
             # indexed (pairs, bands) compares over full triu ranges
             # allocate tens of MB fresh — the large-allocation fault
             # hazard on this VM (see _batch_sig_wset)
-            ia, ib = np.triu_indices(u, k=1)
+            ia, ib = _triu_pairs(u)
             keep = np.empty(len(ia), dtype=bool)
             for s in range(0, len(ia), 50_000):
                 ca, cb = ia[s:s + 50_000], ib[s:s + 50_000]
@@ -403,16 +476,17 @@ def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
             if threshold is not None:
                 if exact:
                     wl = [np.frombuffer(w, np.uint64) for w in uniq]
-                    met = np.empty(len(ka))
-                    for t, (i, j) in enumerate(zip(ka, kb)):
-                        inter = _inter_count(wl[i], wl[j])
-                        if containment:
-                            # max-containment: inter / smaller set —
-                            # catches a short doc embedded in a long one
-                            denom = min(len(wl[i]), len(wl[j]))
-                        else:
-                            denom = len(wl[i]) + len(wl[j]) - inter
-                        met[t] = inter / denom if denom else 0.0
+                    inter = _pair_inter_counts(wl, ka, kb)
+                    lens = np.fromiter((len(w) for w in wl),
+                                       dtype=np.int64, count=u)
+                    if containment:
+                        # max-containment: inter / smaller set —
+                        # catches a short doc embedded in a long one
+                        denom = np.minimum(lens[ka], lens[kb])
+                    else:
+                        denom = lens[ka] + lens[kb] - inter
+                    met = np.where(denom > 0,
+                                   inter / np.maximum(denom, 1), 0.0)
                 else:
                     # chunked for the same large-allocation hazard:
                     # sm[ka] is pairs × 512 B of fresh fancy-indexed
