@@ -1501,13 +1501,24 @@ def dedup_incremental(sf_dir: str, num_perm: int = 64, bands: int = 16,
         if not len(gdf):
             return empty_out()
         out_n, out_b, out_e = [], [], []
-        for _, df in gdf.groupby("band_hash", sort=False):
-            df = df.drop_duplicates("doc_id")
-            ids = df["doc_id"].to_numpy()
+        # numpy bucket scan (same rewrite as the LSH kernel: no
+        # per-bucket pandas frames)
+        bh_arr = gdf["band_hash"].to_numpy()
+        doc_all = gdf["doc_id"].to_numpy().astype(np.int64, copy=False)
+        sig_all = gdf["sig"].to_numpy()
+        order0 = np.argsort(bh_arr, kind="stable")
+        bh_sorted = bh_arr[order0]
+        b_starts = np.flatnonzero(np.r_[True, bh_sorted[1:] != bh_sorted[:-1]])
+        b_ends = np.r_[b_starts[1:], len(bh_sorted)]
+        for t in range(len(b_starts)):
+            sl = order0[b_starts[t]:b_ends[t]]
+            if len(sl) < 2:
+                continue
+            ids = doc_all[sl]
             is_new = (ids % new_mod) == 0
             if not is_new.any() or is_new.all():
                 continue
-            codes, uniq = pd.factorize(df["sig"], sort=False)
+            codes, uniq = pd.factorize(sig_all[sl], sort=False)
             u = len(uniq)
             base_min = np.full(u, I64MAX, dtype=np.int64)
             np.minimum.at(base_min, codes[~is_new], ids[~is_new])
