@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ccrawler_ray.functions import graph as G
     from ccrawler_ray.functions import multimodal as M
     from ccrawler_ray.functions import similarity as S
+    from ccrawler_ray.functions import spans as SP
     from ccrawler_ray.functions import sketch as SK
     from ccrawler_ray.functions import text as T
     from ccrawler_ray.pipelines import mix as MIX
@@ -208,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_pipeline": M.media_pipeline,
         "media_byte_stats": M.media_byte_stats,
         "media_dedup_near": M.media_dedup_near,
+        "spans_rollup": SP.spans_rollup,
         # --- the crawl itself
         "crawl_docs_out": _crawl_docs_out,
     }
@@ -298,6 +300,10 @@ def _serial_oracles() -> dict[str, str]:
                            {**pair_d, "hamming": "BIGINT"}),
         "media_dedup_near": V(SR.media_dedup_near(max_hamming=3),
                               {**pair_d, "hamming": "BIGINT"}),
+        "spans_rollup": V(SR.spans_rollup(),
+                          {"kind": "VARCHAR", "n_spans": "BIGINT",
+                           "n_docs": "BIGINT", "sum_text_len": "BIGINT",
+                           "n_media_refs": "BIGINT"}),
         "search_bm25": V(SR.search_bm25(),
                          {"doc_id": "BIGINT", "score": "DOUBLE",
                           "rank": "BIGINT"}),

@@ -1228,3 +1228,26 @@ def w11_ewma(sf_dir: str | None = None) -> pd.DataFrame:
                          "user_id": df["user_id"].to_numpy(),
                          "value": df["value"].to_numpy(),
                          "ewma": out})
+
+
+def spans_rollup(sf_dir: str | None = None) -> pd.DataFrame:
+    """Serial mirror of functions.spans.spans_rollup: plain Python
+    loop over the same deterministic interleaved corpus."""
+    from ccrawler_ray.sources.corpus import corpus_from_documents
+
+    sf = sf_dir or oracle_sf_dir()
+    t = corpus_from_documents(f"{sf}/documents.parquet")
+    agg: dict[str, list] = {}
+    for spans in t.column("spans").to_pylist():
+        seen_kinds = set()
+        for s in spans:
+            a = agg.setdefault(s["kind"], [0, 0, 0, 0])
+            a[0] += 1
+            a[2] += len(s["text"])
+            a[3] += 1 if s["media_ref"] else 0
+            seen_kinds.add(s["kind"])
+        for k in seen_kinds:
+            agg[k][1] += 1
+    rows = [(k, a[0], a[1], a[2], a[3]) for k, a in sorted(agg.items())]
+    return pd.DataFrame(rows, columns=["kind", "n_spans", "n_docs",
+                                       "sum_text_len", "n_media_refs"])
