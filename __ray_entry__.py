@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ccrawler_ray.functions import sketch as SK
     from ccrawler_ray.functions import text as T
     from ccrawler_ray.pipelines import mix as MIX
+    from ccrawler_ray.sinks import partitioned as PS
     from ccrawler_ray.sources import csvio as CSV
     from ccrawler_ray.sources import jsonl as JL
 
@@ -206,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dedup_exact": M.media_dedup_exact,
         "io_jsonl_roundtrip": JL.io_jsonl_roundtrip,
         "io_csv_roundtrip": CSV.io_csv_roundtrip,
+        "io_partitioned_roundtrip": PS.io_partitioned_roundtrip,
         "media_pipeline": M.media_pipeline,
         "media_byte_stats": M.media_byte_stats,
         "media_dedup_near": M.media_dedup_near,
@@ -938,6 +940,13 @@ def oracle_sql() -> dict[str, str]:
         "io_jsonl_roundtrip": (
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        "io_partitioned_roundtrip": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(min(doc_id) AS BIGINT) AS min_doc, "
+            "CAST(max(doc_id) AS BIGINT) AS max_doc "
             "FROM documents GROUP BY lang"
         ),
         "io_csv_roundtrip": (

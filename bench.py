@@ -160,6 +160,8 @@ QUERY_SUITE = [
     "media_dedup_near",
     "o10_pack_sequences",
     "w11_ewma",
+    "spans_rollup",
+    "io_partitioned_roundtrip",
 ]
 
 

@@ -110,3 +110,38 @@ def read_partitioned(out_dir: str | Path):
             str(f) for f in (Path(out_dir) / f"part={p}").glob("*.parquet")
         ))
     return ray.data.read_parquet(files)
+
+
+def io_partitioned_roundtrip(sf_dir: str, num_partitions: int = 16):
+    """(lang, n_docs, sum_chars, min_doc, max_doc): documents → the
+    resumable partition-committed Parquet sink under /tmp → an
+    IDEMPOTENT second write (must skip every committed partition —
+    the resume contract, asserted in-query) → read back → rollup.
+    The rollup equals the same aggregate over the original parquet,
+    which is the SQL oracle."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    key = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    out = Path(tempfile.gettempdir()) / f"ccrawler_ray_part_{key}"
+    if out.exists():
+        shutil.rmtree(out)
+    s1 = write_partitioned(docs, out, "doc_id",
+                           num_partitions=num_partitions)
+    if sorted(s1["written"]) != list(range(num_partitions)):
+        raise AssertionError(f"first write incomplete: {s1}")
+    s2 = write_partitioned(docs, out, "doc_id",
+                           num_partitions=num_partitions)
+    if s2["written"] or len(s2["skipped"]) != num_partitions:
+        raise AssertionError(f"resume write not idempotent: {s2}")
+    back = read_partitioned(out)
+    return back.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Min("doc_id", alias_name="min_doc"),
+        Max("doc_id", alias_name="max_doc"))
