@@ -744,10 +744,15 @@ def o10_pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY,
     whitespace rule shared with token_count (== DuckDB
     len(regexp_split_to_array(text, '\\s+')))."""
     import polars as pl
+    import pyarrow.parquet as pq
 
-    max_id = int(ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id"]).max("doc_id"))
-    width = max((max_id + n_buckets) // n_buckets, 1)
+    # max doc_id from parquet row-group statistics — a driver-side
+    # metadata read, not a Dataset execution
+    pf = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+    ci = pf.schema_arrow.names.index("doc_id")
+    max_id = max(pf.metadata.row_group(g).column(ci).statistics.max
+                 for g in range(pf.metadata.num_row_groups))
+    width = max((int(max_id) + n_buckets) // n_buckets, 1)
 
     ds = _read_docs(sf_dir, ["doc_id", "text", "source"])
 
