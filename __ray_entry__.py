@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g10_pivot": R.g10_pivot,
         "o7_wordcount_topk": R.o7_wordcount_topk,
         "q3_shipping_priority": R.q3_shipping_priority,
+        "q5_local_supplier_volume": R.q5_local_supplier_volume,
         # --- sorts / top-k (O-rows)
         "o1_global_sort": R.o1_global_sort,
         "o2_global_topk": R.o2_global_topk,
@@ -826,6 +827,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(pre % 512 AS BIGINT) AS bin_off, "
             "CAST((pre + n_tokens - 1) // 512 AS BIGINT) AS end_bin "
             "FROM p"
+        ),
+        "q5_local_supplier_volume": (
+            "SELECT n_name, "
+            f"{_USUM('l_extendedprice*(1-l_discount)')} AS revenue "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+            "AND r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY n_name"
         ),
         "q1_pricing_summary": (
             f"SELECT l_returnflag, l_linestatus, {_USUM('l_quantity')} AS sum_qty, "

@@ -2167,3 +2167,72 @@ def w11_ewma(sf_dir: str):
 
     return (ds.map_batches(add_salt, batch_format="pyarrow")
             .groupby("u_salt").map_groups(per_salt, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Q5 (TPC-H local-supplier volume): the classic 6-table shuffle-heavy
+# join. Plan (the standard dim/fact split): region→nation and the
+# supplier→nation map are BROADCAST dimension lookups (ray.put once,
+# read per actor, never reshipped per batch); date-filtered orders ⋈
+# customer is a hash-partitioned Dataset.join tagging each order with
+# its customer's nation; lineitem — the fact table — joins that narrow
+# order map, and the local-supplier predicate (c_nationkey ==
+# s_nationkey, nation in region) plus the revenue rollup run map-side
+# so only (n_name, partial revenue) rows reach the final groupby.
+# ---------------------------------------------------------------------------
+
+
+def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                             date_lo: str = "1996-01-01",
+                             date_hi: str = "1997-01-01"):
+    """(n_name, revenue): revenue from lineitems whose customer and
+    supplier share a nation in ``region``, one order-date year."""
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"].astype(int))
+    nat = nation[nation["n_regionkey"].astype(int).isin(rkeys)]
+    nmap_ref = ray.put(dict(zip(nat["n_nationkey"].astype(int),
+                                nat["n_name"])))
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    smap_ref = ray.put(dict(zip(supp["s_suppkey"].astype(int),
+                                supp["s_nationkey"].astype(int))))
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def date_filter(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)
+        return df.loc[m, ["o_orderkey", "o_custkey"]]
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders_n = orders.map_batches(date_filter, batch_format="pandas").join(
+        cust, join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    joined = line.join(orders_n, join_type="inner", num_partitions=8,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def local_partial(df: pd.DataFrame) -> pd.DataFrame:
+        nmap = ray.get(nmap_ref)
+        smap = ray.get(smap_ref)
+        s_nat = df["l_suppkey"].map(smap)
+        keep = (s_nat == df["c_nationkey"]) & s_nat.isin(nmap)
+        df = df.loc[keep]
+        if not len(df):
+            return pd.DataFrame({"n_name": pd.Series(dtype="str"),
+                                 "rev_u": pd.Series(dtype="int64")})
+        out = pd.DataFrame({
+            "n_name": s_nat.loc[keep].map(nmap),
+            "rev_u": _to_micro(df["l_extendedprice"] * (1 - df["l_discount"])),
+        })
+        return out.groupby("n_name", as_index=False)["rev_u"].sum()
+
+    out = (joined.map_batches(local_partial, batch_format="pandas")
+           .groupby("n_name").aggregate(Sum("rev_u", alias_name="revenue")))
+    return _from_micro(out, ["revenue"])
