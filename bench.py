@@ -162,6 +162,7 @@ QUERY_SUITE = [
     "w11_ewma",
     "spans_rollup",
     "io_partitioned_roundtrip",
+    "q5_local_supplier_volume",
 ]
 
 
