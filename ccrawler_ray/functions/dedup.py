@@ -525,9 +525,13 @@ def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
                 else np.round(vals, 4)
         return pd.DataFrame(cols)
 
-    return band_rows.groupby(["band", "bh_salt"]).map_groups(
+    out = band_rows.groupby(["band", "bh_salt"]).map_groups(
         salted_group_pairs, batch_format="pandas"
     )
+    fields = [("doc_a", pa.int64()), ("doc_b", pa.int64())]
+    if metric_col:
+        fields.append((metric_col, pa.float64()))
+    return _stamp_schema(out, pa.schema(fields))
 
 
 def dedup_minhash_lsh(sf_dir: str, num_perm: int = 64, bands: int = 16,
@@ -800,7 +804,11 @@ def _simhash_pairs(sigs, max_hamming: int):
     dedup = pairs.groupby("pb").map_groups(
         lambda g: g.drop_duplicates(["doc_a", "doc_b"]), batch_format="pandas"
     )
-    return dedup.drop_columns(["pb"])
+    # stamp AFTER drop_columns — per-block ops prune empty blocks, so
+    # the typed empty block must be unioned in LAST
+    return _stamp_schema(dedup.drop_columns(["pb"]), pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("hamming", pa.int64())]))
 
 
 
@@ -819,6 +827,18 @@ def _empty_pairs(cols: tuple[str, str, str]) -> "ray.data.Dataset":
         {a: pa.array([], pa.int64()), b: pa.array([], pa.int64()),
          m: pa.array([], pa.float64())}
     ))
+
+
+def _stamp_schema(ds, schema: pa.Schema):
+    """Union an empty typed block in front of ``ds`` so a result that
+    happens to be EMPTY still carries its declared schema — a
+    zero-group `map_groups` yields zero blocks (schema-less), which
+    breaks column-wise comparison and downstream `drop_columns`.
+    The empty block is PANDAS so it unifies with map_groups(pandas)
+    blocks (mixed Arrow/pandas unions confuse Arrow-only consumers);
+    it must also be the LAST op — per-block transforms prune empty
+    blocks."""
+    return ray.data.from_pandas(schema.empty_table().to_pandas()).union(ds)
 
 def dedup_embedding_cosine(sf_dir: str, threshold: float = 0.9):
     """Embedding near-dup pairs: cosine >= threshold, doc_a < doc_b.
@@ -1587,5 +1607,8 @@ def dedup_incremental(sf_dir: str, num_perm: int = 64, bands: int = 16,
             "dup_of": df["dup_of"].to_numpy(),
             "est_jaccard": np.round(df["est_jaccard"].to_numpy(), 4)})
 
-    return cand.groupby("d_salt").map_groups(reduce_min,
-                                             batch_format="pandas")
+    out = cand.groupby("d_salt").map_groups(reduce_min,
+                                            batch_format="pandas")
+    return _stamp_schema(out, pa.schema([("doc_id", pa.int64()),
+                                         ("dup_of", pa.int64()),
+                                         ("est_jaccard", pa.float64())]))

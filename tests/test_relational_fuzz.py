@@ -150,3 +150,62 @@ def test_serial_mirror_kernels_fuzz(tmp_path):
         got = _to_pandas(mix_interleave(str(d)))
         want = SR.mix_interleave(str(d))
         _assert_frames_match(got, want, f"rdocs{ci}:mix_interleave")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_new_ops_fuzz(tmp_path):
+    """Continuation-session operators on adversarial random corpora:
+    SQL-oracled ops vs DuckDB, serial-mirrored ops vs serial_ref
+    (bitwise). Covers single-doc corpora, repeated phrases, unicode,
+    and (for EWMA) duplicate timestamps + single-event users."""
+    import __ray_entry__ as E
+    from ccrawler_ray import serial_ref as SR
+    from ccrawler_ray.functions.dedup import dedup_incremental
+    from ccrawler_ray.functions.multimodal import media_dedup_near
+    from ccrawler_ray.functions.spans import spans_rollup
+    from ccrawler_ray.functions.text import lm_perplexity
+    from ccrawler_ray.relational import w11_ewma
+    from tests.test_queries_oracle import _assert_frames_match, _to_pandas
+
+    qs, sqls = E.queries(), E.oracle_sql()
+    rng = np.random.default_rng(20260818)
+    # --- documents side
+    for ci, n in enumerate((1, 29, 250)):
+        d = tmp_path / f"ndocs{ci}"
+        d.mkdir()
+        t = _random_docs(rng, n)
+        txt = t.column("text").to_pylist()
+        for i in range(0, len(txt), 7):   # near-dup runs for the LSH probes
+            txt[i] = ("p q r s t " * 4).strip()
+        t = t.set_column(1, "text", pa.array(txt, pa.string()))
+        pq.write_table(t, d / "documents.parquet")
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+        # SQL-oracled: packing + both IO round trips (unique /tmp key
+        # per sf_dir, so tmp cases never collide)
+        for name in ("o10_pack_sequences", "io_csv_roundtrip",
+                     "io_partitioned_roundtrip", "io_jsonl_roundtrip"):
+            got = _to_pandas(qs[name](str(d)))
+            want = con.sql(sqls[name]).df()
+            _assert_frames_match(got, want, f"ndocs{ci}:{name}")
+        # serial-mirrored (bitwise)
+        for name, eng, ref in (
+            ("lm_perplexity", lm_perplexity, SR.lm_perplexity),
+            ("dedup_incremental", dedup_incremental, SR.dedup_incremental),
+            ("media_dedup_near", media_dedup_near, SR.media_dedup_near),
+            ("spans_rollup", spans_rollup, SR.spans_rollup),
+        ):
+            got = _to_pandas(eng(str(d)))
+            want = ref(str(d))
+            _assert_frames_match(got, want, f"ndocs{ci}:{name}")
+    # --- events side: EWMA over ties/skew/single-event users
+    for ci, (n, n_users, tie_prob) in enumerate(
+            [(1, 1, 0.0), (11, 3, 0.9), (400, 25, 0.2)]):
+        d = tmp_path / f"nev{ci}"
+        d.mkdir()
+        pq.write_table(_random_events(rng, n, n_users, tie_prob),
+                       d / "events.parquet")
+        got = _to_pandas(w11_ewma(str(d)))
+        want = SR.w11_ewma(str(d))
+        _assert_frames_match(got, want, f"nev{ci}:w11_ewma")
