@@ -983,12 +983,15 @@ def _dedup_clusters_impl(sf_dir: str, num_perm: int, bands: int,
         sigs, bands, num_perm, threshold=threshold, exact=True, cc_edges=True
     ).materialize()
     if pairs.count() <= cc_driver_threshold:
-        lab_tbl = ray.get(_cc_union_find.remote(
-            [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
-        ))
-        reps = ray.data.from_arrow(lab_tbl)
         docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                      columns=["doc_id"])
+        edge_tbls = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+        if not edge_tbls:
+            # no near-dup pairs at all: every doc is its own rep (the
+            # hash join cannot take an empty side — tiny inputs)
+            return docs.map_batches(_cc_finish, batch_format="pyarrow")
+        lab_tbl = ray.get(_cc_union_find.remote(edge_tbls))
+        reps = ray.data.from_arrow(lab_tbl)
         joined = docs.join(reps, join_type="left_outer", num_partitions=8,
                            on=("doc_id",))
         return joined.map_batches(_cc_finish, batch_format="pyarrow")
@@ -1060,13 +1063,25 @@ def _dedup_clusters_impl(sf_dir: str, num_perm: int, bands: int,
     return joined.map_batches(_cc_finish, batch_format="pyarrow")
 
 
+_CC_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                        ("cluster_rep", pa.int64()),
+                        ("keep", pa.bool_())])
+
+
 def _cc_finish(batch: pa.Table) -> pa.Table:
     """left-outer (doc_id, cluster_rep?) → (doc_id, cluster_rep, keep);
-    unmatched docs are their own representative."""
+    unmatched docs are their own representative. Hash-join partitions
+    with no rows arrive SCHEMA-LESS (tiny inputs) — return the typed
+    empty before touching columns."""
+    if not batch.num_rows or "doc_id" not in batch.schema.names:
+        return _CC_SCHEMA.empty_table()
     ids = pc.cast(as_single_array(batch.column("doc_id")), pa.int64())
-    rep = pc.coalesce(
-        pc.cast(as_single_array(batch.column("cluster_rep")), pa.int64()), ids
-    )
+    if "cluster_rep" not in batch.schema.names:   # no-pairs fast path
+        rep = ids
+    else:
+        rep = pc.coalesce(
+            pc.cast(as_single_array(batch.column("cluster_rep")), pa.int64()),
+            ids)
     return pa.table(
         {"doc_id": ids, "cluster_rep": rep, "keep": pc.equal(rep, ids)}
     )
@@ -1290,8 +1305,11 @@ def dedup_ngram_spans(sf_dir: str, n: int = 5, min_docs: int = 2):
     rows = ds.map_batches(shingle_rows, batch_format="pyarrow")
     partials = rows.groupby("h_salt").map_groups(
         per_hash_group, batch_format="pandas")
-    return partials.groupby("d_salt").map_groups(
+    out = partials.groupby("d_salt").map_groups(
         per_doc, batch_format="pandas")
+    return _stamp_schema(out, pa.schema(
+        [("doc_id", pa.int64()), ("n_windows", pa.int64()),
+         ("dup_windows", pa.int64()), ("dup_ratio", pa.float64())]))
 
 
 def decontaminate_overlap(sf_dir: str, n: int = 5, min_overlap: int = 2,
@@ -1612,3 +1630,23 @@ def dedup_incremental(sf_dir: str, num_perm: int = 64, bands: int = 16,
     return _stamp_schema(out, pa.schema([("doc_id", pa.int64()),
                                          ("dup_of", pa.int64()),
                                          ("est_jaccard", pa.float64())]))
+
+
+def nonempty_blocks(ds, schema: pa.Schema):
+    """Rebuild a MATERIALIZED Dataset from its non-empty blocks only.
+
+    Ray's map operators emit zero-row blocks with NO schema (the
+    typed empty table a map fn returns is discarded), and
+    ``Dataset.join`` raises ArrowInvalid when a side's input contains
+    schema-less blocks (tiny inputs; sf fixtures never hit this).
+    Block refs stay in the object store — only driver-local metadata
+    is inspected. Falls back to a typed empty Dataset when every
+    block is empty."""
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            if meta.num_rows:
+                refs.append(ref)
+    if not refs:
+        return ray.data.from_arrow(schema.empty_table())
+    return ray.data.from_arrow_refs(refs)

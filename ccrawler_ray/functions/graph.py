@@ -180,6 +180,14 @@ def link_triangles(sf_dir: str, k_top: int = 100):
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"])
     wedge_ds = docs.map_batches(wedges, batch_format="pyarrow")
+    # scrub schema-less zero-row blocks before the hash join (tiny
+    # inputs — see dedup.nonempty_blocks); both sides are narrow int64
+    from ccrawler_ray.functions.dedup import nonempty_blocks
+
+    wedge_ds = nonempty_blocks(wedge_ds.materialize(), pa.schema(
+        [("apex", pa.int64()), ("lo", pa.int64()), ("hi", pa.int64())]))
+    edge_keys = nonempty_blocks(edge_keys.materialize(), pa.schema(
+        [("lo", pa.int64()), ("hi", pa.int64())]))
     tri = wedge_ds.join(edge_keys, join_type="inner", num_partitions=8,
                         on=("lo", "hi"))
     counts = tri.groupby("apex").count()

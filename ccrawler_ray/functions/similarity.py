@@ -418,8 +418,10 @@ def ann_pq_topk(sf_dir: str, num_queries: int = 5, k: int = 5,
 
     enc = ds.map_batches(encode, batch_format="pandas").materialize()
 
-    # per-query ADC tables: T[q, s, c] = ||q_s - cent[s, c]||^2
-    T = np.empty((len(qids), PQ_SUBS, PQ_K), dtype=np.float64)
+    # per-query ADC tables: T[q, s, c] = ||q_s - cent[s, c]||^2.
+    # codebook width is cents.shape[1] == min(PQ_K, train rows) — the
+    # serial mirror's tm[:PQ_K] init imposes the same rule
+    T = np.empty((len(qids), PQ_SUBS, cents.shape[1]), dtype=np.float64)
     for s in range(PQ_SUBS):
         qs = qm[:, s * sub:(s + 1) * sub]
         T[:, s, :] = ((qs[:, None, :] - cents[s][None, :, :]) ** 2).sum(axis=2)
@@ -529,7 +531,9 @@ def ann_ivf_pq(sf_dir: str, num_queries: int = 5, k: int = 5,
     # query: r_qc = q - coarse_centroid[c]
     qd = ((cents[None, :, :] - qm[:, None, :]) ** 2).sum(axis=2)
     probes = np.argsort(qd, axis=1)[:, :n_probe]          # (nq, n_probe)
-    T = np.empty((len(qids), n_probe, PQ_SUBS, PQ_K), dtype=np.float64)
+    # codebook width min(PQ_K, residual-train rows), as in the mirror
+    T = np.empty((len(qids), n_probe, PQ_SUBS, pq_cents.shape[1]),
+                 dtype=np.float64)
     for qi in range(len(qids)):
         for pi, c in enumerate(probes[qi]):
             r = qm[qi] - cents[c]

@@ -378,6 +378,9 @@ def search_bm25(sf_dir: str, terms: tuple = ("join", "vector", "spark", "fast"),
                          "score": pa.array(s[order])})
 
     cand = inter.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    if not len(cand):   # no doc matched any term (tiny corpora):
+        cand = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
     cand = cand.sort_values(["score", "doc_id"],
                             ascending=[False, True]).head(k)
     cand = cand.reset_index(drop=True)

@@ -51,10 +51,18 @@ def _keep_ids(sf_dir: str, threshold: float):
     clusters = dedup_clusters(sf_dir, threshold=threshold)
 
     def only_kept(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows or "keep" not in batch.schema.names:
+            # schema-less empty block (tiny-input hash-join partition)
+            return pa.schema([("doc_id", pa.int64())]).empty_table()
         kept = batch.filter(batch.column("keep"))
         return kept.select(["doc_id"])
 
+    from ccrawler_ray.functions.dedup import nonempty_blocks
+
     keep = clusters.map_batches(only_kept, batch_format="pyarrow").materialize()
+    # drop schema-less zero-row blocks: they break the downstream
+    # Dataset.join on tiny inputs (Arrow-block datasets only)
+    keep = nonempty_blocks(keep, pa.schema([("doc_id", pa.int64())])).materialize()
     _KEEP_CACHE.clear()          # hold at most one entry
     _KEEP_CACHE[key] = keep
     return keep
@@ -239,7 +247,26 @@ def quality_filtered_docs(sf_dir: str, min_tokens: int = 20,
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     ).map_batches(lf, batch_format="pyarrow")
-    joined = q.join(s, join_type="inner", num_partitions=8, on=("doc_id",))
+    # tiny-input hazard: the hash join raises when either side is
+    # empty, and map outputs lose empty-block schemas — scrub + guard
+    from ccrawler_ray.functions.dedup import nonempty_blocks
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("n_tokens", pa.int64()),
+                            ("dup_ratio", pa.float64()),
+                            ("lang", pa.string())])
+    q = nonempty_blocks(q.materialize(), pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64())]))
+    s = nonempty_blocks(s.materialize(), pa.schema(
+        [("doc_id", pa.int64()), ("dup_ratio", pa.float64())]))
+    docs = nonempty_blocks(docs.materialize(), pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string())]))
+    if q.count() == 0 or s.count() == 0 or docs.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    joined = q.join(s, join_type="inner", num_partitions=8,
+                    on=("doc_id",)).materialize()
+    if joined.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
     return joined.join(docs, join_type="inner", num_partitions=8,
                        on=("doc_id",))
 
@@ -296,10 +323,30 @@ def corpus_prep_stats(sf_dir: str, min_tokens: int = 20,
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
 
-    kept = q
+    # scrub schema-less zero-row blocks from every leg before the join
+    # chain (tiny inputs: Ray map operators drop empty-output schemas,
+    # and the hash join raises when EITHER side is empty — typed or
+    # not). Legs are narrow int64 id lists — materializing them is the
+    # keep-list pattern, not a wide materialization; the count() guard
+    # is metadata on the already-materialized table.
+    from ccrawler_ray.functions.dedup import nonempty_blocks
+
+    ids_schema = pa.schema([("doc_id", pa.int64())])
+    out_schema = pa.schema([("lang", pa.string()), ("n_docs", pa.int64()),
+                            ("sum_tokens", pa.int64())])
+    kept = nonempty_blocks(
+        q.materialize(),
+        pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64())]))
     for leg in (s, m, c, k):
+        if kept.count() == 0:
+            return ray.data.from_arrow(out_schema.empty_table())
+        leg = nonempty_blocks(leg.materialize(), ids_schema)
+        if leg.count() == 0:
+            return ray.data.from_arrow(out_schema.empty_table())
         kept = kept.join(leg, join_type="inner", num_partitions=8,
-                         on=("doc_id",))
+                         on=("doc_id",)).materialize()
+    if kept.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
     kept = kept.join(docs, join_type="inner", num_partitions=8,
                      on=("doc_id",))
 

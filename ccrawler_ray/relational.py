@@ -1271,7 +1271,19 @@ def o8_hash_split(sf_dir: str):
 # larger scale emit sum_u/n separately and divide downstream).
 # ---------------------------------------------------------------------------
 
-EMB_DIMS = 64
+EMB_DIMS = 64      # conformance-table width (used only as a fallback)
+
+
+def _emb_dim(sf_dir: str) -> int:
+    """Embedding width from the FIRST row — a one-batch metadata-sized
+    read, not a scan (the list<float> schema carries no fixed size)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    for b in pf.iter_batches(batch_size=1, columns=["embedding"]):
+        if b.num_rows:
+            return len(b.column(0)[0])
+    return EMB_DIMS
 
 
 def g12_embedding_centroids(sf_dir: str):
@@ -1281,6 +1293,7 @@ def g12_embedding_centroids(sf_dir: str):
     The quantized vector rides the join PACKED AS BINARY (512 B/row):
     Acero hash joins reject list<float> non-key payloads, and the
     packed form is also the narrower wire format."""
+    dims = _emb_dim(sf_dir)
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     langs = _read(sf_dir, "documents", ["doc_id", "lang"])
 
@@ -1294,7 +1307,7 @@ def g12_embedding_centroids(sf_dir: str):
         mat_u = (np.sign(mat)
                  * np.floor(np.abs(mat) * MICRO + 0.5)).astype(np.int64)
         buf = mat_u.tobytes()          # serialize the block matrix ONCE
-        w = 8 * EMB_DIMS
+        w = 8 * dims
         return pa.table({"vec_id": t.column("vec_id"),
                          "emb_u": pa.array(
                              [buf[i * w:(i + 1) * w]
@@ -1306,17 +1319,24 @@ def g12_embedding_centroids(sf_dir: str):
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "emb_u" not in df.columns:
+            # schema-less empty join partition (tiny inputs)
+            cols = {"lang": pd.Series(dtype="str"),
+                    "n": pd.Series(dtype="int64")}
+            cols.update({f"s_{j}": pd.Series(dtype="int64")
+                         for j in range(dims)})
+            return pd.DataFrame(cols)
         mat_u = np.frombuffer(b"".join(df["emb_u"]),
-                              dtype=np.int64).reshape(len(df), EMB_DIMS)
+                              dtype=np.int64).reshape(len(df), dims)
         rows = []
         for lang, idx in df.groupby("lang", sort=False).indices.items():
             s = mat_u[idx].sum(axis=0)
             rows.append({"lang": lang, "n": len(idx),
-                         **{f"s_{j}": s[j] for j in range(EMB_DIMS)}})
+                         **{f"s_{j}": s[j] for j in range(dims)}})
         out = pd.DataFrame(rows)
         return out.astype({c: "int64" for c in out.columns if c != "lang"})
 
-    aggs = [Sum(f"s_{j}", alias_name=f"s_{j}") for j in range(EMB_DIMS)]
+    aggs = [Sum(f"s_{j}", alias_name=f"s_{j}") for j in range(dims)]
     agg = (
         joined.map_batches(partial, batch_format="pandas")
         .groupby("lang")
@@ -1327,7 +1347,7 @@ def g12_embedding_centroids(sf_dir: str):
         out = []
         for _, r in df.iterrows():
             n = int(r["n"])
-            for j in range(EMB_DIMS):
+            for j in range(dims):
                 out.append((r["lang"], j, float(int(r[f"s_{j}"])) / n))
         o = pd.DataFrame(out, columns=["lang", "dim", "mean_val"])
         return o.astype({"dim": "int64", "mean_val": "float64"})
