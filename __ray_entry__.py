@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o7_wordcount_topk": R.o7_wordcount_topk,
         "q3_shipping_priority": R.q3_shipping_priority,
         "q5_local_supplier_volume": R.q5_local_supplier_volume,
+        "q10_returned_revenue": R.q10_returned_revenue,
         # --- sorts / top-k (O-rows)
         "o1_global_sort": R.o1_global_sort,
         "o2_global_topk": R.o2_global_topk,
@@ -827,6 +828,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(pre % 512 AS BIGINT) AS bin_off, "
             "CAST((pre + n_tokens - 1) // 512 AS BIGINT) AS end_bin "
             "FROM p"
+        ),
+        "q10_returned_revenue": (
+            "SELECT c_custkey, c_name, n_name, "
+            f"{_USUM('l_extendedprice*(1-l_discount)')} AS revenue "
+            "FROM customer, orders, lineitem, nation "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-04-01' "
+            "AND l_returnflag = 'R' AND c_nationkey = n_nationkey "
+            "GROUP BY c_custkey, c_name, n_name "
+            "ORDER BY revenue DESC, c_custkey LIMIT 20"
         ),
         "q5_local_supplier_volume": (
             "SELECT n_name, "

@@ -163,6 +163,7 @@ QUERY_SUITE = [
     "spans_rollup",
     "io_partitioned_roundtrip",
     "q5_local_supplier_volume",
+    "q10_returned_revenue",
 ]
 
 

@@ -2256,3 +2256,90 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
     out = (joined.map_batches(local_partial, batch_format="pandas")
            .groupby("n_name").aggregate(Sum("rev_u", alias_name="revenue")))
     return _from_micro(out, ["revenue"])
+
+
+# ---------------------------------------------------------------------------
+# Q10 (TPC-H returned-item reporting): which customers returned the
+# most revenue in a quarter — join-heavy detail aggregate + global
+# top-k. Same dim/fact split as Q5 (nation broadcast, orders ⋈
+# customer hash join, lineitem joins the narrow order map); the
+# per-customer aggregate is map-side partial + coarse-salted groupby
+# (custkey cardinality is order-of-customers — the documented
+# high-cardinality groupby collapse), then ONE sort.limit(20).
+# ---------------------------------------------------------------------------
+
+
+def q10_returned_revenue(sf_dir: str, date_lo: str = "1996-01-01",
+                         date_hi: str = "1996-04-01", k: int = 20):
+    """(c_custkey, c_name, n_name, revenue): top-k customers by
+    returned-lineitem (l_returnflag='R') revenue in the date window;
+    ties break on c_custkey ascending."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nmap_ref = ray.put(dict(zip(nation["n_nationkey"].astype(int),
+                                nation["n_name"])))
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def date_filter(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)
+        return df.loc[m, ["o_orderkey", "o_custkey"]]
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    orders_c = orders.map_batches(date_filter, batch_format="pandas").join(
+        cust, join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "o_custkey", "c_name", "c_nationkey"])
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_returnflag", "l_extendedprice",
+                  "l_discount"])
+
+    def returned(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_returnflag"] == "R"]
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(),
+            "rev_u": _to_micro(df["l_extendedprice"] * (1 - df["l_discount"]))})
+
+    joined = line.map_batches(returned, batch_format="pandas").join(
+        orders_c, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "rev_u" not in df.columns:
+            return pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                                 "c_name": pd.Series(dtype="str"),
+                                 "n_key": pd.Series(dtype="int64"),
+                                 "rev_u": pd.Series(dtype="int64"),
+                                 "salt": pd.Series(dtype="int32")})
+        g = (df.groupby(["o_custkey", "c_name", "c_nationkey"],
+                        as_index=False)["rev_u"].sum())
+        ck = g["o_custkey"].to_numpy().astype(np.int64)
+        return pd.DataFrame({"c_custkey": ck, "c_name": g["c_name"],
+                             "n_key": g["c_nationkey"].to_numpy().astype(np.int64),
+                             "rev_u": g["rev_u"].to_numpy().astype(np.int64),
+                             "salt": (ck % 64).astype(np.int32)})
+
+    def per_salt(df: pd.DataFrame) -> pd.DataFrame:
+        nmap = ray.get(nmap_ref)
+        g = (df.groupby(["c_custkey", "c_name", "n_key"],
+                        as_index=False)["rev_u"].sum())
+        return pd.DataFrame({
+            "c_custkey": g["c_custkey"].astype(np.int64),
+            "c_name": g["c_name"],
+            "n_name": g["n_key"].map(nmap),
+            "rev_u": g["rev_u"].astype(np.int64)})
+
+    out = (joined.map_batches(partial, batch_format="pandas")
+           .groupby("salt").map_groups(per_salt, batch_format="pandas")
+           .sort(["rev_u", "c_custkey"], descending=[True, False])
+           .limit(k))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_custkey": df["c_custkey"].astype(np.int64),
+            "c_name": df["c_name"],
+            "n_name": df["n_name"],
+            "revenue": df["rev_u"].to_numpy().astype(np.float64) / MICRO})
+
+    return out.map_batches(finish, batch_format="pandas")
