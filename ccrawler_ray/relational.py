@@ -45,6 +45,16 @@ def _to_micro(x: np.ndarray) -> np.ndarray:
     return np.round(np.asarray(x, dtype=np.float64) * MICRO).astype(np.int64)
 
 
+def _typed(ds, fields):
+    """Stamp the FINAL result schema so an empty result keeps its
+    columns — tiny inputs: Ray map operators drop empty-output
+    schemas (see dedup._stamp_schema; the typed empty block must be
+    the last op in the plan)."""
+    from ccrawler_ray.functions.dedup import _stamp_schema
+
+    return _stamp_schema(ds, pa.schema(fields))
+
+
 def _from_micro(ds, cols: list[str]):
     """int64 micro-unit sums → exact float (identical division both sides)."""
 
@@ -209,7 +219,9 @@ def j1_broadcast_join(sf_dir: str):
     out = partials.groupby("c_mktsegment").aggregate(
         Sum("n_orders", alias_name="n_orders"), Sum("revenue", alias_name="revenue")
     )
-    return _from_micro(out, ["revenue"])
+    return _typed(_from_micro(out, ["revenue"]),
+                  [("c_mktsegment", pa.string()), ("n_orders", pa.int64()),
+                   ("revenue", pa.float64())])
 
 
 # ---------------------------------------------------------------------------
@@ -257,7 +269,9 @@ def j3_semi_join(sf_dir: str):
     out = partials.groupby("o_orderstatus").aggregate(
         Sum("n", alias_name="n"), Sum("revenue", alias_name="revenue")
     )
-    return _from_micro(out, ["revenue"])
+    return _typed(_from_micro(out, ["revenue"]),
+                  [("o_orderstatus", pa.string()), ("n", pa.int64()),
+                   ("revenue", pa.float64())])
 
 
 # ---------------------------------------------------------------------------
@@ -291,7 +305,9 @@ def j4_multi_join(sf_dir: str):
     out = joined.groupby("n_name").aggregate(
         Count(alias_name="n_orders"), Sum("price_u", alias_name="revenue")
     )
-    return _from_micro(out, ["revenue"])
+    return _typed(_from_micro(out, ["revenue"]),
+                  [("n_name", pa.string()), ("n_orders", pa.int64()),
+                   ("revenue", pa.float64())])
 
 
 # ---------------------------------------------------------------------------
@@ -429,6 +445,10 @@ def q3_shipping_priority(sf_dir: str, k: int = 10):
         return df[np.isin(df["o_custkey"].to_numpy(), ks)][["o_orderkey", "o_orderdate"]]
 
     bld_orders = orders.map_batches(keep_orders, batch_format="pandas").to_pandas()
+    q3_fields = [("l_orderkey", pa.int64()), ("revenue", pa.float64()),
+                 ("o_orderdate", pa.timestamp("us"))]
+    if not len(bld_orders):   # no BUILDING orders at all (tiny inputs)
+        return ray.data.from_arrow(pa.schema(q3_fields).empty_table())
     ord_ref = ray.put(
         dict(zip(bld_orders["o_orderkey"], bld_orders["o_orderdate"]))
     )
@@ -451,7 +471,8 @@ def q3_shipping_priority(sf_dir: str, k: int = 10):
         om = ray.get(ord_ref)
         return df.assign(o_orderdate=df["l_orderkey"].map(om))
 
-    return top.map_batches(attach_date, batch_format="pandas")
+    return _typed(top.map_batches(attach_date, batch_format="pandas"),
+                  q3_fields)
 
 
 # ---------------------------------------------------------------------------
@@ -968,7 +989,9 @@ def j7_bloom_semi_join(sf_dir: str, min_total: float = 450_000.0):
              "revenue": [df["revenue_u"].sum() / (MICRO * 1.0)]}
         )
 
-    return partials.repartition(1).map_batches(final, batch_format="pandas")
+    return _typed(
+        partials.repartition(1).map_batches(final, batch_format="pandas"),
+        [("n_items", pa.int64()), ("revenue", pa.float64())])
 
 
 # ---------------------------------------------------------------------------
@@ -2116,8 +2139,18 @@ def q18_big_orders(sf_dir: str, min_qty: int = 250, k: int = 20):
         return pd.DataFrame({"l_orderkey": g["l_orderkey"].astype(np.int64),
                              "sum_qty": g["sum_qty"].astype(np.int64)})
 
-    big = (li.map_batches(partial, batch_format="pandas")
-           .groupby("salt").map_groups(sum_having, batch_format="pandas"))
+    q18_fields = [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                  ("o_orderdate", pa.timestamp("us")),
+                  ("sum_qty", pa.int64())]
+    from ccrawler_ray.functions.dedup import nonempty_blocks
+
+    big = nonempty_blocks(
+        (li.map_batches(partial, batch_format="pandas")
+         .groupby("salt").map_groups(sum_having, batch_format="pandas")
+         .materialize()),
+        pa.schema([("l_orderkey", pa.int64()), ("sum_qty", pa.int64())]))
+    if big.count() == 0:   # HAVING filtered everything (tiny inputs)
+        return ray.data.from_arrow(pa.schema(q18_fields).empty_table())
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate"])
     joined = big.join(orders, join_type="inner", num_partitions=8,
@@ -2132,7 +2165,8 @@ def q18_big_orders(sf_dir: str, min_qty: int = 250, k: int = 20):
              "o_orderdate": df["o_orderdate"],
              "sum_qty": df["sum_qty"].astype(np.int64)})
 
-    return out.map_batches(rename, batch_format="pandas")
+    return _typed(out.map_batches(rename, batch_format="pandas"),
+                  q18_fields)
 
 
 # ---------------------------------------------------------------------------
@@ -2227,11 +2261,24 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
         m = (df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)
         return df.loc[m, ["o_orderkey", "o_custkey"]]
 
+    q5_schema = pa.schema([("n_name", pa.string()),
+                           ("revenue", pa.float64())])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    orders_n = orders.map_batches(date_filter, batch_format="pandas").join(
+    # the hash join raises on an empty side (tiny inputs / empty date
+    # window) — the guarded sides are narrow int64 projections
+    from ccrawler_ray.functions.dedup import nonempty_blocks
+
+    filt = nonempty_blocks(
+        orders.map_batches(date_filter, batch_format="pandas").materialize(),
+        pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]))
+    if filt.count() == 0:
+        return ray.data.from_arrow(q5_schema.empty_table())
+    orders_n = filt.join(
         cust, join_type="inner", num_partitions=8,
         on=("o_custkey",), right_on=("c_custkey",),
-    ).select_columns(["o_orderkey", "c_nationkey"])
+    ).select_columns(["o_orderkey", "c_nationkey"]).materialize()
+    if orders_n.count() == 0:
+        return ray.data.from_arrow(q5_schema.empty_table())
 
     line = _read(sf_dir, "lineitem",
                  ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
@@ -2255,7 +2302,8 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
 
     out = (joined.map_batches(local_partial, batch_format="pandas")
            .groupby("n_name").aggregate(Sum("rev_u", alias_name="revenue")))
-    return _from_micro(out, ["revenue"])
+    return _typed(_from_micro(out, ["revenue"]),
+                  [("n_name", pa.string()), ("revenue", pa.float64())])
 
 
 # ---------------------------------------------------------------------------
@@ -2285,11 +2333,27 @@ def q10_returned_revenue(sf_dir: str, date_lo: str = "1996-01-01",
         m = (df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)
         return df.loc[m, ["o_orderkey", "o_custkey"]]
 
+    q10_schema = pa.schema([("c_custkey", pa.int64()),
+                            ("c_name", pa.string()),
+                            ("n_name", pa.string()),
+                            ("revenue", pa.float64())])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
-    orders_c = orders.map_batches(date_filter, batch_format="pandas").join(
+    # empty-side join guards (tiny inputs / empty filter windows);
+    # every guarded side is a narrow projection
+    from ccrawler_ray.functions.dedup import nonempty_blocks
+
+    filt = nonempty_blocks(
+        orders.map_batches(date_filter, batch_format="pandas").materialize(),
+        pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]))
+    if filt.count() == 0:
+        return ray.data.from_arrow(q10_schema.empty_table())
+    orders_c = filt.join(
         cust, join_type="inner", num_partitions=8,
         on=("o_custkey",), right_on=("c_custkey",),
-    ).select_columns(["o_orderkey", "o_custkey", "c_name", "c_nationkey"])
+    ).select_columns(["o_orderkey", "o_custkey", "c_name", "c_nationkey"]
+                     ).materialize()
+    if orders_c.count() == 0:
+        return ray.data.from_arrow(q10_schema.empty_table())
 
     line = _read(sf_dir, "lineitem",
                  ["l_orderkey", "l_returnflag", "l_extendedprice",
@@ -2301,7 +2365,12 @@ def q10_returned_revenue(sf_dir: str, date_lo: str = "1996-01-01",
             "l_orderkey": df["l_orderkey"].to_numpy(),
             "rev_u": _to_micro(df["l_extendedprice"] * (1 - df["l_discount"]))})
 
-    joined = line.map_batches(returned, batch_format="pandas").join(
+    ret = nonempty_blocks(
+        line.map_batches(returned, batch_format="pandas").materialize(),
+        pa.schema([("l_orderkey", pa.int64()), ("rev_u", pa.int64())]))
+    if ret.count() == 0:
+        return ray.data.from_arrow(q10_schema.empty_table())
+    joined = ret.join(
         orders_c, join_type="inner", num_partitions=8,
         on=("l_orderkey",), right_on=("o_orderkey",))
 
@@ -2342,4 +2411,6 @@ def q10_returned_revenue(sf_dir: str, date_lo: str = "1996-01-01",
             "n_name": df["n_name"],
             "revenue": df["rev_u"].to_numpy().astype(np.float64) / MICRO})
 
-    return out.map_batches(finish, batch_format="pandas")
+    return _typed(out.map_batches(finish, batch_format="pandas"),
+                  [("c_custkey", pa.int64()), ("c_name", pa.string()),
+                   ("n_name", pa.string()), ("revenue", pa.float64())])

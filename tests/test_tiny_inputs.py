@@ -97,3 +97,48 @@ def test_dedup_family_survives_nodup_corpus(tmp_path):
     # every doc must be its own representative
     cl = _to_pandas(q["dedup_clusters"](str(tmp_path))).sort_values("doc_id")
     assert cl["keep"].all() and (cl["cluster_rep"] == cl["doc_id"]).all()
+
+
+REL_QUERIES = [
+    "j1_broadcast_join", "j2_anti_join", "j3_semi_join", "j4_multi_join",
+    "j5_asof_join", "j6_range_join", "j7_bloom_semi_join",
+    "j8_salted_skew_join", "j9_full_outer_join",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q10_returned_revenue", "q18_big_orders",
+    "g1_rank_topk_per_key", "g3_metrics_rollup", "g4_distinct_counts",
+    "g5_hll_distinct", "g7_quantile_hist", "g8_grouped_quantiles",
+    "g9_rollup", "g11_countmin_est", "g13_user_value_drift",
+    "g14_group_median", "g15_corr", "g18_unpivot", "g10_pivot",
+    "w2_sessionize", "w3_tumbling_window", "w4_sliding_window",
+    "w5_lag_lead", "w6_ntile", "w7_rolling_mean", "w8_late_events",
+    "w9_percent_rank", "w10_funnel", "w11_ewma",
+    "o1_global_sort", "o2_global_topk", "o3_sample", "o3_sample_hash",
+    "o4_stratified_sample", "o5_exact_quantiles", "o6_weighted_sample",
+    "d1_exact_dedup", "d5_latest_per_key", "s1_set_intersect",
+    "s2_set_except", "m11_json_extract", "scalar_string_ops",
+    "explode_embeddings", "w1_running_sum",
+]
+
+
+@pytest.fixture(scope="module")
+def tiny_rel_dir(tmp_path_factory):
+    """3-row slices of every sf0.001 table: schema-faithful, but most
+    join keys miss and most filter windows are empty — the empty-side
+    and zero-match paths."""
+    d = tmp_path_factory.mktemp("tiny_rel")
+    src = "/root/testdata/sf0.001"
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        pq.write_table(tbl.slice(0, 3), d / f"{t}.parquet")
+    return str(d)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", REL_QUERIES)
+def test_relational_query_survives_tiny_tables(tiny_rel_dir, name):
+    import __ray_entry__ as E
+    from tests.test_queries_oracle import _to_pandas
+
+    df = _to_pandas(E.queries()[name](tiny_rel_dir))
+    assert len(df.columns) > 0, f"{name}: schema-less result"
