@@ -288,11 +288,22 @@ def j4_multi_join(sf_dir: str):
 
     def tag_nation(df: pd.DataFrame) -> pd.DataFrame:
         nmap = ray.get(nmap_ref)
-        return pd.DataFrame(
-            {"c_custkey": df["c_custkey"], "n_name": df["c_nationkey"].map(nmap)}
-        )
+        nn = df["c_nationkey"].map(nmap)
+        m = nn.notna()     # inner-join semantics: drop unmatched
+        # (and an all-None column would become Arrow type null, which
+        # Acero rejects as a join payload)
+        return pd.DataFrame({"c_custkey": df["c_custkey"][m],
+                             "n_name": nn[m].astype(str)})
 
-    cust_n = cust.map_batches(tag_nation, batch_format="pandas")
+    from ccrawler_ray.functions.dedup import nonempty_blocks
+
+    j4_fields = [("n_name", pa.string()), ("n_orders", pa.int64()),
+                 ("revenue", pa.float64())]
+    cust_n = nonempty_blocks(
+        cust.map_batches(tag_nation, batch_format="pandas").materialize(),
+        pa.schema([("c_custkey", pa.int64()), ("n_name", pa.string())]))
+    if cust_n.count() == 0:
+        return ray.data.from_arrow(pa.schema(j4_fields).empty_table())
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def scale(df: pd.DataFrame) -> pd.DataFrame:

@@ -120,18 +120,28 @@ REL_QUERIES = [
 ]
 
 
+def _slice_tables(tmp_path_factory, nrows: int) -> str:
+    d = tmp_path_factory.mktemp(f"tiny_rel{nrows}")
+    src = "/root/testdata/sf0.001"
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        pq.write_table(tbl.slice(0, nrows), d / f"{t}.parquet")
+    return str(d)
+
+
 @pytest.fixture(scope="module")
 def tiny_rel_dir(tmp_path_factory):
     """3-row slices of every sf0.001 table: schema-faithful, but most
     join keys miss and most filter windows are empty — the empty-side
     and zero-match paths."""
-    d = tmp_path_factory.mktemp("tiny_rel")
-    src = "/root/testdata/sf0.001"
-    for t in ("region nation customer supplier part orders lineitem "
-              "events documents embeddings").split():
-        tbl = pq.read_table(f"{src}/{t}.parquet")
-        pq.write_table(tbl.slice(0, 3), d / f"{t}.parquet")
-    return str(d)
+    return _slice_tables(tmp_path_factory, 3)
+
+
+@pytest.fixture(scope="module")
+def one_row_dir(tmp_path_factory):
+    """Single-row slices: the emptiest joinable inputs."""
+    return _slice_tables(tmp_path_factory, 1)
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -141,4 +151,14 @@ def test_relational_query_survives_tiny_tables(tiny_rel_dir, name):
     from tests.test_queries_oracle import _to_pandas
 
     df = _to_pandas(E.queries()[name](tiny_rel_dir))
+    assert len(df.columns) > 0, f"{name}: schema-less result"
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", REL_QUERIES)
+def test_relational_query_survives_one_row_tables(one_row_dir, name):
+    import __ray_entry__ as E
+    from tests.test_queries_oracle import _to_pandas
+
+    df = _to_pandas(E.queries()[name](one_row_dir))
     assert len(df.columns) > 0, f"{name}: schema-less result"
