@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": lambda sf: S.ann_ivf_topk(sf, num_queries=5, k=5),
         "ann_pq_topk": lambda sf: S.ann_pq_topk(sf, num_queries=5, k=5),
         "ann_ivf_pq": lambda sf: S.ann_ivf_pq(sf, num_queries=5, k=5),
+        "ann_recall_report": S.ann_recall_report,
         # --- multimodal plumbing
         "decode_media_meta": M.decode_media_meta,
         "media_dedup_exact": M.media_dedup_exact,
@@ -405,6 +406,10 @@ def _serial_oracles() -> dict[str, str]:
         "ann_pq_topk": V(SR.ann_pq_topk(num_queries=5, k=5),
                          {"query_id": "BIGINT", "vec_id": "BIGINT",
                           "adist": "DOUBLE", "rank": "BIGINT"}),
+        "ann_recall_report": V(SR.ann_recall_report(),
+                               {"method": "VARCHAR", "n_hits": "BIGINT",
+                                "n_possible": "BIGINT",
+                                "recall": "DOUBLE"}),
         "ann_ivf_pq": V(SR.ann_ivf_pq(num_queries=5, k=5),
                         {"query_id": "BIGINT", "vec_id": "BIGINT",
                          "adist": "DOUBLE", "rank": "BIGINT"}),

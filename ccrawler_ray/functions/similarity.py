@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
@@ -588,3 +589,36 @@ def ann_ivf_pq(sf_dir: str, num_queries: int = 5, k: int = 5,
 
     return cands.repartition(1).map_batches(reduce_all,
                                             batch_format="pandas")
+
+
+def ann_recall_report(sf_dir: str, num_queries: int = 5, k: int = 5):
+    """(method, n_hits, n_possible, recall): fraction of the exact
+    brute-force top-k neighbor pairs each approximate index recovers —
+    the quality gauge an ANN deployment monitors next to its latency.
+    Each leg's result is the pipeline's own Dataset collapsed to its
+    (query, vec) pair set (num_queries × k rows — driver-sized by
+    construction); recall is floor-scaled to 4 decimals. Methods:
+    lsh, ivf, pq, ivf_pq."""
+    def pairs(ds) -> set:
+        df = ds.to_pandas()
+        return set(zip(df["query_id"].astype(int), df["vec_id"].astype(int)))
+
+    exact = pairs(ann_topk_cosine(sf_dir, num_queries, k))
+    legs = {
+        "ivf": ann_ivf_topk(sf_dir, num_queries, k),
+        "ivf_pq": ann_ivf_pq(sf_dir, num_queries, k),
+        "lsh": ann_lsh_topk(sf_dir, num_queries, k),
+        "pq": ann_pq_topk(sf_dir, num_queries, k),
+    }
+    rows = []
+    denom = max(len(exact), 1)
+    for method in sorted(legs):
+        hits = len(pairs(legs[method]) & exact)
+        rows.append((method, hits, len(exact),
+                     float(np.floor(hits * 10_000.0 / denom) / 10_000)))
+    tbl = pa.table({
+        "method": pa.array([r[0] for r in rows], pa.string()),
+        "n_hits": pa.array([r[1] for r in rows], pa.int64()),
+        "n_possible": pa.array([r[2] for r in rows], pa.int64()),
+        "recall": pa.array([r[3] for r in rows], pa.float64())})
+    return ray.data.from_arrow(tbl)

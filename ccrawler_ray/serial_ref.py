@@ -1251,3 +1251,37 @@ def spans_rollup(sf_dir: str | None = None) -> pd.DataFrame:
     rows = [(k, a[0], a[1], a[2], a[3]) for k, a in sorted(agg.items())]
     return pd.DataFrame(rows, columns=["kind", "n_spans", "n_docs",
                                        "sum_text_len", "n_media_refs"])
+
+
+def ann_recall_report(sf_dir: str | None = None, num_queries: int = 5,
+                      k: int = 5) -> pd.DataFrame:
+    """Serial mirror of functions.similarity.ann_recall_report: the
+    same pair-set recall over the serial ANN mirrors (each bitwise
+    equal to its engine pipeline, so the recalls are exact)."""
+    sf = sf_dir or oracle_sf_dir()
+    def pairs(df: pd.DataFrame) -> set:
+        return set(zip(df["query_id"].astype(int), df["vec_id"].astype(int)))
+
+    # exact brute-force baseline (same normalize+matmul float ops as
+    # the engine's ann_topk_cosine — 64-length dots are order-free)
+    ids, mat = _embeddings(sf)
+    n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    exact = set()
+    for qi in np.flatnonzero(ids < num_queries):
+        cos = n[qi] @ n.T
+        mask = ids != ids[qi]
+        order = np.lexsort((ids[mask], -cos[mask]))[:k]
+        for j in np.flatnonzero(mask)[order]:
+            exact.add((int(ids[qi]), int(ids[j])))
+    legs = {"ivf": ann_ivf_topk(sf, num_queries, k),
+            "ivf_pq": ann_ivf_pq(sf, num_queries, k),
+            "lsh": ann_lsh_topk(sf, num_queries, k),
+            "pq": ann_pq_topk(sf, num_queries, k)}
+    rows = []
+    denom = max(len(exact), 1)
+    for method in sorted(legs):
+        hits = len(pairs(legs[method]) & exact)
+        rows.append((method, hits, len(exact),
+                     float(np.floor(hits * 10_000.0 / denom) / 10_000)))
+    return pd.DataFrame(rows, columns=["method", "n_hits", "n_possible",
+                                       "recall"])
