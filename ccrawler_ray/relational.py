@@ -2244,7 +2244,19 @@ def w11_ewma(sf_dir: str):
 # order map, and the local-supplier predicate (c_nationkey ==
 # s_nationkey, nation in region) plus the revenue rollup run map-side
 # so only (n_name, partial revenue) rows reach the final groupby.
+#
+# Empty-side safety (tiny inputs / empty date windows) is SENTINEL
+# rows, not guard materializations: Ray's hash join raises when a side
+# is entirely empty or carries schema-less empty map blocks, so every
+# filtering map appends one impossible-key row (key = -1; real TPC-H
+# keys are >= 1) per batch and the join keeps a matching -1 row on the
+# other side. Sentinels survive each inner join (keeping every stage
+# provably non-empty) and are dropped in the first map after the last
+# join — the whole query is ONE streaming execution with no
+# materialize()/count() guard passes.
 # ---------------------------------------------------------------------------
+
+_Q5_SENT_NAME = "\x00sentinel"
 
 
 def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
@@ -2270,50 +2282,57 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
 
     def date_filter(df: pd.DataFrame) -> pd.DataFrame:
         m = (df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)
-        return df.loc[m, ["o_orderkey", "o_custkey"]]
+        out = df.loc[m, ["o_orderkey", "o_custkey"]]
+        sent = pd.DataFrame({"o_orderkey": np.array([-1], np.int64),
+                             "o_custkey": np.array([-1], np.int64)})
+        return pd.concat([out, sent], ignore_index=True)
 
-    q5_schema = pa.schema([("n_name", pa.string()),
-                           ("revenue", pa.float64())])
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    # the hash join raises on an empty side (tiny inputs / empty date
-    # window) — the guarded sides are narrow int64 projections
-    from ccrawler_ray.functions.dedup import nonempty_blocks
-
-    filt = nonempty_blocks(
-        orders.map_batches(date_filter, batch_format="pandas").materialize(),
-        pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]))
-    if filt.count() == 0:
-        return ray.data.from_arrow(q5_schema.empty_table())
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).union(
+        ray.data.from_arrow(pa.table({"c_custkey": pa.array([-1], pa.int64()),
+                                      "c_nationkey": pa.array([-1], pa.int32())})))
+    filt = orders.map_batches(date_filter, batch_format="pandas")
     orders_n = filt.join(
         cust, join_type="inner", num_partitions=8,
         on=("o_custkey",), right_on=("c_custkey",),
-    ).select_columns(["o_orderkey", "c_nationkey"]).materialize()
-    if orders_n.count() == 0:
-        return ray.data.from_arrow(q5_schema.empty_table())
+    ).select_columns(["o_orderkey", "c_nationkey"])
 
     line = _read(sf_dir, "lineitem",
-                 ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+                 ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+                 ).union(ray.data.from_arrow(pa.table({
+                     "l_orderkey": pa.array([-1], pa.int64()),
+                     "l_suppkey": pa.array([-1], pa.int64()),
+                     "l_extendedprice": pa.array([0.0], pa.float64()),
+                     "l_discount": pa.array([0.0], pa.float64())})))
     joined = line.join(orders_n, join_type="inner", num_partitions=8,
                        on=("l_orderkey",), right_on=("o_orderkey",))
 
     def local_partial(df: pd.DataFrame) -> pd.DataFrame:
         nmap = ray.get(nmap_ref)
         smap = ray.get(smap_ref)
+        df = df[df["l_orderkey"] >= 0]  # drop join-survival sentinels
         s_nat = df["l_suppkey"].map(smap)
         keep = (s_nat == df["c_nationkey"]) & s_nat.isin(nmap)
         df = df.loc[keep]
-        if not len(df):
-            return pd.DataFrame({"n_name": pd.Series(dtype="str"),
-                                 "rev_u": pd.Series(dtype="int64")})
         out = pd.DataFrame({
-            "n_name": s_nat.loc[keep].map(nmap),
-            "rev_u": _to_micro(df["l_extendedprice"] * (1 - df["l_discount"])),
+            "n_name": s_nat.loc[keep].map(nmap) if len(df) else
+            pd.Series(dtype="str"),
+            "rev_u": _to_micro(df["l_extendedprice"] * (1 - df["l_discount"]))
+            if len(df) else pd.Series(dtype="int64"),
         })
-        return out.groupby("n_name", as_index=False)["rev_u"].sum()
+        out = out.groupby("n_name", as_index=False)["rev_u"].sum()
+        # partial sentinel keeps the aggregate input non-empty
+        sent = pd.DataFrame({"n_name": [_Q5_SENT_NAME],
+                             "rev_u": np.array([0], np.int64)})
+        return pd.concat([out, sent], ignore_index=True)
 
     out = (joined.map_batches(local_partial, batch_format="pandas")
            .groupby("n_name").aggregate(Sum("rev_u", alias_name="revenue")))
-    return _typed(_from_micro(out, ["revenue"]),
+
+    def drop_sent(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t.column("n_name"), _Q5_SENT_NAME))
+
+    return _typed(_from_micro(out.map_batches(drop_sent, batch_format="pyarrow"),
+                              ["revenue"]),
                   [("n_name", pa.string()), ("revenue", pa.float64())])
 
 
@@ -2344,27 +2363,26 @@ def q10_returned_revenue(sf_dir: str, date_lo: str = "1996-01-01",
         m = (df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)
         return df.loc[m, ["o_orderkey", "o_custkey"]]
 
-    q10_schema = pa.schema([("c_custkey", pa.int64()),
-                            ("c_name", pa.string()),
-                            ("n_name", pa.string()),
-                            ("revenue", pa.float64())])
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
-    # empty-side join guards (tiny inputs / empty filter windows);
-    # every guarded side is a narrow projection
-    from ccrawler_ray.functions.dedup import nonempty_blocks
+    # Empty-side safety: same SENTINEL design as q5 (one impossible
+    # -1-key row per filtered batch, a matching -1 row on the joined
+    # side) — sentinels flow through both joins so no stage is ever
+    # empty/schema-less and the query is ONE streaming execution.
+    def date_filter_s(df: pd.DataFrame) -> pd.DataFrame:
+        out = date_filter(df)
+        sent = pd.DataFrame({"o_orderkey": np.array([-1], np.int64),
+                             "o_custkey": np.array([-1], np.int64)})
+        return pd.concat([out, sent], ignore_index=True)
 
-    filt = nonempty_blocks(
-        orders.map_batches(date_filter, batch_format="pandas").materialize(),
-        pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]))
-    if filt.count() == 0:
-        return ray.data.from_arrow(q10_schema.empty_table())
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey"]).union(
+        ray.data.from_arrow(pa.table({"c_custkey": pa.array([-1], pa.int64()),
+                                      "c_name": pa.array([""], pa.string()),
+                                      "c_nationkey": pa.array([-1], pa.int32())})))
+    filt = orders.map_batches(date_filter_s, batch_format="pandas")
     orders_c = filt.join(
         cust, join_type="inner", num_partitions=8,
         on=("o_custkey",), right_on=("c_custkey",),
-    ).select_columns(["o_orderkey", "o_custkey", "c_name", "c_nationkey"]
-                     ).materialize()
-    if orders_c.count() == 0:
-        return ray.data.from_arrow(q10_schema.empty_table())
+    ).select_columns(["o_orderkey", "o_custkey", "c_name", "c_nationkey"])
 
     line = _read(sf_dir, "lineitem",
                  ["l_orderkey", "l_returnflag", "l_extendedprice",
@@ -2372,47 +2390,68 @@ def q10_returned_revenue(sf_dir: str, date_lo: str = "1996-01-01",
 
     def returned(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["l_returnflag"] == "R"]
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "l_orderkey": df["l_orderkey"].to_numpy(),
             "rev_u": _to_micro(df["l_extendedprice"] * (1 - df["l_discount"]))})
+        sent = pd.DataFrame({"l_orderkey": np.array([-1], np.int64),
+                             "rev_u": np.array([0], np.int64)})
+        return pd.concat([out, sent], ignore_index=True)
 
-    ret = nonempty_blocks(
-        line.map_batches(returned, batch_format="pandas").materialize(),
-        pa.schema([("l_orderkey", pa.int64()), ("rev_u", pa.int64())]))
-    if ret.count() == 0:
-        return ray.data.from_arrow(q10_schema.empty_table())
-    joined = ret.join(
+    joined = line.map_batches(returned, batch_format="pandas").join(
         orders_c, join_type="inner", num_partitions=8,
         on=("l_orderkey",), right_on=("o_orderkey",))
 
+    _SENT_REV = np.int64(-(2**62))  # sorts below any real micro-sum
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df) or "rev_u" not in df.columns:
-            return pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
-                                 "c_name": pd.Series(dtype="str"),
-                                 "n_key": pd.Series(dtype="int64"),
-                                 "rev_u": pd.Series(dtype="int64"),
-                                 "salt": pd.Series(dtype="int32")})
+        df = df[df["o_custkey"] >= 0]  # drop join-survival sentinels
         g = (df.groupby(["o_custkey", "c_name", "c_nationkey"],
                         as_index=False)["rev_u"].sum())
         ck = g["o_custkey"].to_numpy().astype(np.int64)
-        return pd.DataFrame({"c_custkey": ck, "c_name": g["c_name"],
-                             "n_key": g["c_nationkey"].to_numpy().astype(np.int64),
-                             "rev_u": g["rev_u"].to_numpy().astype(np.int64),
-                             "salt": (ck % 64).astype(np.int32)})
+        out = pd.DataFrame({"c_custkey": ck, "c_name": g["c_name"],
+                            "n_key": g["c_nationkey"].to_numpy().astype(np.int64),
+                            "rev_u": g["rev_u"].to_numpy().astype(np.int64),
+                            "salt": (ck % 64).astype(np.int32)})
+        # partial sentinel: keeps the salted groupby input non-empty
+        sent = pd.DataFrame({"c_custkey": np.array([-1], np.int64),
+                             "c_name": [""],
+                             "n_key": np.array([-1], np.int64),
+                             "rev_u": np.array([0], np.int64),
+                             "salt": np.array([0], np.int32)})
+        return pd.concat([out, sent], ignore_index=True)
 
     def per_salt(df: pd.DataFrame) -> pd.DataFrame:
         nmap = ray.get(nmap_ref)
+        df = df[df["c_custkey"] >= 0]
         g = (df.groupby(["c_custkey", "c_name", "n_key"],
                         as_index=False)["rev_u"].sum())
-        return pd.DataFrame({
+        # inner-join semantics: drop customers whose nationkey has no
+        # nation row (dangling keys) instead of emitting a NaN n_name
+        g = g[g["n_key"].isin(nmap)]
+        out = pd.DataFrame({
             "c_custkey": g["c_custkey"].astype(np.int64),
             "c_name": g["c_name"],
             "n_name": g["n_key"].map(nmap),
             "rev_u": g["rev_u"].astype(np.int64)})
+        # group-output sentinel: sorts strictly below every real row,
+        # so limit(k) only admits it when real rows < k; dropped in
+        # finish().
+        sent = pd.DataFrame({"c_custkey": np.array([-1], np.int64),
+                             "c_name": [""], "n_name": [""],
+                             "rev_u": np.array([_SENT_REV], np.int64)})
+        return pd.concat([out, sent], ignore_index=True)
+
+    def drop_sent(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["c_custkey"] >= 0]
 
     out = (joined.map_batches(partial, batch_format="pandas")
            .groupby("salt").map_groups(per_salt, batch_format="pandas")
            .sort(["rev_u", "c_custkey"], descending=[True, False])
+           # sentinels sort strictly below every real row, so the k+64
+           # prefix is guaranteed to contain the full real top-k; the
+           # global limit(k) after the sentinel filter restores exact k
+           .limit(k + 64)
+           .map_batches(drop_sent, batch_format="pandas")
            .limit(k))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
