@@ -34,6 +34,7 @@ import ray
 import ray.data
 
 from ccrawler_ray.spec import as_single_array
+from ccrawler_ray.scale import coarse_salt_k
 
 _MERSENNE = (1 << 61) - 1
 
@@ -255,6 +256,9 @@ def _triu_pairs(n: int):
 
 
 _BITSET_BUDGET_BYTES = 64 << 20   # bucket bitset matrix cap (per task)
+# per-byte popcounts for the chunked |A∩B| kernel (uint8 lookup keeps
+# the temporary at 1 byte/word-byte; the sum accumulates in int64)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
 def _pair_inter_counts(wl: list, ka: np.ndarray, kb: np.ndarray) -> np.ndarray:
@@ -280,13 +284,16 @@ def _pair_inter_counts(wl: list, ka: np.ndarray, kb: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(vocab, all_w).astype(np.uint64)
         np.bitwise_or.at(M, (rep_idx, (idx >> np.uint64(6)).astype(np.int64)),
                          one << (idx & np.uint64(63)))
-        # chunked AND+popcount: ~2 MB of unpacked bits per chunk (the
-        # large-allocation fault hazard, see _batch_sig_wset)
-        chunk = max(1024, (2 << 20) // max(nw * 64, 1))
+        # chunked AND+popcount via a 256-entry byte table: temporaries
+        # are chunk*nw*8 bytes (vs unpackbits' 64× bit expansion), and
+        # the chunk is sized from nw so the budget holds at ANY bucket
+        # vocabulary (the large-allocation fault hazard, see
+        # _batch_sig_wset)
+        chunk = max(1, (4 << 20) // max(nw * 8, 1))
         for s in range(0, len(ka), chunk):
             band = M[ka[s:s + chunk]] & M[kb[s:s + chunk]]
-            bits = np.unpackbits(band.view(np.uint8), axis=1)
-            out[s:s + chunk] = bits.sum(axis=1, dtype=np.int64)
+            out[s:s + chunk] = _POP8[band.view(np.uint8)].sum(
+                axis=1, dtype=np.int64)
         return out
     for t, (i, j) in enumerate(zip(ka, kb)):
         out[t] = _inter_count(wl[i], wl[j])
@@ -321,6 +328,7 @@ def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
     groups and one min–min edge per rep pair — so connected components
     see |V|+|rep pairs| edges instead of the full clique expansion.
     """
+    band_salt_k = coarse_salt_k(16)  # pinned on the driver: every row must agree
     if exact and threshold is None:
         raise ValueError("exact mode requires a threshold")
     if cc_edges and not exact:
@@ -351,7 +359,7 @@ def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
                 batch.column("doc_id").to_numpy(zero_copy_only=False), bands)),
             "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
             "band_hash": pa.array(flat, pa.uint64()),
-            "bh_salt": pa.array((flat % np.uint64(16)).astype(np.int32)),
+            "bh_salt": pa.array((flat % np.uint64(band_salt_k)).astype(np.int32)),
             "sig": batch.column("signature").take(rep_idx),
         }
         if exact:
@@ -594,6 +602,7 @@ def dedup_containment_stats(sf_dir: str, num_perm: int = 64,
     (doc_id, n_pairs, max_containment). Map-side partial agg per
     batch, then one salted shuffle of at most one row per
     (batch, doc)."""
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
     pairs = dedup_containment(sf_dir, num_perm, bands, threshold)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -609,7 +618,7 @@ def dedup_containment_stats(sf_dir: str, num_perm: int = 64,
             "c": np.concatenate([df["containment"].to_numpy()] * 2)})
         g = both.groupby("doc_id", as_index=False).agg(
             n_pairs=("c", "size"), max_containment=("c", "max"))
-        g["d_salt"] = (g["doc_id"] % 64).astype(np.int32)
+        g["d_salt"] = (g["doc_id"] % salt_k).astype(np.int32)
         return g
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -739,6 +748,7 @@ def _simhash_pairs(sigs, max_hamming: int):
     """Radius-derived blocking + in-bucket hamming verify over any
     (doc_id, simhash:uint64) Dataset — shared by the text SimHash
     dedup and the media byte-shingle variant."""
+    band_salt_k = coarse_salt_k(16)  # pinned on the driver: every row must agree
     blocks = _hamming_blocks(max_hamming)
     nblocks = len(blocks)
 
@@ -762,7 +772,7 @@ def _simhash_pairs(sigs, max_hamming: int):
              "key": pa.array(flat, pa.uint64()),
              "simhash": pa.array(np.tile(sh, nblocks), pa.uint64()),
              # coarse shuffle key (see _lsh_candidate_pairs)
-             "key_salt": pa.array((flat % np.uint64(16)).astype(np.int32))}
+             "key_salt": pa.array((flat % np.uint64(band_salt_k)).astype(np.int32))}
         )
 
     block_rows = sigs.map_batches(to_blocks, batch_format="pyarrow")
@@ -977,6 +987,7 @@ def dedup_clusters(sf_dir: str, num_perm: int = 64, bands: int = 16,
 def _dedup_clusters_impl(sf_dir: str, num_perm: int, bands: int,
                          threshold: float, max_rounds: int,
                          cc_driver_threshold: int):
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
     sigs = _memo(("sigw", sf_dir, num_perm),
                  lambda: minhash_sig_wset(sf_dir, num_perm))
     pairs = _lsh_candidate_pairs(
@@ -1010,7 +1021,7 @@ def _dedup_clusters_impl(sf_dir: str, num_perm: int, bands: int,
     def add_salt(batch: pa.Table) -> pa.Table:
         n = batch.column("node").to_numpy(zero_copy_only=False)
         return batch.append_column(
-            "salt", pa.array((n % 64).astype(np.int32))
+            "salt", pa.array((n % salt_k).astype(np.int32))
         )
 
     def min_per_node(df: pd.DataFrame) -> pd.DataFrame:
@@ -1103,6 +1114,7 @@ def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.4,
     (asserted against the exact oracle in test_dedup_quality).
     Partitioning: one (table, bucket) fits a worker; buckets are
     salted into <=16 coarse shuffle groups per table."""
+    band_salt_k = coarse_salt_k(16)  # pinned on the driver: every row must agree
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     dim = _embedding_dim(ds)
@@ -1132,7 +1144,9 @@ def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.4,
              "norm": pa.FixedSizeListArray.from_arrays(
                  pa.array(np.tile(m, (num_tables, 1)).ravel(), pa.float64()),
                  max(dim, 1)),
-             "key_salt": pa.array((flat % 16).astype(np.int32))}
+             # int64 buckets: modulo by a python int (int64 % uint64
+             # would promote to float64 in numpy 1.x)
+             "key_salt": pa.array((flat % band_salt_k).astype(np.int32))}
         )
 
     rows = ds.map_batches(to_buckets, batch_format="pyarrow")
@@ -1213,6 +1227,7 @@ def dedup_ngram_spans(sf_dir: str, n: int = 5, min_docs: int = 2):
     partial sums; a second tiny salted groupby folds partials per doc.
     Nothing unbounded touches the driver; no O(n^2) anywhere.
     """
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     pows = _roll_powers(n)
@@ -1279,7 +1294,7 @@ def dedup_ngram_spans(sf_dir: str, n: int = 5, min_docs: int = 2):
             .agg(tot_pos=("n_pos", "sum"), dup_pos=("dup_pos", "sum"))
             .reset_index()
         )
-        g["d_salt"] = (g["doc_id"] % 64).astype(np.int32)
+        g["d_salt"] = (g["doc_id"] % salt_k).astype(np.int32)
         return g
 
     def per_doc(df: pd.DataFrame) -> pd.DataFrame:
@@ -1504,6 +1519,8 @@ def dedup_incremental(sf_dir: str, num_perm: int = 64, bands: int = 16,
     the global-min pair provably appears in the bucket of its first
     colliding band.
     """
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
+    band_salt_k = coarse_salt_k(16)  # pinned on the driver: every row must agree
     sigs = _memo(("sig", sf_dir, num_perm),
                  lambda: minhash_signatures(sf_dir, num_perm))
 
@@ -1523,7 +1540,7 @@ def dedup_incremental(sf_dir: str, num_perm: int = 64, bands: int = 16,
                 batch.column("doc_id").to_numpy(zero_copy_only=False), bands)),
             "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
             "band_hash": pa.array(flat, pa.uint64()),
-            "bh_salt": pa.array((flat % np.uint64(16)).astype(np.int32)),
+            "bh_salt": pa.array((flat % np.uint64(band_salt_k)).astype(np.int32)),
             "sig": batch.column("signature").take(rep_idx)})
 
     band_rows = sigs.map_batches(to_bands, batch_format="pyarrow")
@@ -1611,7 +1628,7 @@ def dedup_incremental(sf_dir: str, num_perm: int = 64, bands: int = 16,
         return pd.DataFrame({"doc_id": n_arr,
                              "dup_of": np.concatenate(out_b).astype(np.int64),
                              "est_jaccard": np.concatenate(out_e),
-                             "d_salt": (n_arr % 64).astype(np.int32)})
+                             "d_salt": (n_arr % salt_k).astype(np.int32)})
 
     cand = band_rows.groupby(["band", "bh_salt"]).map_groups(
         bucket_candidates, batch_format="pandas")
@@ -1641,7 +1658,13 @@ def nonempty_blocks(ds, schema: pa.Schema):
     schema-less blocks (tiny inputs; sf fixtures never hit this).
     Block refs stay in the object store — only driver-local metadata
     is inspected. Falls back to a typed empty Dataset when every
-    block is empty."""
+    block is empty.
+
+    ``from_arrow_refs`` promises Arrow blocks only; callers coming
+    from ``map_batches(batch_format="pandas")`` hold pandas blocks, so
+    non-Arrow blocks are converted (small remote task per block) to
+    keep the contract explicit rather than leaning on undocumented
+    tolerance in Ray's metadata path."""
     refs = []
     for bundle in ds.iter_internal_ref_bundles():
         for ref, meta in zip(bundle.block_refs, bundle.metadata):
@@ -1649,4 +1672,14 @@ def nonempty_blocks(ds, schema: pa.Schema):
                 refs.append(ref)
     if not refs:
         return ray.data.from_arrow(schema.empty_table())
-    return ray.data.from_arrow_refs(refs)
+    return ray.data.from_arrow_refs([_block_as_arrow.remote(r) for r in refs])
+
+
+@ray.remote(num_cpus=0.25)
+def _block_as_arrow(block):
+    """Arrow passthrough / pandas→Arrow conversion for one block
+    (block metadata does not record the block format, so every block
+    takes the cheap hop)."""
+    if isinstance(block, pd.DataFrame):
+        return pa.Table.from_pandas(block, preserve_index=False)
+    return block

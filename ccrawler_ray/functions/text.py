@@ -14,6 +14,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
+from ccrawler_ray.scale import coarse_salt_k
 
 _TOKEN_RE = r"\s+"
 
@@ -176,6 +177,7 @@ def tfidf_topk(sf_dir: str, k: int = 3):
     group size == df), which emits scored rows; a second doc-salted
     groupby picks each doc's top k. Nothing unbounded on the driver.
     """
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
     from ccrawler_ray.functions.dedup import word_hashes
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
@@ -224,7 +226,7 @@ def tfidf_topk(sf_dir: str, k: int = 3):
             {"doc_id": df["doc_id"].to_numpy(),
              "term": df["term"].to_numpy(),
              "sc": sc.astype(np.int64),
-             "d_salt": (df["doc_id"].to_numpy() % 64).astype(np.int32)})
+             "d_salt": (df["doc_id"].to_numpy() % salt_k).astype(np.int32)})
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):

@@ -26,6 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
+from ccrawler_ray.scale import coarse_salt_k
 from ray.data.aggregate import Count, Max, Min, Sum
 
 
@@ -557,11 +558,12 @@ def j6_range_join(sf_dir: str, window_s: int = 172_800):
     join an attribution/feature pipeline runs. Users are salted into
     <=64 coarse shuffle groups (map_groups collapses at high key
     cardinality); real per-user work happens vectorized in-group."""
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
     ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
 
     def add_salt(batch: pa.Table) -> pa.Table:
         u = batch.column("user_id").to_numpy(zero_copy_only=False)
-        return batch.append_column("u_salt", pa.array((u % 64).astype(np.int32)))
+        return batch.append_column("u_salt", pa.array((u % salt_k).astype(np.int32)))
 
     win = np.timedelta64(window_s, "s")
 
@@ -607,11 +609,12 @@ def w2_sessionize(sf_dir: str, gap_s: int = 43_200):
     when the user's inter-event gap exceeds ``gap_s``. Salted per-user
     shuffle; the in-group kernel is one sort + vectorized diff/cumsum
     over ALL users in the salt group at once (no per-user loop)."""
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
     def add_salt(batch: pa.Table) -> pa.Table:
         u = batch.column("user_id").to_numpy(zero_copy_only=False)
-        return batch.append_column("u_salt", pa.array((u % 64).astype(np.int32)))
+        return batch.append_column("u_salt", pa.array((u % salt_k).astype(np.int32)))
 
     gap = np.timedelta64(gap_s, "s")
 
@@ -1106,12 +1109,13 @@ def w5_lag_lead(sf_dir: str):
     (``gap_us``, -1 for the user's first event) and the user's next
     event value (``next_value``, -1.0 for the last). No arithmetic on
     the carried value, so float equality with the oracle is exact."""
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
     def add_salt(batch: pa.Table) -> pa.Table:
         u = batch.column("user_id").to_numpy(zero_copy_only=False)
         return batch.append_column(
-            "u_salt", pa.array((u % 64).astype(np.int32)))
+            "u_salt", pa.array((u % salt_k).astype(np.int32)))
 
     def per_salt(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -1406,6 +1410,7 @@ def g13_user_value_drift(sf_dir: str):
     """Per user: event count and least-squares slope of value (in
     micro-units) over time (seconds). slope = 0.0 when degenerate
     (single event / all events in one second)."""
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
     t0 = ds.min("ts")
     t0_s = int(np.datetime64(t0, "us").astype(np.int64) // 1_000_000)
@@ -1418,7 +1423,7 @@ def g13_user_value_drift(sf_dir: str):
                           "n": np.int64(1), "sx": x, "sy": y,
                           "sxy": x * y, "sxx": x * x})
         out = g.groupby("user_id", as_index=False).sum()
-        out["u_salt"] = (out["user_id"] % 64).astype(np.int32)
+        out["u_salt"] = (out["user_id"] % salt_k).astype(np.int32)
         return out
 
     def slope_per_user(df: pd.DataFrame) -> pd.DataFrame:
@@ -1485,12 +1490,13 @@ def m11_json_extract(sf_dir: str):
 def w6_ntile(sf_dir: str, k: int = 4):
     """Per event: its user's NTILE(k) bucket ordered by
     (value desc, event_id)."""
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
     ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
 
     def add_salt(batch: pa.Table) -> pa.Table:
         u = batch.column("user_id").to_numpy(zero_copy_only=False)
         return batch.append_column(
-            "u_salt", pa.array((u % 64).astype(np.int32)))
+            "u_salt", pa.array((u % salt_k).astype(np.int32)))
 
     def per_salt(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -1532,13 +1538,14 @@ _ACT_BITS = {"click": 1, "purchase": 2, "error": 4}
 
 
 def _user_activity_masks(sf_dir: str):
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         m = df["event_type"].map(_ACT_BITS).fillna(0).astype(np.int64)
         g = pd.DataFrame({"user_id": df["user_id"], "mask": m}).groupby(
             "user_id", as_index=False)["mask"].agg(lambda s: int(np.bitwise_or.reduce(s)))
-        g["u_salt"] = (g["user_id"] % 64).astype(np.int32)
+        g["u_salt"] = (g["user_id"] % salt_k).astype(np.int32)
         return g.astype({"mask": "int64"})
 
     def or_per_user(df: pd.DataFrame) -> pd.DataFrame:
@@ -1571,6 +1578,7 @@ def s2_set_except(sf_dir: str):
     """(user, day) pairs with a click but no error that day (DISTINCT
     EXCEPT at user-day granularity — user-level EXCEPT is empty by
     construction at this event density, every user hits every type)."""
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -1580,7 +1588,7 @@ def s2_set_except(sf_dir: str):
                           "mask": m}).groupby(
             ["user_id", "day"], as_index=False)["mask"].agg(
             lambda s: int(np.bitwise_or.reduce(s)))
-        g["u_salt"] = (g["user_id"] % 64).astype(np.int32)
+        g["u_salt"] = (g["user_id"] % salt_k).astype(np.int32)
         return g.astype({"mask": "int64"})
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -1613,12 +1621,13 @@ def s2_set_except(sf_dir: str):
 def w7_rolling_mean(sf_dir: str, window: int = 5):
     """Per event: mean of the user's last `window` values (incl. the
     current row), ordered by (ts, event_id)."""
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
     def add_salt(batch: pa.Table) -> pa.Table:
         u = batch.column("user_id").to_numpy(zero_copy_only=False)
         return batch.append_column(
-            "u_salt", pa.array((u % 64).astype(np.int32)))
+            "u_salt", pa.array((u % salt_k).astype(np.int32)))
 
     def per_salt(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -1684,13 +1693,14 @@ def g14_group_median(sf_dir: str):
 
 def d5_latest_per_key(sf_dir: str):
     """Latest (event_id, ts, value) per (user_id, event_type)."""
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
     ds = _read(sf_dir, "events",
                ["event_id", "user_id", "event_type", "ts", "value"])
 
     def compact(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["ts", "event_id"])  # last row wins
         g = df.groupby(["user_id", "event_type"], as_index=False).last()
-        g["u_salt"] = (g["user_id"] % 64).astype(np.int32)
+        g["u_salt"] = (g["user_id"] % salt_k).astype(np.int32)
         return g
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -1790,6 +1800,7 @@ def w8_late_events(sf_dir: str, lateness_s: int = 3600,
 def j9_full_outer_join(sf_dir: str):
     """Per-user event rollup (user_id % 3 != 0) FULL OUTER customer
     (c_custkey < 10): key, n_events, sum_value, c_acctbal, side."""
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
     ev = _read(sf_dir, "events", ["user_id", "value"])
 
     def ev_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -1819,7 +1830,7 @@ def j9_full_outer_join(sf_dir: str):
 
     def add_salt(t: pa.Table) -> pa.Table:
         k = t.column("key").to_numpy(zero_copy_only=False)
-        return t.append_column("k_salt", pa.array(k % 64, pa.int64()))
+        return t.append_column("k_salt", pa.array(k % salt_k, pa.int64()))
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -1952,12 +1963,13 @@ def q6_forecast_revenue(sf_dir: str):
 def w9_percent_rank(sf_dir: str):
     """Per event: percent_rank() and cume_dist() within its user,
     ordered by value DESC (tie-invariant outputs)."""
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
     ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
 
     def add_salt(batch: pa.Table) -> pa.Table:
         u = batch.column("user_id").to_numpy(zero_copy_only=False)
         return batch.append_column(
-            "u_salt", pa.array((u % 64).astype(np.int32)))
+            "u_salt", pa.array((u % salt_k).astype(np.int32)))
 
     def per_salt(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -2010,12 +2022,13 @@ def w9_percent_rank(sf_dir: str):
 def w10_funnel(sf_dir: str, gap_s: int = 43_200):
     """Per (user, session): event count and whether a purchase
     followed a click strictly later in (ts, event_id) order."""
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
 
     def add_salt(batch: pa.Table) -> pa.Table:
         u = batch.column("user_id").to_numpy(zero_copy_only=False)
         return batch.append_column(
-            "u_salt", pa.array((u % 64).astype(np.int32)))
+            "u_salt", pa.array((u % salt_k).astype(np.int32)))
 
     gap = np.timedelta64(gap_s, "s")
 
@@ -2130,6 +2143,7 @@ def q18_big_orders(sf_dir: str, min_qty: int = 250, k: int = 20):
     aggregate (integer-exact — quantities are whole numbers); the
     HAVING filter shrinks the key set to the tail BEFORE the detail
     join, so the join moves only surviving int64 keys."""
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -2142,7 +2156,7 @@ def q18_big_orders(sf_dir: str, min_qty: int = 250, k: int = 20):
              # collapses (map_groups/aggregate pay per-key overhead —
              # CLAUDE lore); each orderkey lives wholly in one of <=64
              # salt groups, so in-group pandas sum+HAVING is exact
-             "salt": (ok % 64).astype(np.int32)})
+             "salt": (ok % salt_k).astype(np.int32)})
 
     def sum_having(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("l_orderkey", as_index=False)["sum_qty"].sum()
@@ -2197,11 +2211,12 @@ EWMA_BETA = 1.0 - EWMA_ALPHA
 def w11_ewma(sf_dir: str):
     """(event_id, user_id, value, ewma): per-user EWMA of ``value``
     over (ts, event_id) order."""
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
     def add_salt(batch: pa.Table) -> pa.Table:
         u = batch.column("user_id").to_numpy(zero_copy_only=False)
-        return batch.append_column("u_salt", pa.array((u % 64).astype(np.int32)))
+        return batch.append_column("u_salt", pa.array((u % salt_k).astype(np.int32)))
 
     a, b = np.float64(EWMA_ALPHA), np.float64(EWMA_BETA)
 
@@ -2402,6 +2417,8 @@ def q10_returned_revenue(sf_dir: str, date_lo: str = "1996-01-01",
         on=("l_orderkey",), right_on=("o_orderkey",))
 
     _SENT_REV = np.int64(-(2**62))  # sorts below any real micro-sum
+    salt_k = coarse_salt_k()  # pinned once: the k+salt_k limit below
+    # must match the per-group sentinel count exactly
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["o_custkey"] >= 0]  # drop join-survival sentinels
@@ -2411,7 +2428,7 @@ def q10_returned_revenue(sf_dir: str, date_lo: str = "1996-01-01",
         out = pd.DataFrame({"c_custkey": ck, "c_name": g["c_name"],
                             "n_key": g["c_nationkey"].to_numpy().astype(np.int64),
                             "rev_u": g["rev_u"].to_numpy().astype(np.int64),
-                            "salt": (ck % 64).astype(np.int32)})
+                            "salt": (ck % salt_k).astype(np.int32)})
         # partial sentinel: keeps the salted groupby input non-empty
         sent = pd.DataFrame({"c_custkey": np.array([-1], np.int64),
                              "c_name": [""],
@@ -2447,10 +2464,11 @@ def q10_returned_revenue(sf_dir: str, date_lo: str = "1996-01-01",
     out = (joined.map_batches(partial, batch_format="pandas")
            .groupby("salt").map_groups(per_salt, batch_format="pandas")
            .sort(["rev_u", "c_custkey"], descending=[True, False])
-           # sentinels sort strictly below every real row, so the k+64
-           # prefix is guaranteed to contain the full real top-k; the
-           # global limit(k) after the sentinel filter restores exact k
-           .limit(k + 64)
+           # sentinels sort strictly below every real row (one per salt
+           # group), so the k+salt_k prefix is guaranteed to contain
+           # the full real top-k; the global limit(k) after the
+           # sentinel filter restores exact k
+           .limit(k + salt_k)
            .map_batches(drop_sent, batch_format="pandas")
            .limit(k))
 

@@ -120,6 +120,7 @@ def io_partitioned_roundtrip(sf_dir: str, num_partitions: int = 16):
     The rollup equals the same aggregate over the original parquet,
     which is the SQL oracle."""
     import hashlib
+    import os
     import shutil
     import tempfile
 
@@ -127,7 +128,8 @@ def io_partitioned_roundtrip(sf_dir: str, num_partitions: int = 16):
     from ray.data.aggregate import Count, Max, Min, Sum
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
-    key = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    key = hashlib.blake2b(f"{sf_dir}|{os.getpid()}".encode(),
+                          digest_size=6).hexdigest()
     out = Path(tempfile.gettempdir()) / f"ccrawler_ray_part_{key}"
     if out.exists():
         shutil.rmtree(out)

@@ -59,6 +59,7 @@ def io_csv_roundtrip(sf_dir: str):
     full sink+source path; the rollup equals the same aggregate over
     the original parquet, which is the SQL oracle."""
     import hashlib
+    import os
     import shutil
     import tempfile
     from pathlib import Path
@@ -66,7 +67,10 @@ def io_csv_roundtrip(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min, Sum
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
-    key = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    # pid in the key: two concurrent sessions (bench + pytest) on the
+    # same fixture must not rmtree each other's scratch dir mid-read
+    key = hashlib.blake2b(f"{sf_dir}|{os.getpid()}".encode(),
+                          digest_size=6).hexdigest()
     out = Path(tempfile.gettempdir()) / f"ccrawler_ray_csv_{key}"
     if out.exists():
         shutil.rmtree(out)

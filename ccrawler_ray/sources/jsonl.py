@@ -48,6 +48,7 @@ def io_jsonl_roundtrip(sf_dir: str):
     rollup equals the same aggregate over the original parquet, which
     is the SQL oracle."""
     import hashlib
+    import os
     import shutil
     import tempfile
     from pathlib import Path
@@ -55,7 +56,8 @@ def io_jsonl_roundtrip(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
-    key = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    key = hashlib.blake2b(f"{sf_dir}|{os.getpid()}".encode(),
+                          digest_size=6).hexdigest()
     out = Path(tempfile.gettempdir()) / f"ccrawler_ray_jsonl_{key}"
     if out.exists():
         shutil.rmtree(out)
