@@ -47,14 +47,31 @@ def canon_path(canon: str) -> str:
 
 
 def robots_salt_batch(batch: pa.Table, robots: dict, hot_hosts: frozenset,
-                      salt_factor: int, per_host_budget: int) -> pa.Table:
-    """Drop robots-disallowed rows; append salt + limit columns."""
+                      salt_factor: int, per_host_budget: int,
+                      coarse_k: int = 64) -> pa.Table:
+    """Drop robots-disallowed rows; append salt + limit columns, plus
+    the two COARSE shuffle keys (VERDICT r2 #3 — live-host count is
+    web-scale-unbounded, so neither admission groupby may key on the
+    raw host):
+
+      * ``adm_g1`` = hash64(host) mixed with the hot-host salt, mod
+        coarse_k — stage-1 shuffle key; a hot host's salt slices still
+        spread over tasks, every other (host, salt) key stays whole;
+      * ``adm_g2`` = hash64(host) mod coarse_k — stage-2 shuffle key;
+        co-locates each host's stage-1 survivors.
+
+    ``coarse_k`` must be the SAME driver-pinned value for every batch
+    of a generation (rows of one key must agree on their group).
+    """
+    from ccrawler_ray.spec import hash64_batch
+
     hosts = batch.column("host").to_pylist()
     canons = batch.column("canon").to_pylist()
     hashes = batch.column("url_hash").to_numpy(zero_copy_only=False)
     keep: list[int] = []
     limits: list[int] = []
     salts: list[int] = []
+    kept_hosts: list[str] = []
     get = robots.get
     for i, (h, c) in enumerate(zip(hosts, canons)):
         delay, disallow = get(h, (0, ()))
@@ -63,9 +80,20 @@ def robots_salt_batch(batch: pa.Table, robots: dict, hot_hosts: frozenset,
         keep.append(i)
         limits.append(host_admission_limit(per_host_budget, delay))
         salts.append(int(hashes[i]) % salt_factor if h in hot_hosts else 0)
+        kept_hosts.append(h)
     sub = batch.take(pa.array(keep, type=pa.int64()))
+    salts_arr = np.array(salts, dtype=np.int64)
+    # hash only the distinct hosts of the batch (hot link graphs repeat)
+    uniq, inv = np.unique(np.array(kept_hosts, dtype=object), return_inverse=True)
+    hh = hash64_batch(list(uniq))[inv] if len(uniq) else np.empty(0, np.uint64)
+    mixed = hh ^ (salts_arr.astype(np.uint64) *
+                  np.uint64(0x9E3779B97F4A7C15))
     sub = sub.append_column("limit", pa.array(np.array(limits, dtype=np.int32)))
-    sub = sub.append_column("salt", pa.array(np.array(salts, dtype=np.int32)))
+    sub = sub.append_column("salt", pa.array(salts_arr.astype(np.int32)))
+    sub = sub.append_column(
+        "adm_g1", pa.array((mixed % np.uint64(coarse_k)).astype(np.int32)))
+    sub = sub.append_column(
+        "adm_g2", pa.array((hh % np.uint64(coarse_k)).astype(np.int32)))
     return sub
 
 
@@ -76,10 +104,30 @@ def rank_group(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def rank_groups_coarse(df: pd.DataFrame) -> pd.DataFrame:
+    """Stage 1 over ONE coarse group holding many real (host, salt)
+    keys: identical ranks to per-key :func:`rank_group` (stable sort +
+    per-key cumcount), but the shuffle fans out over ≤ coarse_k groups
+    instead of the unbounded live-host count."""
+    df = df.sort_values(["priority", "ord_key"], ascending=[False, True])
+    return df.assign(salted_rank=df.groupby(["host", "salt"], sort=False)
+                     .cumcount().astype(np.int32))
+
+
 def exact_admit_group(df: pd.DataFrame) -> pd.DataFrame:
     """Stage 2 (within host, stage-1 survivors): exact queue_pos + admit."""
     df = df.sort_values(["priority", "ord_key"], ascending=[False, True])
     df = df.assign(queue_pos=np.arange(len(df), dtype=np.int32))
+    df = df.assign(admit=df["queue_pos"].to_numpy() < df["limit"].to_numpy())
+    return df
+
+
+def exact_admit_groups_coarse(df: pd.DataFrame) -> pd.DataFrame:
+    """Stage 2 over ONE coarse group holding many real hosts — same
+    queue_pos/admit as per-host :func:`exact_admit_group`."""
+    df = df.sort_values(["priority", "ord_key"], ascending=[False, True])
+    df = df.assign(queue_pos=df.groupby("host", sort=False)
+                   .cumcount().astype(np.int32))
     df = df.assign(admit=df["queue_pos"].to_numpy() < df["limit"].to_numpy())
     return df
 

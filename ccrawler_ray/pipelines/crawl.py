@@ -48,9 +48,9 @@ from ccrawler_ray import storage
 from ccrawler_ray.config import CrawlConfig
 from ccrawler_ray.pipelines.admission import (
     admit_table_driver,
-    exact_admit_group,
+    exact_admit_groups_coarse,
     get_broadcast,
-    rank_group,
+    rank_groups_coarse,
     robots_salt_batch,
 )
 from ccrawler_ray.spec import (
@@ -455,17 +455,26 @@ class CrawlEngine:
         if hot:
             self._count(gen, "admission", "salted_hosts", len(hot))
 
+        # coarse shuffle fan-out: live-host cardinality is unbounded at
+        # web scale and Ray's groupby collapses at high key counts —
+        # both admission shuffles key on hash(host) % k (driver-pinned)
+        # and rank the REAL (host, salt) keys inside the group fn
+        from ccrawler_ray.scale import coarse_salt_k
+
+        adm_k = coarse_salt_k()
+
         def salt_fn(batch: pa.Table) -> pa.Table:
             robots = get_broadcast(robots_ref)
             return robots_salt_batch(
-                batch, robots, hot, cfg.salt_factor, cfg.per_host_budget_per_generation
+                batch, robots, hot, cfg.salt_factor,
+                cfg.per_host_budget_per_generation, coarse_k=adm_k
             )
 
         salted = frontier_ds.map_batches(
             salt_fn, batch_format="pyarrow", batch_size=cfg.batch_size
         )
-        ranked = salted.groupby(["host", "salt"]).map_groups(
-            rank_group, batch_format="pandas"
+        ranked = salted.groupby("adm_g1").map_groups(
+            rank_groups_coarse, batch_format="pandas"
         ).materialize()
 
         def cand_mask(batch: pa.Table) -> pa.Table:
@@ -478,8 +487,8 @@ class CrawlEngine:
 
         cand = ranked.map_batches(cand_mask, batch_format="pyarrow")
         defer1 = ranked.map_batches(defer1_mask, batch_format="pyarrow")
-        final = cand.groupby("host").map_groups(
-            exact_admit_group, batch_format="pandas"
+        final = cand.groupby("adm_g2").map_groups(
+            exact_admit_groups_coarse, batch_format="pandas"
         ).materialize()
 
         def admit_mask(batch: pa.Table) -> pa.Table:
