@@ -133,6 +133,39 @@ def _batch_signatures(texts, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return _batch_sig_wset(texts, a, b, want_wsets=False)[0]
 
 
+def _sigs_from_wset_bytes(wsets, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n, num_perm) uint64 signatures recomputed from sorted word-hash
+    set bytes — bitwise-identical to :func:`_batch_sig_wset` on the
+    originating texts (same perm params, same uint64 ops over the same
+    hash values). Lets the exact-mode LSH shuffle ship ONLY the wset:
+    the 512-byte signature ×bands copies are traded for a vectorized
+    in-group recompute over the (few) unique bucket reps."""
+    n = len(wsets)
+    num_perm = len(a)
+    out = np.full((n, num_perm), _MERSENNE, dtype=np.uint64)
+    lens = np.fromiter((len(w) >> 3 for w in wsets), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return out
+    h = np.frombuffer(b"".join(wsets), dtype=np.uint64)
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    nz = np.nonzero(lens)[0]
+    s = 0
+    while s < len(nz):
+        e = s + 1
+        tot = lens[nz[s]]
+        while e < len(nz) and tot + lens[nz[e]] <= CHUNK_WORDS:
+            tot += lens[nz[e]]
+            e += 1
+        docs = nz[s:e]
+        seg = h[offsets[docs[0]]: offsets[docs[-1] + 1]]
+        vals = (a[:, None] * seg[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+        starts = offsets[:-1][docs] - offsets[docs[0]]
+        out[docs] = np.minimum.reduceat(vals, starts, axis=1).T
+        s = e
+    return out
+
+
 def _sig_matrix(col) -> np.ndarray:
     """binary signature column (P uint64s little-endian per row) →
     (n, P) uint64 matrix. Binary (not list) because Acero's hash join
@@ -341,14 +374,20 @@ def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
     )
     key_col = "wset" if exact else "sig"
 
+    # exact mode ships ONLY the wset through the band shuffle: the
+    # signature is a pure function of the wset (same frozen perm
+    # params), so the group fn recomputes band hashes for its few
+    # unique bucket reps instead of shipping num_perm×8 bytes ×bands
+    # per doc (VERDICT r2 #5 — the kernel is DRAM-bandwidth-bound;
+    # bytes moved, not FLOPs, set wall time)
+    perm_a, perm_b = _minhash_params(num_perm)
+
     def to_bands(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         cols = {"doc_id": pa.array([], pa.int64()), "band": pa.array([], pa.int32()),
                 "band_hash": pa.array([], pa.uint64()),
-                "bh_salt": pa.array([], pa.int32()),
-                "sig": pa.array([], pa.binary())}
-        if exact:
-            cols["wset"] = pa.array([], pa.binary())
+                "bh_salt": pa.array([], pa.int32())}
+        cols["wset" if exact else "sig"] = pa.array([], pa.binary())
         if n == 0:
             return pa.table(cols)
         bh = _band_hashes(_sig_matrix(batch.column("signature")), bands)
@@ -360,10 +399,11 @@ def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
             "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
             "band_hash": pa.array(flat, pa.uint64()),
             "bh_salt": pa.array((flat % np.uint64(band_salt_k)).astype(np.int32)),
-            "sig": batch.column("signature").take(rep_idx),
         }
         if exact:
             cols["wset"] = batch.column("wset").take(rep_idx)
+        else:
+            cols["sig"] = batch.column("signature").take(rep_idx)
         return pa.table(cols)
 
     band_rows = sigs.map_batches(to_bands, batch_format="pyarrow")
@@ -410,7 +450,6 @@ def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
         bh_arr = gdf["band_hash"].to_numpy()
         doc_all = gdf["doc_id"].to_numpy().astype(np.int64, copy=False)
         key_all = gdf[key_col].to_numpy()
-        sig_all = gdf["sig"].to_numpy() if exact else None
         order0 = np.argsort(bh_arr, kind="stable")
         bh_sorted = bh_arr[order0]
         b_starts = np.flatnonzero(np.r_[True, bh_sorted[1:] != bh_sorted[:-1]])
@@ -460,9 +499,10 @@ def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
             if u < 2:
                 continue
             if exact:
-                first_pos = order[offs[:-1]]
-                sig_bytes = sig_all[sl][first_pos]
-                sm = np.frombuffer(b"".join(sig_bytes), np.uint64).reshape(u, num_perm)
+                # recompute rep signatures from the wsets riding the
+                # rows — bitwise-equal to the shipped ones by
+                # construction (_sigs_from_wset_bytes)
+                sm = _sigs_from_wset_bytes(list(uniq), perm_a, perm_b)
             else:
                 sm = np.frombuffer(b"".join(uniq), np.uint64).reshape(u, num_perm)
             bhm = _band_hashes(sm, bands)                  # (u, bands)
@@ -637,13 +677,34 @@ def dedup_containment_stats(sf_dir: str, num_perm: int = 64,
             .map_groups(finish, batch_format="pandas"))
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
+# ngram_jaccard_pairs is the small-scale GROUND-TRUTH oracle: O(n²) by
+# contract, it must never run on a production corpus. The cap fails
+# loudly instead of silently melting the driver.
+NGRAM_JACCARD_MAX_DOCS = 20_000
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
+                        max_docs: int = NGRAM_JACCARD_MAX_DOCS):
     """EXACT word-set Jaccard pairs >= threshold — the all-pairs
     ground-truth oracle the LSH pipelines approximate. Small-scale
     only by construction (O(n²)); the production path is
     :func:`dedup_lsh_verified`. Broadcasts the distinct-word sets and
     compares each batch against the full table (doc_a < doc_b).
+
+    Hard-capped at ``max_docs`` documents (row count read from parquet
+    metadata, no data pass): beyond that the exact all-pairs contract
+    is a driver OOM, so the call raises and points at the sub-quadratic
+    production twin instead of attempting it.
     """
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    if n_docs > max_docs:
+        raise ValueError(
+            f"ngram_jaccard_pairs is the O(n²) ground-truth oracle and is "
+            f"capped at {max_docs} documents ({n_docs} requested); use "
+            f"dedup_lsh_verified (exact Jaccard on LSH candidates) for "
+            f"production-scale corpora")
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     all_docs = ds.to_pandas()
     sets = {r.doc_id: frozenset(r.text.split()) for r in all_docs.itertuples()}

@@ -284,67 +284,94 @@ def corpus_prep_stats(sf_dir: str, min_tokens: int = 20,
     Returns the surviving mix per language: (lang, n_docs, sum_tokens).
 
     Scale shape: each leg is its own streaming pipeline reduced to a
-    narrow int64 doc_id(+small) table; legs meet in hash joins (no
-    broadcast of any O(docs) side); the final rollup groups by the
-    tiny lang key. The clustering leg reuses the memoized artifact.
+    narrow (doc_id, leg_bit) table; the five legs UNION into ONE
+    streaming execution (they run concurrently under the executor) and
+    meet in ONE coarse-salted groupby — ids whose leg bits sum to
+    ALL_LEGS survive — instead of a chain of five hash joins (each
+    join spins its own aggregator pool; measured ~2 s fixed cost per
+    join at suite scale). Per-batch sentinel rows keep every leg's
+    output blocks non-empty (Ray map operators drop the schema of
+    zero-row blocks). The only remaining join attaches lang from the
+    documents table; the final rollup groups by the tiny lang key.
+    The clustering leg reuses the memoized artifact.
     """
     from ccrawler_ray.functions.dedup import (decontaminate_overlap,
                                               dedup_ngram_spans)
     from ccrawler_ray.functions.text import model_score_docs, quality_score
+
+    from ccrawler_ray.scale import coarse_salt_k
+
+    salt_k = coarse_salt_k()
+    ALL_LEGS = 1 + 2 + 4 + 8 + 16
+
+    def leg_rows(ids: np.ndarray, bit: int,
+                 n_tokens: np.ndarray | None = None) -> pa.Table:
+        """(doc_id, bit, n_tokens, d_salt) rows + one doc_id=-1
+        sentinel so no output block is ever zero-row/schema-less."""
+        ids = np.concatenate([ids.astype(np.int64), [-1]])
+        toks = (np.concatenate([n_tokens.astype(np.int64), [0]])
+                if n_tokens is not None else np.zeros(len(ids), np.int64))
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "bit": pa.array(np.full(len(ids), bit, np.int64)),
+            "n_tokens": pa.array(toks),
+            "d_salt": pa.array((ids % salt_k).astype(np.int32)),
+        })
 
     def qf(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         m = pc.and_(pc.greater_equal(t.column("n_tokens"), min_tokens),
                     pc.less_equal(t.column("upper_ratio"), max_upper))
-        return t.filter(m).select(["doc_id", "n_tokens"])
+        t = t.filter(m)
+        return leg_rows(t.column("doc_id").to_numpy(zero_copy_only=False), 1,
+                        t.column("n_tokens").to_numpy(zero_copy_only=False))
 
     def sf(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return t.filter(pc.less_equal(t.column("dup_ratio"), max_dup)
-                        ).select(["doc_id"])
+        t = t.filter(pc.less_equal(t.column("dup_ratio"), max_dup))
+        return leg_rows(t.column("doc_id").to_numpy(zero_copy_only=False), 2)
 
     def mf(t: pa.Table) -> pa.Table:
-        return t.filter(t.column("keep")).select(["doc_id"])
+        t = t.filter(t.column("keep"))
+        return leg_rows(t.column("doc_id").to_numpy(zero_copy_only=False), 4)
 
     def cf(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return t.filter(pc.invert(t.column("contaminated"))
-                        ).select(["doc_id"])
+        t = t.filter(pc.invert(t.column("contaminated")))
+        return leg_rows(t.column("doc_id").to_numpy(zero_copy_only=False), 8)
+
+    def kf(t: pa.Table) -> pa.Table:
+        return leg_rows(t.column("doc_id").to_numpy(zero_copy_only=False), 16)
 
     q = quality_score(sf_dir).map_batches(qf, batch_format="pyarrow")
     s = dedup_ngram_spans(sf_dir).map_batches(sf, batch_format="pyarrow")
     m = model_score_docs(sf_dir).map_batches(mf, batch_format="pyarrow")
     c = decontaminate_overlap(sf_dir, bench_mod=bench_mod).map_batches(
         cf, batch_format="pyarrow")
-    k = _keep_ids(sf_dir, threshold)
+    k = _keep_ids(sf_dir, threshold).map_batches(kf, batch_format="pyarrow")
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
 
-    # scrub schema-less zero-row blocks from every leg before the join
-    # chain (tiny inputs: Ray map operators drop empty-output schemas,
-    # and the hash join raises when EITHER side is empty — typed or
-    # not). Legs are narrow int64 id lists — materializing them is the
-    # keep-list pattern, not a wide materialization; the count() guard
-    # is metadata on the already-materialized table.
-    from ccrawler_ray.functions.dedup import nonempty_blocks
-
-    ids_schema = pa.schema([("doc_id", pa.int64())])
     out_schema = pa.schema([("lang", pa.string()), ("n_docs", pa.int64()),
                             ("sum_tokens", pa.int64())])
-    kept = nonempty_blocks(
-        q.materialize(),
-        pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64())]))
-    for leg in (s, m, c, k):
-        if kept.count() == 0:
-            return ray.data.from_arrow(out_schema.empty_table())
-        leg = nonempty_blocks(leg.materialize(), ids_schema)
-        if leg.count() == 0:
-            return ray.data.from_arrow(out_schema.empty_table())
-        kept = kept.join(leg, join_type="inner", num_partitions=8,
-                         on=("doc_id",)).materialize()
+
+    def intersect(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False).agg(
+            bits=("bit", "sum"), n_tokens=("n_tokens", "max"))
+        g = g[(g["bits"] == ALL_LEGS) & (g["doc_id"] >= 0)]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype(np.int64),
+            "n_tokens": g["n_tokens"].astype(np.int64)})
+
+    kept = (q.union(s, m, c, k)
+            .groupby("d_salt")
+            .map_groups(intersect, batch_format="pandas")
+            .materialize())
+    # the lang join raises on an empty side — cheap metadata guard on
+    # the already-materialized (narrow) intersection
     if kept.count() == 0:
         return ray.data.from_arrow(out_schema.empty_table())
     kept = kept.join(docs, join_type="inner", num_partitions=8,

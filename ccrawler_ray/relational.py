@@ -31,7 +31,9 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from ccrawler_ray.scale import sized_read
+
+    return sized_read(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 MICRO = 1_000_000
@@ -475,7 +477,21 @@ def q3_shipping_priority(sf_dir: str, k: int = 10):
         return df.groupby("l_orderkey", as_index=False).agg(revenue=("rev_u", "sum"))
 
     partials = li.map_batches(partial, batch_format="pandas")
-    agg = partials.groupby("l_orderkey").aggregate(Sum("revenue", alias_name="revenue"))
+    # salted final sum: Ray's Aggregate costs ~1.4 ms per distinct key
+    # (measured) — at |orders| cardinality that dwarfs the data; the
+    # coarse-salted in-group pandas sum is O(rows)
+    salt_k = coarse_salt_k()
+
+    def add_salt(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(o_salt=(df["l_orderkey"] % salt_k).astype(np.int32))
+
+    def sum_group(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", as_index=False)["revenue"].sum()
+        return pd.DataFrame({"l_orderkey": g["l_orderkey"].astype(np.int64),
+                             "revenue": g["revenue"].astype(np.int64)})
+
+    agg = (partials.map_batches(add_salt, batch_format="pandas")
+           .groupby("o_salt").map_groups(sum_group, batch_format="pandas"))
     agg = _from_micro(agg, ["revenue"])
     top = agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(k)
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 
 import ray
+import ray.data
 
 CAP = 4096  # stays well inside the measured groupby-safe group count
 
@@ -52,3 +53,28 @@ def coarse_salt_k(floor: int = 64, per_cpu: int = 2) -> int:
             k <<= 1
         _PROBE = k
     return max(floor, min(_PROBE, CAP))
+
+
+def sized_read(path: str, columns=None, rows_per_block: int = 4096):
+    """``read_parquet`` with a block count derived from the file's row
+    count (parquet metadata — no data pass) instead of Ray's default
+    CPU-based split. The default split shatters a small table into
+    ~2×CPU tiny blocks, and every downstream shuffle/aggregate pays a
+    measured ~10–30 ms fixed cost PER BLOCK — on the suite's fixtures
+    that overhead dwarfs the data. Maps are unaffected: ``map_batches``
+    bundles blocks up to ``batch_size`` anyway, so task parallelism for
+    CPU-heavy kernels comes from rows, not block count. At cluster
+    scale the cap keeps ≥4 blocks per CPU available for big tables."""
+    import pyarrow.parquet as _pq
+
+    rows = _pq.ParquetFile(path).metadata.num_rows
+    cpus = 0
+    try:
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        cpus = 0
+    cap = max(4 * max(cpus, 8), 32)
+    blocks = max(1, min(-(-rows // max(rows_per_block, 1)), cap))
+    return ray.data.read_parquet(path, columns=columns,
+                                 override_num_blocks=blocks)
