@@ -67,6 +67,57 @@ def _crawl_docs_out(sf_dir: str):
         eng.shutdown()
 
 
+# Cheapest-first execution order (measured per-query seconds at
+# sf0.01 / 32 CPUs, 2026-08-18): the driver's CORRECTNESS budget walks
+# queries() in dict order, so cheap entries run first and a budget cut
+# truncates the fewest checks (VERDICT r2 #1). Times include the
+# session-memo warm-up effects of this order (the first entry of each
+# memo family pays its build). Names absent from the list (future
+# additions before the next re-measure) sort last, alphabetically.
+_QUERY_ORDER = (
+    "dedup_ngram_spans", "decontaminate_overlap", "m10_normalize_text",
+    "m9_content_hash", "scalar_string_ops", "o3_sample_hash",
+    "o8_hash_split", "explode_embeddings", "spans_rollup", "o3_sample",
+    "d1_exact_dedup", "doc_fingerprint", "char_entropy", "token_count_bpe",
+    "o2_global_topk", "d3_content_dedup", "g14_group_median",
+    "g17_string_agg", "quality_score", "media_byte_stats",
+    "g5_hll_distinct", "g11_countmin_est", "o4_stratified_sample",
+    "repetition_stats", "o6_weighted_sample", "search_bm25",
+    "j2_anti_join", "pii_scrub", "media_dedup_exact", "o1_global_sort",
+    "g18_unpivot", "o7_wordcount_topk", "g4_distinct_counts",
+    "q6_forecast_revenue", "g8_grouped_quantiles", "g1_rank_topk_per_key",
+    "w2_sessionize", "g16_heavy_hitters", "w9_percent_rank", "w6_ntile",
+    "w7_rolling_mean", "w5_lag_lead", "ann_topk_cosine", "ann_ivf_topk",
+    "w1_running_sum", "w11_ewma", "g10_pivot", "ann_lsh_topk",
+    "j3_semi_join", "token_count", "g13_user_value_drift", "j6_range_join",
+    "quality_filtered_docs", "s2_set_except", "ngram_jaccard_pairs",
+    "j1_broadcast_join", "o5_exact_quantiles", "w3_tumbling_window",
+    "d5_latest_per_key", "w4_sliding_window", "g3_metrics_rollup",
+    "s1_set_intersect", "mix_interleave", "w10_funnel", "g15_corr",
+    "j5_asof_join", "tfidf_topk", "link_pagerank", "q1_pricing_summary",
+    "dedup_semantic", "j7_bloom_semi_join", "media_pipeline",
+    "j9_full_outer_join", "w8_late_events", "m11_json_extract",
+    "ann_pq_topk", "model_score_docs", "io_jsonl_roundtrip",
+    "g7_quantile_hist", "ann_ivf_pq", "ann_filtered_topk",
+    "q3_shipping_priority", "dedup_embedding_cosine", "decode_media_meta",
+    "o10_pack_sequences", "dedup_embedding_lsh", "media_dedup_near",
+    "dedup_simhash", "lang_id", "m2_filter_validate", "io_csv_roundtrip",
+    "dedup_filtered_docs", "link_triangles", "lm_perplexity",
+    "dedup_minhash_lsh", "j4_multi_join", "j8_salted_skew_join",
+    "g9_rollup", "dedup_incremental", "dedup_lsh_verified",
+    "training_mix_stats", "ann_recall_report", "q18_big_orders",
+    "g12_embedding_centroids", "dedup_containment_stats",
+    "q10_returned_revenue", "q5_local_supplier_volume",
+    "io_partitioned_roundtrip", "dedup_clusters", "corpus_prep_stats",
+    "crawl_docs_out",
+)
+
+
+def _cost_ordered(d: dict) -> dict:
+    rank = {n: i for i, n in enumerate(_QUERY_ORDER)}
+    return {k: d[k] for k in sorted(d, key=lambda n: (rank.get(n, len(rank)), n))}
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ccrawler_ray import relational as R
     from ccrawler_ray.functions import dedup as D
@@ -81,7 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ccrawler_ray.sources import csvio as CSV
     from ccrawler_ray.sources import jsonl as JL
 
-    return {
+    return _cost_ordered({
         # --- per-record maps / filters / scalar fns (M-rows)
         "m2_filter_validate": R.m2_filter_validate,
         "m9_content_hash": R.m9_content_hash,
@@ -217,7 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spans_rollup": SP.spans_rollup,
         # --- the crawl itself
         "crawl_docs_out": _crawl_docs_out,
-    }
+    })
 
 
 def _USUM(expr: str) -> str:

@@ -33,6 +33,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ccrawler_ray.scale import read_docs, read_embeddings
+
 from ccrawler_ray.spec import as_single_array
 from ccrawler_ray.scale import coarse_salt_k
 
@@ -183,41 +185,24 @@ def _sig_matrix(col) -> np.ndarray:
 # consumer from the same artifact — mirroring mix.py's keep-list
 # cache one level down. Keys carry every parameter; entries hold
 # object-store refs only (no worker-heap state, so this composes
-# with crawl.release_worker_caches()).
-_DS_MEMO: dict = {}
-_MEMO_JOB: list = [None]  # Ray job id the memo belongs to
-
-
-def _memo_guard() -> None:
-    """Invalidate the memo when the Ray session changed (object refs
-    die with their session)."""
-    try:
-        jid = ray.get_runtime_context().get_job_id()
-    except Exception:  # pragma: no cover - uninitialized ray
-        jid = None
-    if jid != _MEMO_JOB[0]:
-        _DS_MEMO.clear()
-        _MEMO_JOB[0] = jid
-
-
-def _memo(key: tuple, builder):
-    _memo_guard()
-    ds = _DS_MEMO.get(key)
-    if ds is None:
-        ds = builder().materialize()
-        _DS_MEMO[key] = ds
-    return ds
+# with crawl.release_worker_caches()). The machinery lives in
+# ccrawler_ray.memo (shared with the text-leg and ANN-training memos).
+from ccrawler_ray.memo import DS_MEMO as _DS_MEMO  # noqa: E402
+from ccrawler_ray.memo import guard as _memo_guard  # noqa: E402
+from ccrawler_ray.memo import memo_ds as _memo  # noqa: E402
 
 
 def release_memos() -> None:
     """Drop memoized signature/cluster datasets (frees object store)."""
-    _DS_MEMO.clear()
+    from ccrawler_ray import memo
+
+    memo.release()
 
 
 def minhash_signatures(sf_dir: str, num_perm: int = 64):
     """doc_id → minhash signature (binary: num_perm uint64s LE)."""
     a, b = _minhash_params(num_perm)
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, ["doc_id", "text"])
 
     def f(batch: pa.Table) -> pa.Table:
         sigs = _batch_signatures(batch.column("text").to_pylist(), a, b)
@@ -233,7 +218,7 @@ def minhash_sig_wset(sf_dir: str, num_perm: int = 64):
     both as binary (Acero/shuffle-friendly). Input to the exact-verify
     LSH pipeline."""
     a, b = _minhash_params(num_perm)
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, ["doc_id", "text"])
 
     def f(batch: pa.Table) -> pa.Table:
         sigs, wsets = _batch_sig_wset(
@@ -705,7 +690,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
             f"capped at {max_docs} documents ({n_docs} requested); use "
             f"dedup_lsh_verified (exact Jaccard on LSH candidates) for "
             f"production-scale corpora")
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, ["doc_id", "text"])
     all_docs = ds.to_pandas()
     sets = {r.doc_id: frozenset(r.text.split()) for r in all_docs.itertuples()}
     sets_ref = ray.put(sets)
@@ -772,7 +757,7 @@ def _batch_simhash(texts) -> np.ndarray:
 
 def simhash_signatures(sf_dir: str):
     """64-bit SimHash per doc over distinct-word hashes."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, ["doc_id", "text"])
 
     def f(batch: pa.Table) -> pa.Table:
         sh = _batch_simhash(batch.column("text").to_pylist())
@@ -921,8 +906,7 @@ def dedup_embedding_cosine(sf_dir: str, threshold: float = 0.9):
     was a driver OOM at scale). O(n²) compute is inherent to the exact
     contract; the sub-quadratic path is IVF/LSH (functions.similarity).
     """
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    ds = read_embeddings(sf_dir, ["vec_id", "embedding"])
     dim = _embedding_dim(ds)
     if dim is None:
         return _empty_pairs(("vec_a", "vec_b", "cos"))
@@ -1055,8 +1039,7 @@ def _dedup_clusters_impl(sf_dir: str, num_perm: int, bands: int,
         sigs, bands, num_perm, threshold=threshold, exact=True, cc_edges=True
     ).materialize()
     if pairs.count() <= cc_driver_threshold:
-        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                     columns=["doc_id"])
+        docs = read_docs(sf_dir, ["doc_id"])
         edge_tbls = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
         if not edge_tbls:
             # no near-dup pairs at all: every doc is its own rep (the
@@ -1126,7 +1109,7 @@ def _dedup_clusters_impl(sf_dir: str, num_perm: int, bands: int,
         )
         msgs = own.union(via_a, via_b)
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    docs = read_docs(sf_dir, ["doc_id"])
     reps = lab.map_batches(
         lambda t: t.rename_columns(["doc_id", "cluster_rep"]), batch_format="pyarrow"
     )
@@ -1176,8 +1159,7 @@ def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.4,
     Partitioning: one (table, bucket) fits a worker; buckets are
     salted into <=16 coarse shuffle groups per table."""
     band_salt_k = coarse_salt_k(16)  # pinned on the driver: every row must agree
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    ds = read_embeddings(sf_dir, ["vec_id", "embedding"])
     dim = _embedding_dim(ds)
     if dim is None:
         return _empty_pairs(("vec_a", "vec_b", "cos"))
@@ -1288,9 +1270,16 @@ def dedup_ngram_spans(sf_dir: str, n: int = 5, min_docs: int = 2):
     partial sums; a second tiny salted groupby folds partials per doc.
     Nothing unbounded touches the driver; no O(n^2) anywhere.
     """
+    # several consumers (quality_filtered_docs, corpus_prep_stats, the
+    # query entry itself) need this narrow per-doc table — compute once
+    # per session (ccrawler_ray.memo)
+    return _memo(("ngram_spans", sf_dir, n, min_docs),
+                 lambda: _dedup_ngram_spans(sf_dir, n, min_docs))
+
+
+def _dedup_ngram_spans(sf_dir: str, n: int, min_docs: int):
     salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, ["doc_id", "text"])
     pows = _roll_powers(n)
 
     empty_rows = pa.table(
@@ -1402,7 +1391,13 @@ def decontaminate_overlap(sf_dir: str, n: int = 5, min_overlap: int = 2,
     is a single map_batches with NO shuffle at all. Returns
     (doc_id, n_windows, n_overlap, contaminated) for non-eval docs.
     """
+    return _memo(("decontaminate", sf_dir, n, min_overlap, bench_mod),
+                 lambda: _decontaminate_overlap(sf_dir, n, min_overlap,
+                                                bench_mod))
 
+
+def _decontaminate_overlap(sf_dir: str, n: int, min_overlap: int,
+                           bench_mod: int):
     pows = _roll_powers(n)
 
     def _window_hash_list(texts: list) -> list:
@@ -1427,8 +1422,7 @@ def decontaminate_overlap(sf_dir: str, n: int = 5, min_overlap: int = 2,
         return batch.filter(pa.array(d % bench_mod == 0))
 
     bench_rows = (
-        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                              columns=["doc_id", "text"])
+        read_docs(sf_dir, ["doc_id", "text"])
         .map_batches(only_bench, batch_format="pyarrow")
         .take_all()
     )
@@ -1438,8 +1432,7 @@ def decontaminate_overlap(sf_dir: str, n: int = 5, min_overlap: int = 2,
     ))
     bench_ref = ray.put(bench_hashes)
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, ["doc_id", "text"])
 
     def scan(batch: pa.Table) -> pa.Table:
         dids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -1488,8 +1481,7 @@ def dedup_semantic(sf_dir: str, n_clusters: int = 16,
 
     cents = kmeans_centroids(sf_dir, k=n_clusters)
     c_ref = ray.put(cents)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    ds = read_embeddings(sf_dir, ["vec_id", "embedding"])
     dim = _embedding_dim(ds)
 
     def assign(batch: pa.Table) -> pa.Table:

@@ -34,6 +34,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
+from ccrawler_ray.scale import read_docs
+
 _U = 10**12          # rank mass scale (micro-micro units)
 _DAMP_NUM = 85       # damping 0.85 as an exact rational 85/100
 _DAMP_DEN = 100
@@ -51,8 +53,7 @@ def pagerank_edges(sf_dir: str):
     """Deterministic preferential-attachment edge Dataset
     ``(src, dst, outdeg)`` over the documents table (doc_id column
     only — column-pruned read). Node 0 emits no edges."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = read_docs(sf_dir, ["doc_id"])
 
     def edges(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -85,8 +86,7 @@ def link_pagerank(sf_dir: str, iters: int = 10, k_top: int = 100
     by rank_u desc, doc_id asc — rank_u is the exact int64 mass,
     rank = rank_u / 1e12 for readability.
     """
-    n = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+    n = read_docs(sf_dir, ["doc_id"]).count()
     edges = pagerank_edges(sf_dir).materialize()
 
     r = np.full(n, _U // n, dtype=np.int64)
@@ -177,8 +177,7 @@ def link_triangles(sf_dir: str, k_top: int = 100):
                          "lo": pa.array(np.concatenate(lo_l)),
                          "hi": pa.array(np.concatenate(hi_l))})
 
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    docs = read_docs(sf_dir, ["doc_id"])
     wedge_ds = docs.map_batches(wedges, batch_format="pyarrow")
     # scrub schema-less zero-row blocks before the hash join (tiny
     # inputs — see dedup.nonempty_blocks); both sides are narrow int64

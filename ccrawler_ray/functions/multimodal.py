@@ -21,6 +21,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from ccrawler_ray.scale import read_docs
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("doc_id", pa.int64()),
@@ -34,7 +36,7 @@ MEDIA_SCHEMA = pa.schema(
 def synth_media(sf_dir: str):
     """Deterministic binary payloads derived from the documents table
     (stands in for real image/audio bytes; byte-stable)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
         texts = t.column("text").to_pylist()

@@ -18,6 +18,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ccrawler_ray.scale import read_embeddings
+
 _EMPTY_SCORES = {
     "query_id": pd.Series(dtype="int64"),
     "vec_id": pd.Series(dtype="int64"),
@@ -99,9 +101,7 @@ def ann_topk_cosine(sf_dir: str, num_queries: int = 5, k: int = 5):
     qids, qm = _query_matrix(sf_dir, num_queries)
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     q_ref = ray.put((qids, None, qn))
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    ds = read_embeddings(sf_dir, ["vec_id", "embedding"])
     return _brute_topk(ds, q_ref, k)
 
 
@@ -183,10 +183,17 @@ def kmeans_centroids(sf_dir: str, k: int = 16, iters: int = 5, seed: int = 42):
     """Deterministic Lloyd's k-means over the embedding column,
     expressed scale-correctly: per-iteration assignment + partial
     (count, quantized int64 sum) per cluster inside map_batches, merged
-    driver-side (centroids are tiny; vectors are never gathered)."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).materialize()
+    driver-side (centroids are tiny; vectors are never gathered).
+    Trained once per (params, session) — ann_ivf_topk, ann_ivf_pq and
+    ann_recall_report all share the quantizer (ccrawler_ray.memo)."""
+    from ccrawler_ray.memo import memo_val
+
+    return memo_val(("kmeans_cents", sf_dir, k, iters, seed),
+                    lambda: _kmeans_centroids(sf_dir, k, iters, seed))
+
+
+def _kmeans_centroids(sf_dir: str, k: int, iters: int, seed: int):
+    ds = read_embeddings(sf_dir, ["vec_id", "embedding"]).materialize()
     # deterministic init: the k vectors with smallest vec_id — a
     # distributed sort+limit moves k rows, never the whole table
     init = ds.sort("vec_id").limit(k).to_pandas()
@@ -237,9 +244,7 @@ def ann_ivf_topk(sf_dir: str, num_queries: int = 5, k: int = 5,
     qd = ((cents[None, :, :] - qm[:, None, :]) ** 2).sum(axis=2)
     probes = np.argsort(qd, axis=1)[:, :n_probe]           # (nq, n_probe)
     q_ref = ray.put((qids, qnorm, cents, probes))
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    ds = read_embeddings(sf_dir, ["vec_id", "embedding"])
 
     def search(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -280,9 +285,7 @@ def ann_lsh_topk(sf_dir: str, num_queries: int = 5, k: int = 5,
     planes = rng.standard_normal((num_tables, num_planes, dim))
     qnorm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     q_ref = ray.put((qids, qnorm, planes))
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    ds = read_embeddings(sf_dir, ["vec_id", "embedding"])
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -397,10 +400,13 @@ def ann_pq_topk(sf_dir: str, num_queries: int = 5, k: int = 5,
     qids, qm = _query_matrix(sf_dir, num_queries)
     dim = qm.shape[1]
     sub = dim // PQ_SUBS
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).materialize()
-    cents = _pq_codebooks(ds, dim, iters=iters, train_mod=train_mod)
+    ds = read_embeddings(sf_dir, ["vec_id", "embedding"]).materialize()
+    from ccrawler_ray.memo import memo_val
+
+    # train once per (params, session) — ann_recall_report reuses
+    cents = memo_val(("pq_books", sf_dir, iters, train_mod),
+                     lambda: _pq_codebooks(ds, dim, iters=iters,
+                                           train_mod=train_mod))
     c_ref = ray.put(cents)
 
     def encode(df: pd.DataFrame) -> pd.DataFrame:
@@ -487,9 +493,7 @@ def ann_ivf_pq(sf_dir: str, num_queries: int = 5, k: int = 5,
     sub = dim // PQ_SUBS
     cents = kmeans_centroids(sf_dir, k=n_clusters)
     c_ref = ray.put(cents)
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    ds = read_embeddings(sf_dir, ["vec_id", "embedding"])
 
     def to_residual(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -505,9 +509,16 @@ def ann_ivf_pq(sf_dir: str, num_queries: int = 5, k: int = 5,
                              "cluster": a.astype(np.int64),
                              "embedding": list(r)})
 
-    res = ds.map_batches(to_residual, batch_format="pandas").materialize()
-    pq_cents = _pq_codebooks(res, dim, iters=iters,  # trained on residuals
-                             train_mod=train_mod)
+    from ccrawler_ray.memo import memo_ds, memo_val
+
+    res = memo_ds(("ivfpq_res", sf_dir, n_clusters),
+                  lambda: ds.map_batches(to_residual, batch_format="pandas"))
+
+    # residual-PQ training once per (params, session); the key carries
+    # the coarse-quantizer params because the residuals depend on them
+    pq_cents = memo_val(
+        ("ivfpq_books", sf_dir, n_clusters, iters, train_mod),
+        lambda: _pq_codebooks(res, dim, iters=iters, train_mod=train_mod))
     p_ref = ray.put(pq_cents)
 
     def encode(df: pd.DataFrame) -> pd.DataFrame:

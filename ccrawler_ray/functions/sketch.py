@@ -17,6 +17,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from ccrawler_ray.scale import read_docs, sized_read
+
 from ccrawler_ray.spec import hash64_batch
 
 HLL_P = 12                      # 2^12 = 4096 registers, ~1.6% std err
@@ -73,8 +75,7 @@ def g5_hll_distinct(sf_dir: str):
     """Approximate distinct users per event_type via HyperLogLog —
     the shuffle-free scale path beside exact ``g4_distinct_counts``:
     only 4 KiB of registers per (block, type) moves, never user ids."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_type", "user_id"])
+    ds = sized_read(f"{sf_dir}/events.parquet", ["event_type", "user_id"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -110,8 +111,7 @@ def g7_quantile_hist(sf_dir: str):
     bins, per-block bincounts merge by addition (order-independent),
     and the quantile is the upper edge of the first bin whose
     cumulative count reaches q*n. Error <= one bin width (tested)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                               columns=["o_totalprice"])
+    ds = sized_read(f"{sf_dir}/orders.parquet", ["o_totalprice"])
     lohi = ds.aggregate(ray.data.aggregate.Min("o_totalprice"),
                         ray.data.aggregate.Max("o_totalprice"))
     lo, hi = float(lohi["min(o_totalprice)"]), float(lohi["max(o_totalprice)"])
@@ -147,8 +147,7 @@ def g8_grouped_quantiles(sf_dir: str):
     histograms — the grouped form of g7: one exact min/max pass sizes
     shared bins, per-block (group, bincount) partials merge by
     addition, one small reduce answers every group's quantiles."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_type", "value"])
+    ds = sized_read(f"{sf_dir}/events.parquet", ["event_type", "value"])
     lohi = ds.aggregate(ray.data.aggregate.Min("value"),
                         ray.data.aggregate.Max("value"))
     lo, hi = float(lohi["min(value)"]), float(lohi["max(value)"])
@@ -214,8 +213,7 @@ def g11_countmin_est(sf_dir: str):
     merged count-min sketch over all document terms."""
     from ccrawler_ray.functions.dedup import word_hashes
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["text"])
+    ds = read_docs(sf_dir, ["text"])
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         flat = [w for t in batch.column("text").to_pylist()
@@ -270,8 +268,7 @@ def g16_heavy_hitters(sf_dir: str, k: int = HH_K):
     """
     import ray
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["text"])
+    ds = read_docs(sf_dir, ["text"])
 
     def local_heavy(batch: pa.Table) -> pa.Table:
         flat = [w for t in batch.column("text").to_pylist()
@@ -283,8 +280,11 @@ def g16_heavy_hitters(sf_dir: str, k: int = HH_K):
         keep = cnt * k > len(flat)
         return pa.table({"term": pa.array(uniq[keep], pa.string())})
 
-    cand = np.unique(ds.map_batches(local_heavy, batch_format="pyarrow")
-                     .to_pandas()["term"].to_numpy())  # < k per block
+    cand_df = ds.map_batches(local_heavy, batch_format="pyarrow").to_pandas()
+    # zero local heavies anywhere (legal: a flat term distribution at
+    # large blocks) → Ray drops the empty blocks' schema entirely
+    cand = (np.unique(cand_df["term"].to_numpy())
+            if "term" in cand_df.columns else np.empty(0, dtype=object))
     cand_ref = ray.put(cand)
 
     def count_partial(batch: pa.Table) -> pd.DataFrame:

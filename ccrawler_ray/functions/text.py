@@ -29,7 +29,9 @@ _LANG_PROFILES = {
 
 
 def _read_docs(sf_dir: str, cols):
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    from ccrawler_ray.scale import read_docs
+
+    return read_docs(sf_dir, cols)
 
 
 def token_count(sf_dir: str):
@@ -74,7 +76,15 @@ def token_count_bpe(sf_dir: str):
 
 def quality_score(sf_dir: str):
     """Heuristic quality features: token count, mean token length,
-    uppercase ratio (all SQL-expressible → oracle-checked)."""
+    uppercase ratio (all SQL-expressible → oracle-checked). Memoized
+    per session — the mix pipelines reuse this narrow per-doc leg."""
+    from ccrawler_ray.memo import memo_ds
+
+    return memo_ds(("quality_score", sf_dir),
+                   lambda: _quality_score(sf_dir))
+
+
+def _quality_score(sf_dir: str):
     ds = _read_docs(sf_dir, ["doc_id", "text", "n_chars"])
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
@@ -549,10 +559,16 @@ class QualityModel:
 
 def model_score_docs(sf_dir: str):
     """(doc_id, logit, keep): frozen linear quality model scored by an
-    actor pool (concurrency=2 — sized up with the cluster)."""
-    ds = _read_docs(sf_dir, ["doc_id", "text", "n_chars"])
-    return ds.map_batches(QualityModel, batch_format="pandas",
-                          concurrency=2)
+    actor pool (concurrency=2 — sized up with the cluster). Memoized
+    per session — corpus_prep_stats reuses this narrow per-doc leg."""
+    from ccrawler_ray.memo import memo_ds
+
+    def build():
+        ds = _read_docs(sf_dir, ["doc_id", "text", "n_chars"])
+        return ds.map_batches(QualityModel, batch_format="pandas",
+                              concurrency=2)
+
+    return memo_ds(("model_score_docs", sf_dir), build)
 
 
 # ---------------------------------------------------------------------------

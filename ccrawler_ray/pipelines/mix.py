@@ -15,6 +15,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
+
+from ccrawler_ray.scale import read_docs
 from ray.data.aggregate import Sum
 
 from ccrawler_ray.functions.dedup import dedup_clusters
@@ -72,9 +74,7 @@ def dedup_filtered_docs(sf_dir: str, threshold: float = 0.8):
     """Documents surviving near-dup clustering (one representative per
     cluster) — the dataset a training run would actually read."""
     keep = _keep_ids(sf_dir, threshold)
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
-    )
+    docs = read_docs(sf_dir, ["doc_id", "lang", "n_chars"])
     joined = docs.join(keep, join_type="inner", num_partitions=8,
                        on=("doc_id",))
     return joined.select_columns(["doc_id", "lang", "n_chars"])
@@ -85,9 +85,7 @@ def training_mix_stats(sf_dir: str, threshold: float = 0.8):
     (lang, token-length bucket). Token counts are computed vectorized
     at the read (text dropped immediately); the keep join moves only
     int64 ids; the final groupby sees <= |langs|x3 keys."""
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
-    )
+    docs = read_docs(sf_dir, ["doc_id", "lang", "text"])
 
     def tokens(df: pd.DataFrame) -> pd.DataFrame:
         import polars as pl
@@ -164,8 +162,7 @@ def mix_interleave(sf_dir: str, seed: int = MIX_SEED):
     """
     from ccrawler_ray.spec import hash64_batch
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "source"])
+    ds = read_docs(sf_dir, ["doc_id", "source"])
 
     def add_pri(df: pd.DataFrame) -> pd.DataFrame:
         h = hash64_batch([str(i) for i in df["doc_id"]], seed=seed)
@@ -216,59 +213,83 @@ def quality_filtered_docs(sf_dir: str, min_tokens: int = 20,
     (functions.dedup.dedup_ngram_spans) — the compose-everything
     pre-training filter step (heuristic quality x substring dedup).
 
-    Scale shape: each leg reduces to a narrow per-doc table inside its
-    own streaming pipeline (text never crosses a shuffle); the legs
-    meet in int64-keyed hash joins — no broadcast of anything O(docs).
-    Returns (doc_id, lang, n_tokens, dup_ratio)."""
+    Scale shape: each leg reduces to a narrow (doc_id, leg_bit,
+    payload) table inside its own streaming pipeline (text never
+    crosses a shuffle); the three legs UNION into ONE execution and
+    meet in ONE coarse-salted groupby (bitmask intersection — the
+    corpus_prep_stats pattern; each hash join costs ~2 s fixed
+    aggregator-pool setup at suite scale). Per-batch sentinel rows
+    keep every leg's output blocks typed (Ray map operators drop the
+    schema of zero-row blocks). Returns (doc_id, lang, n_tokens,
+    dup_ratio); lang is the filter constant "en" by construction."""
     from ccrawler_ray.functions.dedup import dedup_ngram_spans
     from ccrawler_ray.functions.text import quality_score
+    from ccrawler_ray.scale import coarse_salt_k
+
+    salt_k = coarse_salt_k()
+    ALL_LEGS = 1 + 2 + 4
+
+    def leg_rows(t: pa.Table, bit: int,
+                 n_tokens=None, dup_ratio=None) -> pa.Table:
+        ids = np.concatenate(
+            [t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
+             [-1]])
+        ntk = (np.concatenate([n_tokens.astype(np.int64), [0]])
+               if n_tokens is not None else np.zeros(len(ids), np.int64))
+        dup = (np.concatenate([dup_ratio.astype(np.float64), [0.0]])
+               if dup_ratio is not None else np.zeros(len(ids), np.float64))
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "bit": pa.array(np.full(len(ids), bit, np.int64)),
+            "n_tokens": pa.array(ntk),
+            "dup_ratio": pa.array(dup),
+            "d_salt": pa.array((ids % salt_k).astype(np.int32)),
+        })
 
     def qf(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         m = pc.and_(pc.greater_equal(t.column("n_tokens"), min_tokens),
                     pc.less_equal(t.column("upper_ratio"), max_upper))
-        return t.filter(m).select(["doc_id", "n_tokens"])
+        t = t.filter(m)
+        return leg_rows(t, 1, n_tokens=t.column("n_tokens").to_numpy(
+            zero_copy_only=False))
 
     def sf(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return t.filter(
-            pc.less_equal(t.column("dup_ratio"), max_dup)
-        ).select(["doc_id", "dup_ratio"])
+        t = t.filter(pc.less_equal(t.column("dup_ratio"), max_dup))
+        return leg_rows(t, 2, dup_ratio=t.column("dup_ratio").to_numpy(
+            zero_copy_only=False))
 
     def lf(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return t.filter(pc.equal(t.column("lang"), "en"))
+        return leg_rows(t.filter(pc.equal(t.column("lang"), "en")), 4)
 
     q = quality_score(sf_dir).map_batches(qf, batch_format="pyarrow")
     s = dedup_ngram_spans(sf_dir).map_batches(sf, batch_format="pyarrow")
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
-    ).map_batches(lf, batch_format="pyarrow")
-    # tiny-input hazard: the hash join raises when either side is
-    # empty, and map outputs lose empty-block schemas — scrub + guard
-    from ccrawler_ray.functions.dedup import nonempty_blocks
+    docs = read_docs(sf_dir, ["doc_id", "lang"]).map_batches(lf, batch_format="pyarrow")
 
-    out_schema = pa.schema([("doc_id", pa.int64()),
-                            ("n_tokens", pa.int64()),
-                            ("dup_ratio", pa.float64()),
-                            ("lang", pa.string())])
-    q = nonempty_blocks(q.materialize(), pa.schema(
-        [("doc_id", pa.int64()), ("n_tokens", pa.int64())]))
-    s = nonempty_blocks(s.materialize(), pa.schema(
-        [("doc_id", pa.int64()), ("dup_ratio", pa.float64())]))
-    docs = nonempty_blocks(docs.materialize(), pa.schema(
-        [("doc_id", pa.int64()), ("lang", pa.string())]))
-    if q.count() == 0 or s.count() == 0 or docs.count() == 0:
-        return ray.data.from_arrow(out_schema.empty_table())
-    joined = q.join(s, join_type="inner", num_partitions=8,
-                    on=("doc_id",)).materialize()
-    if joined.count() == 0:
-        return ray.data.from_arrow(out_schema.empty_table())
-    return joined.join(docs, join_type="inner", num_partitions=8,
-                       on=("doc_id",))
+    def intersect(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False).agg(
+            bits=("bit", "sum"), n_tokens=("n_tokens", "max"),
+            dup_ratio=("dup_ratio", "max"))
+        g = g[(g["bits"] == ALL_LEGS) & (g["doc_id"] >= 0)]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype(np.int64),
+            "n_tokens": g["n_tokens"].astype(np.int64),
+            "dup_ratio": g["dup_ratio"].astype(np.float64),
+            "lang": np.full(len(g), "en", dtype=object)})
+
+    out = (q.union(s, docs)
+           .groupby("d_salt")
+           .map_groups(intersect, batch_format="pandas"))
+    from ccrawler_ray.functions.dedup import _stamp_schema
+
+    return _stamp_schema(out, pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+         ("dup_ratio", pa.float64()), ("lang", pa.string())]))
 
 
 def corpus_prep_stats(sf_dir: str, min_tokens: int = 20,
@@ -352,8 +373,7 @@ def corpus_prep_stats(sf_dir: str, min_tokens: int = 20,
     c = decontaminate_overlap(sf_dir, bench_mod=bench_mod).map_batches(
         cf, batch_format="pyarrow")
     k = _keep_ids(sf_dir, threshold).map_batches(kf, batch_format="pyarrow")
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    docs = read_docs(sf_dir, ["doc_id", "lang"])
 
     out_schema = pa.schema([("lang", pa.string()), ("n_docs", pa.int64()),
                             ("sum_tokens", pa.int64())])

@@ -55,19 +55,30 @@ def coarse_salt_k(floor: int = 64, per_cpu: int = 2) -> int:
     return max(floor, min(_PROBE, CAP))
 
 
+_BLOCK_BYTES_MAX = 64 << 20  # on-disk bytes per block ceiling
+
+
 def sized_read(path: str, columns=None, rows_per_block: int = 4096):
     """``read_parquet`` with a block count derived from the file's row
     count (parquet metadata — no data pass) instead of Ray's default
     CPU-based split. The default split shatters a small table into
     ~2×CPU tiny blocks, and every downstream shuffle/aggregate pays a
     measured ~10–30 ms fixed cost PER BLOCK — on the suite's fixtures
-    that overhead dwarfs the data. Maps are unaffected: ``map_batches``
-    bundles blocks up to ``batch_size`` anyway, so task parallelism for
-    CPU-heavy kernels comes from rows, not block count. At cluster
-    scale the cap keeps ≥4 blocks per CPU available for big tables."""
+    that overhead dwarfs the data (5 legs × 64 blocks → 9.6 s of pure
+    per-block cost for a 2500-row union+groupby; 8 blocks → 0.8 s).
+
+    Two scale guards keep the override honest on big inputs: the block
+    count is capped at 4× cluster CPUs ONLY while each block stays
+    under ``_BLOCK_BYTES_MAX`` on disk (a bytes floor lifts the cap so
+    a 100 TB table never collapses into 4×CPU giant blocks), and tiny
+    ``rows_per_block`` callers (text-heavy kernels wanting map
+    parallelism) still get it because map task count == block count."""
     import pyarrow.parquet as _pq
 
-    rows = _pq.ParquetFile(path).metadata.num_rows
+    meta = _pq.ParquetFile(path).metadata
+    rows = meta.num_rows
+    total_bytes = sum(meta.row_group(i).total_byte_size
+                      for i in range(meta.num_row_groups))
     cpus = 0
     try:
         if ray.is_initialized():
@@ -75,6 +86,22 @@ def sized_read(path: str, columns=None, rows_per_block: int = 4096):
     except Exception:
         cpus = 0
     cap = max(4 * max(cpus, 8), 32)
-    blocks = max(1, min(-(-rows // max(rows_per_block, 1)), cap))
+    blocks = max(1, min(-(-rows // max(rows_per_block, 1)), cap),
+                 -(-total_bytes // _BLOCK_BYTES_MAX))
     return ray.data.read_parquet(path, columns=columns,
                                  override_num_blocks=blocks)
+
+
+def read_docs(sf_dir: str, columns=None, rows_per_block: int = 128):
+    """documents.parquet read sized for text kernels: ~128 docs/block
+    keeps heavy per-doc kernels (minhash, shingles) parallel while
+    narrow leg outputs stay at a shuffle-friendly block count."""
+    return sized_read(f"{sf_dir}/documents.parquet", columns=columns,
+                      rows_per_block=rows_per_block)
+
+
+def read_embeddings(sf_dir: str, columns=None, rows_per_block: int = 512):
+    """embeddings.parquet read sized for vector kernels (matmul-heavy
+    batches want more rows per task than text does)."""
+    return sized_read(f"{sf_dir}/embeddings.parquet", columns=columns,
+                      rows_per_block=rows_per_block)

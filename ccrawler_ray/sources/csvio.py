@@ -18,6 +18,8 @@ import pyarrow as pa
 import pyarrow.csv as pacsv
 import ray.data
 
+from ccrawler_ray.scale import read_docs
+
 from ccrawler_ray.sources.jsonl import DOC_SCHEMA
 
 
@@ -66,7 +68,7 @@ def io_csv_roundtrip(sf_dir: str):
 
     from ray.data.aggregate import Count, Max, Min, Sum
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = read_docs(sf_dir)
     # pid in the key: two concurrent sessions (bench + pytest) on the
     # same fixture must not rmtree each other's scratch dir mid-read
     key = hashlib.blake2b(f"{sf_dir}|{os.getpid()}".encode(),

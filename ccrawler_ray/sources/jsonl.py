@@ -14,6 +14,8 @@ from __future__ import annotations
 import pyarrow as pa
 import ray.data
 
+from ccrawler_ray.scale import read_docs
+
 DOC_SCHEMA = pa.schema([
     ("doc_id", pa.int64()),
     ("text", pa.string()),
@@ -55,7 +57,7 @@ def io_jsonl_roundtrip(sf_dir: str):
 
     from ray.data.aggregate import Count, Sum
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = read_docs(sf_dir)
     key = hashlib.blake2b(f"{sf_dir}|{os.getpid()}".encode(),
                           digest_size=6).hexdigest()
     out = Path(tempfile.gettempdir()) / f"ccrawler_ray_jsonl_{key}"
