@@ -750,15 +750,25 @@ class CrawlEngine:
 
         return offer_stage
 
-    def _resolve_fresh(self, generation: int) -> int:
-        # shards resolve AND route to partition queues directly —
-        # fresh rows never pass through the driver
-        per_shard = ray.get([
+    def _launch_resolve(self) -> list:
+        """Fire the shard resolve+route RPCs without blocking — the
+        driver overlaps its dump post-processing with the shard work
+        and collects at ``_collect_resolve`` (the offers this resolves
+        completed inside the already-materialized fused execution)."""
+        return [
             s.resolve_and_route.remote(
                 self.politeness.parts, self.cfg.num_politeness_partitions
             )
             for s in self.seen_pool.shards
-        ])
+        ]
+
+    def _resolve_fresh(self, generation: int) -> int:
+        # shards resolve AND route to partition queues directly —
+        # fresh rows never pass through the driver
+        return self._collect_resolve(self._launch_resolve(), generation)
+
+    def _collect_resolve(self, refs: list, generation: int) -> int:
+        per_shard = ray.get(refs)
         for si, (_, n) in enumerate(per_shard):
             if n:
                 self._count_p(generation, si, "discover", "fresh", n)
@@ -807,6 +817,7 @@ class CrawlEngine:
         for g in range(self._start_gen, cfg.max_generations):
             t0 = _time.perf_counter()
             qsize = sum(ray.get([p.queue_size.remote() for p in parts]))
+            t0 = _tick("adm_qsize", t0)
             if qsize == 0:
                 break
             gens_run = g + 1
@@ -827,17 +838,19 @@ class CrawlEngine:
                 )
                 for p in parts
             ])
-            denied = sum(d for _, _, d in results)
+            t0 = _tick("adm_rpc", t0)
+            denied = sum(d for _, _, d, _ in results)
             if denied:
                 self._count(g, "politeness", "robots_denied", denied)
-            for pi, (_, _n_p, d_p) in enumerate(results):
+            for pi, (_, _n_p, d_p, _) in enumerate(results):
                 if d_p:
                     # real partition ids in the metrics lineage (§4.4)
                     self._count_p(g, pi, "politeness", "robots_denied", d_p)
-            n_adm = sum(n for _, n, _ in results)
+            n_adm = sum(n for _, n, _, _ in results)
             if n_adm == 0:
                 continue
-            all_refs = [r for refs, _, _ in results if refs for r in refs]
+            all_refs = [r for refs, _, _, _ in results if refs for r in refs]
+            all_mds = [m for _, _, _, mds in results if mds for m in mds]
             if n_adm > K:
                 # global cap binds: pull once, trim, requeue the cut
                 tbl = pa.concat_tables(ray.get(all_refs), promote_options="default")
@@ -855,18 +868,23 @@ class CrawlEngine:
                 ]
                 ray.get(reqs)
                 tbl = pa.Table.from_pandas(adm, preserve_index=False)
-                all_refs = [
-                    ray.put(tbl.slice(o, chunk)) for o in range(0, tbl.num_rows, chunk)
-                ]
+                from ccrawler_ray.rayext import block_metadata
+
+                slices = [tbl.slice(o, chunk)
+                          for o in range(0, tbl.num_rows, chunk)]
+                all_refs = [ray.put(s) for s in slices]
+                all_mds = [block_metadata(s) for s in slices]
                 # per-partition admitted = POST-cap counts (partition
                 # rows must sum to the aggregate even when K binds)
                 aparts = self._host_partitions(adm["host"].tolist())
                 for pi, n_p in enumerate(np.bincount(aparts, minlength=len(parts))):
                     self._count_p(g, pi, "admission", "admitted", int(n_p))
             else:
-                for pi, (_, n_p, _) in enumerate(results):
+                for pi, (_, n_p, _, _) in enumerate(results):
                     self._count_p(g, pi, "admission", "admitted", n_p)
-            adm_ds = ray.data.from_arrow_refs(all_refs)
+            from ccrawler_ray.rayext import from_arrow_refs_with_md
+
+            adm_ds = from_arrow_refs_with_md(all_refs, all_mds)
 
             t0 = _tick("admission", t0)
 
@@ -908,6 +926,12 @@ class CrawlEngine:
             fused = pipe.materialize()
             t0 = _tick("fetch_extract_offer", t0)
 
+            # shards resolve fresh offers and route to partition queues
+            # WHILE the driver post-processes the dump below — the
+            # offers completed inside the materialized execution, and
+            # the collection barrier before checkpoint/next-admission
+            # keeps queue state exact
+            resolve_refs = self._launch_resolve()
             dump = fused.select_columns(DUMP_COLS).to_pandas()
             self._append_dump(dump)  # sorted once in _result
             n200 = int((dump["status"] == 200).sum())
@@ -919,12 +943,10 @@ class CrawlEngine:
                 if requeue.num_rows:
                     self._route_requeue(requeue)
             hs = dump.groupby("host").agg(n=("canon", "size"), ts=("fetch_ts_us", "max"))
-            violations = self.politeness.record_admission(
+            rec_refs = self.politeness.record_admission_async(
                 {h: (int(r["n"]), int(r["ts"])) for h, r in hs.iterrows()},
                 g, cfg.per_host_budget_per_generation,
             )
-            if violations:
-                raise RuntimeError(f"politeness violation in generation {g}")
 
             def to_docs_out(batch: pa.Table, _audit=tuple(AUDIT_COLS)) -> pa.Table:
                 import pyarrow.compute as pc  # noqa: PLC0415
@@ -945,7 +967,10 @@ class CrawlEngine:
             self._docs_out.append(docs_out)
             t0 = _tick("dump", t0)
 
-            self._resolve_fresh(g + 1)
+            violations = sum(ray.get(rec_refs)) if rec_refs else 0
+            if violations:
+                raise RuntimeError(f"politeness violation in generation {g}")
+            self._collect_resolve(resolve_refs, g + 1)
             t0 = _tick("resolve_route", t0)
 
             if self.ckpt_dir is not None:

@@ -117,14 +117,17 @@ class PolitenessPartition:
         stay in the queue.
 
         Returns (admitted table | list of object refs, n_admitted,
-        robots_denied): with chunk_rows > 0 the admitted rows are
-        ray.put as ~chunk_rows-row blocks and only REFS return to the
-        driver (it builds the fetch Dataset via from_arrow_refs without
-        ever touching the bytes)."""
+        robots_denied, block_metadata): with chunk_rows > 0 the
+        admitted rows are ray.put as ~chunk_rows-row blocks and only
+        REFS return to the driver, plus the per-block metadata the
+        driver needs to build the fetch Dataset WITHOUT the per-block
+        metadata tasks ray.data.from_arrow_refs would launch
+        (rayext.from_arrow_refs_with_md)."""
         from ccrawler_ray.pipelines.admission import admit_table_driver
+        from ccrawler_ray.rayext import block_metadata
 
         if not self._queue:
-            return None, 0, 0
+            return None, 0, 0, None
         table = pa.concat_tables(self._queue, promote_options="default")
         self._queue = []
         adm, deferred, denied = admit_table_driver(
@@ -138,15 +141,15 @@ class PolitenessPartition:
             )
         self.heartbeat_generation = generation
         if not len(adm):
-            return None, 0, denied
+            return None, 0, denied, None
         tbl = pa.Table.from_pandas(adm, preserve_index=False)
         if chunk_rows > 0:
-            refs = [
-                ray.put(tbl.slice(o, chunk_rows))
-                for o in range(0, tbl.num_rows, chunk_rows)
-            ]
-            return refs, tbl.num_rows, denied
-        return tbl, tbl.num_rows, denied
+            slices = [tbl.slice(o, chunk_rows)
+                      for o in range(0, tbl.num_rows, chunk_rows)]
+            refs = [ray.put(s) for s in slices]
+            mds = [block_metadata(s) for s in slices]
+            return refs, tbl.num_rows, denied, mds
+        return tbl, tbl.num_rows, denied, None
 
     def requeue(self, table: pa.Table) -> int:
         """Rows cut by the driver's global cap come back to the queue."""
@@ -225,6 +228,16 @@ class PolitenessPool:
     def record_admission(self, host_stats: dict, generation: int,
                          per_host_budget: int) -> int:
         """host_stats: host -> (count, last_ts). Routed by host affinity."""
+        refs = self.record_admission_async(host_stats, generation,
+                                           per_host_budget)
+        return sum(ray.get(refs)) if refs else 0
+
+    def record_admission_async(self, host_stats: dict, generation: int,
+                               per_host_budget: int) -> list:
+        """Fire-and-collect-later variant: returns the violation-count
+        refs so the caller can overlap the RPC round with other driver
+        work (the stepped crawl loop collects them alongside the shard
+        resolve barrier)."""
         per_part: dict[int, tuple[list, list, list]] = {}
         for host, (n, ts) in host_stats.items():
             p = host_partition(host, self.num_partitions)
@@ -232,11 +245,10 @@ class PolitenessPool:
             hs.append(host)
             cs.append(n)
             tss.append(ts)
-        refs = [
+        return [
             self.parts[p].record_admission.remote(hs, cs, tss, generation, per_host_budget)
             for p, (hs, cs, tss) in per_part.items()
         ]
-        return sum(ray.get(refs)) if refs else 0
 
     def dump_tables(self) -> list[pa.Table]:
         return ray.get([p.dump.remote() for p in self.parts])
