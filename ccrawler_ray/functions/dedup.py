@@ -1717,7 +1717,11 @@ def nonempty_blocks(ds, schema: pa.Schema):
     from ``map_batches(batch_format="pandas")`` hold pandas blocks, so
     non-Arrow blocks are converted (small remote task per block) to
     keep the contract explicit rather than leaning on undocumented
-    tolerance in Ray's metadata path."""
+    tolerance in Ray's metadata path. The conversion task also returns
+    the block's metadata, so the Dataset is rebuilt without the
+    per-block metadata round trips ``from_arrow_refs`` would launch."""
+    from ccrawler_ray.rayext import from_arrow_refs_with_md
+
     refs = []
     for bundle in ds.iter_internal_ref_bundles():
         for ref, meta in zip(bundle.block_refs, bundle.metadata):
@@ -1725,14 +1729,20 @@ def nonempty_blocks(ds, schema: pa.Schema):
                 refs.append(ref)
     if not refs:
         return ray.data.from_arrow(schema.empty_table())
-    return ray.data.from_arrow_refs([_block_as_arrow.remote(r) for r in refs])
+    pairs = [_block_as_arrow_md.remote(r) for r in refs]
+    arrow_refs = [t for t, _ in pairs]
+    mds = ray.get([m for _, m in pairs])
+    return from_arrow_refs_with_md(arrow_refs, mds)
 
 
-@ray.remote(num_cpus=0.25)
-def _block_as_arrow(block):
+@ray.remote(num_cpus=0.25, num_returns=2)
+def _block_as_arrow_md(block):
     """Arrow passthrough / pandas→Arrow conversion for one block
     (block metadata does not record the block format, so every block
-    takes the cheap hop)."""
+    takes the cheap hop), plus its BlockMetadataWithSchema so the
+    caller can skip from_arrow_refs's metadata tasks."""
+    from ccrawler_ray.rayext import block_metadata
+
     if isinstance(block, pd.DataFrame):
-        return pa.Table.from_pandas(block, preserve_index=False)
-    return block
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    return block, block_metadata(block)

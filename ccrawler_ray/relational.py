@@ -73,6 +73,49 @@ def _from_micro(ds, cols: list[str]):
 
 
 # ---------------------------------------------------------------------------
+# Arrow-native window-kernel helpers: the salted map_groups kernels in
+# the w*/j6/s*/d5 family run on zero-copy Arrow group tables
+# (batch_format="pyarrow") — no Arrow→pandas→Arrow round trip per salt
+# group. Sorts are np.lexsort (stable); with a unique tie-break key
+# (event_id) the permutation — and therefore every downstream value —
+# is identical to the previous pandas sort_values kernels, which the
+# DuckDB oracles pin.
+# ---------------------------------------------------------------------------
+
+
+def _col(t: pa.Table, name: str) -> np.ndarray:
+    return t.column(name).to_numpy(zero_copy_only=False)
+
+
+def _ts_us(t: pa.Table, name: str = "ts") -> np.ndarray:
+    """Timestamp column as int64 epoch-microseconds (comparisons and
+    diffs in int64 µs are value-identical to datetime64[us] math)."""
+    return t.column(name).cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _empty_tbl(fields) -> pa.Table:
+    return pa.schema(fields).empty_table()
+
+
+def _lexkey2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pack two NONNEGATIVE int64 columns into one structured key whose
+    comparison order == lexicographic (a, b) — enables a single
+    vectorized np.searchsorted over a composite (key, time) axis
+    (numpy compares structured dtypes field by field)."""
+    rec = np.empty(len(a), dtype=[("a", ">i8"), ("b", ">i8")])
+    rec["a"], rec["b"] = a, b
+    return rec
+
+
+def _user_starts(uid: np.ndarray):
+    """(starts, runlen) of the contiguous runs in a sorted key array."""
+    new = np.r_[True, uid[1:] != uid[:-1]]
+    starts = np.flatnonzero(new)
+    runlen = np.diff(np.r_[starts, len(uid)])
+    return starts, runlen
+
+
+# ---------------------------------------------------------------------------
 # M2-analog: vectorized filter/validate
 # ---------------------------------------------------------------------------
 
@@ -426,18 +469,36 @@ def j5_asof_join(sf_dir: str):
 
 
 def w1_running_sum(sf_dir: str):
-    """Per-user running sum of value over ts order (micro-unit exact)."""
+    """Per-user running sum of value over ts order (micro-unit exact).
+    Salted per-user shuffle (user cardinality must never drive the
+    groupby — Ray's groupby collapses at high key counts); the
+    in-group kernel is ONE lexsort + a segmented int64 cumsum over all
+    users in the salt group, zero-copy Arrow in and out."""
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
-        run = _to_micro(df["value"]).cumsum()
-        return pd.DataFrame(
-            {"event_id": df["event_id"], "user_id": df["user_id"],
-             "running_value": run / (MICRO * 1.0)}
-        )
+    def add_salt(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "u_salt", pa.array((u % salt_k).astype(np.int32)))
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    w1_fields = [("event_id", pa.int64()), ("user_id", pa.int64()),
+                 ("running_value", pa.float64())]
+
+    def per_salt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_tbl(w1_fields)
+        uid, eid, ts = _col(t, "user_id"), _col(t, "event_id"), _ts_us(t)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid = uid[order], eid[order]
+        run = np.cumsum(_to_micro(_col(t, "value")[order]))
+        starts, runlen = _user_starts(uid)
+        base = np.repeat(np.r_[0, run[starts[1:] - 1]], runlen)
+        return pa.table({"event_id": pa.array(eid), "user_id": pa.array(uid),
+                         "running_value": pa.array((run - base) / (MICRO * 1.0))})
+
+    return (ds.map_batches(add_salt, batch_format="pyarrow")
+            .groupby("u_salt").map_groups(per_salt, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
@@ -581,35 +642,39 @@ def j6_range_join(sf_dir: str, window_s: int = 172_800):
         u = batch.column("user_id").to_numpy(zero_copy_only=False)
         return batch.append_column("u_salt", pa.array((u % salt_k).astype(np.int32)))
 
-    win = np.timedelta64(window_s, "s")
+    win_us = window_s * MICRO
+    j6_fields = [("event_id", pa.int64()), ("user_id", pa.int64()),
+                 ("n_clicks", pa.int64())]
 
-    def per_salt(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, g in df.groupby("user_id", sort=False):
-            err = g[g["event_type"] == "error"]
-            if err.empty:
-                continue
-            clk = np.sort(g.loc[g["event_type"] == "click", "ts"].to_numpy())
-            ets = err["ts"].to_numpy()
-            hi = np.searchsorted(clk, ets, side="right")
-            lo = np.searchsorted(clk, ets - win, side="right")  # strict lower bound
-            out.append(pd.DataFrame(
-                {"event_id": err["event_id"].to_numpy(),
-                 "user_id": err["user_id"].to_numpy(),
-                 "n_clicks": (hi - lo).astype(np.int64)}
-            ))
-        if not out:
-            return pd.DataFrame(
-                {"event_id": pd.Series(dtype="int64"),
-                 "user_id": pd.Series(dtype="int64"),
-                 "n_clicks": pd.Series(dtype="int64")}
-            )
-        return pd.concat(out)
+    def per_salt(t: pa.Table) -> pa.Table:
+        # ONE composite-key searchsorted over ALL users in the salt
+        # group (no per-user loop): clicks sorted by (user, ts);
+        # count in (ts-win, ts] = rank(user, ts) - rank(user, ts-win).
+        if t.num_rows == 0:
+            return _empty_tbl(j6_fields)
+        et = _col(t, "event_type")
+        is_err = et == "error"
+        if not is_err.any():
+            return _empty_tbl(j6_fields)
+        uid, eid, ts = _col(t, "user_id"), _col(t, "event_id"), _ts_us(t)
+        is_clk = et == "click"
+        cu, cts = uid[is_clk], ts[is_clk]
+        co = np.lexsort((cts, cu))
+        ckey = _lexkey2(cu[co], cts[co])
+        eu, ets = uid[is_err], ts[is_err]
+        hi = np.searchsorted(ckey, _lexkey2(eu, ets), side="right")
+        # strict lower bound; ts epochs are positive so the clamp at 0
+        # never excludes a real click
+        lo = np.searchsorted(
+            ckey, _lexkey2(eu, np.maximum(ets - win_us, 0)), side="right")
+        return pa.table({"event_id": pa.array(eid[is_err]),
+                         "user_id": pa.array(eu),
+                         "n_clicks": pa.array((hi - lo).astype(np.int64))})
 
     return (
         ds.map_batches(add_salt, batch_format="pyarrow")
         .groupby("u_salt")
-        .map_groups(per_salt, batch_format="pandas")
+        .map_groups(per_salt, batch_format="pyarrow")
     )
 
 
@@ -632,34 +697,32 @@ def w2_sessionize(sf_dir: str, gap_s: int = 43_200):
         u = batch.column("user_id").to_numpy(zero_copy_only=False)
         return batch.append_column("u_salt", pa.array((u % salt_k).astype(np.int32)))
 
-    gap = np.timedelta64(gap_s, "s")
+    gap_us = gap_s * MICRO
+    w2_fields = [("event_id", pa.int64()), ("user_id", pa.int64()),
+                 ("session_no", pa.int64())]
 
-    def per_salt(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["user_id", "ts", "event_id"])
-        ts = df["ts"].to_numpy()
-        uid = df["user_id"].to_numpy()
-        if not len(df):
-            return pd.DataFrame(
-                {"event_id": pd.Series(dtype="int64"),
-                 "user_id": pd.Series(dtype="int64"),
-                 "session_no": pd.Series(dtype="int64")}
-            )
+    def per_salt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_tbl(w2_fields)
+        uid, eid, ts = _col(t, "user_id"), _col(t, "event_id"), _ts_us(t)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, ts = uid[order], eid[order], ts[order]
         new_user = np.r_[True, uid[1:] != uid[:-1]]
-        big_gap = np.r_[True, (ts[1:] - ts[:-1]) > gap]
+        big_gap = np.r_[True, (ts[1:] - ts[:-1]) > gap_us]
         is_new = new_user | big_gap
         sess = np.cumsum(is_new)
         first_idx = np.flatnonzero(new_user)
         base = np.repeat(sess[first_idx],
                          np.diff(np.r_[first_idx, len(sess)]))
-        return pd.DataFrame(
-            {"event_id": df["event_id"].to_numpy(), "user_id": uid,
-             "session_no": (sess - base).astype(np.int64)}
+        return pa.table(
+            {"event_id": pa.array(eid), "user_id": pa.array(uid),
+             "session_no": pa.array((sess - base).astype(np.int64))}
         )
 
     return (
         ds.map_batches(add_salt, batch_format="pyarrow")
         .groupby("u_salt")
-        .map_groups(per_salt, batch_format="pandas")
+        .map_groups(per_salt, batch_format="pyarrow")
     )
 
 
@@ -689,22 +752,39 @@ def w3_tumbling_window(sf_dir: str):
                  pa.int32())}
         )
 
-    def per_salt(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("w_start", sort=False).agg(
-            n_events=("user_id", "size"),
-            n_users=("user_id", "nunique"),
-            sum_value=("value_u", "sum"),
-        ).reset_index()
-        g["n_events"] = g["n_events"].astype(np.int64)
-        g["n_users"] = g["n_users"].astype(np.int64)
-        g["sum_value"] = g["sum_value"] / (MICRO * 1.0)
-        return g
+    w3_fields = [("w_start", pa.timestamp("us")), ("n_events", pa.int64()),
+                 ("n_users", pa.int64()), ("sum_value", pa.float64())]
+
+    def per_salt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_tbl(w3_fields)
+        wus, n_events, n_users, sum_u = _win_rollup(
+            _ts_us(t, "w_start"), _col(t, "user_id"), _col(t, "value_u"))
+        return pa.table({"w_start": pa.array(wus.astype("datetime64[us]")),
+                         "n_events": pa.array(n_events),
+                         "n_users": pa.array(n_users),
+                         "sum_value": pa.array(sum_u / (MICRO * 1.0))})
 
     return (
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby("w_salt")
-        .map_groups(per_salt, batch_format="pandas")
+        .map_groups(per_salt, batch_format="pyarrow")
     )
+
+
+def _win_rollup(wus: np.ndarray, uid: np.ndarray, vu: np.ndarray):
+    """Per-window (count, exact distinct users, int64 value sum) in one
+    lexsort + run-length/reduceat pass — the shared W3/W4 in-group
+    kernel (a window lives entirely inside one salt group, so the
+    in-group rollup is the final answer)."""
+    order = np.lexsort((uid, wus))
+    wus, uid, vu = wus[order], uid[order], vu[order]
+    starts, runlen = _user_starts(wus)
+    n_events = runlen.astype(np.int64)
+    sum_u = np.add.reduceat(vu, starts)
+    new_pair = np.r_[True, (wus[1:] != wus[:-1]) | (uid[1:] != uid[:-1])]
+    n_users = np.add.reduceat(new_pair.astype(np.int64), starts)
+    return wus[starts], n_events, n_users, sum_u
 
 
 # ---------------------------------------------------------------------------
@@ -741,23 +821,23 @@ def w4_sliding_window(sf_dir: str, window_s: int = 3600, hop_s: int = 900):
              "w_salt": pa.array(((starts // hop_us) & 63).astype(np.int32))}
         )
 
-    def per_salt(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("w_start_us", sort=False).agg(
-            n_events=("user_id", "size"),
-            n_users=("user_id", "nunique"),
-            sum_value=("value_u", "sum"),
-        ).reset_index()
-        return pd.DataFrame(
-            {"w_start": pd.to_datetime(g["w_start_us"], unit="us"),
-             "n_events": g["n_events"].astype(np.int64),
-             "n_users": g["n_users"].astype(np.int64),
-             "sum_value": g["sum_value"] / (MICRO * 1.0)}
-        )
+    w4_fields = [("w_start", pa.timestamp("us")), ("n_events", pa.int64()),
+                 ("n_users", pa.int64()), ("sum_value", pa.float64())]
+
+    def per_salt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_tbl(w4_fields)
+        wus, n_events, n_users, sum_u = _win_rollup(
+            _col(t, "w_start_us"), _col(t, "user_id"), _col(t, "value_u"))
+        return pa.table({"w_start": pa.array(wus.astype("datetime64[us]")),
+                         "n_events": pa.array(n_events),
+                         "n_users": pa.array(n_users),
+                         "sum_value": pa.array(sum_u / (MICRO * 1.0))})
 
     return (
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby("w_salt")
-        .map_groups(per_salt, batch_format="pandas")
+        .map_groups(per_salt, batch_format="pyarrow")
     )
 
 
@@ -1133,31 +1213,30 @@ def w5_lag_lead(sf_dir: str):
         return batch.append_column(
             "u_salt", pa.array((u % salt_k).astype(np.int32)))
 
-    def per_salt(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame(
-                {"event_id": pd.Series(dtype="int64"),
-                 "user_id": pd.Series(dtype="int64"),
-                 "gap_us": pd.Series(dtype="int64"),
-                 "next_value": pd.Series(dtype="float64")})
-        df = df.sort_values(["user_id", "ts", "event_id"])
-        uid = df["user_id"].to_numpy()
-        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        val = df["value"].to_numpy()
+    w5_fields = [("event_id", pa.int64()), ("user_id", pa.int64()),
+                 ("gap_us", pa.int64()), ("next_value", pa.float64())]
+
+    def per_salt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_tbl(w5_fields)
+        uid, eid, ts = _col(t, "user_id"), _col(t, "event_id"), _ts_us(t)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, ts = uid[order], eid[order], ts[order]
+        val = _col(t, "value")[order]
+        n = len(uid)
         same_prev = np.r_[False, uid[1:] == uid[:-1]]
-        gap = np.full(len(df), -1, dtype=np.int64)
+        gap = np.full(n, -1, dtype=np.int64)
         gap[same_prev] = (ts - np.r_[0, ts[:-1]])[same_prev]
-        nxt = np.full(len(df), -1.0, dtype=np.float64)
+        nxt = np.full(n, -1.0, dtype=np.float64)
         same_next = np.r_[uid[1:] == uid[:-1], False]
         nxt[same_next] = np.r_[val[1:], 0.0][same_next]
-        return pd.DataFrame(
-            {"event_id": df["event_id"].to_numpy(), "user_id": uid,
-             "gap_us": gap, "next_value": nxt})
+        return pa.table({"event_id": pa.array(eid), "user_id": pa.array(uid),
+                         "gap_us": pa.array(gap), "next_value": pa.array(nxt)})
 
     return (
         ds.map_batches(add_salt, batch_format="pyarrow")
         .groupby("u_salt")
-        .map_groups(per_salt, batch_format="pandas")
+        .map_groups(per_salt, batch_format="pyarrow")
     )
 
 
@@ -1514,31 +1593,32 @@ def w6_ntile(sf_dir: str, k: int = 4):
         return batch.append_column(
             "u_salt", pa.array((u % salt_k).astype(np.int32)))
 
-    def per_salt(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame(
-                {"event_id": pd.Series(dtype="int64"),
-                 "user_id": pd.Series(dtype="int64"),
-                 "tile": pd.Series(dtype="int64")})
-        df = df.sort_values(["user_id", "value", "event_id"],
-                            ascending=[True, False, True])
-        uid = df["user_id"].to_numpy()
-        starts = np.r_[0, np.flatnonzero(uid[1:] != uid[:-1]) + 1]
-        sizes = np.diff(np.r_[starts, len(uid)])
+    w6_fields = [("event_id", pa.int64()), ("user_id", pa.int64()),
+                 ("tile", pa.int64())]
+
+    def per_salt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_tbl(w6_fields)
+        uid, eid = _col(t, "user_id"), _col(t, "event_id")
+        val = _col(t, "value")
+        # (user asc, value desc, event_id asc): negate the float key —
+        # unique event_id tie-break keeps the permutation identical
+        order = np.lexsort((eid, -val, uid))
+        uid, eid = uid[order], eid[order]
+        starts, sizes = _user_starts(uid)
         n = np.repeat(sizes, sizes)                       # partition size
         i = np.arange(len(uid)) - np.repeat(starts, sizes)  # 0-based pos
         big, r = n // k + 1, n % k
         in_big = i < r * big
         tile = np.where(in_big, i // big,
                         r + (i - r * big) // np.maximum(n // k, 1)) + 1
-        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
-                             "user_id": uid,
-                             "tile": tile.astype(np.int64)})
+        return pa.table({"event_id": pa.array(eid), "user_id": pa.array(uid),
+                         "tile": pa.array(tile.astype(np.int64))})
 
     return (
         ds.map_batches(add_salt, batch_format="pyarrow")
         .groupby("u_salt")
-        .map_groups(per_salt, batch_format="pandas")
+        .map_groups(per_salt, batch_format="pyarrow")
     )
 
 
@@ -1553,29 +1633,47 @@ def w6_ntile(sf_dir: str, k: int = 4):
 _ACT_BITS = {"click": 1, "purchase": 2, "error": 4}
 
 
+def _act_bits(et: np.ndarray) -> np.ndarray:
+    """event_type strings → activity bitmask (unknown types → 0),
+    vectorized over the small fixed domain."""
+    m = np.zeros(len(et), dtype=np.int64)
+    for name, bit in _ACT_BITS.items():
+        m[et == name] = bit
+    return m
+
+
+def _or_by_user(uid: np.ndarray, m: np.ndarray):
+    """(distinct users, OR-ed masks) via one stable sort + reduceat —
+    no per-group Python."""
+    order = np.argsort(uid, kind="stable")
+    uid, m = uid[order], m[order]
+    starts, _ = _user_starts(uid)
+    return uid[starts], np.bitwise_or.reduceat(m, starts)
+
+
 def _user_activity_masks(sf_dir: str):
     salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        m = df["event_type"].map(_ACT_BITS).fillna(0).astype(np.int64)
-        g = pd.DataFrame({"user_id": df["user_id"], "mask": m}).groupby(
-            "user_id", as_index=False)["mask"].agg(lambda s: int(np.bitwise_or.reduce(s)))
-        g["u_salt"] = (g["user_id"] % salt_k).astype(np.int32)
-        return g.astype({"mask": "int64"})
+    def partial(t: pa.Table) -> pa.Table:
+        users, masks = _or_by_user(_col(t, "user_id"),
+                                   _act_bits(_col(t, "event_type")))
+        return pa.table({"user_id": pa.array(users),
+                         "mask": pa.array(masks),
+                         "u_salt": pa.array((users % salt_k).astype(np.int32))})
 
-    def or_per_user(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
-                                 "mask": pd.Series(dtype="int64")})
-        g = df.groupby("user_id", as_index=False)["mask"].agg(
-            lambda s: int(np.bitwise_or.reduce(s)))
-        return g.astype({"user_id": "int64", "mask": "int64"})
+    mask_fields = [("user_id", pa.int64()), ("mask", pa.int64())]
+
+    def or_per_user(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_tbl(mask_fields)
+        users, masks = _or_by_user(_col(t, "user_id"), _col(t, "mask"))
+        return pa.table({"user_id": pa.array(users), "mask": pa.array(masks)})
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby("u_salt")
-        .map_groups(or_per_user, batch_format="pandas")
+        .map_groups(or_per_user, batch_format="pyarrow")
     )
 
 
@@ -1583,11 +1681,11 @@ def s1_set_intersect(sf_dir: str):
     """Users who both clicked AND purchased (DISTINCT INTERSECT)."""
     masks = _user_activity_masks(sf_dir)
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        keep = (df["mask"].to_numpy() & 3) == 3
-        return df.loc[keep, ["user_id"]]
+    def f(t: pa.Table) -> pa.Table:
+        keep = (_col(t, "mask") & 3) == 3
+        return t.filter(pa.array(keep)).select(["user_id"])
 
-    return masks.map_batches(f, batch_format="pandas")
+    return masks.map_batches(f, batch_format="pyarrow")
 
 
 def s2_set_except(sf_dir: str):
@@ -1597,31 +1695,38 @@ def s2_set_except(sf_dir: str):
     salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        m = df["event_type"].map(_ACT_BITS).fillna(0).astype(np.int64)
-        g = pd.DataFrame({"user_id": df["user_id"],
-                          "day": df["ts"].dt.floor("D"),
-                          "mask": m}).groupby(
-            ["user_id", "day"], as_index=False)["mask"].agg(
-            lambda s: int(np.bitwise_or.reduce(s)))
-        g["u_salt"] = (g["user_id"] % salt_k).astype(np.int32)
-        return g.astype({"mask": "int64"})
+    def _or_by_user_day(uid, dus, m):
+        order = np.lexsort((dus, uid))
+        uid, dus, m = uid[order], dus[order], m[order]
+        new = np.r_[True, (uid[1:] != uid[:-1]) | (dus[1:] != dus[:-1])]
+        starts = np.flatnonzero(new)
+        return uid[starts], dus[starts], np.bitwise_or.reduceat(m, starts)
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({
-                "user_id": pd.Series(dtype="int64"),
-                "day": pd.Series(dtype="datetime64[us]")})
-        g = df.groupby(["user_id", "day"], as_index=False)["mask"].agg(
-            lambda s: int(np.bitwise_or.reduce(s)))
-        m = g["mask"].to_numpy()
-        keep = ((m & 1) == 1) & ((m & 4) == 0)
-        return g.loc[keep, ["user_id", "day"]]
+    def partial(t: pa.Table) -> pa.Table:
+        dus = pc.floor_temporal(t.column("ts"), unit="day").cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        users, days, masks = _or_by_user_day(
+            _col(t, "user_id"), dus, _act_bits(_col(t, "event_type")))
+        return pa.table({"user_id": pa.array(users),
+                         "day_us": pa.array(days),
+                         "mask": pa.array(masks),
+                         "u_salt": pa.array((users % salt_k).astype(np.int32))})
+
+    s2_fields = [("user_id", pa.int64()), ("day", pa.timestamp("us"))]
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_tbl(s2_fields)
+        users, days, masks = _or_by_user_day(
+            _col(t, "user_id"), _col(t, "day_us"), _col(t, "mask"))
+        keep = ((masks & 1) == 1) & ((masks & 4) == 0)
+        return pa.table({"user_id": pa.array(users[keep]),
+                         "day": pa.array(days[keep].astype("datetime64[us]"))})
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby("u_salt")
-        .map_groups(finish, batch_format="pandas")
+        .map_groups(finish, batch_format="pyarrow")
     )
 
 
@@ -1645,17 +1750,17 @@ def w7_rolling_mean(sf_dir: str, window: int = 5):
         return batch.append_column(
             "u_salt", pa.array((u % salt_k).astype(np.int32)))
 
-    def per_salt(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame(
-                {"event_id": pd.Series(dtype="int64"),
-                 "user_id": pd.Series(dtype="int64"),
-                 "rolling_mean": pd.Series(dtype="float64")})
-        df = df.sort_values(["user_id", "ts", "event_id"])
-        uid = df["user_id"].to_numpy()
-        yu = _to_micro(df["value"])
-        starts = np.r_[0, np.flatnonzero(uid[1:] != uid[:-1]) + 1]
-        sizes = np.diff(np.r_[starts, len(uid)])
+    w7_fields = [("event_id", pa.int64()), ("user_id", pa.int64()),
+                 ("rolling_mean", pa.float64())]
+
+    def per_salt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_tbl(w7_fields)
+        uid, eid, ts = _col(t, "user_id"), _col(t, "event_id"), _ts_us(t)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid = uid[order], eid[order]
+        yu = _to_micro(_col(t, "value")[order])
+        starts, sizes = _user_starts(uid)
         pos = np.arange(len(uid)) - np.repeat(starts, sizes)  # 0-based
         cs = np.cumsum(yu)
         # windowed sum = cs[i] - cs[i-w] clipped at the user start
@@ -1664,14 +1769,14 @@ def w7_rolling_mean(sf_dir: str, window: int = 5):
         prev_idx = np.arange(len(uid)) - back
         wsum = cs - first_cs[prev_idx]
         n_in_w = back + 1
-        return pd.DataFrame(
-            {"event_id": df["event_id"].to_numpy(), "user_id": uid,
-             "rolling_mean": (wsum / MICRO) / n_in_w})
+        return pa.table(
+            {"event_id": pa.array(eid), "user_id": pa.array(uid),
+             "rolling_mean": pa.array((wsum / MICRO) / n_in_w)})
 
     return (
         ds.map_batches(add_salt, batch_format="pyarrow")
         .groupby("u_salt")
-        .map_groups(per_salt, batch_format="pandas")
+        .map_groups(per_salt, batch_format="pyarrow")
     )
 
 
@@ -1713,28 +1818,45 @@ def d5_latest_per_key(sf_dir: str):
     ds = _read(sf_dir, "events",
                ["event_id", "user_id", "event_type", "ts", "value"])
 
-    def compact(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])  # last row wins
-        g = df.groupby(["user_id", "event_type"], as_index=False).last()
-        g["u_salt"] = (g["user_id"] % salt_k).astype(np.int32)
-        return g
+    d5_fields = [("user_id", pa.int64()), ("event_type", pa.string()),
+                 ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+                 ("value", pa.float64())]
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame(
-                {"user_id": pd.Series(dtype="int64"),
-                 "event_type": pd.Series(dtype="object"),
-                 "event_id": pd.Series(dtype="int64"),
-                 "ts": pd.Series(dtype="datetime64[us]"),
-                 "value": pd.Series(dtype="float64")})
-        df = df.sort_values(["ts", "event_id"])
-        g = df.groupby(["user_id", "event_type"], as_index=False).last()
-        return g[["user_id", "event_type", "event_id", "ts", "value"]]
+    def _latest(t: pa.Table) -> pa.Table:
+        """Last (ts, event_id) row per (user_id, event_type): lexsort
+        with the key LAST inside each (u, type) run, take run ends."""
+        if t.num_rows == 0:
+            return _empty_tbl(d5_fields)
+        uid, eid, ts = _col(t, "user_id"), _col(t, "event_id"), _ts_us(t)
+        et = _col(t, "event_type")
+        _, codes = np.unique(et, return_inverse=True)
+        order = np.lexsort((eid, ts, codes, uid))
+        uid, eid, ts, et, codes = (uid[order], eid[order], ts[order],
+                                   et[order], codes[order])
+        ends = np.r_[np.flatnonzero((uid[1:] != uid[:-1])
+                                    | (codes[1:] != codes[:-1])),
+                     len(uid) - 1]
+        return pa.table(
+            {"user_id": pa.array(uid[ends]),
+             "event_type": pa.array(et[ends], pa.string()),
+             "event_id": pa.array(eid[ends]),
+             "ts": pa.array(ts[ends].astype("datetime64[us]")),
+             "value": pa.array(_col(t, "value")[order][ends])})
+
+    def compact(t: pa.Table) -> pa.Table:
+        g = _latest(t)
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        return g.append_column("u_salt", pa.array((u % salt_k).astype(np.int32)))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_tbl(d5_fields)
+        return _latest(t)
 
     return (
-        ds.map_batches(compact, batch_format="pandas")
+        ds.map_batches(compact, batch_format="pyarrow")
         .groupby("u_salt")
-        .map_groups(finish, batch_format="pandas")
+        .map_groups(finish, batch_format="pyarrow")
     )
 
 
@@ -1987,21 +2109,18 @@ def w9_percent_rank(sf_dir: str):
         return batch.append_column(
             "u_salt", pa.array((u % salt_k).astype(np.int32)))
 
-    def per_salt(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame(
-                {"event_id": pd.Series(dtype="int64"),
-                 "user_id": pd.Series(dtype="int64"),
-                 "pct_rank": pd.Series(dtype="float64"),
-                 "cume": pd.Series(dtype="float64")})
-        df = df.sort_values(["user_id", "value", "event_id"],
-                            ascending=[True, False, True])
-        uid = df["user_id"].to_numpy()
-        val = df["value"].to_numpy()
-        starts = np.r_[0, np.flatnonzero(uid[1:] != uid[:-1]) + 1]
-        sizes = np.diff(np.r_[starts, len(uid)])
+    w9_fields = [("event_id", pa.int64()), ("user_id", pa.int64()),
+                 ("pct_rank", pa.float64()), ("cume", pa.float64())]
+
+    def per_salt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_tbl(w9_fields)
+        uid, eid = _col(t, "user_id"), _col(t, "event_id")
+        val = _col(t, "value")
+        order = np.lexsort((eid, -val, uid))   # user asc, value desc
+        uid, eid, val = uid[order], eid[order], val[order]
+        starts, sizes = _user_starts(uid)
         n = np.repeat(sizes, sizes)
-        pos = np.arange(len(uid)) - np.repeat(starts, sizes)
         # peer groups: new (user, value) combination starts a rank
         newv = np.r_[True, (uid[1:] != uid[:-1]) | (val[1:] != val[:-1])]
         # rank = position of the peer group's first row + 1
@@ -2014,15 +2133,14 @@ def w9_percent_rank(sf_dir: str):
         grp_end = np.minimum.accumulate(idx[::-1])[::-1]
         peers_thru = grp_end - np.repeat(starts, sizes) + 1
         pct = np.where(n > 1, (rank - 1) / np.maximum(n - 1, 1), 0.0)
-        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
-                             "user_id": uid,
-                             "pct_rank": pct,
-                             "cume": peers_thru / n})
+        return pa.table({"event_id": pa.array(eid), "user_id": pa.array(uid),
+                         "pct_rank": pa.array(pct),
+                         "cume": pa.array(peers_thru / n)})
 
     return (
         ds.map_batches(add_salt, batch_format="pyarrow")
         .groupby("u_salt")
-        .map_groups(per_salt, batch_format="pandas")
+        .map_groups(per_salt, batch_format="pyarrow")
     )
 
 
@@ -2046,21 +2164,19 @@ def w10_funnel(sf_dir: str, gap_s: int = 43_200):
         return batch.append_column(
             "u_salt", pa.array((u % salt_k).astype(np.int32)))
 
-    gap = np.timedelta64(gap_s, "s")
+    gap_us = gap_s * MICRO
+    w10_fields = [("user_id", pa.int64()), ("session_no", pa.int64()),
+                  ("n_events", pa.int64()), ("converted", pa.bool_())]
 
-    def per_salt(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame(
-                {"user_id": pd.Series(dtype="int64"),
-                 "session_no": pd.Series(dtype="int64"),
-                 "n_events": pd.Series(dtype="int64"),
-                 "converted": pd.Series(dtype="bool")})
-        df = df.sort_values(["user_id", "ts", "event_id"])
-        ts = df["ts"].to_numpy()
-        uid = df["user_id"].to_numpy()
-        et = df["event_type"].to_numpy()
+    def per_salt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_tbl(w10_fields)
+        uid, eid, ts = _col(t, "user_id"), _col(t, "event_id"), _ts_us(t)
+        et = _col(t, "event_type")
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, et = uid[order], ts[order], et[order]
         new_user = np.r_[True, uid[1:] != uid[:-1]]
-        is_new = new_user | np.r_[True, (ts[1:] - ts[:-1]) > gap]
+        is_new = new_user | np.r_[True, (ts[1:] - ts[:-1]) > gap_us]
         sess = np.cumsum(is_new)                     # global session id
         first_idx = np.flatnonzero(new_user)
         base = np.repeat(sess[first_idx],
@@ -2070,28 +2186,29 @@ def w10_funnel(sf_dir: str, gap_s: int = 43_200):
         # is_click reset at session starts, then shifted by one row
         is_click = (et == "click").astype(np.int64)
         sstart = np.flatnonzero(is_new)
-        seg = np.repeat(np.arange(len(sstart)),
-                        np.diff(np.r_[sstart, len(sess)]))
+        slen = np.diff(np.r_[sstart, len(sess)])
         cum = np.cumsum(is_click)
         seen_incl = (cum - np.repeat(np.r_[0, cum[sstart[1:] - 1]]
                                      if len(sstart) > 1 else [0],
-                                     np.diff(np.r_[sstart, len(sess)]))
+                                     slen)
                      ) > 0
         prev = np.r_[False, seen_incl[:-1]]
         prev[sstart] = False                         # session first row
         conv_evt = (et == "purchase") & prev
-        out = pd.DataFrame({"user_id": uid, "session_no": session_no,
-                            "one": np.ones(len(uid), dtype=np.int64),
-                            "conv": conv_evt})
-        g = out.groupby(["user_id", "session_no"], as_index=False).agg(
-            n_events=("one", "sum"), converted=("conv", "max"))
-        return g.astype({"user_id": "int64", "session_no": "int64",
-                         "n_events": "int64", "converted": "bool"})
+        # rows arrive sorted (user, ts): each (user, session) is one
+        # contiguous run starting at a session start — run-length
+        # count + any(conv) replace the pandas groupby
+        return pa.table(
+            {"user_id": pa.array(uid[sstart]),
+             "session_no": pa.array(session_no[sstart]),
+             "n_events": pa.array(slen.astype(np.int64)),
+             "converted": pa.array(np.add.reduceat(
+                 conv_evt.astype(np.int64), sstart) > 0)})
 
     return (
         ds.map_batches(add_salt, batch_format="pyarrow")
         .groupby("u_salt")
-        .map_groups(per_salt, batch_format="pandas")
+        .map_groups(per_salt, batch_format="pyarrow")
     )
 
 
@@ -2236,33 +2353,32 @@ def w11_ewma(sf_dir: str):
 
     a, b = np.float64(EWMA_ALPHA), np.float64(EWMA_BETA)
 
-    def per_salt(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame(
-                {"event_id": pd.Series(dtype="int64"),
-                 "user_id": pd.Series(dtype="int64"),
-                 "value": pd.Series(dtype="float64"),
-                 "ewma": pd.Series(dtype="float64")})
-        df = df.sort_values(["user_id", "ts", "event_id"])
-        uid = df["user_id"].to_numpy()
-        x = df["value"].to_numpy()
-        new_user = np.r_[True, uid[1:] != uid[:-1]]
+    w11_fields = [("event_id", pa.int64()), ("user_id", pa.int64()),
+                  ("value", pa.float64()), ("ewma", pa.float64())]
+
+    def per_salt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_tbl(w11_fields)
+        uid, eid, ts = _col(t, "user_id"), _col(t, "event_id"), _ts_us(t)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid = uid[order], eid[order]
+        x = _col(t, "value")[order]
+        starts, runlen = _user_starts(uid)
         # within-user rank (0-based): arange minus each user's start
-        starts = np.flatnonzero(new_user)
-        runlen = np.diff(np.r_[starts, len(uid)])
         rank = np.arange(len(uid)) - np.repeat(starts, runlen)
         y = x.copy()                      # rank-0 rows: y = x
+        # rank-stepped recurrence: FROZEN float op order (spec shared
+        # with the serial oracle) — do not reassociate
         for r in range(1, int(rank.max()) + 1 if len(rank) else 0):
             idx = np.flatnonzero(rank == r)
             if not len(idx):
                 break
             y[idx] = a * x[idx] + b * y[idx - 1]
-        return pd.DataFrame(
-            {"event_id": df["event_id"].to_numpy(),
-             "user_id": uid, "value": x, "ewma": y})
+        return pa.table({"event_id": pa.array(eid), "user_id": pa.array(uid),
+                         "value": pa.array(x), "ewma": pa.array(y)})
 
     return (ds.map_batches(add_salt, batch_format="pyarrow")
-            .groupby("u_salt").map_groups(per_salt, batch_format="pandas"))
+            .groupby("u_salt").map_groups(per_salt, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
