@@ -94,6 +94,7 @@ _QUERY_ORDER = (
     "j1_broadcast_join", "o5_exact_quantiles", "w3_tumbling_window",
     "d5_latest_per_key", "w4_sliding_window", "g3_metrics_rollup",
     "s1_set_intersect", "mix_interleave", "w10_funnel", "g15_corr",
+    "g19_grouping_sets", "bpe_pair_topk", "dsir_importance",
     "j5_asof_join", "tfidf_topk", "link_pagerank", "q1_pricing_summary",
     "dedup_semantic", "j7_bloom_semi_join", "media_pipeline",
     "j9_full_outer_join", "w8_late_events", "m11_json_extract",
@@ -159,6 +160,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g12_embedding_centroids": R.g12_embedding_centroids,
         "g13_user_value_drift": R.g13_user_value_drift,
         "g9_rollup": R.g9_rollup,
+        "g19_grouping_sets": R.g19_grouping_sets,
+        "dsir_importance": T.dsir_importance,
+        "bpe_pair_topk": T.bpe_pair_topk,
         # --- joins (J-rows)
         "j1_broadcast_join": R.j1_broadcast_join,
         "j2_anti_join": R.j2_anti_join,
@@ -384,6 +388,12 @@ def _serial_oracles() -> dict[str, str]:
                                 "est_jaccard": "DOUBLE"}),
         "dedup_lsh_verified": V(SR.dedup_lsh_verified(threshold=0.8),
                                 {**pair_d, "jaccard": "DOUBLE"}),
+        "dsir_importance": V(SR.dsir_importance(),
+                             {"doc_id": "BIGINT", "n_feats": "BIGINT",
+                              "logw": "DOUBLE", "keep": "BOOLEAN"}),
+        "bpe_pair_topk": V(SR.bpe_pair_topk(k=20),
+                           {"pair": "VARCHAR", "cnt": "BIGINT",
+                            "rank": "BIGINT"}),
         "dedup_containment_stats": V(
             SR.dedup_containment_stats(threshold=0.8),
             {"doc_id": "BIGINT", "n_pairs": "BIGINT",
@@ -561,6 +571,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n, "
             f"{_USUM('l_extendedprice')} AS revenue "
             "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "g19_grouping_sets": (
+            "SELECT COALESCE(source,'ALL') AS source, "
+            "COALESCE(lang,'ALL') AS lang, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents "
+            "GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())"
         ),
         "j1_broadcast_join": (
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "

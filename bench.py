@@ -164,6 +164,12 @@ QUERY_SUITE = [
     "io_partitioned_roundtrip",
     "q5_local_supplier_volume",
     "q10_returned_revenue",
+    # round-3 additions
+    "dsir_importance",
+    "bpe_pair_topk",
+    "g19_grouping_sets",
+    "w2_sessionize",
+    "s2_set_except",
 ]
 
 

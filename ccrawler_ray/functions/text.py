@@ -829,3 +829,202 @@ def o10_pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY,
             "end_bin": (pre + tok - 1) // cap})
 
     return rows.groupby("bkt").map_groups(pack, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling"): score every raw
+# document by how target-like its hashed n-gram feature distribution
+# is — log p_target(doc) - log p_raw(doc) under two bag-of-hashed-
+# unigram models with add-one smoothing over a FIXED bucket space.
+# The two models train distributed (per-block bucket histograms, one
+# bounded salted groupby — the shuffle moves <= DSIR_BUCKETS keys, the
+# lm_perplexity pattern); the bucket log-ratio vector broadcasts to an
+# actor pool that scores docs per batch. Serial mirror:
+# serial_ref.dsir_importance (bitwise — shared frozen kernels below).
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096            # hashed-feature space (frozen)
+DSIR_TARGET_LANG = "en"        # the target "domain" in this corpus
+
+
+def _dsir_buckets(words: list) -> np.ndarray:
+    """Hashed-unigram feature buckets in token order (frozen: the
+    shared blake2b word hash mod the fixed bucket count)."""
+    from ccrawler_ray.functions.dedup import word_hashes
+
+    return (word_hashes(words) % np.uint64(DSIR_BUCKETS)).astype(np.int64)
+
+
+def _dsir_lambda(cnt_t: np.ndarray, n_t: int, cnt_r: np.ndarray,
+                 n_r: int) -> np.ndarray:
+    """Per-bucket log importance ratio, add-one smoothing. FROZEN
+    float op order — shared verbatim with the serial mirror."""
+    lt = np.log((cnt_t + 1.0) / np.float64(n_t + DSIR_BUCKETS))
+    lr = np.log((cnt_r + 1.0) / np.float64(n_r + DSIR_BUCKETS))
+    return lt - lr
+
+
+def _dsir_doc_logw(buckets: np.ndarray, lam: np.ndarray) -> float:
+    """Doc log-weight = sum of its features' log ratios in token
+    order (frozen reduction order)."""
+    if not len(buckets):
+        return 0.0
+    return float(np.add.reduce(lam[buckets], dtype=np.float64))
+
+
+def _dsir_train_counts(ds) -> dict:
+    """Distributed bucket-histogram training: per-block partial
+    histograms (nonzero rows only), ONE salted groupby whose key space
+    is bounded by DSIR_BUCKETS — the fact rows never shuffle."""
+
+    def count_rows(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        texts = batch.column("text").to_pylist()
+        tgt, raw = [], []
+        for lang, text in zip(langs, texts):
+            b = _dsir_buckets(text.split())
+            raw.append(b)
+            if lang == DSIR_TARGET_LANG:
+                tgt.append(b)
+        cr = np.bincount(np.concatenate(raw), minlength=DSIR_BUCKETS) \
+            if raw else np.zeros(DSIR_BUCKETS, dtype=np.int64)
+        ct = np.bincount(np.concatenate(tgt), minlength=DSIR_BUCKETS) \
+            if tgt else np.zeros(DSIR_BUCKETS, dtype=np.int64)
+        nz = np.flatnonzero(cr | ct)
+        return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                         "cnt_t": pa.array(ct[nz].astype(np.int64)),
+                         "cnt_r": pa.array(cr[nz].astype(np.int64)),
+                         "salt": pa.array((nz % 64).astype(np.int32))})
+
+    def sum_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "cnt_t": pa.array([], pa.int64()),
+                             "cnt_r": pa.array([], pa.int64())})
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(b, return_inverse=True)
+        tt = np.zeros(len(uk), dtype=np.int64)
+        rr = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(tt, inv, t.column("cnt_t").to_numpy(zero_copy_only=False))
+        np.add.at(rr, inv, t.column("cnt_r").to_numpy(zero_copy_only=False))
+        return pa.table({"bucket": pa.array(uk), "cnt_t": pa.array(tt),
+                         "cnt_r": pa.array(rr)})
+
+    pdf = (ds.map_batches(count_rows, batch_format="pyarrow")
+           .groupby("salt").map_groups(sum_group, batch_format="pyarrow")
+           .to_pandas())   # <= DSIR_BUCKETS rows by construction
+    cnt_t = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    cnt_r = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    if len(pdf):
+        cnt_t[pdf["bucket"].to_numpy()] = pdf["cnt_t"].to_numpy()
+        cnt_r[pdf["bucket"].to_numpy()] = pdf["cnt_r"].to_numpy()
+    return {"cnt_t": cnt_t, "cnt_r": cnt_r,
+            "n_t": int(cnt_t.sum()), "n_r": int(cnt_r.sum())}
+
+
+class DSIRScorer:
+    """Actor-pool scorer: the bucket log-ratio vector is built ONCE
+    per actor from the broadcast count model."""
+
+    def __init__(self, model):
+        import ray
+
+        m = ray.get(model) if isinstance(model, ray.ObjectRef) else model
+        self.lam = _dsir_lambda(np.asarray(m["cnt_t"]), m["n_t"],
+                                np.asarray(m["cnt_r"]), m["n_r"])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        nf = np.empty(len(texts), dtype=np.int64)
+        lw = np.empty(len(texts), dtype=np.float64)
+        for i, text in enumerate(texts):
+            b = _dsir_buckets(text.split())
+            nf[i] = len(b)
+            lw[i] = _dsir_doc_logw(b, self.lam)
+        return pa.table({"doc_id": pa.array(dids.astype(np.int64)),
+                         "n_feats": pa.array(nf),
+                         "logw": pa.array(lw),
+                         "keep": pa.array(lw > 0.0)})
+
+
+def dsir_importance(sf_dir: str):
+    """(doc_id, n_feats, logw, keep): hashed-unigram DSIR importance
+    log-weight of every document against the ``lang == 'en'`` target
+    slice; keep = logw > 0 (doc looks more target than raw)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+    model = _dsir_train_counts(ds)
+    return ds.map_batches(DSIRScorer,
+                          fn_constructor_args=(model,),
+                          batch_format="pyarrow", concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate counting — the inner step of byte-pair-encoding
+# tokenizer training: global frequencies of adjacent character pairs
+# INSIDE whitespace-split words (pre-tokenization boundary), top-k by
+# count. The map side is fully vectorized (one utf-32 view per batch,
+# pairs via shifted uint64 packing, per-batch np.unique partials); the
+# pair keys shuffle once into coarse salt groups; a pair lives in ONE
+# group, so each group's local top-k is globally safe and the driver
+# sees <= salts x k rows. Serial mirror: serial_ref.bpe_pair_topk
+# (exact integer counts — shared frozen pair kernel).
+# ---------------------------------------------------------------------------
+
+# frozen pre-tokenization boundary: ASCII whitespace (the str.split
+# separators this corpus contains); shared with the serial mirror
+_BPE_WS_CODES = np.array([ord(c) for c in " \t\n\r\x0b\x0c"],
+                         dtype=np.uint32)
+
+
+def _char_pairs(text: str) -> np.ndarray:
+    """int64 codes (hi<<32 | lo — codepoints < 2^21, no overflow) of
+    adjacent character pairs inside words, in text order."""
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    if len(cps) < 2:
+        return np.empty(0, dtype=np.int64)
+    a, b = cps[:-1], cps[1:]
+    keep = ~np.isin(a, _BPE_WS_CODES) & ~np.isin(b, _BPE_WS_CODES)
+    return ((a[keep].astype(np.int64) << 32) | b[keep].astype(np.int64))
+
+
+def _pair_str(code: int) -> str:
+    return chr(int(code) >> 32) + chr(int(code) & 0xFFFFFFFF)
+
+
+def bpe_pair_topk(sf_dir: str, k: int = 20):
+    """(pair, cnt, rank): the k most frequent in-word adjacent
+    character pairs across the corpus; ties break on the pair string's
+    codepoints ascending."""
+    ds = _read_docs(sf_dir, ["text"])
+
+    def count_rows(batch: pa.Table) -> pa.Table:
+        # "\n" joins the batch into ONE buffer; it is itself a frozen
+        # whitespace separator, so cross-document pairs self-exclude
+        codes = _char_pairs("\n".join(batch.column("text").to_pylist()))
+        uk, c = np.unique(codes, return_counts=True)
+        return pa.table({"pair": pa.array(uk),
+                         "cnt": pa.array(c.astype(np.int64)),
+                         "salt": pa.array((uk % 64).astype(np.int32))})
+
+    def topk_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        p = t.column("pair").to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(p, return_inverse=True)
+        tot = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(tot, inv, t.column("cnt").to_numpy(zero_copy_only=False))
+        top = np.lexsort((uk, -tot))[:k]   # local top-k is globally safe
+        return pa.table({"pair": pa.array(uk[top]), "cnt": pa.array(tot[top])})
+
+    pdf = (ds.map_batches(count_rows, batch_format="pyarrow")
+           .groupby("salt").map_groups(topk_group, batch_format="pyarrow")
+           .to_pandas())   # <= 64 x k rows
+    pair = pdf["pair"].to_numpy()
+    cnt = pdf["cnt"].to_numpy()
+    top = np.lexsort((pair, -cnt))[:k]
+    return pd.DataFrame({"pair": [_pair_str(c) for c in pair[top]],
+                         "cnt": cnt[top].astype(np.int64),
+                         "rank": np.arange(1, len(top) + 1, dtype=np.int64)})

@@ -1194,6 +1194,45 @@ def g9_rollup(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# G19: full GROUPING SETS — beyond G9's ROLLUP ladder, the cross
+# margins ((source,lang), (source), (lang), ()) a mix-report needs.
+# Same plan shape: ONE scan + map-side partials into the small leaf
+# aggregate; every margin re-aggregates the leaf (algebraic int64
+# sums), never a second fact pass. NULL keys render 'ALL'
+# (hash-stable vs the oracle's COALESCE).
+# ---------------------------------------------------------------------------
+
+
+def g19_grouping_sets(sf_dir: str):
+    """GROUPING SETS ((source, lang), (source), (lang), ()): document
+    count + exact char sum at all four margins."""
+    ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "lang"], as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+        return g.astype({"n_docs": "int64", "sum_chars": "int64"})
+
+    base = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("sum_chars", alias_name="sum_chars"))
+        .to_pandas()   # <= |sources| x |langs| rows by construction
+    )
+    agg = {"n_docs": ("n_docs", "sum"), "sum_chars": ("sum_chars", "sum")}
+    by_src = base.groupby("source", as_index=False).agg(**agg).assign(lang="ALL")
+    by_lang = base.groupby("lang", as_index=False).agg(**agg).assign(source="ALL")
+    tot = pd.DataFrame({"source": ["ALL"], "lang": ["ALL"],
+                        "n_docs": [base["n_docs"].sum()],
+                        "sum_chars": [base["sum_chars"].sum()]})
+    out = pd.concat([base, by_src, by_lang, tot], ignore_index=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return out[["source", "lang", "n_docs", "sum_chars"]]
+
+
+# ---------------------------------------------------------------------------
 # W5: lag/lead window — per-user previous-event gap and next-event
 # value. Same salted per-user shuffle as W2; the in-group kernel is
 # one sort + vectorized shifts over ALL users in the salt group.

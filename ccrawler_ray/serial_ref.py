@@ -1285,3 +1285,53 @@ def ann_recall_report(sf_dir: str | None = None, num_queries: int = 5,
                      float(np.floor(hits * 10_000.0 / denom) / 10_000)))
     return pd.DataFrame(rows, columns=["method", "n_hits", "n_possible",
                                        "recall"])
+
+
+def dsir_importance(sf_dir: str | None = None) -> pd.DataFrame:
+    """Serial mirror of functions.text.dsir_importance: bucket
+    histograms accumulated doc-by-doc, log-ratio and per-doc weight
+    through the SAME frozen kernels — doubles are bitwise equal (the
+    distributed side's count sums are integers)."""
+    from ccrawler_ray.functions.text import (DSIR_TARGET_LANG,
+                                             _dsir_buckets, _dsir_doc_logw,
+                                             _dsir_lambda)
+    from ccrawler_ray.functions.text import DSIR_BUCKETS as B
+
+    sf = sf_dir or oracle_sf_dir()
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "text", "lang"])
+    dids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    langs = t.column("lang").to_pylist()
+    feats = [_dsir_buckets(text.split()) for text in texts]
+    cnt_t = np.zeros(B, dtype=np.int64)
+    cnt_r = np.zeros(B, dtype=np.int64)
+    for lang, b in zip(langs, feats):
+        np.add.at(cnt_r, b, 1)
+        if lang == DSIR_TARGET_LANG:
+            np.add.at(cnt_t, b, 1)
+    lam = _dsir_lambda(cnt_t, int(cnt_t.sum()), cnt_r, int(cnt_r.sum()))
+    rows = [(int(did), len(b), _dsir_doc_logw(b, lam))
+            for did, b in zip(dids, feats)]
+    df = pd.DataFrame(rows, columns=["doc_id", "n_feats", "logw"])
+    df["keep"] = df["logw"].to_numpy() > 0.0
+    return df
+
+
+def bpe_pair_topk(sf_dir: str | None = None, k: int = 20) -> pd.DataFrame:
+    """Serial mirror of functions.text.bpe_pair_topk: per-doc pair
+    codes through the SAME frozen kernel, exact integer counts."""
+    from ccrawler_ray.functions.text import _char_pairs, _pair_str
+
+    sf = sf_dir or oracle_sf_dir()
+    _, texts = _docs(sf)
+    codes = [c for text in texts for c in (_char_pairs(text),) if len(c)]
+    if not codes:
+        return pd.DataFrame({"pair": pd.Series(dtype="object"),
+                             "cnt": pd.Series(dtype="int64"),
+                             "rank": pd.Series(dtype="int64")})
+    uk, cnt = np.unique(np.concatenate(codes), return_counts=True)
+    top = np.lexsort((uk, -cnt))[:k]
+    return pd.DataFrame({"pair": [_pair_str(c) for c in uk[top]],
+                         "cnt": cnt[top].astype(np.int64),
+                         "rank": np.arange(1, len(top) + 1, dtype=np.int64)})
