@@ -199,14 +199,37 @@ def d3_content_dedup(sf_dir: str):
 
 def g1_rank_topk_per_key(sf_dir: str, k: int = 3):
     """Top-k events per user by (value desc, event_id) with rank —
-    exactly the per-host priority-queue shape (groupby → sort → limit)."""
+    exactly the per-host priority-queue shape. Salted per-user shuffle
+    (user cardinality must never drive the groupby); one lexsort +
+    segmented position filter ranks ALL users in the salt group."""
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
     ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
 
-    def grp(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["value", "event_id"], ascending=[False, True]).head(k)
-        return df.assign(rn=np.arange(1, len(df) + 1, dtype=np.int64))
+    def add_salt(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "u_salt", pa.array((u % salt_k).astype(np.int32)))
 
-    return ds.groupby("user_id").map_groups(grp, batch_format="pandas")
+    g1_fields = [("user_id", pa.int64()), ("event_id", pa.int64()),
+                 ("value", pa.float64()), ("rn", pa.int64())]
+
+    def per_salt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_tbl(g1_fields)
+        uid, eid = _col(t, "user_id"), _col(t, "event_id")
+        val = _col(t, "value")
+        order = np.lexsort((eid, -val, uid))   # user asc, value desc
+        uid, eid, val = uid[order], eid[order], val[order]
+        starts, sizes = _user_starts(uid)
+        pos = np.arange(len(uid)) - np.repeat(starts, sizes)
+        keep = pos < k
+        return pa.table({"user_id": pa.array(uid[keep]),
+                         "event_id": pa.array(eid[keep]),
+                         "value": pa.array(val[keep]),
+                         "rn": pa.array((pos[keep] + 1).astype(np.int64))})
+
+    return (ds.map_batches(add_salt, batch_format="pyarrow")
+            .groupby("u_salt").map_groups(per_salt, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
@@ -429,37 +452,53 @@ def q1_pricing_summary(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 # J5: as-of join (custom operator — Ray Data lacks one natively):
-# sort-within-key + pandas merge_asof per group. Partitioning
-# assumption: one key's rows fit a worker (holds for per-user streams).
+# salted per-user shuffle + ONE composite-key np.searchsorted over all
+# users in the salt group (same structured-key trick as J6). The
+# backward match is rank(user, ts) - 1 into the (user, ts,
+# event_id)-sorted click stream, validated same-user.
 # ---------------------------------------------------------------------------
 
 
 def j5_asof_join(sf_dir: str):
     """For each 'purchase' event, the same user's most recent 'click'
     at-or-before its timestamp (DuckDB oracle uses native ASOF JOIN)."""
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
     ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        left = df[df["event_type"] == "purchase"].sort_values("ts")
-        right = df[df["event_type"] == "click"].sort_values("ts")
-        if left.empty or right.empty:
-            return pd.DataFrame(
-                {"event_id": pd.Series(dtype="int64"),
-                 "user_id": pd.Series(dtype="int64"),
-                 "ts": pd.Series(dtype="datetime64[us]"),
-                 "click_id": pd.Series(dtype="int64"),
-                 "click_ts": pd.Series(dtype="datetime64[us]")}
-            )
-        m = pd.merge_asof(
-            left[["event_id", "user_id", "ts"]],
-            right[["event_id", "ts"]].rename(
-                columns={"event_id": "click_id", "ts": "click_ts"}
-            ),
-            left_on="ts", right_on="click_ts", direction="backward",
-        )
-        return m.dropna(subset=["click_id"]).astype({"click_id": "int64"})
+    def add_salt(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "u_salt", pa.array((u % salt_k).astype(np.int32)))
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    j5_fields = [("event_id", pa.int64()), ("user_id", pa.int64()),
+                 ("ts", pa.timestamp("us")), ("click_id", pa.int64()),
+                 ("click_ts", pa.timestamp("us"))]
+
+    def per_salt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_tbl(j5_fields)
+        et = _col(t, "event_type")
+        is_p, is_c = et == "purchase", et == "click"
+        if not is_p.any() or not is_c.any():
+            return _empty_tbl(j5_fields)
+        uid, eid, ts = _col(t, "user_id"), _col(t, "event_id"), _ts_us(t)
+        cu, cts, cid = uid[is_c], ts[is_c], eid[is_c]
+        co = np.lexsort((cid, cts, cu))
+        cu, cts, cid = cu[co], cts[co], cid[co]
+        pu, pts, pid = uid[is_p], ts[is_p], eid[is_p]
+        hi = np.searchsorted(_lexkey2(cu, cts), _lexkey2(pu, pts),
+                             side="right") - 1
+        valid = (hi >= 0) & (cu[np.maximum(hi, 0)] == pu)
+        hv = hi[valid]
+        return pa.table(
+            {"event_id": pa.array(pid[valid]),
+             "user_id": pa.array(pu[valid]),
+             "ts": pa.array(pts[valid].astype("datetime64[us]")),
+             "click_id": pa.array(cid[hv]),
+             "click_ts": pa.array(cts[hv].astype("datetime64[us]"))})
+
+    return (ds.map_batches(add_salt, batch_format="pyarrow")
+            .groupby("u_salt").map_groups(per_salt, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
