@@ -68,6 +68,27 @@ FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA]
 
 DUMP_COLS = ["generation", "host", "queue_pos", "ord_key", "canon", "status", "fetch_ts_us"]
 
+
+@ray.remote(num_cpus=0.25)
+def _project_dump(block) -> pd.DataFrame | None:
+    """Narrow dump projection of one materialized block, worker-side —
+    one task round trip replaces the per-generation
+    ``select_columns().to_pandas()`` Dataset execution (executor
+    startup was pure stepped-regime fixed cost)."""
+    if block.num_rows == 0:
+        return None
+    return block.select(DUMP_COLS).to_pandas()
+
+
+def _dump_from_blocks(fused) -> pd.DataFrame:
+    refs = [r for b in fused.iter_internal_ref_bundles()
+            for r in b.block_refs]
+    parts = [p for p in ray.get([_project_dump.remote(r) for r in refs])
+             if p is not None]
+    if not parts:
+        return pd.DataFrame(columns=DUMP_COLS)
+    return pd.concat(parts, ignore_index=True)
+
 # per-worker-process fetch index cache (see stages/fetch.py docstring:
 # immutable broadcast state — cached once per reused worker process,
 # equivalent to an actor pool without per-generation pool churn)
@@ -932,7 +953,7 @@ class CrawlEngine:
             # the collection barrier before checkpoint/next-admission
             # keeps queue state exact
             resolve_refs = self._launch_resolve()
-            dump = fused.select_columns(DUMP_COLS).to_pandas()
+            dump = _dump_from_blocks(fused)
             self._append_dump(dump)  # sorted once in _result
             n200 = int((dump["status"] == 200).sum())
             self._count(g, "fetch", "status_200", n200)
