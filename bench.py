@@ -166,6 +166,7 @@ QUERY_SUITE = [
     "q10_returned_revenue",
     # round-3 additions
     "dsir_importance",
+    "bpe_train_merges",
     "bpe_pair_topk",
     "g19_grouping_sets",
     "w2_sessionize",

@@ -1028,3 +1028,103 @@ def bpe_pair_topk(sf_dir: str, k: int = 20):
     return pd.DataFrame({"pair": [_pair_str(c) for c in pair[top]],
                          "cnt": cnt[top].astype(np.int64),
                          "rank": np.arange(1, len(top) + 1, dtype=np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer TRAINING (Sennrich-style): n merge rounds over the
+# word-frequency table. The distributed part is the part that scales
+# with the corpus — exact word counting (per-batch np.unique partials,
+# one salted groupby bounded by vocabulary size); the merge loop runs
+# on the driver over the SMALL (vocab-bounded) frequency table, which
+# is how production BPE trainers work — corpus size never enters the
+# loop. Deterministic: best pair = max count, tie-break
+# lexicographically smallest (left, right); merges apply left-to-right
+# non-overlapping. Serial mirror: serial_ref.bpe_train_merges (exact —
+# integer counts + the SAME frozen loop below).
+# ---------------------------------------------------------------------------
+
+
+def _bpe_merge_loop(words: list, n_merges: int) -> list:
+    """words: (word, count) pairs, caller-sorted (frozen order).
+    Returns (merge_rank, left_sym, right_sym, merged, pair_count)
+    rows. Pure function shared verbatim with the serial mirror."""
+    seqs = [list(w) for w, _ in words]
+    cnts = [c for _, c in words]
+    rows = []
+    for rank in range(1, n_merges + 1):
+        pair_counts: dict = {}
+        for seq, c in zip(seqs, cnts):
+            for i in range(len(seq) - 1):
+                p = (seq[i], seq[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        (left, right), cnt = min(pair_counts.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))
+        merged = left + right
+        rows.append((rank, left, right, merged, cnt))
+        for k, seq in enumerate(seqs):
+            if left not in seq:
+                continue
+            out, i = [], 0
+            while i < len(seq):
+                if (i < len(seq) - 1 and seq[i] == left
+                        and seq[i + 1] == right):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seqs[k] = out
+    return rows
+
+
+def _word_counts_distributed(ds) -> pd.DataFrame:
+    """Exact corpus word counts: per-batch np.unique partials, ONE
+    salted groupby whose key space is the vocabulary (the fact rows
+    never shuffle); deterministic blake2b word-hash salting."""
+    from ccrawler_ray.functions.dedup import word_hashes
+
+    def count_words(batch: pa.Table) -> pa.Table:
+        words: list = []
+        for text in batch.column("text").to_pylist():
+            words.extend(text.split())
+        if not words:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "salt": pa.array([], pa.int32())})
+        uw, c = np.unique(np.array(words, dtype=object), return_counts=True)
+        salt = (word_hashes(list(uw)) % np.uint64(64)).astype(np.int32)
+        return pa.table({"word": pa.array(uw, pa.string()),
+                         "cnt": pa.array(c.astype(np.int64)),
+                         "salt": pa.array(salt)})
+
+    def sum_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        w = np.asarray(t.column("word").to_pylist(), dtype=object)
+        uw, inv = np.unique(w, return_inverse=True)
+        tot = np.zeros(len(uw), dtype=np.int64)
+        np.add.at(tot, inv, t.column("cnt").to_numpy(zero_copy_only=False))
+        return pa.table({"word": pa.array(uw, pa.string()),
+                         "cnt": pa.array(tot)})
+
+    return (ds.map_batches(count_words, batch_format="pyarrow")
+            .groupby("salt").map_groups(sum_group, batch_format="pyarrow")
+            .to_pandas())   # vocab-bounded by construction
+
+
+def bpe_train_merges(sf_dir: str, n_merges: int = 30):
+    """(merge_rank, left_sym, right_sym, merged, pair_count): the
+    first ``n_merges`` BPE merges learned from the corpus's exact
+    word-frequency table."""
+    ds = _read_docs(sf_dir, ["text"])
+    pdf = _word_counts_distributed(ds)
+    words = sorted(zip(pdf["word"].tolist(),
+                       pdf["cnt"].astype(int).tolist()))
+    rows = _bpe_merge_loop(words, n_merges)
+    return pd.DataFrame(rows, columns=["merge_rank", "left_sym",
+                                       "right_sym", "merged",
+                                       "pair_count"]).astype(
+        {"merge_rank": "int64", "pair_count": "int64"})

@@ -1335,3 +1335,24 @@ def bpe_pair_topk(sf_dir: str | None = None, k: int = 20) -> pd.DataFrame:
     return pd.DataFrame({"pair": [_pair_str(c) for c in uk[top]],
                          "cnt": cnt[top].astype(np.int64),
                          "rank": np.arange(1, len(top) + 1, dtype=np.int64)})
+
+
+def bpe_train_merges(sf_dir: str | None = None,
+                     n_merges: int = 30) -> pd.DataFrame:
+    """Serial mirror of functions.text.bpe_train_merges: Counter word
+    frequencies + the SAME frozen merge loop — exact."""
+    from collections import Counter
+
+    from ccrawler_ray.functions.text import _bpe_merge_loop
+
+    sf = sf_dir or oracle_sf_dir()
+    _, texts = _docs(sf)
+    counts: Counter = Counter()
+    for text in texts:
+        counts.update(text.split())
+    words = sorted(counts.items())
+    rows = _bpe_merge_loop(words, n_merges)
+    return pd.DataFrame(rows, columns=["merge_rank", "left_sym",
+                                       "right_sym", "merged",
+                                       "pair_count"]).astype(
+        {"merge_rank": "int64", "pair_count": "int64"})
