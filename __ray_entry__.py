@@ -95,7 +95,7 @@ _QUERY_ORDER = (
     "d5_latest_per_key", "w4_sliding_window", "g3_metrics_rollup",
     "s1_set_intersect", "mix_interleave", "w10_funnel", "g15_corr",
     "g19_grouping_sets", "bpe_pair_topk", "bpe_train_merges",
-    "dsir_importance",
+    "bpe_encode_stats", "dsir_importance",
     "j5_asof_join", "tfidf_topk", "link_pagerank", "q1_pricing_summary",
     "dedup_semantic", "j7_bloom_semi_join", "media_pipeline",
     "j9_full_outer_join", "w8_late_events", "m11_json_extract",
@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_importance": T.dsir_importance,
         "bpe_pair_topk": T.bpe_pair_topk,
         "bpe_train_merges": T.bpe_train_merges,
+        "bpe_encode_stats": T.bpe_encode_stats,
         # --- joins (J-rows)
         "j1_broadcast_join": R.j1_broadcast_join,
         "j2_anti_join": R.j2_anti_join,
@@ -396,6 +397,9 @@ def _serial_oracles() -> dict[str, str]:
         "bpe_pair_topk": V(SR.bpe_pair_topk(k=20),
                            {"pair": "VARCHAR", "cnt": "BIGINT",
                             "rank": "BIGINT"}),
+        "bpe_encode_stats": V(SR.bpe_encode_stats(n_merges=30),
+                              {"doc_id": "BIGINT", "n_words": "BIGINT",
+                               "n_tokens": "BIGINT"}),
         "bpe_train_merges": V(SR.bpe_train_merges(n_merges=30),
                               {"merge_rank": "BIGINT",
                                "left_sym": "VARCHAR",

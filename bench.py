@@ -167,6 +167,7 @@ QUERY_SUITE = [
     # round-3 additions
     "dsir_importance",
     "bpe_train_merges",
+    "bpe_encode_stats",
     "bpe_pair_topk",
     "g19_grouping_sets",
     "w2_sessionize",

@@ -1115,16 +1115,115 @@ def _word_counts_distributed(ds) -> pd.DataFrame:
             .to_pandas())   # vocab-bounded by construction
 
 
+def _bpe_merges(sf_dir: str, n_merges: int) -> list:
+    """Learned merge rows, memoized per (sf_dir, n_merges, session):
+    training runs ONCE; bpe_train_merges and bpe_encode_stats share
+    it (the merge table is the trained model — tiny, driver-held)."""
+    from ccrawler_ray.memo import memo_val
+
+    def build():
+        ds = _read_docs(sf_dir, ["text"])
+        pdf = _word_counts_distributed(ds)
+        words = sorted(zip(pdf["word"].tolist(),
+                           pdf["cnt"].astype(int).tolist()))
+        return _bpe_merge_loop(words, n_merges)
+
+    return memo_val(("bpe_merges", sf_dir, n_merges), build)
+
+
 def bpe_train_merges(sf_dir: str, n_merges: int = 30):
     """(merge_rank, left_sym, right_sym, merged, pair_count): the
     first ``n_merges`` BPE merges learned from the corpus's exact
     word-frequency table."""
-    ds = _read_docs(sf_dir, ["text"])
-    pdf = _word_counts_distributed(ds)
-    words = sorted(zip(pdf["word"].tolist(),
-                       pdf["cnt"].astype(int).tolist()))
-    rows = _bpe_merge_loop(words, n_merges)
+    rows = _bpe_merges(sf_dir, n_merges)
     return pd.DataFrame(rows, columns=["merge_rank", "left_sym",
                                        "right_sym", "merged",
                                        "pair_count"]).astype(
         {"merge_rank": "int64", "pair_count": "int64"})
+
+
+def _bpe_encode_word(word: str, rank_of: dict) -> int:
+    """Token count after applying the learned merges to one word:
+    repeatedly take the LOWEST-rank pair present and merge ALL its
+    non-overlapping occurrences left-to-right (the standard BPE
+    apply rule). Pure; shared verbatim with the serial mirror."""
+    seq = list(word)
+    while len(seq) > 1:
+        best_rank, best_pair = None, None
+        for i in range(len(seq) - 1):
+            r = rank_of.get((seq[i], seq[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (seq[i], seq[i + 1])
+        if best_pair is None:
+            break
+        left, right = best_pair
+        merged = left + right
+        out, i = [], 0
+        while i < len(seq):
+            if (i < len(seq) - 1 and seq[i] == left
+                    and seq[i + 1] == right):
+                out.append(merged)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+    return len(seq)
+
+
+class BPEEncoder:
+    """Actor-pool apply stage: the trained merge table arrives ONCE
+    per actor via a ``ray.put`` ref (broadcast-small-side), and a
+    word→token-count cache makes encoding per UNIQUE word — on a
+    Zipfian corpus cache hits dominate, so throughput is bounded by
+    the split, not the merge walk."""
+
+    def __init__(self, merges_ref):
+        rows = ray.get(merges_ref)
+        # merge_rank orders the table already; rank = position
+        self.rank_of = {(left, right): rank
+                        for rank, left, right, _, _ in rows}
+        self.cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        doc_words: list = []
+        doc_idx: list = []
+        for d, text in enumerate(texts):
+            ws = text.split()
+            doc_words.extend(ws)
+            doc_idx.append(len(ws))
+        n_words = np.asarray(doc_idx, dtype=np.int64)
+        n_tokens = np.zeros(len(texts), dtype=np.int64)
+        if doc_words:
+            uw, inv = np.unique(np.array(doc_words, dtype=object),
+                                return_inverse=True)
+            lens = np.empty(len(uw), dtype=np.int64)
+            cache, rank_of = self.cache, self.rank_of
+            for k, w in enumerate(uw):
+                n = cache.get(w)
+                if n is None:
+                    n = _bpe_encode_word(w, rank_of)
+                    cache[w] = n
+                lens[k] = n
+            per_word = lens[inv]
+            rep = np.repeat(np.arange(len(texts), dtype=np.int64), n_words)
+            np.add.at(n_tokens, rep, per_word)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(n_words),
+            "n_tokens": pa.array(n_tokens)})
+
+
+def bpe_encode_stats(sf_dir: str, n_merges: int = 30):
+    """(doc_id, n_words, n_tokens): the trained BPE tokenizer APPLIED
+    corpus-wide — train (distributed exact word counts + frozen merge
+    loop, shared with bpe_train_merges via the session memo) then
+    encode every doc in an actor pool holding the broadcast merge
+    table. n_tokens is exact-integer, so the serial mirror matches
+    bitwise."""
+    merges_ref = ray.put(_bpe_merges(sf_dir, n_merges))
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(BPEEncoder, batch_format="pyarrow",
+                          concurrency=2,
+                          fn_constructor_args=(merges_ref,))

@@ -1337,6 +1337,39 @@ def bpe_pair_topk(sf_dir: str | None = None, k: int = 20) -> pd.DataFrame:
                          "rank": np.arange(1, len(top) + 1, dtype=np.int64)})
 
 
+def bpe_encode_stats(sf_dir: str | None = None,
+                     n_merges: int = 30) -> pd.DataFrame:
+    """Serial mirror of functions.text.bpe_encode_stats: Counter word
+    counts + the SAME frozen merge loop and encode kernel — exact."""
+    from collections import Counter
+
+    from ccrawler_ray.functions.text import _bpe_encode_word, _bpe_merge_loop
+
+    sf = sf_dir or oracle_sf_dir()
+    ids, texts = _docs(sf)
+    counts: Counter = Counter()
+    for text in texts:
+        counts.update(text.split())
+    rows = _bpe_merge_loop(sorted(counts.items()), n_merges)
+    rank_of = {(left, right): rank for rank, left, right, _, _ in rows}
+    cache: dict = {}
+    n_words, n_tokens = [], []
+    for text in texts:
+        ws = text.split()
+        n_words.append(len(ws))
+        tot = 0
+        for w in ws:
+            n = cache.get(w)
+            if n is None:
+                n = _bpe_encode_word(w, rank_of)
+                cache[w] = n
+            tot += n
+        n_tokens.append(tot)
+    return pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
+                         "n_words": np.asarray(n_words, dtype=np.int64),
+                         "n_tokens": np.asarray(n_tokens, dtype=np.int64)})
+
+
 def bpe_train_merges(sf_dir: str | None = None,
                      n_merges: int = 30) -> pd.DataFrame:
     """Serial mirror of functions.text.bpe_train_merges: Counter word
