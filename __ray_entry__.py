@@ -77,7 +77,8 @@ def _crawl_docs_out(sf_dir: str):
 _QUERY_ORDER = (
     "dedup_ngram_spans", "decontaminate_overlap", "m10_normalize_text",
     "m9_content_hash", "scalar_string_ops", "o3_sample_hash",
-    "o8_hash_split", "explode_embeddings", "spans_rollup", "o3_sample",
+    "o8_hash_split", "o9_seeded_shuffle", "explode_embeddings",
+    "spans_rollup", "o3_sample",
     "d1_exact_dedup", "doc_fingerprint", "char_entropy", "token_count_bpe",
     "o2_global_topk", "d3_content_dedup", "g14_group_median",
     "g17_string_agg", "quality_score", "media_byte_stats",
@@ -85,7 +86,8 @@ _QUERY_ORDER = (
     "repetition_stats", "o6_weighted_sample", "search_bm25",
     "j2_anti_join", "pii_scrub", "media_dedup_exact", "o1_global_sort",
     "g18_unpivot", "o7_wordcount_topk", "g4_distinct_counts",
-    "q6_forecast_revenue", "g8_grouped_quantiles", "g1_rank_topk_per_key",
+    "q6_forecast_revenue", "q14_promo_revenue", "g8_grouped_quantiles",
+    "g1_rank_topk_per_key",
     "w2_sessionize", "g16_heavy_hitters", "w9_percent_rank", "w6_ntile",
     "w7_rolling_mean", "w5_lag_lead", "ann_topk_cosine", "ann_ivf_topk",
     "w1_running_sum", "w11_ewma", "g10_pivot", "ann_lsh_topk",
@@ -107,7 +109,8 @@ _QUERY_ORDER = (
     "dedup_filtered_docs", "link_triangles", "lm_perplexity",
     "dedup_minhash_lsh", "j4_multi_join", "j8_salted_skew_join",
     "g9_rollup", "dedup_incremental", "dedup_lsh_verified",
-    "training_mix_stats", "ann_recall_report", "q18_big_orders",
+    "training_mix_stats", "ann_recall_report", "q4_order_priority",
+    "q18_big_orders",
     "g12_embedding_centroids", "dedup_containment_stats",
     "q10_returned_revenue", "q5_local_supplier_volume",
     "io_partitioned_roundtrip", "dedup_clusters", "corpus_prep_stats",
@@ -193,8 +196,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g10_pivot": R.g10_pivot,
         "o7_wordcount_topk": R.o7_wordcount_topk,
         "q3_shipping_priority": R.q3_shipping_priority,
+        "q4_order_priority": R.q4_order_priority,
         "q5_local_supplier_volume": R.q5_local_supplier_volume,
         "q10_returned_revenue": R.q10_returned_revenue,
+        "q14_promo_revenue": R.q14_promo_revenue,
         # --- sorts / top-k (O-rows)
         "o1_global_sort": R.o1_global_sort,
         "o2_global_topk": R.o2_global_topk,
@@ -204,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o6_weighted_sample": R.o6_weighted_sample,
         "o4_stratified_sample": R.o4_stratified_sample,
         "o8_hash_split": R.o8_hash_split,
+        "o9_seeded_shuffle": R.o9_seeded_shuffle,
         "o10_pack_sequences": T.o10_pack_sequences,
         # --- wide aggregate
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -708,6 +714,31 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate < TIMESTAMP '1996-01-01' "
             "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
         ),
+        "q14_promo_revenue": (
+            "WITH l AS (SELECT CAST(round(l_extendedprice*(1-l_discount)"
+            "*1000000) AS BIGINT) AS rev_u, p_type "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-03-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01'), "
+            "s AS (SELECT CAST(coalesce(sum(CASE WHEN p_type = 'PROMO' "
+            "THEN rev_u ELSE 0 END), 0) AS BIGINT) AS pu, "
+            "CAST(coalesce(sum(rev_u), 0) AS BIGINT) AS tu FROM l) "
+            "SELECT pu/1000000.0 AS promo_revenue, "
+            "tu/1000000.0 AS total_revenue, "
+            "CASE WHEN tu = 0 THEN 0.0 ELSE 100.0 * pu / tu END "
+            "AS promo_pct FROM s"
+        ),
+        "q4_order_priority": (
+            "WITH o AS (SELECT o_orderkey, o_orderdate, o_orderpriority "
+            "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01'), "
+            "m AS (SELECT l_orderkey, max(l_shipdate) AS max_ship "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM o JOIN m ON o_orderkey = l_orderkey "
+            "WHERE max_ship > o_orderdate + INTERVAL 30 DAY "
+            "GROUP BY o_orderpriority"
+        ),
         "g15_corr": (
             # exact HUGEINT moment sums, then the same IEEE double
             # ops as the engine's finalize — bitwise-stable corr
@@ -898,6 +929,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT doc_id, bucket, CASE WHEN bucket < 90 THEN 'train' "
             "WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b"
+        ),
+        "o9_seeded_shuffle": (
+            "WITH k AS (SELECT doc_id, CAST(CAST(('0x' || "
+            "substr(md5('42:' || CAST(doc_id AS VARCHAR)),1,15)) "
+            "AS UBIGINT) AS BIGINT) AS skey FROM documents), "
+            "r AS (SELECT doc_id, skey, row_number() OVER "
+            "(ORDER BY skey, doc_id) AS pos FROM k) "
+            "SELECT doc_id, skey, pos, (pos - 1) % 8 AS shard FROM r"
         ),
         "o10_pack_sequences": (
             # concat-then-chunk packing: per-source exclusive token

@@ -164,6 +164,9 @@ QUERY_SUITE = [
     "io_partitioned_roundtrip",
     "q5_local_supplier_volume",
     "q10_returned_revenue",
+    "q4_order_priority",
+    "q14_promo_revenue",
+    "o9_seeded_shuffle",
     # round-3 additions
     "dsir_importance",
     "bpe_train_merges",

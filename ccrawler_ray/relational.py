@@ -1473,6 +1473,68 @@ def o8_hash_split(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# O9: seeded deterministic global shuffle + reshard — the "shuffle the
+# corpus before training" step. Every doc draws a pseudorandom key
+# from md5(seed:doc_id) (content-independent, so re-runs and
+# re-partitions give the SAME order); the global position is assigned
+# WITHOUT a global sort: 256 monotone key buckets (top bits), bucket
+# counts prefix-summed on the driver (2 KB), each bucket numbers
+# itself with one vectorized in-group lexsort. Shards are assigned
+# round-robin on position so every shard is a uniform sample of the
+# stream and stays balanced for any prefix.
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SEED = 42
+N_SHUFFLE_SHARDS = 8
+
+
+def o9_seeded_shuffle(sf_dir: str, seed: int = SHUFFLE_SEED,
+                      n_shards: int = N_SHUFFLE_SHARDS):
+    """(doc_id, skey, pos, shard): the seeded training-shuffle order.
+    skey = first 15 hex chars of md5('{seed}:{doc_id}') (< 2^60, so
+    BIGINT-safe on both sides); pos = rank by (skey, doc_id)."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        keys = np.fromiter(
+            (int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16)
+             for i in ids), dtype=np.int64, count=len(ids))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "skey": pa.array(keys),
+                         "bucket": pa.array((keys >> np.int64(52))
+                                            .astype(np.int32))})
+
+    withk = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        ub, c = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(ub.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    counts = withk.map_batches(
+        count_partial, batch_format="pyarrow").to_pandas()
+    per_bucket = np.zeros(256, dtype=np.int64)
+    np.add.at(per_bucket, counts["bucket"].to_numpy(),
+              counts["n"].to_numpy())
+    offsets = np.r_[np.int64(0), np.cumsum(per_bucket)[:-1]]
+
+    def number(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keys = t.column("skey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, keys))
+        base = offsets[int(t.column("bucket")[0].as_py())]
+        pos = base + np.arange(1, len(ids) + 1, dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "skey": pa.array(keys[order]),
+                         "pos": pa.array(pos),
+                         "shard": pa.array((pos - 1) % np.int64(n_shards))})
+
+    return withk.groupby("bucket").map_groups(number, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # G12: per-language embedding centroids — the vector aggregate (class
 # centroid) over a narrow hash-partitioned join. The lang side is
 # O(docs), so it is JOINED (never broadcast); the map side pre-sums
@@ -2692,3 +2754,147 @@ def q10_returned_revenue(sf_dir: str, date_lo: str = "1996-01-01",
     return _typed(out.map_batches(finish, batch_format="pandas"),
                   [("c_custkey", pa.int64()), ("c_name", pa.string()),
                    ("n_name", pa.string()), ("revenue", pa.float64())])
+
+
+# ---------------------------------------------------------------------------
+# Q14: promo revenue share — the classic dim-broadcast scan: the part
+# dim reduces to a sorted promo-key array shipped ONCE via ray.put,
+# every lineitem batch masks with np.isin and emits a 2-int partial;
+# nothing but (promo_u, total_u) pairs leave the workers. The final
+# percentage is one frozen IEEE division of exact int64 micro sums.
+# ---------------------------------------------------------------------------
+
+
+def q14_promo_revenue(sf_dir: str, date_lo: str = "1996-03-01",
+                      date_hi: str = "1996-04-01"):
+    """(promo_revenue, total_revenue, promo_pct) for one shipdate
+    month; promo = parts with p_type = 'PROMO'."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    promo_keys = np.sort(part.loc[part["p_type"] == "PROMO",
+                                  "p_partkey"].to_numpy().astype(np.int64))
+    promo_ref = ray.put(promo_keys)
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_extendedprice", "l_discount",
+                  "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        m = (ship >= lo) & (ship < hi)
+        pk = _col(t, "l_partkey")[m]
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)[m]
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)[m]
+        rev_u = _to_micro(price * (1 - disc))
+        is_promo = np.isin(pk, ray.get(promo_ref))
+        return pa.table({
+            "promo_u": pa.array([int(rev_u[is_promo].sum())], pa.int64()),
+            "total_u": pa.array([int(rev_u.sum())], pa.int64())})
+
+    agg = line.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("promo_u", alias_name="promo_u"),
+        Sum("total_u", alias_name="total_u"))
+    pu = int(agg["promo_u"] or 0)
+    tu = int(agg["total_u"] or 0)
+    return pd.DataFrame({
+        "promo_revenue": [pu / (MICRO * 1.0)],
+        "total_revenue": [tu / (MICRO * 1.0)],
+        "promo_pct": [100.0 * pu / tu if tu else 0.0]})
+
+
+# ---------------------------------------------------------------------------
+# Q4 (adapted): order-priority lateness check. TPC-H Q4's EXISTS
+# (l_commitdate < l_receiptdate) needs columns this lineitem table
+# lacks; the faithful adaptation keeps the SHAPE — a semi-join from a
+# date-windowed orders scan into a per-order lineitem reduction,
+# grouped by priority — with "late" = max(l_shipdate) more than
+# ``grace_days`` past the order date. The EXISTS collapses to a
+# per-order MAX (exists late item <=> latest item is late), so the
+# lineitem side reduces to a narrow (orderkey, max_ship) table
+# (per-batch np.maximum partials, <=salt_k coarse groups) before the
+# only shuffle join; the 5-row priority count uses map-side partials.
+# ---------------------------------------------------------------------------
+
+
+def q4_order_priority(sf_dir: str, date_lo: str = "1996-01-01",
+                      date_hi: str = "1997-01-01", grace_days: int = 30):
+    """(o_orderpriority, n_orders): windowed orders with at least one
+    lineitem shipped > grace_days after the order date."""
+    salt_k = coarse_salt_k()
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+    grace_us = np.int64(grace_days) * 86_400_000_000
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        m = (od >= lo) & (od < hi)
+        pri = np.asarray(t.column("o_orderpriority").to_pylist(),
+                         dtype=object)[m]
+        # sentinel row survives an all-filtered batch (typed blocks)
+        # and an empty join side (join-survival, the q5 convention)
+        return pa.table({
+            "o_orderkey": pa.array(np.r_[_col(t, "o_orderkey")[m],
+                                         [-1]].astype(np.int64)),
+            "o_date_us": pa.array(np.r_[od[m], [0]].astype(np.int64)),
+            "o_orderpriority": pa.array(pri.tolist() + ["\x00sent"],
+                                        pa.string())})
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def max_partial(t: pa.Table) -> pa.Table:
+        ok = _col(t, "l_orderkey")
+        ship = t.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        uo, inv = np.unique(ok, return_inverse=True)
+        mx = np.full(len(uo), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, ship)
+        return pa.table({
+            "l_orderkey": pa.array(np.r_[uo, [-1]].astype(np.int64)),
+            "max_ship_us": pa.array(np.r_[mx, [0]].astype(np.int64)),
+            "o_salt": pa.array(np.r_[uo % salt_k, [0]].astype(np.int32))})
+
+    def max_group(t: pa.Table) -> pa.Table:
+        ok = _col(t, "l_orderkey")
+        ms = _col(t, "max_ship_us")
+        uo, inv = np.unique(ok, return_inverse=True)
+        mx = np.full(len(uo), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, ms)
+        return pa.table({"l_orderkey": pa.array(uo.astype(np.int64)),
+                         "max_ship_us": pa.array(mx)})
+
+    per_order = (line.map_batches(max_partial, batch_format="pyarrow")
+                 .groupby("o_salt")
+                 .map_groups(max_group, batch_format="pyarrow"))
+
+    joined = orders.map_batches(o_filter, batch_format="pyarrow").join(
+        per_order, join_type="inner", num_partitions=8,
+        on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def late_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["o_orderkey"] >= 0)
+                & (df["max_ship_us"] > df["o_date_us"] + grace_us)]
+        g = df.groupby("o_orderpriority", as_index=False).size()
+        out = pd.DataFrame({"o_orderpriority": g["o_orderpriority"],
+                            "n": g["size"].astype(np.int64)})
+        sent = pd.DataFrame({"o_orderpriority": ["\x00sent"],
+                             "n": np.array([0], np.int64)})
+        return pd.concat([out, sent], ignore_index=True)
+
+    out = (joined.map_batches(late_partial, batch_format="pandas")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("n", alias_name="n_orders")))
+
+    def drop_sent(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.not_equal(t.column("o_orderpriority"), "\x00sent"),
+            pc.greater(t.column("n_orders"), 0))
+        return t.filter(keep)
+
+    return _typed(out.map_batches(drop_sent, batch_format="pyarrow"),
+                  [("o_orderpriority", pa.string()),
+                   ("n_orders", pa.int64())])

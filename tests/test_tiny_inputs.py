@@ -17,7 +17,9 @@ DOC_QUERIES = [
     "repetition_stats", "pii_scrub", "model_score_docs",
     "lm_perplexity", "o10_pack_sequences", "o7_wordcount_topk",
     "m2_filter_validate", "m9_content_hash", "m10_normalize_text",
-    "o8_hash_split", "g16_heavy_hitters", "g17_string_agg",
+    "o8_hash_split", "o9_seeded_shuffle", "g16_heavy_hitters",
+    "g17_string_agg", "dsir_importance", "bpe_pair_topk",
+    "bpe_train_merges", "bpe_encode_stats",
     # dedup family
     "d3_content_dedup", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_lsh_verified", "dedup_containment_stats", "dedup_clusters",
@@ -104,7 +106,8 @@ REL_QUERIES = [
     "j5_asof_join", "j6_range_join", "j7_bloom_semi_join",
     "j8_salted_skew_join", "j9_full_outer_join",
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q10_returned_revenue", "q18_big_orders",
+    "q4_order_priority", "q6_forecast_revenue", "q10_returned_revenue",
+    "q14_promo_revenue", "q18_big_orders",
     "g1_rank_topk_per_key", "g3_metrics_rollup", "g4_distinct_counts",
     "g5_hll_distinct", "g7_quantile_hist", "g8_grouped_quantiles",
     "g9_rollup", "g11_countmin_est", "g13_user_value_drift",
