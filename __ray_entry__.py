@@ -95,7 +95,8 @@ _QUERY_ORDER = (
     "quality_filtered_docs", "s2_set_except", "ngram_jaccard_pairs",
     "j1_broadcast_join", "o5_exact_quantiles", "w3_tumbling_window",
     "d5_latest_per_key", "w4_sliding_window", "g3_metrics_rollup",
-    "s1_set_intersect", "mix_interleave", "w10_funnel", "g15_corr",
+    "s1_set_intersect", "mix_interleave", "mix_temperature_sample",
+    "w10_funnel", "g15_corr",
     "g19_grouping_sets", "bpe_pair_topk", "bpe_train_merges",
     "bpe_encode_stats", "dsir_importance",
     "j5_asof_join", "tfidf_topk", "link_pagerank", "q1_pricing_summary",
@@ -249,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_mix_stats": lambda sf: MIX.training_mix_stats(sf, threshold=0.8),
         "corpus_prep_stats": MIX.corpus_prep_stats,
         "mix_interleave": MIX.mix_interleave,
+        "mix_temperature_sample": MIX.mix_temperature_sample,
         "quality_filtered_docs": MIX.quality_filtered_docs,
         # max_hamming=3: the scale-safe blocking point (16-bit keys);
         # radius-derived blocking guarantees full recall (ADVICE r1)
@@ -381,6 +383,9 @@ def _serial_oracles() -> dict[str, str]:
                             "rank": "DOUBLE"}),
         "link_triangles": V(SR.link_triangles(),
                             {"doc_id": "BIGINT", "n_tri": "BIGINT"}),
+        "mix_temperature_sample": V(SR.mix_temperature_sample(),
+                                    {"doc_id": "BIGINT",
+                                     "source": "VARCHAR"}),
         "mix_interleave": V(SR.mix_interleave(),
                             {"pos": "BIGINT", "doc_id": "BIGINT",
                              "source": "VARCHAR", "pri": "DOUBLE"}),

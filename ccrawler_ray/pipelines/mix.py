@@ -412,3 +412,67 @@ def corpus_prep_stats(sf_dir: str, min_tokens: int = 20,
             .groupby("lang")
             .aggregate(Sum("n_docs", alias_name="n_docs"),
                        Sum("sum_tokens", alias_name="sum_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source resampling (the mT5/XLM-R mixing rule):
+# sample source s with probability proportional to n_s^alpha, so
+# alpha < 1 upsamples small sources relative to their share. Two
+# passes over the narrow (doc_id, source) projection: exact
+# per-source counts (map-side partials, #sources-bounded), then a
+# stateless keep/drop with a seeded per-doc uniform draw against the
+# broadcast per-source rate — deterministic, partitioning-independent.
+# ---------------------------------------------------------------------------
+
+TEMP_SEED = 977
+TEMP_ALPHA = 0.7
+TEMP_FRAC = 0.5
+
+
+def temp_keep_rates(counts: dict, alpha: float, frac: float) -> dict:
+    """FROZEN per-source keep rate: q_s = n_s^alpha / sum_t n_t^alpha,
+    target total T = round(frac * N), rate_s = min(1, q_s * T / n_s).
+    Driver-side floats in a frozen order (sources lexicographic);
+    shared verbatim with the serial mirror."""
+    names = sorted(counts)
+    n = np.array([counts[s] for s in names], dtype=np.float64)
+    p = n ** alpha
+    q = p / p.sum()
+    t_total = float(round(frac * n.sum()))
+    rate = np.minimum(1.0, q * t_total / n)
+    return dict(zip(names, rate))
+
+
+def mix_temperature_sample(sf_dir: str, alpha: float = TEMP_ALPHA,
+                           frac: float = TEMP_FRAC,
+                           seed: int = TEMP_SEED):
+    """(doc_id, source): the kept docs after temperature resampling —
+    u(doc) <= rate(source) with u = (hash64(seed:doc_id)+1)/2^64."""
+    from ccrawler_ray.functions.dedup import _stamp_schema
+    from ccrawler_ray.spec import hash64_batch
+
+    ds = read_docs(sf_dir, ["doc_id", "source"])
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        s = np.asarray(t.column("source").to_pylist(), dtype=object)
+        us, c = np.unique(s, return_counts=True)
+        return pa.table({"source": pa.array(us.tolist(), pa.string()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    parts = ds.map_batches(cnt_partial, batch_format="pyarrow").to_pandas()
+    counts = parts.groupby("source")["n"].sum().to_dict()
+    rates_ref = ray.put(temp_keep_rates(counts, alpha, frac))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        rates = ray.get(rates_ref)
+        h = hash64_batch([str(i) for i in df["doc_id"]], seed=seed)
+        u = (h.astype(np.float64) + 1.0) / 2.0 ** 64   # (0, 1]
+        r = df["source"].map(rates).to_numpy(dtype=np.float64)
+        keep = u <= r
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy()[keep].astype(np.int64),
+             "source": df["source"].to_numpy()[keep]})
+
+    out = ds.map_batches(pick, batch_format="pandas")
+    return _stamp_schema(out, pa.schema([("doc_id", pa.int64()),
+                                         ("source", pa.string())]))

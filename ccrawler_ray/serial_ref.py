@@ -1389,3 +1389,27 @@ def bpe_train_merges(sf_dir: str | None = None,
                                        "right_sym", "merged",
                                        "pair_count"]).astype(
         {"merge_rank": "int64", "pair_count": "int64"})
+
+
+def mix_temperature_sample(sf_dir: str | None = None) -> pd.DataFrame:
+    """Serial mirror of pipelines.mix.mix_temperature_sample — same
+    frozen rate formula (temp_keep_rates, shared by import) and draw
+    (spec.hash64_batch), flat numpy instead of the two-pass
+    distributed count — exact."""
+    from collections import Counter
+
+    from ccrawler_ray.pipelines.mix import (TEMP_ALPHA, TEMP_FRAC,
+                                            TEMP_SEED, temp_keep_rates)
+    from ccrawler_ray.spec import hash64_batch
+
+    t = pq.read_table(f"{sf_dir or oracle_sf_dir()}/documents.parquet",
+                      columns=["doc_id", "source"])
+    ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+    sources = np.asarray(t.column("source").to_pylist(), dtype=object)
+    rates = temp_keep_rates(dict(Counter(sources.tolist())),
+                            TEMP_ALPHA, TEMP_FRAC)
+    h = hash64_batch([str(i) for i in ids], seed=TEMP_SEED)
+    u = (h.astype(np.float64) + 1.0) / 2.0 ** 64
+    r = np.array([rates[s] for s in sources], dtype=np.float64)
+    keep = u <= r
+    return pd.DataFrame({"doc_id": ids[keep], "source": sources[keep]})

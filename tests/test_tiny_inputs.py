@@ -27,7 +27,8 @@ DOC_QUERIES = [
     "decontaminate_overlap", "dedup_filtered_docs",
     # graph / mix / spans / media
     "link_pagerank", "link_triangles", "training_mix_stats",
-    "mix_interleave", "corpus_prep_stats", "quality_filtered_docs",
+    "mix_interleave", "mix_temperature_sample", "corpus_prep_stats",
+    "quality_filtered_docs",
     "spans_rollup",
     "media_byte_stats", "media_dedup_exact", "media_dedup_near",
     "decode_media_meta", "media_pipeline",
