@@ -148,6 +148,7 @@ QUERY_SUITE = [
     "link_triangles",
     "repetition_stats",
     "mix_interleave",
+    "mix_temperature_sample",
     "g16_heavy_hitters",
     "ann_filtered_topk",
     "media_dedup_exact",
