@@ -77,7 +77,8 @@ def _crawl_docs_out(sf_dir: str):
 _QUERY_ORDER = (
     "dedup_ngram_spans", "decontaminate_overlap", "m10_normalize_text",
     "m9_content_hash", "scalar_string_ops", "o3_sample_hash",
-    "o8_hash_split", "o9_seeded_shuffle", "explode_embeddings",
+    "o8_hash_split", "o9_seeded_shuffle", "o11_chunk_overlap",
+    "explode_embeddings",
     "spans_rollup", "o3_sample",
     "d1_exact_dedup", "doc_fingerprint", "char_entropy", "token_count_bpe",
     "o2_global_topk", "d3_content_dedup", "g14_group_median",
@@ -211,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o4_stratified_sample": R.o4_stratified_sample,
         "o8_hash_split": R.o8_hash_split,
         "o9_seeded_shuffle": R.o9_seeded_shuffle,
+        "o11_chunk_overlap": T.o11_chunk_overlap,
         "o10_pack_sequences": T.o10_pack_sequences,
         # --- wide aggregate
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -934,6 +936,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT doc_id, bucket, CASE WHEN bucket < 90 THEN 'train' "
             "WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b"
+        ),
+        "o11_chunk_overlap": (
+            r"WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all("
+            r"text, '\s+')) + 1 AS BIGINT) AS n FROM documents), "
+            "c AS (SELECT doc_id, n, unnest(generate_series(0, "
+            "greatest(0, (n - 64 + 47) // 48))) AS i FROM t WHERE n > 0) "
+            "SELECT doc_id, i AS chunk_id, i*48 AS start_tok, "
+            "least(64, n - i*48) AS n_tok FROM c"
         ),
         "o9_seeded_shuffle": (
             "WITH k AS (SELECT doc_id, CAST(CAST(('0x' || "

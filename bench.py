@@ -168,6 +168,7 @@ QUERY_SUITE = [
     "q4_order_priority",
     "q14_promo_revenue",
     "o9_seeded_shuffle",
+    "o11_chunk_overlap",
     # round-3 additions
     "dsir_importance",
     "bpe_train_merges",

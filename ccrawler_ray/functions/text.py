@@ -1085,6 +1085,8 @@ def _word_counts_distributed(ds) -> pd.DataFrame:
     never shuffle); deterministic blake2b word-hash salting."""
     from ccrawler_ray.functions.dedup import word_hashes
 
+    salt_k = coarse_salt_k()  # captured on the driver at build time
+
     def count_words(batch: pa.Table) -> pa.Table:
         words: list = []
         for text in batch.column("text").to_pylist():
@@ -1094,7 +1096,7 @@ def _word_counts_distributed(ds) -> pd.DataFrame:
                              "cnt": pa.array([], pa.int64()),
                              "salt": pa.array([], pa.int32())})
         uw, c = np.unique(np.array(words, dtype=object), return_counts=True)
-        salt = (word_hashes(list(uw)) % np.uint64(64)).astype(np.int32)
+        salt = (word_hashes(list(uw)) % np.uint64(salt_k)).astype(np.int32)
         return pa.table({"word": pa.array(uw, pa.string()),
                          "cnt": pa.array(c.astype(np.int64)),
                          "salt": pa.array(salt)})
@@ -1227,3 +1229,45 @@ def bpe_encode_stats(sf_dir: str, n_merges: int = 30):
     return ds.map_batches(BPEEncoder, batch_format="pyarrow",
                           concurrency=2,
                           fn_constructor_args=(merges_ref,))
+
+
+# ---------------------------------------------------------------------------
+# O11: sliding-window chunking — split every doc's token stream into
+# fixed windows with overlap (the retrieval/embedding-pipeline chunker:
+# window W, stride S < W, so consecutive chunks share W-S tokens).
+# Pure per-record map (streams, never shuffles); chunk geometry is
+# integer arithmetic on the whitespace token count, so the DuckDB
+# generate_series oracle is exact.
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 64
+CHUNK_S = 48
+
+
+def o11_chunk_overlap(sf_dir: str, window: int = CHUNK_W,
+                      stride: int = CHUNK_S):
+    """(doc_id, chunk_id, start_tok, n_tok): chunk i covers tokens
+    [i*stride, i*stride + min(window, n - i*stride)); docs emit
+    1 + max(0, ceil((n-window)/stride)) chunks (0-token docs none)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        n = (pl.Series(df["text"]).str.count_matches(_TOKEN_RE)
+             .to_numpy().astype(np.int64) + 1)
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        keep = n > 0
+        ids, n = ids[keep], n[keep]
+        k = 1 + np.maximum(0, (n - window + stride - 1) // stride)
+        rep = np.repeat(np.arange(len(ids), dtype=np.int64), k)
+        # per-doc chunk index: global arange minus each doc's offset
+        gidx = np.arange(int(k.sum()), dtype=np.int64)
+        off = np.r_[np.int64(0), np.cumsum(k)[:-1]]
+        ci = gidx - off[rep]
+        start = ci * stride
+        n_tok = np.minimum(window, n[rep] - start)
+        return pd.DataFrame({"doc_id": ids[rep], "chunk_id": ci,
+                             "start_tok": start, "n_tok": n_tok})
+
+    return ds.map_batches(f, batch_format="pandas")

@@ -34,6 +34,8 @@ QUERIES = [
     "tfidf_topk",
     "dedup_incremental",
     "dedup_ngram_spans",
+    "q4_order_priority",
+    "bpe_train_merges",
 ]
 
 

@@ -17,7 +17,8 @@ DOC_QUERIES = [
     "repetition_stats", "pii_scrub", "model_score_docs",
     "lm_perplexity", "o10_pack_sequences", "o7_wordcount_topk",
     "m2_filter_validate", "m9_content_hash", "m10_normalize_text",
-    "o8_hash_split", "o9_seeded_shuffle", "g16_heavy_hitters",
+    "o8_hash_split", "o9_seeded_shuffle", "o11_chunk_overlap",
+    "g16_heavy_hitters",
     "g17_string_agg", "dsir_importance", "bpe_pair_topk",
     "bpe_train_merges", "bpe_encode_stats",
     # dedup family
