@@ -87,7 +87,8 @@ _QUERY_ORDER = (
     "repetition_stats", "o6_weighted_sample", "search_bm25",
     "j2_anti_join", "pii_scrub", "media_dedup_exact", "o1_global_sort",
     "g18_unpivot", "o7_wordcount_topk", "g4_distinct_counts",
-    "q6_forecast_revenue", "q14_promo_revenue", "g8_grouped_quantiles",
+    "q6_forecast_revenue", "q14_promo_revenue", "q19_discounted_revenue",
+    "q17_small_qty_revenue", "g8_grouped_quantiles",
     "g1_rank_topk_per_key",
     "w2_sessionize", "g16_heavy_hitters", "w9_percent_rank", "w6_ntile",
     "w7_rolling_mean", "w5_lag_lead", "ann_topk_cosine", "ann_ivf_topk",
@@ -96,7 +97,8 @@ _QUERY_ORDER = (
     "quality_filtered_docs", "s2_set_except", "ngram_jaccard_pairs",
     "j1_broadcast_join", "o5_exact_quantiles", "w3_tumbling_window",
     "d5_latest_per_key", "w4_sliding_window", "g3_metrics_rollup",
-    "s1_set_intersect", "mix_interleave", "mix_temperature_sample",
+    "s1_set_intersect", "q13_customer_distribution", "q22_sales_opportunity",
+    "mix_interleave", "mix_temperature_sample",
     "w10_funnel", "g15_corr",
     "g19_grouping_sets", "bpe_pair_topk", "bpe_train_merges",
     "bpe_encode_stats", "dsir_importance",
@@ -112,7 +114,7 @@ _QUERY_ORDER = (
     "dedup_minhash_lsh", "j4_multi_join", "j8_salted_skew_join",
     "g9_rollup", "dedup_incremental", "dedup_lsh_verified",
     "training_mix_stats", "ann_recall_report", "q4_order_priority",
-    "q18_big_orders",
+    "q12_late_priority", "q18_big_orders",
     "g12_embedding_centroids", "dedup_containment_stats",
     "q10_returned_revenue", "q5_local_supplier_volume",
     "io_partitioned_roundtrip", "dedup_clusters", "corpus_prep_stats",
@@ -201,7 +203,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_order_priority": R.q4_order_priority,
         "q5_local_supplier_volume": R.q5_local_supplier_volume,
         "q10_returned_revenue": R.q10_returned_revenue,
+        "q12_late_priority": R.q12_late_priority,
+        "q13_customer_distribution": R.q13_customer_distribution,
         "q14_promo_revenue": R.q14_promo_revenue,
+        "q17_small_qty_revenue": R.q17_small_qty_revenue,
+        "q19_discounted_revenue": R.q19_discounted_revenue,
+        "q22_sales_opportunity": R.q22_sales_opportunity,
         # --- sorts / top-k (O-rows)
         "o1_global_sort": R.o1_global_sort,
         "o2_global_topk": R.o2_global_topk,
@@ -745,6 +752,70 @@ def oracle_sql() -> dict[str, str]:
             "FROM o JOIN m ON o_orderkey = l_orderkey "
             "WHERE max_ship > o_orderdate + INTERVAL 30 DAY "
             "GROUP BY o_orderpriority"
+        ),
+        "q12_late_priority": (
+            "SELECT l_linestatus, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+            "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_shipdate > o_orderdate + INTERVAL 60 DAY "
+            "GROUP BY l_linestatus"
+        ),
+        "q13_customer_distribution": (
+            "WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "GROUP BY c_custkey) "
+            "SELECT CAST(c_count AS BIGINT) AS c_count, "
+            "CAST(count(*) AS BIGINT) AS custdist FROM pc GROUP BY 1"
+        ),
+        "q17_small_qty_revenue": (
+            # the engine's qty < 0.2*avg(qty) test is the exact int64
+            # cross-multiplication — same integer SQL here, no fp
+            # boundary flips
+            "WITH f AS (SELECT p_partkey FROM part "
+            "WHERE p_brand = 'Brand#23' AND p_size <= 10), "
+            "a AS (SELECT l_partkey, "
+            "sum(CAST(round(l_quantity*100) AS BIGINT)) AS sq, "
+            "CAST(count(*) AS BIGINT) AS cnt "
+            "FROM lineitem JOIN f ON l_partkey = p_partkey GROUP BY 1) "
+            "SELECT CAST(coalesce(sum(CAST(round(l_extendedprice*1000000) "
+            "AS BIGINT)), 0) AS BIGINT)/1000000.0/7.0 AS avg_yearly "
+            "FROM lineitem JOIN a USING (l_partkey) "
+            "WHERE CAST(round(l_quantity*100) AS BIGINT)*5*cnt < sq"
+        ),
+        "q19_discounted_revenue": (
+            "SELECT CAST(coalesce(sum(CAST(round(l_extendedprice"
+            "*(1-l_discount)*1000000) AS BIGINT)), 0) AS BIGINT)"
+            "/1000000.0 AS revenue "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 "
+            "AND l_quantity BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 "
+            "AND l_quantity BETWEEN 10 AND 20) "
+            "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 "
+            "AND l_quantity BETWEEN 20 AND 30)"
+        ),
+        "q22_sales_opportunity": (
+            # richer-than-positive-average test in exact int64 cents:
+            # cents*cnt > sum_cents (matches the engine bit-for-bit)
+            "WITH c AS (SELECT c_custkey, "
+            "CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+            "CAST(round(c_acctbal*100) AS BIGINT) AS cents "
+            "FROM customer WHERE c_nationkey IN (7,13,17,19,23)), "
+            "t AS (SELECT CAST(coalesce(sum(CASE WHEN cents > 0 "
+            "THEN cents ELSE 0 END), 0) AS BIGINT) AS sq, "
+            "CAST(sum(CASE WHEN cents > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS cn FROM c) "
+            "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust, "
+            "CAST(sum(cents) AS BIGINT)/100.0 AS totacctbal "
+            "FROM c, t WHERE cents*cn > sq AND NOT EXISTS "
+            "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderdate >= TIMESTAMP '2000-06-01') "
+            "GROUP BY c_nationkey"
         ),
         "g15_corr": (
             # exact HUGEINT moment sums, then the same IEEE double

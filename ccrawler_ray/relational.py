@@ -2898,3 +2898,374 @@ def q4_order_priority(sf_dir: str, date_lo: str = "1996-01-01",
     return _typed(out.map_batches(drop_sent, batch_format="pyarrow"),
                   [("o_orderpriority", pa.string()),
                    ("n_orders", pa.int64())])
+
+
+# ---------------------------------------------------------------------------
+# Q12 (adapted): priority class of late-shipped lineitems. TPC-H Q12
+# groups late-received lineitems by l_shipmode; this lineitem table
+# has neither shipmode nor commit/receipt dates, so the adaptation
+# keeps the SHAPE — a fact-fact join from a date-windowed lineitem
+# scan to orders, a lateness predicate against the order date, and a
+# 2-way priority-class split — grouped by l_linestatus (the table's
+# categorical shipping attribute). Both join sides ship only narrow
+# int64/dictionary columns; the priority split uses map-side partials
+# into a 2-row aggregate.
+# ---------------------------------------------------------------------------
+
+
+def q12_late_priority(sf_dir: str, date_lo: str = "1996-01-01",
+                      date_hi: str = "1997-01-01", late_days: int = 60):
+    """(l_linestatus, high_line_count, low_line_count) over lineitems
+    shipped > late_days after their order date, windowed by shipdate."""
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+    late_us = np.int64(late_days) * 86_400_000_000
+    _HIGH = ("1-URGENT", "2-HIGH")
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_linestatus", "l_shipdate"])
+
+    def l_filter(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        m = (ship >= lo) & (ship < hi)
+        st = np.asarray(t.column("l_linestatus").to_pylist(), dtype=object)[m]
+        # sentinel row survives an all-filtered batch and an empty
+        # join side (typed blocks + join-survival, the q4 convention)
+        return pa.table({
+            "l_orderkey": pa.array(np.r_[_col(t, "l_orderkey")[m],
+                                         [-1]].astype(np.int64)),
+            "l_linestatus": pa.array(st.tolist() + ["\x00sent"], pa.string()),
+            "ship_us": pa.array(np.r_[ship[m], [0]].astype(np.int64))})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def o_narrow(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pri = t.column("o_orderpriority").to_pylist()
+        return pa.table({
+            "o_orderkey": pa.array(np.r_[_col(t, "o_orderkey"),
+                                         [-1]].astype(np.int64)),
+            "o_date_us": pa.array(np.r_[od, [0]].astype(np.int64)),
+            "o_orderpriority": pa.array(pri + ["\x00sent"], pa.string())})
+
+    joined = line.map_batches(l_filter, batch_format="pyarrow").join(
+        orders.map_batches(o_narrow, batch_format="pyarrow"),
+        join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["l_orderkey"] >= 0)
+                & (df["ship_us"] > df["o_date_us"] + late_us)]
+        hi_m = df["o_orderpriority"].isin(_HIGH)
+        g = pd.DataFrame({"l_linestatus": df["l_linestatus"],
+                          "h": hi_m.astype(np.int64),
+                          "l": (~hi_m).astype(np.int64)}).groupby(
+            "l_linestatus", as_index=False).sum()
+        sent = pd.DataFrame({"l_linestatus": ["\x00sent"],
+                             "h": np.array([0], np.int64),
+                             "l": np.array([0], np.int64)})
+        return pd.concat([g, sent], ignore_index=True)
+
+    out = (joined.map_batches(cnt_partial, batch_format="pandas")
+           .groupby("l_linestatus")
+           .aggregate(Sum("h", alias_name="high_line_count"),
+                      Sum("l", alias_name="low_line_count")))
+
+    def drop_sent(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t.column("l_linestatus"), "\x00sent"))
+
+    return _typed(out.map_batches(drop_sent, batch_format="pyarrow"),
+                  [("l_linestatus", pa.string()),
+                   ("high_line_count", pa.int64()),
+                   ("low_line_count", pa.int64())])
+
+
+# ---------------------------------------------------------------------------
+# Q13: customer order-count distribution. The orders fact reduces to
+# per-customer counts via per-batch np.unique partials summed inside
+# <=salt_k coarse groups (fact rows never shuffle raw — only
+# (custkey, partial_count) pairs do); zero-order customers come from a
+# narrow int64 LEFT OUTER join against the customer table, and the
+# final histogram is map-side value_counts partials into a tiny
+# aggregate keyed by c_count.
+# ---------------------------------------------------------------------------
+
+
+def q13_customer_distribution(sf_dir: str):
+    """(c_count, custdist): how many customers placed exactly c_count
+    orders (including zero)."""
+    salt_k = coarse_salt_k()
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        uo, n = np.unique(_col(t, "o_custkey"), return_counts=True)
+        return pa.table({
+            "ck": pa.array(np.r_[uo, [-1]].astype(np.int64)),
+            "n": pa.array(np.r_[n, [0]].astype(np.int64)),
+            "salt": pa.array(np.r_[uo % salt_k, [0]].astype(np.int32))})
+
+    def cnt_group(t: pa.Table) -> pa.Table:
+        ck = _col(t, "ck")
+        uo, inv = np.unique(ck, return_inverse=True)
+        sums = np.zeros(len(uo), dtype=np.int64)
+        np.add.at(sums, inv, _col(t, "n"))
+        return pa.table({"ck": pa.array(uo.astype(np.int64)),
+                         "c_count": pa.array(sums)})
+
+    percust = (orders.map_batches(cnt_partial, batch_format="pyarrow")
+               .groupby("salt").map_groups(cnt_group, batch_format="pyarrow"))
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def c_narrow(t: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": pa.array(
+            np.r_[_col(t, "c_custkey"), [-1]].astype(np.int64))})
+
+    joined = cust.map_batches(c_narrow, batch_format="pyarrow").join(
+        percust, join_type="left_outer", num_partitions=8,
+        on=("c_custkey",), right_on=("ck",))
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_custkey"] >= 0]
+        cc = df["c_count"].fillna(0).astype(np.int64)
+        vc = cc.value_counts()
+        return pd.DataFrame({
+            "c_count": np.r_[vc.index.to_numpy(), [-1]].astype(np.int64),
+            "nc": np.r_[vc.to_numpy(), [0]].astype(np.int64)})
+
+    out = (joined.map_batches(hist_partial, batch_format="pandas")
+           .groupby("c_count")
+           .aggregate(Sum("nc", alias_name="custdist")))
+
+    def drop_sent(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("c_count"), 0))
+
+    return _typed(out.map_batches(drop_sent, batch_format="pyarrow"),
+                  [("c_count", pa.int64()), ("custdist", pa.int64())])
+
+
+# ---------------------------------------------------------------------------
+# Q17 (adapted): small-quantity-order revenue. p_container does not
+# exist here, so the part filter is brand + size ceiling. Two
+# streaming passes over lineitem, both restricted map-side to the
+# broadcast filtered-partkey set: (1) exact per-part quantity sums in
+# int64 centi-units (the small per-part aggregate comes back to the
+# driver — one row per filtered part), (2) the revenue sum under the
+# EXACT integer form of "qty < 0.2*avg(qty)": qty_cents*5*cnt <
+# sum_cents (both sides int64 — no fp boundary flips against the
+# oracle's identical integer SQL).
+# ---------------------------------------------------------------------------
+
+
+def q17_small_qty_revenue(sf_dir: str, brand: str = "Brand#23",
+                          max_size: int = 10):
+    """Single-row avg_yearly: sum of l_extendedprice over lineitems of
+    the filtered parts with quantity below 20% of that part's mean
+    quantity, divided by 7 (the TPC-H yearly-average convention)."""
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    keys = np.sort(part.loc[(part["p_brand"] == brand)
+                            & (part["p_size"] <= max_size),
+                            "p_partkey"].to_numpy().astype(np.int64))
+    keys_ref = ray.put(keys)
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        pk = _col(t, "l_partkey")
+        m = np.isin(pk, ray.get(keys_ref))
+        qc = np.round(
+            t.column("l_quantity").to_numpy(zero_copy_only=False)[m] * 100
+        ).astype(np.int64)
+        uo, inv = np.unique(pk[m], return_inverse=True)
+        sq = np.zeros(len(uo), dtype=np.int64)
+        np.add.at(sq, inv, qc)
+        cnt = np.bincount(inv, minlength=len(uo)).astype(np.int64)
+        return pa.table({"l_partkey": pa.array(np.r_[uo, [-1]].astype(np.int64)),
+                         "sq": pa.array(np.r_[sq, [0]].astype(np.int64)),
+                         "cnt": pa.array(np.r_[cnt, [0]].astype(np.int64))})
+
+    per_part = (line.map_batches(qty_partial, batch_format="pyarrow")
+                .groupby("l_partkey")
+                .aggregate(Sum("sq", alias_name="sq"),
+                           Sum("cnt", alias_name="cnt")).to_pandas())
+    per_part = per_part[per_part["l_partkey"] >= 0]
+    pk_sorted = per_part["l_partkey"].to_numpy().astype(np.int64)
+    order = np.argsort(pk_sorted)
+    stats_ref = ray.put((pk_sorted[order],
+                         per_part["sq"].to_numpy().astype(np.int64)[order],
+                         per_part["cnt"].to_numpy().astype(np.int64)[order]))
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        pks, sqs, cnts = ray.get(stats_ref)
+        pk = _col(t, "l_partkey")
+        m = np.isin(pk, pks)
+        pos = np.searchsorted(pks, pk[m])
+        qc = np.round(
+            t.column("l_quantity").to_numpy(zero_copy_only=False)[m] * 100
+        ).astype(np.int64)
+        keep = qc * 5 * cnts[pos] < sqs[pos]
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)[m]
+        return pa.table({"rev_u": pa.array(
+            [int(_to_micro(price[keep]).sum())], pa.int64())})
+
+    agg = line.map_batches(rev_partial, batch_format="pyarrow").aggregate(
+        Sum("rev_u", alias_name="rev_u"))
+    ru = int(agg["rev_u"] or 0)
+    return pd.DataFrame({"avg_yearly": [ru / (MICRO * 1.0) / 7.0]})
+
+
+# ---------------------------------------------------------------------------
+# Q19 (adapted): disjunctive-predicate discounted revenue. The three
+# (brand, container, quantity-band) branches become (brand,
+# size-range, quantity-band); the part dim reduces to three sorted
+# partkey arrays broadcast once, the lineitem scan evaluates all
+# branches with vectorized np.isin + range masks and sums micro-unit
+# partials — revenue is one exact int64 reduction, no join shuffle.
+# ---------------------------------------------------------------------------
+
+Q19_BRANCHES = (
+    ("Brand#12", 1, 5, 1.0, 11.0),
+    ("Brand#23", 1, 10, 10.0, 20.0),
+    ("Brand#34", 1, 15, 20.0, 30.0),
+)
+
+
+def q19_discounted_revenue(sf_dir: str):
+    """Single-row revenue: sum(l_extendedprice*(1-l_discount)) over
+    lineitems matching any (brand, size-range, quantity-band) branch."""
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    branch_keys = []
+    for brand, s_lo, s_hi, _, _ in Q19_BRANCHES:
+        m = ((part["p_brand"] == brand) & (part["p_size"] >= s_lo)
+             & (part["p_size"] <= s_hi))
+        branch_keys.append(np.sort(
+            part.loc[m, "p_partkey"].to_numpy().astype(np.int64)))
+    keys_ref = ray.put(branch_keys)
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        bkeys = ray.get(keys_ref)
+        pk = _col(t, "l_partkey")
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(pk), dtype=bool)
+        for (brand, _, _, q_lo, q_hi), keys in zip(Q19_BRANCHES, bkeys):
+            keep |= np.isin(pk, keys) & (qty >= q_lo) & (qty <= q_hi)
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"rev_u": pa.array(
+            [int(_to_micro(price * (1 - disc)).sum())], pa.int64())})
+
+    agg = line.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("rev_u", alias_name="rev_u"))
+    return pd.DataFrame({"revenue": [int(agg["rev_u"] or 0) / (MICRO * 1.0)]})
+
+
+# ---------------------------------------------------------------------------
+# Q22 (adapted): global sales opportunity. The phone-prefix country
+# code becomes c_nationkey membership. Pass 1 computes the positive
+# account-balance mean over the nation slice as EXACT int64
+# (sum_cents, count) map-side partials; the richer-than-average test
+# is the integer cross-multiplication cents*cnt > sum_cents. The
+# no-recent-orders test ("lapsed customers" — plain no-orders is
+# vacuously empty on this referentially dense fixture) is a narrow
+# int64 anti join: the date-windowed orders scan reduces to distinct
+# custkeys (per-batch unique + <=salt_k coarse-group distinct), LEFT
+# OUTER joined and null-filtered — order rows never shuffle, only
+# distinct keys do.
+# ---------------------------------------------------------------------------
+
+
+def q22_sales_opportunity(sf_dir: str,
+                          nations: tuple = (7, 13, 17, 19, 23),
+                          since: str = "2000-06-01"):
+    """(c_nationkey, numcust, totacctbal): customers in the nation
+    slice with above-positive-average balance and no orders since the
+    cutoff date."""
+    salt_k = coarse_salt_k()
+    since_us = np.datetime64(since, "us").astype(np.int64)
+    nat_arr = np.sort(np.asarray(nations, dtype=np.int64))
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def avg_partial(t: pa.Table) -> pa.Table:
+        nk = _col(t, "c_nationkey").astype(np.int64)
+        cents = np.round(
+            t.column("c_acctbal").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        m = np.isin(nk, nat_arr) & (cents > 0)
+        return pa.table({"sq": pa.array([int(cents[m].sum())], pa.int64()),
+                         "cn": pa.array([int(m.sum())], pa.int64())})
+
+    agg = cust.map_batches(avg_partial, batch_format="pyarrow").aggregate(
+        Sum("sq", alias_name="sq"), Sum("cn", alias_name="cn"))
+    sq = np.int64(agg["sq"] or 0)
+    cn = np.int64(agg["cn"] or 0)
+
+    def c_filter(t: pa.Table) -> pa.Table:
+        nk = _col(t, "c_nationkey").astype(np.int64)
+        cents = np.round(
+            t.column("c_acctbal").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        m = np.isin(nk, nat_arr) & (cents * cn > sq)
+        return pa.table({
+            "c_custkey": pa.array(np.r_[_col(t, "c_custkey")[m],
+                                        [-1]].astype(np.int64)),
+            "c_nationkey": pa.array(np.r_[nk[m], [-1]].astype(np.int64)),
+            "cents": pa.array(np.r_[cents[m], [0]].astype(np.int64))})
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def ok_partial(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        uo = np.unique(_col(t, "o_custkey")[od >= since_us])
+        return pa.table({
+            "o_ck": pa.array(np.r_[uo, [-1]].astype(np.int64)),
+            "salt": pa.array(np.r_[uo % salt_k, [0]].astype(np.int32))})
+
+    def ok_group(t: pa.Table) -> pa.Table:
+        uo = np.unique(_col(t, "o_ck")).astype(np.int64)
+        # marker payload: the join coalesces the key columns, so the
+        # anti test reads this column's null-ness after LEFT OUTER
+        return pa.table({"o_ck": pa.array(uo),
+                         "has_ord": pa.array(np.ones(len(uo), np.int64))})
+
+    okeys = (orders.map_batches(ok_partial, batch_format="pyarrow")
+             .groupby("salt").map_groups(ok_group, batch_format="pyarrow"))
+
+    joined = cust.map_batches(c_filter, batch_format="pyarrow").join(
+        okeys, join_type="left_outer", num_partitions=8,
+        on=("c_custkey",), right_on=("o_ck",))
+
+    def nat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["c_custkey"] >= 0) & df["has_ord"].isna()]
+        g = df.groupby("c_nationkey", as_index=False).agg(
+            nc=("c_custkey", "size"), sc=("cents", "sum"))
+        sent = pd.DataFrame({"c_nationkey": np.array([-1], np.int64),
+                             "nc": np.array([0], np.int64),
+                             "sc": np.array([0], np.int64)})
+        g["nc"] = g["nc"].astype(np.int64)
+        g["sc"] = g["sc"].astype(np.int64)
+        return pd.concat([g, sent], ignore_index=True)
+
+    out = (joined.map_batches(nat_partial, batch_format="pandas")
+           .groupby("c_nationkey")
+           .aggregate(Sum("nc", alias_name="numcust"),
+                      Sum("sc", alias_name="sc")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("c_nationkey"), 0))
+        tot = pc.divide(pc.cast(t.column("sc"), pa.float64()), 100.0)
+        return pa.table({"c_nationkey": t.column("c_nationkey"),
+                         "numcust": t.column("numcust"),
+                         "totacctbal": tot})
+
+    return _typed(out.map_batches(finalize, batch_format="pyarrow"),
+                  [("c_nationkey", pa.int64()), ("numcust", pa.int64()),
+                   ("totacctbal", pa.float64())])
