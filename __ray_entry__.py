@@ -88,7 +88,7 @@ _QUERY_ORDER = (
     "j2_anti_join", "pii_scrub", "media_dedup_exact", "o1_global_sort",
     "g18_unpivot", "o7_wordcount_topk", "g4_distinct_counts",
     "q6_forecast_revenue", "q14_promo_revenue", "q19_discounted_revenue",
-    "q17_small_qty_revenue", "g8_grouped_quantiles",
+    "q17_small_qty_revenue", "q15_top_supplier", "g8_grouped_quantiles",
     "g1_rank_topk_per_key",
     "w2_sessionize", "g16_heavy_hitters", "w9_percent_rank", "w6_ntile",
     "w7_rolling_mean", "w5_lag_lead", "ann_topk_cosine", "ann_ivf_topk",
@@ -114,7 +114,8 @@ _QUERY_ORDER = (
     "dedup_minhash_lsh", "j4_multi_join", "j8_salted_skew_join",
     "g9_rollup", "dedup_incremental", "dedup_lsh_verified",
     "training_mix_stats", "ann_recall_report", "q4_order_priority",
-    "q12_late_priority", "q18_big_orders",
+    "q12_late_priority", "q7_volume_shipping", "q8_market_share",
+    "q18_big_orders",
     "g12_embedding_centroids", "dedup_containment_stats",
     "q10_returned_revenue", "q5_local_supplier_volume",
     "io_partitioned_roundtrip", "dedup_clusters", "corpus_prep_stats",
@@ -203,9 +204,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_order_priority": R.q4_order_priority,
         "q5_local_supplier_volume": R.q5_local_supplier_volume,
         "q10_returned_revenue": R.q10_returned_revenue,
+        "q7_volume_shipping": R.q7_volume_shipping,
+        "q8_market_share": R.q8_market_share,
         "q12_late_priority": R.q12_late_priority,
         "q13_customer_distribution": R.q13_customer_distribution,
         "q14_promo_revenue": R.q14_promo_revenue,
+        "q15_top_supplier": R.q15_top_supplier,
         "q17_small_qty_revenue": R.q17_small_qty_revenue,
         "q19_discounted_revenue": R.q19_discounted_revenue,
         "q22_sales_opportunity": R.q22_sales_opportunity,
@@ -752,6 +756,58 @@ def oracle_sql() -> dict[str, str]:
             "FROM o JOIN m ON o_orderkey = l_orderkey "
             "WHERE max_ship > o_orderdate + INTERVAL 30 DAY "
             "GROUP BY o_orderpriority"
+        ),
+        "q7_volume_shipping": (
+            "WITH sn AS (SELECT s_suppkey, n_name AS supp_nation "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE n_name IN ('NATION_5','NATION_12')), "
+            "cn AS (SELECT c_custkey, n_name AS cust_nation "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE n_name IN ('NATION_5','NATION_12')) "
+            "SELECT supp_nation, cust_nation, "
+            "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+            f"{_USUM('l_extendedprice*(1-l_discount)')} AS revenue "
+            "FROM lineitem JOIN sn ON l_suppkey = s_suppkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN cn ON o_custkey = c_custkey "
+            "WHERE l_shipdate >= TIMESTAMP '1995-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND supp_nation <> cust_nation "
+            "GROUP BY 1, 2, 3"
+        ),
+        "q8_market_share": (
+            "WITH rn AS (SELECT n_nationkey FROM nation "
+            "WHERE n_regionkey = (SELECT r_regionkey FROM region "
+            "WHERE r_name = 'ASIA')), "
+            "o AS (SELECT o_orderkey, "
+            "CAST(year(o_orderdate) AS BIGINT) AS o_year FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_nationkey IN (SELECT n_nationkey FROM rn) "
+            "AND o_orderdate >= TIMESTAMP '1995-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01'), "
+            "l AS (SELECT l_orderkey, "
+            "CAST(round(l_extendedprice*(1-l_discount)*1000000) AS BIGINT) "
+            "AS rev_u, n_name AS supp_nation FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE p_type = 'ECONOMY') "
+            "SELECT o_year, "
+            "CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev_u "
+            "ELSE 0 END) AS BIGINT)*1.0 / CAST(sum(rev_u) AS BIGINT) "
+            "AS mkt_share "
+            "FROM l JOIN o ON l.l_orderkey = o.o_orderkey GROUP BY o_year"
+        ),
+        "q15_top_supplier": (
+            "WITH r AS (SELECT l_suppkey, "
+            "sum(CAST(round(l_extendedprice*(1-l_discount)*1000000) "
+            "AS BIGINT)) AS ru FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) "
+            "SELECT s_suppkey, s_name, "
+            "CAST(ru AS BIGINT)/1000000.0 AS total_revenue "
+            "FROM supplier JOIN r ON s_suppkey = l_suppkey "
+            "WHERE ru = (SELECT max(ru) FROM r)"
         ),
         "q12_late_priority": (
             "SELECT l_linestatus, "

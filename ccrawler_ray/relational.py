@@ -3269,3 +3269,305 @@ def q22_sales_opportunity(sf_dir: str,
     return _typed(out.map_batches(finalize, batch_format="pyarrow"),
                   [("c_nationkey", pa.int64()), ("numcust", pa.int64()),
                    ("totacctbal", pa.float64())])
+
+
+# ---------------------------------------------------------------------------
+# Q15: top supplier by windowed revenue. The lineitem scan reduces
+# map-side to per-suppkey micro-unit partials (per-batch np.unique —
+# fact rows never shuffle), summed inside <=salt_k coarse groups; the
+# dim-sized per-supplier aggregate is materialized ONCE, its exact
+# int64 max filters ties deterministically, and supplier names ride a
+# broadcast dict. The revenue-view + max(total_revenue) shape of
+# TPC-H Q15 with no fp boundary at the max.
+# ---------------------------------------------------------------------------
+
+
+def q15_top_supplier(sf_dir: str, date_lo: str = "1996-01-01",
+                     date_hi: str = "1996-04-01"):
+    """(s_suppkey, s_name, total_revenue): supplier(s) with max
+    revenue over one shipdate quarter."""
+    salt_k = coarse_salt_k()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    sname_ref = ray.put(dict(zip(supp["s_suppkey"].astype(int),
+                                 supp["s_name"])))
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+    line = _read(sf_dir, "lineitem",
+                 ["l_suppkey", "l_extendedprice", "l_discount",
+                  "l_shipdate"])
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        m = (ship >= lo) & (ship < hi)
+        sk = _col(t, "l_suppkey")[m]
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)[m]
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)[m]
+        ru = _to_micro(price * (1 - disc))
+        uo, inv = np.unique(sk, return_inverse=True)
+        sums = np.zeros(len(uo), dtype=np.int64)
+        np.add.at(sums, inv, ru)
+        return pa.table({
+            "sk": pa.array(np.r_[uo, [-1]].astype(np.int64)),
+            "ru": pa.array(np.r_[sums, [0]].astype(np.int64)),
+            "salt": pa.array(np.r_[uo % salt_k, [0]].astype(np.int32))})
+
+    def rev_group(t: pa.Table) -> pa.Table:
+        sk = _col(t, "sk")
+        uo, inv = np.unique(sk, return_inverse=True)
+        sums = np.zeros(len(uo), dtype=np.int64)
+        np.add.at(sums, inv, _col(t, "ru"))
+        return pa.table({"sk": pa.array(uo.astype(np.int64)),
+                         "ru": pa.array(sums)})
+
+    # the per-supplier aggregate is dim-sized — one row per active
+    # supplier — so the max/tie finalize is a driver-side step (the
+    # q17 per-part convention)
+    pp = (line.map_batches(rev_partial, batch_format="pyarrow")
+          .groupby("salt").map_groups(rev_group, batch_format="pyarrow")
+          ).to_pandas()
+    pp = pp[pp["sk"] >= 0]
+    if not len(pp):
+        return pd.DataFrame({"s_suppkey": pd.Series(dtype=np.int64),
+                             "s_name": pd.Series(dtype="str"),
+                             "total_revenue": pd.Series(dtype=np.float64)})
+    mx = int(pp["ru"].max())
+    top = pp[pp["ru"] == mx].sort_values("sk")
+    sname = ray.get(sname_ref)
+    return pd.DataFrame({
+        "s_suppkey": top["sk"].astype(np.int64).to_numpy(),
+        "s_name": [sname.get(int(k), "") for k in top["sk"]],
+        "total_revenue": top["ru"].astype(np.int64).to_numpy()
+        / (MICRO * 1.0)})
+
+
+# ---------------------------------------------------------------------------
+# Q7: volume shipping between a nation pair. Same dim/fact split as
+# Q5: the supplier->nation and nation-name maps broadcast (dims), the
+# customer side restricts to the pair before the orders hash join, the
+# lineitem scan windows on shipdate and keeps only pair-supplier rows
+# (map-side, so the fact join ships a pre-filtered narrow table), and
+# the (supp_nation, cust_nation, year) aggregate — cardinality 2x2x
+# years — is map-side partials into a tiny groupby.
+# ---------------------------------------------------------------------------
+
+
+def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_5",
+                       nation_b: str = "NATION_12",
+                       date_lo: str = "1995-01-01",
+                       date_hi: str = "1997-01-01"):
+    """(supp_nation, cust_nation, l_year, revenue) for lineitems
+    shipped between the two nations in either direction."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    pair = nation[nation["n_name"].isin([nation_a, nation_b])]
+    pair_keys = dict(zip(pair["n_nationkey"].astype(int), pair["n_name"]))
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].astype(int).isin(pair_keys)]
+    smap_ref = ray.put(dict(zip(supp["s_suppkey"].astype(int),
+                                supp["s_nationkey"].astype(int))))
+    nmap_ref = ray.put(pair_keys)
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def c_filter(t: pa.Table) -> pa.Table:
+        nk = _col(t, "c_nationkey").astype(np.int64)
+        m = np.isin(nk, np.fromiter(pair_keys, dtype=np.int64))
+        return pa.table({
+            "c_custkey": pa.array(np.r_[_col(t, "c_custkey")[m],
+                                        [-1]].astype(np.int64)),
+            "c_nat": pa.array(np.r_[nk[m], [-1]].astype(np.int64))})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def o_narrow(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pa.array(np.r_[_col(t, "o_orderkey"),
+                                         [-1]].astype(np.int64)),
+            "o_custkey": pa.array(np.r_[_col(t, "o_custkey"),
+                                        [-1]].astype(np.int64))})
+
+    orders_n = orders.map_batches(o_narrow, batch_format="pyarrow").join(
+        cust.map_batches(c_filter, batch_format="pyarrow"),
+        join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "c_nat"])
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_extendedprice",
+                  "l_discount", "l_shipdate"])
+
+    def l_filter(t: pa.Table) -> pa.Table:
+        smap = ray.get(smap_ref)
+        ship = t.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        sk = _col(t, "l_suppkey")
+        skeys = np.fromiter(smap, dtype=np.int64) if smap else \
+            np.empty(0, np.int64)
+        m = (ship >= lo) & (ship < hi) & np.isin(sk, skeys)
+        s_nat = np.array([smap[int(k)] for k in sk[m]], dtype=np.int64) \
+            if m.any() else np.empty(0, np.int64)
+        yr = pc.year(t.column("l_shipdate")).to_numpy(
+            zero_copy_only=False).astype(np.int64)[m]
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)[m]
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)[m]
+        return pa.table({
+            "l_orderkey": pa.array(np.r_[_col(t, "l_orderkey")[m],
+                                         [-1]].astype(np.int64)),
+            "s_nat": pa.array(np.r_[s_nat, [-1]].astype(np.int64)),
+            "l_year": pa.array(np.r_[yr, [0]].astype(np.int64)),
+            "rev_u": pa.array(np.r_[_to_micro(price * (1 - disc)),
+                                    [0]].astype(np.int64))})
+
+    joined = line.map_batches(l_filter, batch_format="pyarrow").join(
+        orders_n, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        nmap = ray.get(nmap_ref)
+        df = df[(df["l_orderkey"] >= 0) & (df["c_nat"] >= 0)
+                & (df["s_nat"] != df["c_nat"])]
+        g = df.groupby(["s_nat", "c_nat", "l_year"],
+                       as_index=False)["rev_u"].sum()
+        out = pd.DataFrame({
+            "supp_nation": g["s_nat"].astype(int).map(nmap),
+            "cust_nation": g["c_nat"].astype(int).map(nmap),
+            "l_year": g["l_year"].astype(np.int64),
+            "rev_u": g["rev_u"].astype(np.int64)})
+        sent = pd.DataFrame({"supp_nation": ["\x00sent"],
+                             "cust_nation": ["\x00sent"],
+                             "l_year": np.array([0], np.int64),
+                             "rev_u": np.array([0], np.int64)})
+        return pd.concat([out, sent], ignore_index=True)
+
+    out = (joined.map_batches(pair_partial, batch_format="pandas")
+           .groupby(["supp_nation", "cust_nation", "l_year"])
+           .aggregate(Sum("rev_u", alias_name="revenue")))
+
+    def drop_sent(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t.column("supp_nation"), "\x00sent"))
+
+    return _typed(_from_micro(out.map_batches(drop_sent,
+                                              batch_format="pyarrow"),
+                              ["revenue"]),
+                  [("supp_nation", pa.string()), ("cust_nation", pa.string()),
+                   ("l_year", pa.int64()), ("revenue", pa.float64())])
+
+
+# ---------------------------------------------------------------------------
+# Q8 (adapted): national market share. p_container/p_type roulette
+# becomes a single p_type filter; the region-restricted customer side
+# joins orders (date-windowed, year precomputed), the lineitem scan
+# keeps only filtered-part rows with the supplier nation name riding
+# from a broadcast dim dict, and per-year (target_u, total_u) exact
+# int64 sums produce the share with one frozen float division.
+# ---------------------------------------------------------------------------
+
+
+def q8_market_share(sf_dir: str, target: str = "NATION_7",
+                    region: str = "ASIA", ptype: str = "ECONOMY",
+                    date_lo: str = "1995-01-01",
+                    date_hi: str = "1997-01-01"):
+    """(o_year, mkt_share): target nation's share of filtered-part
+    revenue sold into ``region``, per order year."""
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"].astype(int))
+    rnat = nation[nation["n_regionkey"].astype(int).isin(rkeys)]
+    rnat_arr = np.sort(rnat["n_nationkey"].astype(int).to_numpy())
+    nname = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    sname_ref = ray.put({int(k): nname.get(int(n), "")
+                         for k, n in zip(supp["s_suppkey"],
+                                         supp["s_nationkey"])})
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    pkeys_ref = ray.put(np.sort(part.loc[part["p_type"] == ptype,
+                                         "p_partkey"].to_numpy()
+                                ).astype(np.int64))
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def c_filter(t: pa.Table) -> pa.Table:
+        nk = _col(t, "c_nationkey").astype(np.int64)
+        m = np.isin(nk, rnat_arr)
+        return pa.table({"c_custkey": pa.array(
+            np.r_[_col(t, "c_custkey")[m], [-1]].astype(np.int64))})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        m = (od >= lo) & (od < hi)
+        yr = pc.year(t.column("o_orderdate")).to_numpy(
+            zero_copy_only=False).astype(np.int64)[m]
+        return pa.table({
+            "o_orderkey": pa.array(np.r_[_col(t, "o_orderkey")[m],
+                                         [-1]].astype(np.int64)),
+            "o_custkey": pa.array(np.r_[_col(t, "o_custkey")[m],
+                                        [-1]].astype(np.int64)),
+            "o_year": pa.array(np.r_[yr, [0]].astype(np.int64))})
+
+    orders_n = orders.map_batches(o_filter, batch_format="pyarrow").join(
+        cust.map_batches(c_filter, batch_format="pyarrow"),
+        join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "o_year"])
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_partkey", "l_suppkey",
+                  "l_extendedprice", "l_discount"])
+
+    def l_filter(t: pa.Table) -> pa.Table:
+        sname = ray.get(sname_ref)
+        pk = _col(t, "l_partkey")
+        m = np.isin(pk, ray.get(pkeys_ref))
+        sk = _col(t, "l_suppkey")[m]
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)[m]
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)[m]
+        nats = [sname.get(int(k), "") for k in sk]
+        return pa.table({
+            "l_orderkey": pa.array(np.r_[_col(t, "l_orderkey")[m],
+                                         [-1]].astype(np.int64)),
+            "supp_nation": pa.array(nats + ["\x00sent"], pa.string()),
+            "rev_u": pa.array(np.r_[_to_micro(price * (1 - disc)),
+                                    [0]].astype(np.int64))})
+
+    joined = line.map_batches(l_filter, batch_format="pyarrow").join(
+        orders_n, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def share_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_orderkey"] >= 0]
+        tgt = np.where(df["supp_nation"] == target, df["rev_u"], 0)
+        g = pd.DataFrame({"o_year": df["o_year"].astype(np.int64),
+                          "tu": tgt.astype(np.int64),
+                          "su": df["rev_u"].astype(np.int64)}).groupby(
+            "o_year", as_index=False).sum()
+        sent = pd.DataFrame({"o_year": np.array([-1], np.int64),
+                             "tu": np.array([0], np.int64),
+                             "su": np.array([0], np.int64)})
+        return pd.concat([g, sent], ignore_index=True)
+
+    out = (joined.map_batches(share_partial, batch_format="pandas")
+           .groupby("o_year")
+           .aggregate(Sum("tu", alias_name="tu"),
+                      Sum("su", alias_name="su")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("o_year"), 0))
+        tu = _col(t, "tu").astype(np.float64)
+        su = _col(t, "su")
+        share = np.divide(tu, su, out=np.zeros(len(t)), where=su != 0)
+        return pa.table({"o_year": t.column("o_year"),
+                         "mkt_share": pa.array(share, pa.float64())})
+
+    return _typed(out.map_batches(finalize, batch_format="pyarrow"),
+                  [("o_year", pa.int64()), ("mkt_share", pa.float64())])

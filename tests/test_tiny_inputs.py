@@ -110,6 +110,10 @@ REL_QUERIES = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_revenue",
     "q14_promo_revenue", "q18_big_orders",
+    "q7_volume_shipping", "q8_market_share", "q12_late_priority",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q17_small_qty_revenue", "q19_discounted_revenue",
+    "q22_sales_opportunity",
     "g1_rank_topk_per_key", "g3_metrics_rollup", "g4_distinct_counts",
     "g5_hll_distinct", "g7_quantile_hist", "g8_grouped_quantiles",
     "g9_rollup", "g11_countmin_est", "g13_user_value_drift",
