@@ -177,6 +177,15 @@ QUERY_SUITE = [
     "g19_grouping_sets",
     "w2_sessionize",
     "s2_set_except",
+    # round-3 session-3 additions (TPC-H breadth)
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q12_late_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
 ]
 
 
