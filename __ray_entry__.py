@@ -118,7 +118,8 @@ _QUERY_ORDER = (
     "q18_big_orders",
     "g12_embedding_centroids", "dedup_containment_stats",
     "q10_returned_revenue", "q5_local_supplier_volume",
-    "io_partitioned_roundtrip", "dedup_clusters", "corpus_prep_stats",
+    "io_partitioned_roundtrip", "dedup_index_roundtrip",
+    "dedup_clusters", "corpus_prep_stats",
     "crawl_docs_out",
 )
 
@@ -252,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": lambda sf: D.dedup_minhash_lsh(sf, threshold=0.8),
         "dedup_lsh_verified": lambda sf: D.dedup_lsh_verified(sf, threshold=0.8),
         "dedup_incremental": D.dedup_incremental,
+        "dedup_index_roundtrip": D.dedup_index_roundtrip,
         # surfaced as the bounded per-doc rollup: the raw pair stream
         # is quadratic-ish on the small-vocab corpus (87k pairs at 500
         # docs) — too big for a VALUES oracle and not the actionable
@@ -413,6 +415,12 @@ def _serial_oracles() -> dict[str, str]:
         "dedup_incremental": V(SR.dedup_incremental(),
                                {"doc_id": "BIGINT", "dup_of": "BIGINT",
                                 "est_jaccard": "DOUBLE"}),
+        # the persisted-index probe is answer-identical to the
+        # in-session incremental probe (shared kernel) — same mirror
+        "dedup_index_roundtrip": V(SR.dedup_incremental(),
+                                   {"doc_id": "BIGINT",
+                                    "dup_of": "BIGINT",
+                                    "est_jaccard": "DOUBLE"}),
         "dedup_lsh_verified": V(SR.dedup_lsh_verified(threshold=0.8),
                                 {**pair_d, "jaccard": "DOUBLE"}),
         "dsir_importance": V(SR.dsir_importance(),

@@ -186,6 +186,7 @@ QUERY_SUITE = [
     "q17_small_qty_revenue",
     "q19_discounted_revenue",
     "q22_sales_opportunity",
+    "dedup_index_roundtrip",
 ]
 
 

@@ -1550,34 +1550,20 @@ def dedup_semantic(sf_dir: str, n_clusters: int = 16,
             .map_groups(prune, batch_format="pyarrow"))
 
 
-def dedup_incremental(sf_dir: str, num_perm: int = 64, bands: int = 16,
-                      threshold: float = 0.8, new_mod: int = 5):
-    """Incremental ingestion dedup: docs with doc_id % new_mod == 0 are
-    the NEW batch, everything else the already-ingested BASE index.
-    Each new doc is checked against the base only (new-vs-new is the
-    full-corpus kernel's job): an LSH band collision plus estimated
-    Jaccard >= threshold marks it a duplicate of ``dup_of`` — the
-    SMALLEST qualifying base doc_id. Returns
-    (doc_id, dup_of, est_jaccard); new docs with no qualifying base
-    near-dup emit nothing.
-
-    Scale shape: reuses the memoized signature dataset; candidates come
-    from the same band-bucket groupby as the LSH kernel, collapsed to
-    signature reps before the quadratic step; each bucket emits AT MOST
-    one row per new member (its in-bucket min qualifying base), and the
-    final doc-salted min-reduce collapses the per-band emissions — the
-    min-base rule makes output exactly-once WITHOUT first-colliding-
-    band bookkeeping, because est_jaccard is a pure function of the two
-    signatures (every emission of a pair carries the same value) and
-    the global-min pair provably appears in the bucket of its first
-    colliding band.
-    """
-    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
-    band_salt_k = coarse_salt_k(16)  # pinned on the driver: every row must agree
-    sigs = _memo(("sig", sf_dir, num_perm),
-                 lambda: minhash_signatures(sf_dir, num_perm))
-
+def _inc_band_rows(sigs, bands: int, band_salt_k: int, new_mod: int,
+                   side: str):
+    """Band rows (doc_id, band, band_hash, bh_salt, sig) feeding the
+    incremental probe. ``side``: 'all' | 'new' (doc_id % new_mod == 0)
+    | 'base' (the rest) — filtered map-side, so an index build never
+    materializes the other side's rows."""
     def to_bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        if side != "all":
+            m = (ids % new_mod) == 0
+            if side == "base":
+                m = ~m
+            batch = batch.filter(pa.array(m))
+            ids = ids[m]
         n = batch.num_rows
         if n == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
@@ -1589,14 +1575,21 @@ def dedup_incremental(sf_dir: str, num_perm: int = 64, bands: int = 16,
         flat = bh.ravel()
         rep_idx = pa.array(np.repeat(np.arange(n), bands))
         return pa.table({
-            "doc_id": pa.array(np.repeat(
-                batch.column("doc_id").to_numpy(zero_copy_only=False), bands)),
+            "doc_id": pa.array(np.repeat(ids, bands)),
             "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
             "band_hash": pa.array(flat, pa.uint64()),
             "bh_salt": pa.array((flat % np.uint64(band_salt_k)).astype(np.int32)),
             "sig": batch.column("signature").take(rep_idx)})
 
-    band_rows = sigs.map_batches(to_bands, batch_format="pyarrow")
+    return sigs.map_batches(to_bands, batch_format="pyarrow")
+
+
+def _inc_probe(band_rows, *, salt_k: int, num_perm: int,
+               threshold: float, new_mod: int):
+    """The new-vs-base bucket probe shared by `dedup_incremental`
+    (in-session band rows) and `dedup_index_roundtrip` (base rows
+    reloaded from the persisted parquet index) — one kernel, so the
+    two paths are provably answer-identical."""
     I64MAX = np.iinfo(np.int64).max
 
     def empty_out() -> pd.DataFrame:
@@ -1700,6 +1693,102 @@ def dedup_incremental(sf_dir: str, num_perm: int = 64, bands: int = 16,
     return _stamp_schema(out, pa.schema([("doc_id", pa.int64()),
                                          ("dup_of", pa.int64()),
                                          ("est_jaccard", pa.float64())]))
+
+
+def dedup_incremental(sf_dir: str, num_perm: int = 64, bands: int = 16,
+                      threshold: float = 0.8, new_mod: int = 5):
+    """Incremental ingestion dedup: docs with doc_id % new_mod == 0 are
+    the NEW batch, everything else the already-ingested BASE index.
+    Each new doc is checked against the base only (new-vs-new is the
+    full-corpus kernel's job): an LSH band collision plus estimated
+    Jaccard >= threshold marks it a duplicate of ``dup_of`` — the
+    SMALLEST qualifying base doc_id. Returns
+    (doc_id, dup_of, est_jaccard); new docs with no qualifying base
+    near-dup emit nothing.
+
+    Scale shape: reuses the memoized signature dataset; candidates come
+    from the same band-bucket groupby as the LSH kernel, collapsed to
+    signature reps before the quadratic step; each bucket emits AT MOST
+    one row per new member (its in-bucket min qualifying base), and the
+    final doc-salted min-reduce collapses the per-band emissions — the
+    min-base rule makes output exactly-once WITHOUT first-colliding-
+    band bookkeeping, because est_jaccard is a pure function of the two
+    signatures (every emission of a pair carries the same value) and
+    the global-min pair provably appears in the bucket of its first
+    colliding band.
+    """
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
+    band_salt_k = coarse_salt_k(16)  # pinned on the driver: every row must agree
+    sigs = _memo(("sig", sf_dir, num_perm),
+                 lambda: minhash_signatures(sf_dir, num_perm))
+
+    band_rows = _inc_band_rows(sigs, bands, band_salt_k, new_mod, "all")
+    return _inc_probe(band_rows, salt_k=salt_k, num_perm=num_perm,
+                      threshold=threshold, new_mod=new_mod)
+
+
+def dedup_index_roundtrip(sf_dir: str, num_perm: int = 64, bands: int = 16,
+                          threshold: float = 0.8, new_mod: int = 5,
+                          num_partitions: int = 16):
+    """Persistent LSH dedup index + cross-run probe.
+
+    The BASE corpus's band rows (doc_id, band, band_hash, sig) are
+    written as a partition-committed parquet index hash-partitioned on
+    band_hash (`sinks/partitioned.py` manifest-last commit); a second
+    write call must skip every committed partition (idempotence is
+    asserted in-query — the resume contract a 100 TB cross-run dedup
+    index lives on). The NEW batch's band rows are computed in-session
+    and probed against the RELOADED index with the same bucket kernel
+    as `dedup_incremental`, so the result rows — and the serial-mirror
+    oracle — are identical: persisting the index changes WHERE the
+    base rows come from, never the answer."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ccrawler_ray.sinks.partitioned import (read_partitioned,
+                                                write_partitioned)
+
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
+    band_salt_k = coarse_salt_k(16)
+    sigs = _memo(("sig", sf_dir, num_perm),
+                 lambda: minhash_signatures(sf_dir, num_perm))
+    base = _inc_band_rows(sigs, bands, band_salt_k, new_mod,
+                          "base").drop_columns(["bh_salt"])
+    # pid in the key: concurrent sessions must not rmtree each other
+    key = hashlib.blake2b(f"{sf_dir}|{os.getpid()}".encode(),
+                          digest_size=6).hexdigest()
+    out = Path(tempfile.gettempdir()) / f"ccrawler_ray_lshidx_{key}"
+    if out.exists():
+        shutil.rmtree(out)
+    write_partitioned(base, out, key_col="band_hash",
+                      num_partitions=num_partitions)
+    again = write_partitioned(base, out, key_col="band_hash",
+                              num_partitions=num_partitions)
+    assert not again["written"], "rerun must skip committed partitions"
+    loaded = read_partitioned(out)
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        # explicit column selection: read_parquet of part=K dirs infers
+        # a hive partition column; bh_salt is recomputed (cheap) rather
+        # than persisted — fewer index bytes on disk
+        bh = t.column("band_hash").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "band": t.column("band").cast(pa.int32()),
+            "band_hash": t.column("band_hash").cast(pa.uint64()),
+            "bh_salt": pa.array(
+                (bh % np.uint64(band_salt_k)).astype(np.int32)),
+            "sig": t.column("sig").cast(pa.binary())})
+
+    new_rows = _inc_band_rows(sigs, bands, band_salt_k, new_mod, "new")
+    band_rows = loaded.map_batches(
+        add_salt, batch_format="pyarrow").union(new_rows)
+    return _inc_probe(band_rows, salt_k=salt_k, num_perm=num_perm,
+                      threshold=threshold, new_mod=new_mod)
 
 
 def nonempty_blocks(ds, schema: pa.Schema):

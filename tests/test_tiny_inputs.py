@@ -24,7 +24,8 @@ DOC_QUERIES = [
     # dedup family
     "d3_content_dedup", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_lsh_verified", "dedup_containment_stats", "dedup_clusters",
-    "dedup_incremental", "dedup_ngram_spans", "ngram_jaccard_pairs",
+    "dedup_incremental", "dedup_index_roundtrip", "dedup_ngram_spans",
+    "ngram_jaccard_pairs",
     "decontaminate_overlap", "dedup_filtered_docs",
     # graph / mix / spans / media
     "link_pagerank", "link_triangles", "training_mix_stats",
