@@ -106,7 +106,8 @@ _QUERY_ORDER = (
     "dedup_semantic", "j7_bloom_semi_join", "media_pipeline",
     "j9_full_outer_join", "w8_late_events", "m11_json_extract",
     "ann_pq_topk", "model_score_docs", "io_jsonl_roundtrip",
-    "g7_quantile_hist", "ann_ivf_pq", "ann_filtered_topk",
+    "g7_quantile_hist", "ann_ivf_pq", "ann_index_roundtrip",
+    "ann_filtered_topk",
     "q3_shipping_priority", "dedup_embedding_cosine", "decode_media_meta",
     "o10_pack_sequences", "dedup_embedding_lsh", "media_dedup_near",
     "dedup_simhash", "lang_id", "m2_filter_validate", "io_csv_roundtrip",
@@ -285,6 +286,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": lambda sf: S.ann_ivf_topk(sf, num_queries=5, k=5),
         "ann_pq_topk": lambda sf: S.ann_pq_topk(sf, num_queries=5, k=5),
         "ann_ivf_pq": lambda sf: S.ann_ivf_pq(sf, num_queries=5, k=5),
+        "ann_index_roundtrip": lambda sf: S.ann_index_roundtrip(
+            sf, num_queries=5, k=5),
         "ann_recall_report": S.ann_recall_report,
         # --- multimodal plumbing
         "decode_media_meta": M.decode_media_meta,
@@ -518,6 +521,12 @@ def _serial_oracles() -> dict[str, str]:
         "ann_ivf_pq": V(SR.ann_ivf_pq(num_queries=5, k=5),
                         {"query_id": "BIGINT", "vec_id": "BIGINT",
                          "adist": "DOUBLE", "rank": "BIGINT"}),
+        # the persisted-index probe shares _ivfpq_search with
+        # ann_ivf_pq — answer-identical, same bitwise mirror
+        "ann_index_roundtrip": V(SR.ann_ivf_pq(num_queries=5, k=5),
+                                 {"query_id": "BIGINT",
+                                  "vec_id": "BIGINT",
+                                  "adist": "DOUBLE", "rank": "BIGINT"}),
         "decode_media_meta": V(
             SR.decode_media_meta(),
             {"doc_id": "BIGINT", "media_type": "VARCHAR", "n_bytes": "BIGINT",

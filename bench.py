@@ -187,6 +187,7 @@ QUERY_SUITE = [
     "q19_discounted_revenue",
     "q22_sales_opportunity",
     "dedup_index_roundtrip",
+    "ann_index_roundtrip",
 ]
 
 

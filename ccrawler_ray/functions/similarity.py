@@ -483,13 +483,12 @@ def ann_pq_topk(sf_dir: str, num_queries: int = 5, k: int = 5,
 # ---------------------------------------------------------------------------
 
 
-def ann_ivf_pq(sf_dir: str, num_queries: int = 5, k: int = 5,
-               n_clusters: int = 16, n_probe: int = 4, iters: int = 5,
-               train_mod: int = 2):
-    """Approximate top-k by residual-PQ ADC distance over the n_probe
-    nearest inverted lists. Returns (query_id, vec_id, adist, rank)."""
-    qids, qm = _query_matrix(sf_dir, num_queries)
-    dim = qm.shape[1]
+def _ivfpq_index(sf_dir: str, dim: int, n_clusters: int, iters: int,
+                 train_mod: int):
+    """IVF-PQ index build shared by `ann_ivf_pq` (in-session) and
+    `ann_index_roundtrip` (persisted to parquet): coarse k-means
+    router, residual-PQ codebooks (session-memoized), and the
+    encoded (vec_id, cluster, codes) inverted-list dataset."""
     sub = dim // PQ_SUBS
     cents = kmeans_centroids(sf_dir, k=n_clusters)
     c_ref = ray.put(cents)
@@ -538,7 +537,16 @@ def ann_ivf_pq(sf_dir: str, num_queries: int = 5, k: int = 5,
                              "codes": [r.tobytes() for r in codes]})
 
     enc = res.map_batches(encode, batch_format="pandas")
+    return cents, pq_cents, enc
 
+
+def _ivfpq_search(enc, cents, pq_cents, qids, qm, k: int,
+                  n_probe: int):
+    """Probe the encoded inverted lists: per-(query, probed-list)
+    ADC tables broadcast once, distributed candidate scan, ONE
+    driver-sized top-k reduce. Shared verbatim by the in-session
+    and reloaded-index paths — same kernel, bitwise-same answer."""
+    sub = qm.shape[1] // PQ_SUBS
     # probed lists + per-(query, list) ADC tables on the RESIDUAL
     # query: r_qc = q - coarse_centroid[c]
     qd = ((cents[None, :, :] - qm[:, None, :]) ** 2).sum(axis=2)
@@ -600,6 +608,92 @@ def ann_ivf_pq(sf_dir: str, num_queries: int = 5, k: int = 5,
 
     return cands.repartition(1).map_batches(reduce_all,
                                             batch_format="pandas")
+
+
+def ann_ivf_pq(sf_dir: str, num_queries: int = 5, k: int = 5,
+               n_clusters: int = 16, n_probe: int = 4, iters: int = 5,
+               train_mod: int = 2):
+    """Approximate top-k by residual-PQ ADC distance over the n_probe
+    nearest inverted lists. Returns (query_id, vec_id, adist, rank)."""
+    qids, qm = _query_matrix(sf_dir, num_queries)
+    cents, pq_cents, enc = _ivfpq_index(sf_dir, qm.shape[1],
+                                        n_clusters, iters, train_mod)
+    return _ivfpq_search(enc, cents, pq_cents, qids, qm, k, n_probe)
+
+
+def ann_index_roundtrip(sf_dir: str, num_queries: int = 5, k: int = 5,
+                        n_clusters: int = 16, n_probe: int = 4,
+                        iters: int = 5, train_mod: int = 2,
+                        num_partitions: int = 8):
+    """Persistent IVF-PQ ANN index + cross-run probe.
+
+    The trained artifacts (coarse centroids + residual-PQ codebooks)
+    are written atomically as npy-bytes rows; the encoded
+    (vec_id, cluster, codes) inverted lists are a partition-committed
+    parquet keyed by coarse cluster (`sinks/partitioned.py`
+    manifest-last commit — a rerun skips committed partitions,
+    asserted in-query). The RELOADED index answers the same probes
+    through the same `_ivfpq_search` kernel as `ann_ivf_pq`, so the
+    rows — and the bitwise serial mirror — are identical: persistence
+    changes WHERE the lists come from, never the answer."""
+    import hashlib
+    import io
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow.parquet as pq_
+
+    from ccrawler_ray.sinks.partitioned import (read_partitioned,
+                                                write_partitioned)
+
+    qids, qm = _query_matrix(sf_dir, num_queries)
+    cents, pq_cents, enc = _ivfpq_index(sf_dir, qm.shape[1],
+                                        n_clusters, iters, train_mod)
+    # pid in the key: concurrent sessions must not rmtree each other
+    key = hashlib.blake2b(f"{sf_dir}|{os.getpid()}".encode(),
+                          digest_size=6).hexdigest()
+    root = Path(tempfile.gettempdir()) / f"ccrawler_ray_annidx_{key}"
+    if root.exists():
+        shutil.rmtree(root)
+    root.mkdir(parents=True)
+
+    def npy_bytes(a: np.ndarray) -> bytes:
+        b = io.BytesIO()
+        np.save(b, a)
+        return b.getvalue()
+
+    art = pa.table({
+        "name": pa.array(["cents", "pq_cents"], pa.string()),
+        "data": pa.array([npy_bytes(cents), npy_bytes(pq_cents)],
+                         pa.binary())})
+    tmp = root / "_artifacts.parquet.tmp"
+    pq_.write_table(art, tmp)
+    os.replace(tmp, root / "artifacts.parquet")  # atomic: commit LAST
+
+    lists_dir = root / "lists"
+    write_partitioned(enc, lists_dir, key_col="cluster",
+                      num_partitions=num_partitions)
+    again = write_partitioned(enc, lists_dir, key_col="cluster",
+                              num_partitions=num_partitions)
+    assert not again["written"], "rerun must skip committed partitions"
+
+    art2 = pq_.read_table(root / "artifacts.parquet")
+    blobs = dict(zip(art2.column("name").to_pylist(),
+                     art2.column("data").to_pylist()))
+    cents2 = np.load(io.BytesIO(blobs["cents"]))
+    pq_cents2 = np.load(io.BytesIO(blobs["pq_cents"]))
+    loaded = read_partitioned(lists_dir)
+
+    def sel(t: pa.Table) -> pa.Table:
+        # explicit columns: part=K dirs infer a hive partition column
+        return pa.table({"vec_id": t.column("vec_id").cast(pa.int64()),
+                         "cluster": t.column("cluster").cast(pa.int64()),
+                         "codes": t.column("codes").cast(pa.binary())})
+
+    return _ivfpq_search(loaded.map_batches(sel, batch_format="pyarrow"),
+                         cents2, pq_cents2, qids, qm, k, n_probe)
 
 
 def ann_recall_report(sf_dir: str, num_queries: int = 5, k: int = 5):
