@@ -36,7 +36,7 @@ import ray.data
 from ccrawler_ray.scale import read_docs, read_embeddings
 
 from ccrawler_ray.spec import as_single_array
-from ccrawler_ray.scale import coarse_salt_k
+from ccrawler_ray.scale import coarse_salt_k, join_partitions
 
 _MERSENNE = (1 << 61) - 1
 
@@ -1047,7 +1047,7 @@ def _dedup_clusters_impl(sf_dir: str, num_perm: int, bands: int,
             return docs.map_batches(_cc_finish, batch_format="pyarrow")
         lab_tbl = ray.get(_cc_union_find.remote(edge_tbls))
         reps = ray.data.from_arrow(lab_tbl)
-        joined = docs.join(reps, join_type="left_outer", num_partitions=8,
+        joined = docs.join(reps, join_type="left_outer", num_partitions=join_partitions(),
                            on=("doc_id",))
         return joined.map_batches(_cc_finish, batch_format="pyarrow")
 
@@ -1092,13 +1092,13 @@ def _dedup_clusters_impl(sf_dir: str, num_perm: int, bands: int,
         lab_b = lab.map_batches(
             lambda t: t.rename_columns(["doc_b", "label"]), batch_format="pyarrow"
         )
-        via_a = pairs.join(lab_a, join_type="inner", num_partitions=8,
+        via_a = pairs.join(lab_a, join_type="inner", num_partitions=join_partitions(),
                            on=("doc_a",)).map_batches(
             lambda t: pa.table({"node": t.column("doc_b"),
                                 "label": t.column("label")}),
             batch_format="pyarrow",
         )
-        via_b = pairs.join(lab_b, join_type="inner", num_partitions=8,
+        via_b = pairs.join(lab_b, join_type="inner", num_partitions=join_partitions(),
                            on=("doc_b",)).map_batches(
             lambda t: pa.table({"node": t.column("doc_a"),
                                 "label": t.column("label")}),
@@ -1113,7 +1113,7 @@ def _dedup_clusters_impl(sf_dir: str, num_perm: int, bands: int,
     reps = lab.map_batches(
         lambda t: t.rename_columns(["doc_id", "cluster_rep"]), batch_format="pyarrow"
     )
-    joined = docs.join(reps, join_type="left_outer", num_partitions=8,
+    joined = docs.join(reps, join_type="left_outer", num_partitions=join_partitions(),
                        on=("doc_id",))
     return joined.map_batches(_cc_finish, batch_format="pyarrow")
 

@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from ccrawler_ray.scale import read_docs
+from ccrawler_ray.scale import join_partitions, read_docs
 
 _U = 10**12          # rank mass scale (micro-micro units)
 _DAMP_NUM = 85       # damping 0.85 as an exact rational 85/100
@@ -187,7 +187,7 @@ def link_triangles(sf_dir: str, k_top: int = 100):
         [("apex", pa.int64()), ("lo", pa.int64()), ("hi", pa.int64())]))
     edge_keys = nonempty_blocks(edge_keys.materialize(), pa.schema(
         [("lo", pa.int64()), ("hi", pa.int64())]))
-    tri = wedge_ds.join(edge_keys, join_type="inner", num_partitions=8,
+    tri = wedge_ds.join(edge_keys, join_type="inner", num_partitions=join_partitions(),
                         on=("lo", "hi"))
     counts = tri.groupby("apex").count()
 

@@ -16,7 +16,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from ccrawler_ray.scale import read_docs
+from ccrawler_ray.scale import join_partitions, read_docs
 from ray.data.aggregate import Sum
 
 from ccrawler_ray.functions.dedup import dedup_clusters
@@ -75,7 +75,7 @@ def dedup_filtered_docs(sf_dir: str, threshold: float = 0.8):
     cluster) — the dataset a training run would actually read."""
     keep = _keep_ids(sf_dir, threshold)
     docs = read_docs(sf_dir, ["doc_id", "lang", "n_chars"])
-    joined = docs.join(keep, join_type="inner", num_partitions=8,
+    joined = docs.join(keep, join_type="inner", num_partitions=join_partitions(),
                        on=("doc_id",))
     return joined.select_columns(["doc_id", "lang", "n_chars"])
 
@@ -98,7 +98,7 @@ def training_mix_stats(sf_dir: str, threshold: float = 0.8):
 
     stats = docs.map_batches(tokens, batch_format="pandas")
     kept = stats.join(_keep_ids(sf_dir, threshold), join_type="inner",
-                      num_partitions=8, on=("doc_id",))
+                      num_partitions=join_partitions(), on=("doc_id",))
 
     def bucketize(batch: pa.Table) -> pa.Table:
         n = batch.column("n_tokens").to_numpy(zero_copy_only=False)
@@ -224,7 +224,7 @@ def quality_filtered_docs(sf_dir: str, min_tokens: int = 20,
     dup_ratio); lang is the filter constant "en" by construction."""
     from ccrawler_ray.functions.dedup import dedup_ngram_spans
     from ccrawler_ray.functions.text import quality_score
-    from ccrawler_ray.scale import coarse_salt_k
+    from ccrawler_ray.scale import coarse_salt_k, join_partitions
 
     salt_k = coarse_salt_k()
     ALL_LEGS = 1 + 2 + 4
@@ -394,7 +394,7 @@ def corpus_prep_stats(sf_dir: str, min_tokens: int = 20,
     # the already-materialized (narrow) intersection
     if kept.count() == 0:
         return ray.data.from_arrow(out_schema.empty_table())
-    kept = kept.join(docs, join_type="inner", num_partitions=8,
+    kept = kept.join(docs, join_type="inner", num_partitions=join_partitions(),
                      on=("doc_id",))
 
     def partial(t: pa.Table) -> pa.Table:

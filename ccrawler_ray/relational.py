@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ccrawler_ray.scale import coarse_salt_k
+from ccrawler_ray.scale import coarse_salt_k, join_partitions
 from ray.data.aggregate import Count, Max, Min, Sum
 
 
@@ -379,7 +379,7 @@ def j4_multi_join(sf_dir: str):
         return df.assign(price_u=_to_micro(df["o_totalprice"]))[["o_custkey", "price_u"]]
 
     joined = orders.map_batches(scale, batch_format="pandas").join(
-        cust_n, join_type="inner", num_partitions=8,
+        cust_n, join_type="inner", num_partitions=join_partitions(),
         on=("o_custkey",), right_on=("c_custkey",),
     )
     out = joined.groupby("n_name").aggregate(
@@ -1187,7 +1187,7 @@ def j8_salted_skew_join(sf_dir: str, salt: int = 8):
         )
 
     fact = ev.map_batches(add_salt, batch_format="pyarrow")
-    joined = fact.join(dim_ds, join_type="inner", num_partitions=8,
+    joined = fact.join(dim_ds, join_type="inner", num_partitions=join_partitions(),
                        on=("event_type", "fsalt"))
     return joined.select_columns(["event_id", "event_type", "type_avg_u"])
 
@@ -1587,7 +1587,7 @@ def g12_embedding_centroids(sf_dir: str):
                               for i in range(len(mat_u))], pa.binary())})
 
     joined = emb.map_batches(quantize, batch_format="pyarrow").join(
-        langs, join_type="inner", num_partitions=8,
+        langs, join_type="inner", num_partitions=join_partitions(),
         on=("vec_id",), right_on=("doc_id",),
     )
 
@@ -2451,7 +2451,7 @@ def q18_big_orders(sf_dir: str, min_qty: int = 250, k: int = 20):
         return ray.data.from_arrow(pa.schema(q18_fields).empty_table())
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate"])
-    joined = big.join(orders, join_type="inner", num_partitions=8,
+    joined = big.join(orders, join_type="inner", num_partitions=join_partitions(),
                       on=("l_orderkey",), right_on=("o_orderkey",))
     out = joined.sort(["sum_qty", "l_orderkey"],
                       descending=[True, False]).limit(k)
@@ -2579,7 +2579,7 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
                                       "c_nationkey": pa.array([-1], pa.int32())})))
     filt = orders.map_batches(date_filter, batch_format="pandas")
     orders_n = filt.join(
-        cust, join_type="inner", num_partitions=8,
+        cust, join_type="inner", num_partitions=join_partitions(),
         on=("o_custkey",), right_on=("c_custkey",),
     ).select_columns(["o_orderkey", "c_nationkey"])
 
@@ -2590,7 +2590,7 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
                      "l_suppkey": pa.array([-1], pa.int64()),
                      "l_extendedprice": pa.array([0.0], pa.float64()),
                      "l_discount": pa.array([0.0], pa.float64())})))
-    joined = line.join(orders_n, join_type="inner", num_partitions=8,
+    joined = line.join(orders_n, join_type="inner", num_partitions=join_partitions(),
                        on=("l_orderkey",), right_on=("o_orderkey",))
 
     def local_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -2667,7 +2667,7 @@ def q10_returned_revenue(sf_dir: str, date_lo: str = "1996-01-01",
                                       "c_nationkey": pa.array([-1], pa.int32())})))
     filt = orders.map_batches(date_filter_s, batch_format="pandas")
     orders_c = filt.join(
-        cust, join_type="inner", num_partitions=8,
+        cust, join_type="inner", num_partitions=join_partitions(),
         on=("o_custkey",), right_on=("c_custkey",),
     ).select_columns(["o_orderkey", "o_custkey", "c_name", "c_nationkey"])
 
@@ -2685,7 +2685,7 @@ def q10_returned_revenue(sf_dir: str, date_lo: str = "1996-01-01",
         return pd.concat([out, sent], ignore_index=True)
 
     joined = line.map_batches(returned, batch_format="pandas").join(
-        orders_c, join_type="inner", num_partitions=8,
+        orders_c, join_type="inner", num_partitions=join_partitions(),
         on=("l_orderkey",), right_on=("o_orderkey",))
 
     _SENT_REV = np.int64(-(2**62))  # sorts below any real micro-sum
@@ -2872,7 +2872,7 @@ def q4_order_priority(sf_dir: str, date_lo: str = "1996-01-01",
                  .map_groups(max_group, batch_format="pyarrow"))
 
     joined = orders.map_batches(o_filter, batch_format="pyarrow").join(
-        per_order, join_type="inner", num_partitions=8,
+        per_order, join_type="inner", num_partitions=join_partitions(),
         on=("o_orderkey",), right_on=("l_orderkey",))
 
     def late_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -2953,7 +2953,7 @@ def q12_late_priority(sf_dir: str, date_lo: str = "1996-01-01",
 
     joined = line.map_batches(l_filter, batch_format="pyarrow").join(
         orders.map_batches(o_narrow, batch_format="pyarrow"),
-        join_type="inner", num_partitions=8,
+        join_type="inner", num_partitions=join_partitions(),
         on=("l_orderkey",), right_on=("o_orderkey",))
 
     def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -3025,7 +3025,7 @@ def q13_customer_distribution(sf_dir: str):
             np.r_[_col(t, "c_custkey"), [-1]].astype(np.int64))})
 
     joined = cust.map_batches(c_narrow, batch_format="pyarrow").join(
-        percust, join_type="left_outer", num_partitions=8,
+        percust, join_type="left_outer", num_partitions=join_partitions(),
         on=("c_custkey",), right_on=("ck",))
 
     def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -3240,7 +3240,7 @@ def q22_sales_opportunity(sf_dir: str,
              .groupby("salt").map_groups(ok_group, batch_format="pyarrow"))
 
     joined = cust.map_batches(c_filter, batch_format="pyarrow").join(
-        okeys, join_type="left_outer", num_partitions=8,
+        okeys, join_type="left_outer", num_partitions=join_partitions(),
         on=("c_custkey",), right_on=("o_ck",))
 
     def nat_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -3391,7 +3391,7 @@ def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_5",
 
     orders_n = orders.map_batches(o_narrow, batch_format="pyarrow").join(
         cust.map_batches(c_filter, batch_format="pyarrow"),
-        join_type="inner", num_partitions=8,
+        join_type="inner", num_partitions=join_partitions(),
         on=("o_custkey",), right_on=("c_custkey",),
     ).select_columns(["o_orderkey", "c_nat"])
 
@@ -3422,7 +3422,7 @@ def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_5",
                                     [0]].astype(np.int64))})
 
     joined = line.map_batches(l_filter, batch_format="pyarrow").join(
-        orders_n, join_type="inner", num_partitions=8,
+        orders_n, join_type="inner", num_partitions=join_partitions(),
         on=("l_orderkey",), right_on=("o_orderkey",))
 
     def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -3517,7 +3517,7 @@ def q8_market_share(sf_dir: str, target: str = "NATION_7",
 
     orders_n = orders.map_batches(o_filter, batch_format="pyarrow").join(
         cust.map_batches(c_filter, batch_format="pyarrow"),
-        join_type="inner", num_partitions=8,
+        join_type="inner", num_partitions=join_partitions(),
         on=("o_custkey",), right_on=("c_custkey",),
     ).select_columns(["o_orderkey", "o_year"])
 
@@ -3541,7 +3541,7 @@ def q8_market_share(sf_dir: str, target: str = "NATION_7",
                                     [0]].astype(np.int64))})
 
     joined = line.map_batches(l_filter, batch_format="pyarrow").join(
-        orders_n, join_type="inner", num_partitions=8,
+        orders_n, join_type="inner", num_partitions=join_partitions(),
         on=("l_orderkey",), right_on=("o_orderkey",))
 
     def share_partial(df: pd.DataFrame) -> pd.DataFrame:

@@ -55,6 +55,25 @@ def coarse_salt_k(floor: int = 64, per_cpu: int = 2) -> int:
     return max(floor, min(_PROBE, CAP))
 
 
+def join_partitions(floor: int = 8, cap: int = 256) -> int:
+    """Hash-join partition count for ``Dataset.join``: next power of
+    two ≥ cluster CPUs / 4, floored at the tuned single-node default
+    and capped. Join aggregator actors are NOT free — measured on the
+    32-CPU sandbox (sf0.1, best-of-2): q7 4.8→12.6 s, q5 5.2→14.4 s,
+    q12 4.3→8.6 s going 8→32 partitions — so the rule stays at the
+    floor for any single node and only widens on clusters whose
+    aggregate CPU count actually exceeds 4×floor×... (256 CPUs → 64
+    partitions). ``CCRAWLER_JOIN_PARTS`` overrides (tests / A-B).
+    Join OUTPUT is partition-count independent — a pure parallelism
+    knob."""
+    env = os.environ.get("CCRAWLER_JOIN_PARTS")
+    if env:
+        return max(1, int(env))
+    # memoized cluster probe: pow2 ≥ 2×CPU, shifted down to ≥ CPU/4
+    k = max(1, coarse_salt_k(floor=1, per_cpu=1) >> 2)
+    return max(floor, min(k, cap))
+
+
 _BLOCK_BYTES_MAX = 64 << 20  # on-disk bytes per block ceiling
 
 
