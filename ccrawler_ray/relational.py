@@ -18,6 +18,7 @@ small pandas result); each has a matching DuckDB oracle SQL in
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 
 import numpy as np
@@ -33,7 +34,12 @@ from ray.data.aggregate import Count, Max, Min, Sum
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     from ccrawler_ray.scale import sized_read
 
-    return sized_read(f"{sf_dir}/{table}.parquet", columns=columns)
+    # 16k rows/block for the numeric TPC-H scans: the per-batch
+    # kernels are vectorized (µs-per-k-rows), so block COUNT — at a
+    # measured ~10-30 ms fixed cost per task — dominates; 4096 was
+    # tuned for the text kernels, which read via scale.read_docs
+    return sized_read(f"{sf_dir}/{table}.parquet", columns=columns,
+                      rows_per_block=16384)
 
 
 MICRO = 1_000_000
@@ -341,6 +347,68 @@ def j3_semi_join(sf_dir: str):
     return _typed(_from_micro(out, ["revenue"]),
                   [("o_orderstatus", pa.string()), ("n", pa.int64()),
                    ("revenue", pa.float64())])
+
+
+# ---------------------------------------------------------------------------
+# Size-seamed auto join (the cfg.fetch_mode=auto convention, applied
+# to the TPC-H fact/derived joins): each Dataset.join spins up
+# num_partitions aggregator actors — measured ~1.5-2 s of pure
+# spin-up per join at suite scale — so when the narrow keyed side is
+# provably small (parquet-metadata UPPER BOUND on its row count, no
+# count() execution), it is collected ONCE on the driver, ray.put,
+# and the join becomes a vectorized map-side pd.merge per left batch:
+# no shuffle, no actors. Above the seam: Dataset.join hash shuffle.
+# The row SET is identical either way (sentinel conventions
+# included); only the physical distribution differs.
+# ---------------------------------------------------------------------------
+
+_BCAST_JOIN_ROWS_DEFAULT = 2_000_000
+_BCAST_CACHE: list = []  # single-slot per-worker cache (evicts on key change)
+
+
+def _bcast_join_rows() -> int:
+    env = os.environ.get("CCRAWLER_BCAST_JOIN_ROWS")
+    return int(env) if env else _BCAST_JOIN_ROWS_DEFAULT
+
+
+def _bcast_get(ref):
+    key = ref.hex()
+    if _BCAST_CACHE and _BCAST_CACHE[0][0] == key:
+        return _BCAST_CACHE[0][1]
+    df = ray.get(ref)
+    _BCAST_CACHE[:] = [(key, df)]  # worker heaps outlive jobs: keep ONE
+    return df
+
+
+def _rows_hint(sf_dir: str, *tables: str) -> int:
+    """Upper bound on a derived narrow table's rows: max source-table
+    row count from parquet metadata (no data pass)."""
+    import pyarrow.parquet as _pq
+
+    return max(_pq.ParquetFile(f"{sf_dir}/{table}.parquet"
+                               ).metadata.num_rows for table in tables)
+
+
+def _join_auto(left, right, on: str, right_on: str, hint_rows: int,
+               how: str = "inner"):
+    """INNER / LEFT join with the broadcast fast path described above.
+    ``hint_rows`` must upper-bound the right side's row count."""
+    if hint_rows > _bcast_join_rows():
+        jt = "inner" if how == "inner" else "left_outer"
+        return left.join(right, join_type=jt,
+                         num_partitions=join_partitions(),
+                         on=(on,), right_on=(right_on,))
+    # index the key ON THE DRIVER: pandas caches the index hash engine
+    # on the object after first lookup, and _bcast_get pins ONE
+    # deserialized copy per worker — so the hash build happens once
+    # per worker, not once per batch (a per-batch pd.merge rebuild
+    # measurably REGRESSED the big fixtures)
+    r_ref = ray.put(right.to_pandas().set_index(right_on))
+
+    def bmerge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.join(_bcast_get(r_ref), on=on, how=how)
+
+    return left.map_batches(bmerge, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -2451,8 +2519,8 @@ def q18_big_orders(sf_dir: str, min_qty: int = 250, k: int = 20):
         return ray.data.from_arrow(pa.schema(q18_fields).empty_table())
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate"])
-    joined = big.join(orders, join_type="inner", num_partitions=join_partitions(),
-                      on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = _join_auto(big, orders, "l_orderkey", "o_orderkey",
+                        _rows_hint(sf_dir, "orders"))
     out = joined.sort(["sum_qty", "l_orderkey"],
                       descending=[True, False]).limit(k)
 
@@ -2578,9 +2646,9 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
         ray.data.from_arrow(pa.table({"c_custkey": pa.array([-1], pa.int64()),
                                       "c_nationkey": pa.array([-1], pa.int32())})))
     filt = orders.map_batches(date_filter, batch_format="pandas")
-    orders_n = filt.join(
-        cust, join_type="inner", num_partitions=join_partitions(),
-        on=("o_custkey",), right_on=("c_custkey",),
+    orders_n = _join_auto(
+        filt, cust, "o_custkey", "c_custkey",
+        _rows_hint(sf_dir, "customer"),
     ).select_columns(["o_orderkey", "c_nationkey"])
 
     line = _read(sf_dir, "lineitem",
@@ -2590,8 +2658,8 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
                      "l_suppkey": pa.array([-1], pa.int64()),
                      "l_extendedprice": pa.array([0.0], pa.float64()),
                      "l_discount": pa.array([0.0], pa.float64())})))
-    joined = line.join(orders_n, join_type="inner", num_partitions=join_partitions(),
-                       on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = _join_auto(line, orders_n, "l_orderkey", "o_orderkey",
+                        _rows_hint(sf_dir, "orders"))
 
     def local_partial(df: pd.DataFrame) -> pd.DataFrame:
         nmap = ray.get(nmap_ref)
@@ -2666,9 +2734,9 @@ def q10_returned_revenue(sf_dir: str, date_lo: str = "1996-01-01",
                                       "c_name": pa.array([""], pa.string()),
                                       "c_nationkey": pa.array([-1], pa.int32())})))
     filt = orders.map_batches(date_filter_s, batch_format="pandas")
-    orders_c = filt.join(
-        cust, join_type="inner", num_partitions=join_partitions(),
-        on=("o_custkey",), right_on=("c_custkey",),
+    orders_c = _join_auto(
+        filt, cust, "o_custkey", "c_custkey",
+        _rows_hint(sf_dir, "customer"),
     ).select_columns(["o_orderkey", "o_custkey", "c_name", "c_nationkey"])
 
     line = _read(sf_dir, "lineitem",
@@ -2684,9 +2752,9 @@ def q10_returned_revenue(sf_dir: str, date_lo: str = "1996-01-01",
                              "rev_u": np.array([0], np.int64)})
         return pd.concat([out, sent], ignore_index=True)
 
-    joined = line.map_batches(returned, batch_format="pandas").join(
-        orders_c, join_type="inner", num_partitions=join_partitions(),
-        on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = _join_auto(line.map_batches(returned, batch_format="pandas"),
+                        orders_c, "l_orderkey", "o_orderkey",
+                        _rows_hint(sf_dir, "orders"))
 
     _SENT_REV = np.int64(-(2**62))  # sorts below any real micro-sum
     salt_k = coarse_salt_k()  # pinned once: the k+salt_k limit below
@@ -2871,9 +2939,9 @@ def q4_order_priority(sf_dir: str, date_lo: str = "1996-01-01",
                  .groupby("o_salt")
                  .map_groups(max_group, batch_format="pyarrow"))
 
-    joined = orders.map_batches(o_filter, batch_format="pyarrow").join(
-        per_order, join_type="inner", num_partitions=join_partitions(),
-        on=("o_orderkey",), right_on=("l_orderkey",))
+    joined = _join_auto(orders.map_batches(o_filter, batch_format="pyarrow"),
+                        per_order, "o_orderkey", "l_orderkey",
+                        _rows_hint(sf_dir, "orders"))
 
     def late_partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[(df["o_orderkey"] >= 0)
@@ -2951,10 +3019,10 @@ def q12_late_priority(sf_dir: str, date_lo: str = "1996-01-01",
             "o_date_us": pa.array(np.r_[od, [0]].astype(np.int64)),
             "o_orderpriority": pa.array(pri + ["\x00sent"], pa.string())})
 
-    joined = line.map_batches(l_filter, batch_format="pyarrow").join(
-        orders.map_batches(o_narrow, batch_format="pyarrow"),
-        join_type="inner", num_partitions=join_partitions(),
-        on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = _join_auto(line.map_batches(l_filter, batch_format="pyarrow"),
+                        orders.map_batches(o_narrow, batch_format="pyarrow"),
+                        "l_orderkey", "o_orderkey",
+                        _rows_hint(sf_dir, "orders"))
 
     def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[(df["l_orderkey"] >= 0)
@@ -3024,9 +3092,9 @@ def q13_customer_distribution(sf_dir: str):
         return pa.table({"c_custkey": pa.array(
             np.r_[_col(t, "c_custkey"), [-1]].astype(np.int64))})
 
-    joined = cust.map_batches(c_narrow, batch_format="pyarrow").join(
-        percust, join_type="left_outer", num_partitions=join_partitions(),
-        on=("c_custkey",), right_on=("ck",))
+    joined = _join_auto(cust.map_batches(c_narrow, batch_format="pyarrow"),
+                        percust, "c_custkey", "ck",
+                        _rows_hint(sf_dir, "customer"), how="left")
 
     def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["c_custkey"] >= 0]
@@ -3239,9 +3307,9 @@ def q22_sales_opportunity(sf_dir: str,
     okeys = (orders.map_batches(ok_partial, batch_format="pyarrow")
              .groupby("salt").map_groups(ok_group, batch_format="pyarrow"))
 
-    joined = cust.map_batches(c_filter, batch_format="pyarrow").join(
-        okeys, join_type="left_outer", num_partitions=join_partitions(),
-        on=("c_custkey",), right_on=("o_ck",))
+    joined = _join_auto(cust.map_batches(c_filter, batch_format="pyarrow"),
+                        okeys, "c_custkey", "o_ck",
+                        _rows_hint(sf_dir, "customer"), how="left")
 
     def nat_partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[(df["c_custkey"] >= 0) & df["has_ord"].isna()]
@@ -3389,10 +3457,10 @@ def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_5",
             "o_custkey": pa.array(np.r_[_col(t, "o_custkey"),
                                         [-1]].astype(np.int64))})
 
-    orders_n = orders.map_batches(o_narrow, batch_format="pyarrow").join(
+    orders_n = _join_auto(
+        orders.map_batches(o_narrow, batch_format="pyarrow"),
         cust.map_batches(c_filter, batch_format="pyarrow"),
-        join_type="inner", num_partitions=join_partitions(),
-        on=("o_custkey",), right_on=("c_custkey",),
+        "o_custkey", "c_custkey", _rows_hint(sf_dir, "customer"),
     ).select_columns(["o_orderkey", "c_nat"])
 
     line = _read(sf_dir, "lineitem",
@@ -3421,9 +3489,9 @@ def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_5",
             "rev_u": pa.array(np.r_[_to_micro(price * (1 - disc)),
                                     [0]].astype(np.int64))})
 
-    joined = line.map_batches(l_filter, batch_format="pyarrow").join(
-        orders_n, join_type="inner", num_partitions=join_partitions(),
-        on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = _join_auto(line.map_batches(l_filter, batch_format="pyarrow"),
+                        orders_n, "l_orderkey", "o_orderkey",
+                        _rows_hint(sf_dir, "orders"))
 
     def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
         nmap = ray.get(nmap_ref)
@@ -3515,10 +3583,10 @@ def q8_market_share(sf_dir: str, target: str = "NATION_7",
                                         [-1]].astype(np.int64)),
             "o_year": pa.array(np.r_[yr, [0]].astype(np.int64))})
 
-    orders_n = orders.map_batches(o_filter, batch_format="pyarrow").join(
+    orders_n = _join_auto(
+        orders.map_batches(o_filter, batch_format="pyarrow"),
         cust.map_batches(c_filter, batch_format="pyarrow"),
-        join_type="inner", num_partitions=join_partitions(),
-        on=("o_custkey",), right_on=("c_custkey",),
+        "o_custkey", "c_custkey", _rows_hint(sf_dir, "customer"),
     ).select_columns(["o_orderkey", "o_year"])
 
     line = _read(sf_dir, "lineitem",
@@ -3540,9 +3608,9 @@ def q8_market_share(sf_dir: str, target: str = "NATION_7",
             "rev_u": pa.array(np.r_[_to_micro(price * (1 - disc)),
                                     [0]].astype(np.int64))})
 
-    joined = line.map_batches(l_filter, batch_format="pyarrow").join(
-        orders_n, join_type="inner", num_partitions=join_partitions(),
-        on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = _join_auto(line.map_batches(l_filter, batch_format="pyarrow"),
+                        orders_n, "l_orderkey", "o_orderkey",
+                        _rows_hint(sf_dir, "orders"))
 
     def share_partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["l_orderkey"] >= 0]
