@@ -82,7 +82,8 @@ _QUERY_ORDER = (
     "spans_rollup", "o3_sample",
     "d1_exact_dedup", "doc_fingerprint", "char_entropy", "token_count_bpe",
     "o2_global_topk", "d3_content_dedup", "g14_group_median",
-    "g17_string_agg", "quality_score", "media_byte_stats",
+    "g17_string_agg", "quality_score", "quality_compression",
+    "media_byte_stats",
     "g5_hll_distinct", "g11_countmin_est", "o4_stratified_sample",
     "repetition_stats", "o6_weighted_sample", "search_bm25",
     "j2_anti_join", "pii_scrub", "media_dedup_exact", "o1_global_sort",
@@ -102,7 +103,8 @@ _QUERY_ORDER = (
     "w10_funnel", "g15_corr",
     "g19_grouping_sets", "bpe_pair_topk", "bpe_train_merges",
     "bpe_encode_stats", "dsir_importance",
-    "j5_asof_join", "tfidf_topk", "link_pagerank", "q1_pricing_summary",
+    "j5_asof_join", "tfidf_topk", "link_pagerank", "link_components",
+    "q1_pricing_summary",
     "dedup_semantic", "j7_bloom_semi_join", "media_pipeline",
     "j9_full_outer_join", "w8_late_events", "m11_json_extract",
     "ann_pq_topk", "model_score_docs", "io_jsonl_roundtrip",
@@ -237,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": T.token_count,
         "token_count_bpe": T.token_count_bpe,
         "quality_score": T.quality_score,
+        "quality_compression": T.quality_compression,
         "tfidf_topk": T.tfidf_topk,
         "char_entropy": T.char_entropy,
         "repetition_stats": T.repetition_stats,
@@ -247,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- iterative graph analytics
         "link_pagerank": G.link_pagerank,
         "link_triangles": G.link_triangles,
+        "link_components": G.link_components,
         "lang_id": T.lang_id,
         "doc_fingerprint": T.doc_fingerprint,
         # --- dedup toolkit
@@ -401,6 +405,13 @@ def _serial_oracles() -> dict[str, str]:
                             "rank": "DOUBLE"}),
         "link_triangles": V(SR.link_triangles(),
                             {"doc_id": "BIGINT", "n_tri": "BIGINT"}),
+        "link_components": V(SR.link_components(),
+                             {"doc_id": "BIGINT", "component": "BIGINT",
+                              "is_rep": "BOOLEAN"}),
+        "quality_compression": V(SR.quality_compression(),
+                                 {"doc_id": "BIGINT", "raw_len": "BIGINT",
+                                  "comp_len": "BIGINT", "ratio": "DOUBLE",
+                                  "keep": "BOOLEAN"}),
         "mix_temperature_sample": V(SR.mix_temperature_sample(),
                                     {"doc_id": "BIGINT",
                                      "source": "VARCHAR"}),

@@ -1032,22 +1032,33 @@ def dedup_clusters(sf_dir: str, num_perm: int = 64, bands: int = 16,
 def _dedup_clusters_impl(sf_dir: str, num_perm: int, bands: int,
                          threshold: float, max_rounds: int,
                          cc_driver_threshold: int):
-    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
     sigs = _memo(("sigw", sf_dir, num_perm),
                  lambda: minhash_sig_wset(sf_dir, num_perm))
     pairs = _lsh_candidate_pairs(
         sigs, bands, num_perm, threshold=threshold, exact=True, cc_edges=True
     ).materialize()
-    if pairs.count() <= cc_driver_threshold:
-        docs = read_docs(sf_dir, ["doc_id"])
+    return cc_labels(pairs, read_docs(sf_dir, ["doc_id"]),
+                     max_rounds, cc_driver_threshold)
+
+
+def cc_labels(pairs, nodes, max_rounds: int, driver_threshold: int):
+    """(doc_id, cluster_rep, keep) for every node in ``nodes``:
+    connected-component labels (rep = min doc_id of the component)
+    over the (doc_a, doc_b) pair Dataset — union-find in ONE task
+    below ``driver_threshold`` pairs (edges are 16 bytes/row),
+    else distributed min-label propagation with convergence
+    detection. Shared by `dedup_clusters` and
+    `graph.link_components`; ``pairs`` must be MATERIALIZED."""
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
+    if pairs.count() <= driver_threshold:
         edge_tbls = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
         if not edge_tbls:
             # no near-dup pairs at all: every doc is its own rep (the
             # hash join cannot take an empty side — tiny inputs)
-            return docs.map_batches(_cc_finish, batch_format="pyarrow")
+            return nodes.map_batches(_cc_finish, batch_format="pyarrow")
         lab_tbl = ray.get(_cc_union_find.remote(edge_tbls))
         reps = ray.data.from_arrow(lab_tbl)
-        joined = docs.join(reps, join_type="left_outer", num_partitions=join_partitions(),
+        joined = nodes.join(reps, join_type="left_outer", num_partitions=join_partitions(),
                            on=("doc_id",))
         return joined.map_batches(_cc_finish, batch_format="pyarrow")
 
@@ -1109,11 +1120,10 @@ def _dedup_clusters_impl(sf_dir: str, num_perm: int, bands: int,
         )
         msgs = own.union(via_a, via_b)
 
-    docs = read_docs(sf_dir, ["doc_id"])
     reps = lab.map_batches(
         lambda t: t.rename_columns(["doc_id", "cluster_rep"]), batch_format="pyarrow"
     )
-    joined = docs.join(reps, join_type="left_outer", num_partitions=join_partitions(),
+    joined = nodes.join(reps, join_type="left_outer", num_partitions=join_partitions(),
                        on=("doc_id",))
     return joined.map_batches(_cc_finish, batch_format="pyarrow")
 

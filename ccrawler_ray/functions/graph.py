@@ -199,3 +199,60 @@ def link_triangles(sf_dir: str, k_top: int = 100):
     out = counts.map_batches(rename, batch_format="pyarrow")
     return out.sort(["n_tri", "doc_id"],
                     descending=[True, False]).limit(k_top)
+
+
+# ---------------------------------------------------------------------------
+# Connected components over a SPARSE subset of the link graph. The
+# full preferential graph is ONE component by construction (every
+# node i>0 links to some j<i), so components are made non-trivial by
+# a FROZEN edge-thinning rule mirrored bit-for-bit in
+# serial_ref.link_components: the k-th candidate edge of node i
+# survives iff splitmix64(8i + k) % keep_mod == 0. Labels come from
+# the shared dedup.cc_labels machinery — union-find in one task below
+# the driver threshold, distributed min-label propagation above.
+# ---------------------------------------------------------------------------
+
+
+def sparse_link_edges(sf_dir: str, keep_mod: int = 4):
+    """(doc_a, doc_b) edge Dataset: the pagerank graph's candidate
+    targets thinned by the frozen keep rule. Duplicate edges are
+    harmless for CC and not deduplicated."""
+    ds = read_docs(sf_dir, ["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ids = ids[ids > 0].astype(np.int64)
+        out_a, out_b = [], []
+        if len(ids):
+            u = ids.astype(np.uint64)
+            for k in (1, 2, 3):
+                t = (_splitmix64(u * np.uint64(4) + np.uint64(k))
+                     % u).astype(np.int64)
+                keep = (_splitmix64(u * np.uint64(8) + np.uint64(k))
+                        % np.uint64(keep_mod)) == 0
+                out_a.append(ids[keep])
+                out_b.append(t[keep])
+        a = (np.concatenate(out_a) if out_a else np.empty(0, np.int64))
+        b = (np.concatenate(out_b) if out_b else np.empty(0, np.int64))
+        return pa.table({"doc_a": pa.array(a.astype(np.int64)),
+                         "doc_b": pa.array(b.astype(np.int64))})
+
+    return ds.map_batches(edges, batch_format="pyarrow")
+
+
+def link_components(sf_dir: str, keep_mod: int = 4, max_rounds: int = 32,
+                    cc_driver_threshold: int = 5_000_000):
+    """(doc_id, component, is_rep): connected components of the
+    sparse link graph; component = min doc_id, is_rep marks it."""
+    from ccrawler_ray.functions.dedup import cc_labels
+
+    pairs = sparse_link_edges(sf_dir, keep_mod).materialize()
+    nodes = read_docs(sf_dir, ["doc_id"])
+    lab = cc_labels(pairs, nodes, max_rounds, cc_driver_threshold)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "component": t.column("cluster_rep"),
+                         "is_rep": t.column("keep")})
+
+    return lab.map_batches(rename, batch_format="pyarrow")

@@ -1271,3 +1271,36 @@ def o11_chunk_overlap(sf_dir: str, window: int = CHUNK_W,
                              "start_tok": start, "n_tok": n_tok})
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def quality_compression(sf_dir: str, keep_pct: int = 30):
+    """Gopher/Dolma-style compression-ratio quality signal: zlib
+    level-6 deflate length over utf-8 byte length, per doc. Highly
+    repetitive docs compress far below the threshold; ``keep`` is the
+    EXACT integer comparison comp_len*100 > raw_len*keep_pct (no fp
+    boundary). zlib output is deterministic for a fixed level, so the
+    serial mirror (serial_ref.quality_compression — same calls, same
+    IEEE division) is bitwise equal."""
+    from ccrawler_ray.scale import read_docs
+
+    ds = read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        import zlib
+
+        texts = t.column("text").to_pylist()
+        raws = [tx.encode("utf-8") for tx in texts]
+        n = len(raws)
+        rl = np.fromiter((len(b) for b in raws), np.int64, count=n)
+        cl = np.fromiter((len(zlib.compress(b, 6)) for b in raws),
+                         np.int64, count=n)
+        ratio = np.divide(cl, rl, out=np.zeros(n, np.float64),
+                          where=rl != 0)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "raw_len": pa.array(rl),
+            "comp_len": pa.array(cl),
+            "ratio": pa.array(ratio, pa.float64()),
+            "keep": pa.array(cl * 100 > rl * np.int64(keep_pct))})
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=512)

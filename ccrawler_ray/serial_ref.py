@@ -1413,3 +1413,57 @@ def mix_temperature_sample(sf_dir: str | None = None) -> pd.DataFrame:
     r = np.array([rates[s] for s in sources], dtype=np.float64)
     keep = u <= r
     return pd.DataFrame({"doc_id": ids[keep], "source": sources[keep]})
+
+
+def link_components(sf_dir: str | None = None,
+                    keep_mod: int = 4) -> pd.DataFrame:
+    """Serial mirror of functions.graph.link_components — same frozen
+    thinning rule (edge k of node i survives iff
+    splitmix64(8i+k) % keep_mod == 0 over the pagerank candidate
+    targets), plain-Python union-find, component = min id."""
+    ids, _ = _docs(sf_dir or oracle_sf_dir())
+    n = len(ids)
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for i in range(1, n):
+        for kk in (1, 2, 3):
+            if _splitmix64_int(8 * i + kk) % keep_mod == 0:
+                t = _splitmix64_int(4 * i + kk) % i
+                ri, rt = find(i), find(t)
+                if ri != rt:
+                    parent[max(ri, rt)] = min(ri, rt)
+    comp = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "component": comp,
+        "is_rep": comp == np.arange(n, dtype=np.int64)})
+
+
+def quality_compression(sf_dir: str | None = None,
+                        keep_pct: int = 30) -> pd.DataFrame:
+    """Serial mirror of functions.text.quality_compression — the same
+    zlib level-6 calls and the same IEEE int→double division."""
+    import zlib
+
+    ids, texts = _docs(sf_dir or oracle_sf_dir())
+    rl, cl = [], []
+    for tx in texts:
+        b = tx.encode("utf-8")
+        rl.append(len(b))
+        cl.append(len(zlib.compress(b, 6)))
+    rl_a = np.asarray(rl, dtype=np.int64)
+    cl_a = np.asarray(cl, dtype=np.int64)
+    ratio = np.divide(cl_a, rl_a, out=np.zeros(len(rl_a), np.float64),
+                      where=rl_a != 0)
+    return pd.DataFrame({
+        "doc_id": np.asarray(ids, dtype=np.int64),
+        "raw_len": rl_a, "comp_len": cl_a, "ratio": ratio,
+        "keep": cl_a * 100 > rl_a * np.int64(keep_pct)})

@@ -12,7 +12,8 @@ import pytest
 
 DOC_QUERIES = [
     # text / quality
-    "token_count", "token_count_bpe", "quality_score", "lang_id",
+    "token_count", "token_count_bpe", "quality_score",
+    "quality_compression", "lang_id",
     "doc_fingerprint", "char_entropy", "tfidf_topk", "search_bm25",
     "repetition_stats", "pii_scrub", "model_score_docs",
     "lm_perplexity", "o10_pack_sequences", "o7_wordcount_topk",
@@ -28,7 +29,8 @@ DOC_QUERIES = [
     "ngram_jaccard_pairs",
     "decontaminate_overlap", "dedup_filtered_docs",
     # graph / mix / spans / media
-    "link_pagerank", "link_triangles", "training_mix_stats",
+    "link_pagerank", "link_triangles", "link_components",
+    "training_mix_stats",
     "mix_interleave", "mix_temperature_sample", "corpus_prep_stats",
     "quality_filtered_docs",
     "spans_rollup",
