@@ -99,6 +99,8 @@ _QUERY_ORDER = (
     "j1_broadcast_join", "o5_exact_quantiles", "w3_tumbling_window",
     "d5_latest_per_key", "w4_sliding_window", "g3_metrics_rollup",
     "s1_set_intersect", "q13_customer_distribution", "q22_sales_opportunity",
+    "q20_excess_suppliers", "q21_waiting_supplier",
+    "q2_min_cost_supplier", "q16_part_supplier_counts",
     "mix_interleave", "mix_temperature_sample",
     "w10_funnel", "g15_corr",
     "g19_grouping_sets", "bpe_pair_topk", "bpe_train_merges",
@@ -118,7 +120,7 @@ _QUERY_ORDER = (
     "g9_rollup", "dedup_incremental", "dedup_lsh_verified",
     "training_mix_stats", "ann_recall_report", "q4_order_priority",
     "q12_late_priority", "q7_volume_shipping", "q8_market_share",
-    "q18_big_orders",
+    "q9_product_profit", "q18_big_orders",
     "g12_embedding_centroids", "dedup_containment_stats",
     "q10_returned_revenue", "q5_local_supplier_volume",
     "io_partitioned_roundtrip", "dedup_index_roundtrip",
@@ -205,7 +207,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g10_pivot": R.g10_pivot,
         "o7_wordcount_topk": R.o7_wordcount_topk,
         "q3_shipping_priority": R.q3_shipping_priority,
+        "q2_min_cost_supplier": R.q2_min_cost_supplier,
         "q4_order_priority": R.q4_order_priority,
+        "q9_product_profit": R.q9_product_profit,
+        "q16_part_supplier_counts": R.q16_part_supplier_counts,
         "q5_local_supplier_volume": R.q5_local_supplier_volume,
         "q10_returned_revenue": R.q10_returned_revenue,
         "q7_volume_shipping": R.q7_volume_shipping,
@@ -216,6 +221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": R.q15_top_supplier,
         "q17_small_qty_revenue": R.q17_small_qty_revenue,
         "q19_discounted_revenue": R.q19_discounted_revenue,
+        "q20_excess_suppliers": R.q20_excess_suppliers,
+        "q21_waiting_supplier": R.q21_waiting_supplier,
         "q22_sales_opportunity": R.q22_sales_opportunity,
         # --- sorts / top-k (O-rows)
         "o1_global_sort": R.o1_global_sort,
@@ -882,6 +889,77 @@ def oracle_sql() -> dict[str, str]:
             "AND l_quantity BETWEEN 10 AND 20) "
             "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 "
             "AND l_quantity BETWEEN 20 AND 30)"
+        ),
+        "q2_min_cost_supplier": (
+            # exact argmin: acctbal as int64 cents, suppkey tie-break
+            "WITH f AS (SELECT p_partkey, p_brand FROM part "
+            "WHERE p_type = 'STANDARD' AND p_size <= 5), "
+            "pairs AS (SELECT DISTINCT l_partkey, l_suppkey "
+            "FROM lineitem JOIN f ON l_partkey = p_partkey), "
+            "s AS (SELECT pairs.l_partkey, pairs.l_suppkey, s_acctbal, "
+            "s_name, n_name FROM pairs "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE n_regionkey = (SELECT r_regionkey FROM region "
+            "WHERE r_name = 'EUROPE')) "
+            "SELECT l_partkey AS p_partkey, p_brand, "
+            "l_suppkey AS s_suppkey, s_name, s_acctbal, n_name "
+            "FROM s JOIN f ON l_partkey = p_partkey "
+            "QUALIFY row_number() OVER (PARTITION BY l_partkey "
+            "ORDER BY CAST(round(s_acctbal*100) AS BIGINT), l_suppkey) = 1"
+        ),
+        "q9_product_profit": (
+            # amount expression textually mirrors the engine's numpy
+            # op order — identical IEEE doubles before quantization
+            "WITH l AS (SELECT o_orderkey, "
+            "CAST(year(o_orderdate) AS BIGINT) AS o_year, n_name, "
+            "CAST(round((l_extendedprice*(1-l_discount) "
+            "- p_retailprice*0.1*l_quantity)*1000000) AS BIGINT) AS amt_u "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey) "
+            "SELECT n_name, o_year, "
+            "CAST(sum(amt_u) AS BIGINT)/1000000.0 AS profit "
+            "FROM l GROUP BY 1, 2"
+        ),
+        "q16_part_supplier_counts": (
+            "SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size, "
+            "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+            "FROM part JOIN lineitem ON p_partkey = l_partkey "
+            "WHERE p_brand <> 'Brand#1' "
+            "AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29) "
+            "GROUP BY 1, 2, 3"
+        ),
+        "q20_excess_suppliers": (
+            "WITH f AS (SELECT p_partkey FROM part "
+            "WHERE p_brand = 'Brand#12'), "
+            "ps AS (SELECT l_partkey, l_suppkey, "
+            "sum(CAST(round(l_quantity*100) AS BIGINT)) AS q "
+            "FROM lineitem JOIN f ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' GROUP BY 1, 2), "
+            "p AS (SELECT l_partkey, sum(q) AS tq FROM ps GROUP BY 1) "
+            "SELECT DISTINCT s_suppkey, s_name "
+            "FROM ps JOIN p USING (l_partkey) "
+            "JOIN supplier ON l_suppkey = s_suppkey WHERE ps.q * 2 > tq"
+        ),
+        "q21_waiting_supplier": (
+            "WITH ps AS (SELECT l_orderkey, l_suppkey, "
+            "max(l_shipdate) AS ms FROM lineitem GROUP BY 1, 2), "
+            "j AS (SELECT ps.*, o_orderdate FROM ps "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderstatus = 'F'), "
+            "f AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp, "
+            "sum(CASE WHEN ms > o_orderdate + INTERVAL 30 DAY "
+            "THEN 1 ELSE 0 END) AS n_late, "
+            "max(CASE WHEN ms > o_orderdate + INTERVAL 30 DAY "
+            "THEN l_suppkey END) AS late_supp FROM j GROUP BY 1) "
+            "SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait "
+            "FROM f JOIN supplier ON late_supp = s_suppkey "
+            "WHERE n_supp >= 2 AND n_late = 1 GROUP BY 1, 2 "
+            "ORDER BY numwait DESC, s_suppkey LIMIT 20"
         ),
         "q22_sales_opportunity": (
             # richer-than-positive-average test in exact int64 cents:

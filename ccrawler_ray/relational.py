@@ -3639,3 +3639,459 @@ def q8_market_share(sf_dir: str, target: str = "NATION_7",
 
     return _typed(out.map_batches(finalize, batch_format="pyarrow"),
                   [("o_year", pa.int64()), ("mkt_share", pa.float64())])
+
+
+# ---------------------------------------------------------------------------
+# Q20 (adapted): suppliers with excess part volume. partsupp does not
+# exist here, so "excess stock" becomes "shipped more than half of a
+# part's windowed volume": per-(part, supplier) quantity sums in
+# exact int64 centi-units against the per-part total, both computed
+# inside ONE coarse-salted groupby keyed by partkey (a part's rows
+# co-locate, so the 2·q_ps > q_p test is in-group — fact rows shuffle
+# once as (part, supp, q) partials). The qualifying supplier set is
+# dim-sized — driver finalize, names from the supplier dim.
+# Key packing (pk << 32 | sk) assumes partkey, suppkey < 2^31/2^32.
+# ---------------------------------------------------------------------------
+
+
+def q20_excess_suppliers(sf_dir: str, brand: str = "Brand#12",
+                         date_lo: str = "1996-01-01",
+                         date_hi: str = "1997-01-01"):
+    """(s_suppkey, s_name): suppliers shipping > half of some
+    brand-filtered part's volume in the window."""
+    salt_k = coarse_salt_k()
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    keys_ref = ray.put(np.sort(part.loc[part["p_brand"] == brand,
+                                        "p_partkey"].to_numpy()
+                               ).astype(np.int64))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    sname = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+
+    def ps_partial(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pk = _col(t, "l_partkey")
+        m = (ship >= lo) & (ship < hi) & np.isin(pk, ray.get(keys_ref))
+        pk = pk[m]
+        sk = _col(t, "l_suppkey")[m]
+        qc = np.round(t.column("l_quantity").to_numpy(
+            zero_copy_only=False)[m] * 100).astype(np.int64)
+        key = (pk.astype(np.int64) << np.int64(32)) | sk.astype(np.int64)
+        uk, inv = np.unique(key, return_inverse=True)
+        q = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(q, inv, qc)
+        upk = (uk >> np.int64(32)).astype(np.int64)
+        return pa.table({
+            "pk": pa.array(np.r_[upk, [-1]].astype(np.int64)),
+            "sk": pa.array(np.r_[uk & np.int64(0xFFFFFFFF),
+                                 [0]].astype(np.int64)),
+            "q": pa.array(np.r_[q, [0]].astype(np.int64)),
+            "salt": pa.array(np.r_[upk % salt_k, [0]].astype(np.int32))})
+
+    def excess_group(t: pa.Table) -> pa.Table:
+        pk = _col(t, "pk")
+        m = pk >= 0
+        pk, sk, q = pk[m], _col(t, "sk")[m], _col(t, "q")[m]
+        key = (pk << np.int64(32)) | sk
+        uk, inv = np.unique(key, return_inverse=True)
+        qs = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(qs, inv, q)
+        upk = (uk >> np.int64(32)).astype(np.int64)
+        up, pinv = np.unique(upk, return_inverse=True)
+        tot = np.zeros(len(up), dtype=np.int64)
+        np.add.at(tot, pinv, qs)
+        hit = qs * 2 > tot[pinv]
+        return pa.table({"s_suppkey": pa.array(np.unique(
+            (uk & np.int64(0xFFFFFFFF))[hit]).astype(np.int64))})
+
+    qual = (line.map_batches(ps_partial, batch_format="pyarrow")
+            .groupby("salt").map_groups(excess_group,
+                                        batch_format="pyarrow")).to_pandas()
+    sks = np.unique(qual["s_suppkey"].to_numpy().astype(np.int64)) \
+        if len(qual) else np.empty(0, np.int64)
+    return pd.DataFrame({
+        "s_suppkey": sks,
+        "s_name": [sname.get(int(k), "") for k in sks]})
+
+
+# ---------------------------------------------------------------------------
+# Q21 (adapted): suppliers who kept orders waiting. No commit/receipt
+# dates, so "late" = max(l_shipdate) per (order, supplier) more than
+# ``grace_days`` past the order date; blame a supplier for an 'F'
+# order when it is the ONLY late supplier among >= 2 involved. The
+# lineitem fact reduces map-side to per-(order, supplier) MAX
+# partials, the orders side is a size-seamed join, and the
+# per-order blame scan runs inside <=salt_k coarse groups keyed by
+# orderkey. Per-supplier counts finish in one tiny aggregate +
+# deterministic top-k (numwait DESC, s_suppkey ASC).
+# ---------------------------------------------------------------------------
+
+
+def q21_waiting_supplier(sf_dir: str, grace_days: int = 30, k: int = 20):
+    """(s_suppkey, s_name, numwait) top-k blame counts."""
+    salt_k = coarse_salt_k()
+    grace_us = np.int64(grace_days) * 86_400_000_000
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    sname = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def ps_partial(t: pa.Table) -> pa.Table:
+        ok = _col(t, "l_orderkey")
+        sk = _col(t, "l_suppkey")
+        ship = t.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        key = (ok.astype(np.int64) << np.int64(32)) | sk.astype(np.int64)
+        uk, inv = np.unique(key, return_inverse=True)
+        ms = np.full(len(uk), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(ms, inv, ship)
+        uo = (uk >> np.int64(32)).astype(np.int64)
+        return pa.table({
+            "l_orderkey": pa.array(np.r_[uo, [-1]].astype(np.int64)),
+            "l_suppkey": pa.array(np.r_[uk & np.int64(0xFFFFFFFF),
+                                        [0]].astype(np.int64)),
+            "ms": pa.array(np.r_[ms, [0]].astype(np.int64)),
+            "o_salt": pa.array(np.r_[uo % salt_k, [0]].astype(np.int32))})
+
+    def ps_group(t: pa.Table) -> pa.Table:
+        ok = _col(t, "l_orderkey")
+        m = ok >= 0
+        ok, sk, ms = ok[m], _col(t, "l_suppkey")[m], _col(t, "ms")[m]
+        key = (ok << np.int64(32)) | sk
+        uk, inv = np.unique(key, return_inverse=True)
+        mx = np.full(len(uk), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, ms)
+        uo = (uk >> np.int64(32)).astype(np.int64)
+        return pa.table({
+            "l_orderkey": pa.array(np.r_[uo, [-1]].astype(np.int64)),
+            "l_suppkey": pa.array(np.r_[uk & np.int64(0xFFFFFFFF),
+                                        [0]].astype(np.int64)),
+            "ms": pa.array(np.r_[mx, [0]].astype(np.int64))})
+
+    per_os = (line.map_batches(ps_partial, batch_format="pyarrow")
+              .groupby("o_salt").map_groups(ps_group,
+                                            batch_format="pyarrow"))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderstatus"])
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        st = t.column("o_orderstatus").to_numpy(zero_copy_only=False)
+        m = st == "F"
+        od = t.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)[m]
+        return pa.table({
+            "o_orderkey": pa.array(np.r_[_col(t, "o_orderkey")[m],
+                                         [-1]].astype(np.int64)),
+            "o_date_us": pa.array(np.r_[od, [0]].astype(np.int64))})
+
+    joined = _join_auto(per_os,
+                        orders.map_batches(o_filter, batch_format="pyarrow"),
+                        "l_orderkey", "o_orderkey",
+                        _rows_hint(sf_dir, "orders"))
+
+    def order_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # COMPOSABLE per-order partials (an order's rows may split
+        # across batches after the join — never rely on locality):
+        # supplier/late counts sum, the blame candidate maxes
+        df = df[df["l_orderkey"] >= 0]
+        ok = df["l_orderkey"].to_numpy().astype(np.int64)
+        sk = df["l_suppkey"].to_numpy().astype(np.int64)
+        late = (df["ms"].to_numpy().astype(np.int64)
+                > df["o_date_us"].to_numpy().astype(np.int64) + grace_us)
+        uo, inv = np.unique(ok, return_inverse=True)
+        n_supp = np.bincount(inv, minlength=len(uo)).astype(np.int64)
+        n_late = np.bincount(inv[late], minlength=len(uo)).astype(np.int64)
+        blame = np.zeros(len(uo), dtype=np.int64)
+        np.maximum.at(blame, inv[late], sk[late])
+        return pd.DataFrame({
+            "ok": np.r_[uo, [-1]].astype(np.int64),
+            "ns": np.r_[n_supp, [0]].astype(np.int64),
+            "nl": np.r_[n_late, [0]].astype(np.int64),
+            "bl": np.r_[blame, [0]].astype(np.int64),
+            "salt": np.r_[uo % salt_k, [0]].astype(np.int32)})
+
+    def blame_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["ok"] >= 0]
+        ok = df["ok"].to_numpy()
+        uo, inv = np.unique(ok, return_inverse=True)
+        ns = np.zeros(len(uo), dtype=np.int64)
+        nl = np.zeros(len(uo), dtype=np.int64)
+        bl = np.zeros(len(uo), dtype=np.int64)
+        np.add.at(ns, inv, df["ns"].to_numpy())
+        np.add.at(nl, inv, df["nl"].to_numpy())
+        np.maximum.at(bl, inv, df["bl"].to_numpy())
+        hit = (ns >= 2) & (nl == 1)
+        ub, cnt = np.unique(bl[hit], return_counts=True)
+        return pd.DataFrame({
+            "s_suppkey": np.r_[ub, [-1]].astype(np.int64),
+            "n": np.r_[cnt, [0]].astype(np.int64)})
+
+    out = (joined.map_batches(order_partial, batch_format="pandas")
+           .groupby("salt").map_groups(blame_group, batch_format="pandas")
+           .groupby("s_suppkey")
+           .aggregate(Sum("n", alias_name="numwait"))).to_pandas()
+    out = out[(out["s_suppkey"] >= 0) & (out["numwait"] > 0)]
+    out = out.sort_values(["numwait", "s_suppkey"],
+                          ascending=[False, True]).head(k)
+    return pd.DataFrame({
+        "s_suppkey": out["s_suppkey"].astype(np.int64).to_numpy(),
+        "s_name": [sname.get(int(x), "") for x in out["s_suppkey"]],
+        "numwait": out["numwait"].astype(np.int64).to_numpy()})
+
+
+# ---------------------------------------------------------------------------
+# Q2 (adapted): min-cost supplier per part. No partsupp/ps_supplycost,
+# so "cheapest" becomes the region-restricted supplier with the
+# SMALLEST account balance among those who actually shipped the part
+# (lineitem distinct pairs stand in for partsupp). The argmin is
+# exact: balances compare as int64 cents, ties break on s_suppkey —
+# mirrored by the oracle's row_number ORDER BY. Distinct
+# (part, supplier) pairs reduce map-side; the per-part argmin runs
+# inside <=salt_k coarse groups with the supplier dims broadcast.
+# ---------------------------------------------------------------------------
+
+
+def q2_min_cost_supplier(sf_dir: str, ptype: str = "STANDARD",
+                         max_size: int = 5, region: str = "EUROPE"):
+    """(p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name)."""
+    salt_k = coarse_salt_k()
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_type", "p_size"]).to_pandas()
+    fpart = part[(part["p_type"] == ptype) & (part["p_size"] <= max_size)]
+    keys_ref = ray.put(np.sort(fpart["p_partkey"].to_numpy()
+                               ).astype(np.int64))
+    brand = dict(zip(fpart["p_partkey"].astype(int), fpart["p_brand"]))
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"].astype(int))
+    rnat = nation[nation["n_regionkey"].astype(int).isin(rkeys)]
+    nname = dict(zip(rnat["n_nationkey"].astype(int), rnat["n_name"]))
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_name", "s_nationkey",
+                  "s_acctbal"]).to_pandas()
+    supp = supp[supp["s_nationkey"].astype(int).isin(nname)]
+    sk_arr = np.sort(supp["s_suppkey"].to_numpy().astype(np.int64))
+    srow = supp.set_index("s_suppkey")
+    cents = {int(k): int(round(v * 100))
+             for k, v in zip(supp["s_suppkey"], supp["s_acctbal"])}
+    sup_ref = ray.put((sk_arr, cents))
+    line = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        sks, _ = ray.get(sup_ref)
+        pk = _col(t, "l_partkey")
+        sk = _col(t, "l_suppkey")
+        m = np.isin(pk, ray.get(keys_ref)) & np.isin(sk, sks)
+        key = np.unique((pk[m].astype(np.int64) << np.int64(32))
+                        | sk[m].astype(np.int64))
+        upk = (key >> np.int64(32)).astype(np.int64)
+        return pa.table({
+            "pk": pa.array(np.r_[upk, [-1]].astype(np.int64)),
+            "sk": pa.array(np.r_[key & np.int64(0xFFFFFFFF),
+                                 [0]].astype(np.int64)),
+            "salt": pa.array(np.r_[upk % salt_k, [0]].astype(np.int32))})
+
+    def argmin_group(t: pa.Table) -> pa.Table:
+        _, cmap = ray.get(sup_ref)
+        pk = _col(t, "pk")
+        m = pk >= 0
+        pk, sk = pk[m], _col(t, "sk")[m]
+        # exact order: (acctbal cents, suppkey) — dedup pairs first
+        key = np.unique((pk << np.int64(32)) | sk)
+        if not len(key):  # sentinel-only group
+            return pa.table({"p_partkey": pa.array([], pa.int64()),
+                             "s_suppkey": pa.array([], pa.int64())})
+        pk = (key >> np.int64(32)).astype(np.int64)
+        sk = (key & np.int64(0xFFFFFFFF)).astype(np.int64)
+        bal = np.fromiter((cmap[int(s)] for s in sk), np.int64,
+                          count=len(sk))
+        order = np.lexsort((sk, bal, pk))
+        pk_s, sk_s = pk[order], sk[order]
+        first = np.r_[True, pk_s[1:] != pk_s[:-1]]
+        return pa.table({"p_partkey": pa.array(pk_s[first]),
+                         "s_suppkey": pa.array(sk_s[first])})
+
+    win = (line.map_batches(pair_partial, batch_format="pyarrow")
+           .groupby("salt").map_groups(argmin_group, batch_format="pyarrow")
+           ).to_pandas()  # dim-sized: one row per filtered part
+    if not len(win):
+        return pd.DataFrame({"p_partkey": pd.Series(dtype=np.int64),
+                             "p_brand": pd.Series(dtype="str"),
+                             "s_suppkey": pd.Series(dtype=np.int64),
+                             "s_name": pd.Series(dtype="str"),
+                             "s_acctbal": pd.Series(dtype=np.float64),
+                             "n_name": pd.Series(dtype="str")})
+    sks = win["s_suppkey"].astype(int)
+    return pd.DataFrame({
+        "p_partkey": win["p_partkey"].astype(np.int64).to_numpy(),
+        "p_brand": [brand.get(int(p), "") for p in win["p_partkey"]],
+        "s_suppkey": win["s_suppkey"].astype(np.int64).to_numpy(),
+        "s_name": srow.loc[sks, "s_name"].to_numpy(),
+        "s_acctbal": srow.loc[sks, "s_acctbal"].to_numpy(),
+        "n_name": [nname[int(n)] for n in srow.loc[sks, "s_nationkey"]]})
+
+
+# ---------------------------------------------------------------------------
+# Q9 (adapted): product-type profit by nation and year. No
+# ps_supplycost, so cost = p_retailprice*0.1*l_quantity (the dim's
+# own price column as the stand-in rate). amount =
+# l_extendedprice*(1-l_discount) - p_retailprice*0.1*l_quantity,
+# quantized per element to int64 micro-units IDENTICALLY on both
+# sides (same IEEE op order in the SQL text). Supplier-nation names
+# and part prices broadcast (dims); the only shuffle is the
+# size-seamed lineitem ⋈ orders join for the order year.
+# ---------------------------------------------------------------------------
+
+
+def q9_product_profit(sf_dir: str):
+    """(n_name, o_year, profit) exact micro-unit sums."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nname = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    snat_ref = ray.put({int(k): nname.get(int(n), "")
+                        for k, n in zip(supp["s_suppkey"],
+                                        supp["s_nationkey"])})
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_retailprice"]).to_pandas()
+    pk_sorted = np.sort(part["p_partkey"].to_numpy().astype(np.int64))
+    order = np.argsort(part["p_partkey"].to_numpy())
+    price_ref = ray.put((pk_sorted,
+                         part["p_retailprice"].to_numpy()[order]))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def o_narrow(t: pa.Table) -> pa.Table:
+        yr = pc.year(t.column("o_orderdate")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "o_orderkey": pa.array(np.r_[_col(t, "o_orderkey"),
+                                         [-1]].astype(np.int64)),
+            "o_year": pa.array(np.r_[yr, [0]].astype(np.int64))})
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                  "l_extendedprice", "l_discount"])
+
+    def l_amount(t: pa.Table) -> pa.Table:
+        pks, prices = ray.get(price_ref)
+        snat = ray.get(snat_ref)
+        pk = _col(t, "l_partkey")
+        pos = np.clip(np.searchsorted(pks, pk), 0, len(pks) - 1)
+        m = pks[pos] == pk  # inner-join semantics: drop dangling partkeys
+        pos, pk = pos[m], pk[m]
+        retail = prices[pos]
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)[m]
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)[m]
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False)[m]
+        # frozen IEEE op order — mirrored verbatim in the oracle SQL
+        amt_u = _to_micro(price * (1 - disc) - retail * 0.1 * qty)
+        sk = _col(t, "l_suppkey")[m]
+        nats = [snat.get(int(s), "") for s in sk]
+        return pa.table({
+            "l_orderkey": pa.array(np.r_[_col(t, "l_orderkey")[m],
+                                         [-1]].astype(np.int64)),
+            "n_name": pa.array(nats + ["\x00sent"], pa.string()),
+            "amt_u": pa.array(np.r_[amt_u, [0]].astype(np.int64))})
+
+    joined = _join_auto(line.map_batches(l_amount, batch_format="pyarrow"),
+                        orders.map_batches(o_narrow, batch_format="pyarrow"),
+                        "l_orderkey", "o_orderkey",
+                        _rows_hint(sf_dir, "orders"))
+
+    def profit_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_orderkey"] >= 0]
+        g = df.groupby(["n_name", "o_year"], as_index=False)["amt_u"].sum()
+        sent = pd.DataFrame({"n_name": ["\x00sent"],
+                             "o_year": np.array([0], np.int64),
+                             "amt_u": np.array([0], np.int64)})
+        g["o_year"] = g["o_year"].astype(np.int64)
+        g["amt_u"] = g["amt_u"].astype(np.int64)
+        return pd.concat([g, sent], ignore_index=True)
+
+    out = (joined.map_batches(profit_partial, batch_format="pandas")
+           .groupby(["n_name", "o_year"])
+           .aggregate(Sum("amt_u", alias_name="profit")))
+
+    def drop_sent(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t.column("n_name"), "\x00sent"))
+
+    return _typed(_from_micro(out.map_batches(drop_sent,
+                                              batch_format="pyarrow"),
+                              ["profit"]),
+                  [("n_name", pa.string()), ("o_year", pa.int64()),
+                   ("profit", pa.float64())])
+
+
+# ---------------------------------------------------------------------------
+# Q16 (adapted): supplier counts per part descriptor. partsupp
+# becomes the lineitem's distinct (part, supplier) pairs; the
+# (brand, type, size) descriptor rides a broadcast filtered-part
+# codebook, distinct pairs reduce map-side to (descriptor code,
+# suppkey), and the per-descriptor distinct-supplier count runs
+# inside <=64 coarse groups (descriptor cardinality is dim-like).
+# ---------------------------------------------------------------------------
+
+
+def q16_part_supplier_counts(sf_dir: str, excl_brand: str = "Brand#1",
+                             sizes: tuple = (1, 5, 9, 13, 17, 21, 25, 29)):
+    """(p_brand, p_type, p_size, supplier_cnt)."""
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_type", "p_size"]).to_pandas()
+    f = part[(part["p_brand"] != excl_brand)
+             & part["p_size"].astype(int).isin(sizes)].reset_index(drop=True)
+    trip = f[["p_brand", "p_type", "p_size"]].drop_duplicates(
+    ).reset_index(drop=True)
+    tkey = {(b, t, int(s)): i for i, (b, t, s) in enumerate(
+        zip(trip["p_brand"], trip["p_type"], trip["p_size"]))}
+    code_of_pk = {int(p): tkey[(b, t, int(s))] for p, b, t, s in zip(
+        f["p_partkey"], f["p_brand"], f["p_type"], f["p_size"])}
+    pk_sorted = np.sort(f["p_partkey"].to_numpy().astype(np.int64))
+    codes_arr = np.fromiter((code_of_pk[int(p)] for p in pk_sorted),
+                            np.int64, count=len(pk_sorted))
+    map_ref = ray.put((pk_sorted, codes_arr))
+    line = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        pks, codes = ray.get(map_ref)
+        pk = _col(t, "l_partkey")
+        m = np.isin(pk, pks)
+        code = codes[np.searchsorted(pks, pk[m])]
+        key = np.unique((code << np.int64(32))
+                        | _col(t, "l_suppkey")[m].astype(np.int64))
+        uc = (key >> np.int64(32)).astype(np.int64)
+        return pa.table({
+            "code": pa.array(np.r_[uc, [-1]].astype(np.int64)),
+            "sk": pa.array(np.r_[key & np.int64(0xFFFFFFFF),
+                                 [0]].astype(np.int64)),
+            "salt": pa.array(np.r_[uc % 64, [0]].astype(np.int32))})
+
+    def cnt_group(t: pa.Table) -> pa.Table:
+        code = _col(t, "code")
+        m = code >= 0
+        key = np.unique((code[m] << np.int64(32)) | _col(t, "sk")[m])
+        uc, cnt = np.unique((key >> np.int64(32)).astype(np.int64),
+                            return_counts=True)
+        return pa.table({"code": pa.array(uc),
+                         "supplier_cnt": pa.array(cnt.astype(np.int64))})
+
+    res = (line.map_batches(pair_partial, batch_format="pyarrow")
+           .groupby("salt").map_groups(cnt_group, batch_format="pyarrow")
+           ).to_pandas()  # dim-sized: one row per descriptor triple
+    if not len(res):
+        return pd.DataFrame({"p_brand": pd.Series(dtype="str"),
+                             "p_type": pd.Series(dtype="str"),
+                             "p_size": pd.Series(dtype=np.int64),
+                             "supplier_cnt": pd.Series(dtype=np.int64)})
+    res = res.sort_values("code").reset_index(drop=True)
+    c = res["code"].astype(int)
+    return pd.DataFrame({
+        "p_brand": trip.loc[c, "p_brand"].to_numpy(),
+        "p_type": trip.loc[c, "p_type"].to_numpy(),
+        "p_size": trip.loc[c, "p_size"].astype(np.int64).to_numpy(),
+        "supplier_cnt": res["supplier_cnt"].astype(np.int64).to_numpy()})

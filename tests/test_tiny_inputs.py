@@ -117,7 +117,9 @@ REL_QUERIES = [
     "q7_volume_shipping", "q8_market_share", "q12_late_priority",
     "q13_customer_distribution", "q15_top_supplier",
     "q17_small_qty_revenue", "q19_discounted_revenue",
-    "q22_sales_opportunity",
+    "q20_excess_suppliers", "q21_waiting_supplier",
+    "q22_sales_opportunity", "q2_min_cost_supplier",
+    "q9_product_profit", "q16_part_supplier_counts",
     "g1_rank_topk_per_key", "g3_metrics_rollup", "g4_distinct_counts",
     "g5_hll_distinct", "g7_quantile_hist", "g8_grouped_quantiles",
     "g9_rollup", "g11_countmin_est", "g13_user_value_drift",
