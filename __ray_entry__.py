@@ -115,6 +115,7 @@ _QUERY_ORDER = (
     "q3_shipping_priority", "dedup_embedding_cosine", "decode_media_meta",
     "o10_pack_sequences", "dedup_embedding_lsh", "media_dedup_near",
     "dedup_simhash", "lang_id", "m2_filter_validate", "io_csv_roundtrip",
+    "io_ipc_roundtrip",
     "dedup_filtered_docs", "link_triangles", "lm_perplexity",
     "dedup_minhash_lsh", "j4_multi_join", "j8_salted_skew_join",
     "g9_rollup", "dedup_incremental", "dedup_lsh_verified",
@@ -146,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ccrawler_ray.pipelines import mix as MIX
     from ccrawler_ray.sinks import partitioned as PS
     from ccrawler_ray.sources import csvio as CSV
+    from ccrawler_ray.sources import ipcio as IPC
     from ccrawler_ray.sources import jsonl as JL
 
     return _cost_ordered({
@@ -305,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dedup_exact": M.media_dedup_exact,
         "io_jsonl_roundtrip": JL.io_jsonl_roundtrip,
         "io_csv_roundtrip": CSV.io_csv_roundtrip,
+        "io_ipc_roundtrip": IPC.io_ipc_roundtrip,
         "io_partitioned_roundtrip": PS.io_partitioned_roundtrip,
         "media_pipeline": M.media_pipeline,
         "media_byte_stats": M.media_byte_stats,
@@ -1353,6 +1356,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(min(doc_id) AS BIGINT) AS min_doc, "
             "CAST(max(doc_id) AS BIGINT) AS max_doc "
             "FROM documents GROUP BY source"
+        ),
+        # IPC preserves Arrow types exactly, so the oracle is the same
+        # rollup the parquet source would produce — any drift in the
+        # shard write/read path shows up as a value mismatch here
+        "io_ipc_roundtrip": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(min(doc_id) AS BIGINT) AS min_doc, "
+            "CAST(max(doc_id) AS BIGINT) AS max_doc "
+            "FROM documents GROUP BY lang"
         ),
         "media_dedup_exact": (
             # payload == encode(text) by construction (synth_media), so

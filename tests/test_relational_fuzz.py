@@ -185,7 +185,8 @@ def test_new_ops_fuzz(tmp_path):
         # SQL-oracled: packing + both IO round trips (unique /tmp key
         # per sf_dir, so tmp cases never collide)
         for name in ("o10_pack_sequences", "io_csv_roundtrip",
-                     "io_partitioned_roundtrip", "io_jsonl_roundtrip"):
+                     "io_partitioned_roundtrip", "io_jsonl_roundtrip",
+                     "io_ipc_roundtrip"):
             got = _to_pandas(qs[name](str(d)))
             want = con.sql(sqls[name]).df()
             _assert_frames_match(got, want, f"ndocs{ci}:{name}")

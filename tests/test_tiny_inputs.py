@@ -38,6 +38,7 @@ DOC_QUERIES = [
     "decode_media_meta", "media_pipeline",
     # io
     "io_jsonl_roundtrip", "io_csv_roundtrip", "io_partitioned_roundtrip",
+    "io_ipc_roundtrip",
 ]
 EMB_QUERIES = [
     "ann_topk_cosine", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
