@@ -92,7 +92,8 @@ _QUERY_ORDER = (
     "q17_small_qty_revenue", "q15_top_supplier", "g8_grouped_quantiles",
     "g1_rank_topk_per_key",
     "w2_sessionize", "g16_heavy_hitters", "w9_percent_rank", "w6_ntile",
-    "w7_rolling_mean", "w5_lag_lead", "ann_topk_cosine", "ann_ivf_topk",
+    "w7_rolling_mean", "w5_lag_lead", "ann_topk_cosine", "ann_range_search",
+    "ann_ivf_topk",
     "w1_running_sum", "w11_ewma", "g10_pivot", "ann_lsh_topk",
     "j3_semi_join", "token_count", "g13_user_value_drift", "j6_range_join",
     "quality_filtered_docs", "s2_set_except", "ngram_jaccard_pairs",
@@ -294,6 +295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_lsh": lambda sf: D.dedup_embedding_lsh(sf, threshold=0.4),
         # --- similarity search
         "ann_topk_cosine": lambda sf: S.ann_topk_cosine(sf, num_queries=5, k=5),
+        "ann_range_search": lambda sf: S.ann_range_search(
+            sf, num_queries=8, threshold=0.25),
         "ann_filtered_topk": lambda sf: S.ann_filtered_topk(sf, num_queries=5, k=5),
         "ann_lsh_topk": lambda sf: S.ann_lsh_topk(sf, num_queries=5, k=5),
         "ann_ivf_topk": lambda sf: S.ann_ivf_topk(sf, num_queries=5, k=5),
@@ -1325,6 +1328,16 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank FROM s) "
             "SELECT query_id, vec_id, round(c,4) AS cos, CAST(rank AS BIGINT) AS rank "
             "FROM r WHERE rank <= 5"
+        ),
+        # range filter on the ROUNDED cosine (both sides) so the kept
+        # set cannot flip on a last-ulp kernel difference at the radius
+        "ann_range_search": (
+            "WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings "
+            "WHERE vec_id < 8), "
+            "s AS (SELECT q.qid AS query_id, e.vec_id, "
+            "round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]),4) AS c "
+            "FROM q, embeddings e WHERE e.vec_id != q.qid) "
+            "SELECT query_id, vec_id, c AS cos FROM s WHERE c >= 0.25"
         ),
         "ann_filtered_topk": (
             "WITH q AS (SELECT vec_id AS qid, label AS ql, "

@@ -105,6 +105,46 @@ def ann_topk_cosine(sf_dir: str, num_queries: int = 5, k: int = 5):
     return _brute_topk(ds, q_ref, k)
 
 
+def ann_range_search(sf_dir: str, num_queries: int = 8,
+                     threshold: float = 0.25):
+    """RANGE search: every neighbor within a cosine radius
+    (``cos >= threshold``, excluding self) for the query set
+    ``vec_id < num_queries`` — the radius-query sibling of
+    ``ann_topk_cosine``.
+
+    Pure scan shape: each batch computes its slice of the (nq × n)
+    cosine matrix against the broadcast normalized queries and emits
+    only the passing rows — no shuffle, no top-k reduce state; the
+    result IS the filter's output stream, so it scales as a single
+    map over the corpus. The threshold compares the ROUNDED (4 dp)
+    value so the kept set is reproducible across kernels (numpy here,
+    DuckDB's list_cosine_similarity in the oracle) whose raw results
+    may differ in the last ulp.
+    """
+    qids, qm = _query_matrix(sf_dir, num_queries)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    q_ref = ray.put((qids, qn))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _empty_scores()
+        qids_, qn_ = ray.get(q_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        vids = df["vec_id"].to_numpy().astype(np.int64)
+        cos = np.round(qn_ @ m.T, 4)  # (nq, batch)
+        hit = (cos >= threshold) & (vids[None, :] != qids_[:, None])
+        qi, ci = np.nonzero(hit)
+        return pd.DataFrame({
+            "query_id": qids_[qi].astype(np.int64),
+            "vec_id": vids[ci],
+            "cos": cos[qi, ci],
+        })
+
+    ds = read_embeddings(sf_dir, ["vec_id", "embedding"])
+    return ds.map_batches(partial, batch_format="pandas")
+
+
 def ann_filtered_topk(sf_dir: str, num_queries: int = 5, k: int = 5):
     """Metadata-FILTERED exact top-k cosine: each query's candidates
     are restricted to vectors sharing its ``label`` (same-category

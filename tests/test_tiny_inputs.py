@@ -41,7 +41,8 @@ DOC_QUERIES = [
     "io_ipc_roundtrip",
 ]
 EMB_QUERIES = [
-    "ann_topk_cosine", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
+    "ann_topk_cosine", "ann_range_search", "ann_lsh_topk", "ann_ivf_topk",
+    "ann_pq_topk",
     "ann_ivf_pq", "ann_index_roundtrip", "ann_filtered_topk",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh", "dedup_semantic", "explode_embeddings",
