@@ -79,7 +79,7 @@ _QUERY_ORDER = (
     "m9_content_hash", "scalar_string_ops", "o3_sample_hash",
     "o8_hash_split", "o9_seeded_shuffle", "o11_chunk_overlap",
     "explode_embeddings",
-    "spans_rollup", "o3_sample",
+    "spans_rollup", "spans_line_dedup", "o3_sample",
     "d1_exact_dedup", "doc_fingerprint", "char_entropy", "token_count_bpe",
     "o2_global_topk", "d3_content_dedup", "g14_group_median",
     "g17_string_agg", "quality_score", "quality_compression",
@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_byte_stats": M.media_byte_stats,
         "media_dedup_near": M.media_dedup_near,
         "spans_rollup": SP.spans_rollup,
+        "spans_line_dedup": SP.spans_line_dedup,
         # --- the crawl itself
         "crawl_docs_out": _crawl_docs_out,
     })
@@ -410,6 +411,9 @@ def _serial_oracles() -> dict[str, str]:
                           {"kind": "VARCHAR", "n_spans": "BIGINT",
                            "n_docs": "BIGINT", "sum_text_len": "BIGINT",
                            "n_media_refs": "BIGINT"}),
+        "spans_line_dedup": V(SR.spans_line_dedup(),
+                              {"doc_id": "VARCHAR", "n_spans": "BIGINT",
+                               "n_kept": "BIGINT", "n_dropped": "BIGINT"}),
         "search_bm25": V(SR.search_bm25(),
                          {"doc_id": "BIGINT", "score": "DOUBLE",
                           "rank": "BIGINT"}),

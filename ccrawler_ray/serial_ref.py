@@ -1230,6 +1230,35 @@ def w11_ewma(sf_dir: str | None = None) -> pd.DataFrame:
                          "ewma": out})
 
 
+def spans_line_dedup(sf_dir: str | None = None) -> pd.DataFrame:
+    """Serial mirror of functions.spans.spans_line_dedup: iterate docs
+    in lexicographic doc_id order with a seen-hash set — identical to
+    the engine's min-(doc_id, span_idx) winner rule (same blake2b-8
+    span hash)."""
+    from ccrawler_ray.sources.corpus import corpus_from_documents
+
+    sf = sf_dir or oracle_sf_dir()
+    t = corpus_from_documents(f"{sf}/documents.parquet")
+    docs = sorted(zip(t.column("doc_id").to_pylist(),
+                      t.column("spans").to_pylist()))
+    seen: set[int] = set()
+    rows = []
+    for did, spans in docs:
+        n = kept = 0
+        for s in spans:
+            if s["kind"] != "text" or not s["text"]:
+                continue
+            n += 1
+            h = _whash(s["text"])
+            if h not in seen:
+                seen.add(h)
+                kept += 1
+        if n:
+            rows.append((did, n, kept, n - kept))
+    return pd.DataFrame(rows, columns=["doc_id", "n_spans", "n_kept",
+                                       "n_dropped"])
+
+
 def spans_rollup(sf_dir: str | None = None) -> pd.DataFrame:
     """Serial mirror of functions.spans.spans_rollup: plain Python
     loop over the same deterministic interleaved corpus."""

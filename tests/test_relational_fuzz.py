@@ -162,7 +162,7 @@ def test_new_ops_fuzz(tmp_path):
     from ccrawler_ray import serial_ref as SR
     from ccrawler_ray.functions.dedup import dedup_incremental
     from ccrawler_ray.functions.multimodal import media_dedup_near
-    from ccrawler_ray.functions.spans import spans_rollup
+    from ccrawler_ray.functions.spans import spans_line_dedup, spans_rollup
     from ccrawler_ray.functions.text import lm_perplexity
     from ccrawler_ray.relational import w11_ewma
     from tests.test_queries_oracle import _assert_frames_match, _to_pandas
@@ -196,6 +196,7 @@ def test_new_ops_fuzz(tmp_path):
             ("dedup_incremental", dedup_incremental, SR.dedup_incremental),
             ("media_dedup_near", media_dedup_near, SR.media_dedup_near),
             ("spans_rollup", spans_rollup, SR.spans_rollup),
+            ("spans_line_dedup", spans_line_dedup, SR.spans_line_dedup),
         ):
             got = _to_pandas(eng(str(d)))
             want = ref(str(d))
