@@ -89,7 +89,8 @@ _QUERY_ORDER = (
     "j2_anti_join", "pii_scrub", "media_dedup_exact", "o1_global_sort",
     "g18_unpivot", "o7_wordcount_topk", "g4_distinct_counts",
     "q6_forecast_revenue", "q14_promo_revenue", "q19_discounted_revenue",
-    "q17_small_qty_revenue", "q15_top_supplier", "g8_grouped_quantiles",
+    "q17_small_qty_revenue", "q15_top_supplier", "q11_important_stock",
+    "g8_grouped_quantiles",
     "g1_rank_topk_per_key",
     "w2_sessionize", "g16_heavy_hitters", "w9_percent_rank", "w6_ntile",
     "w7_rolling_mean", "w5_lag_lead", "ann_topk_cosine", "ann_range_search",
@@ -222,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_customer_distribution": R.q13_customer_distribution,
         "q14_promo_revenue": R.q14_promo_revenue,
         "q15_top_supplier": R.q15_top_supplier,
+        "q11_important_stock": R.q11_important_stock,
         "q17_small_qty_revenue": R.q17_small_qty_revenue,
         "q19_discounted_revenue": R.q19_discounted_revenue,
         "q20_excess_suppliers": R.q20_excess_suppliers,
@@ -842,6 +844,21 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0 END) AS BIGINT)*1.0 / CAST(sum(rev_u) AS BIGINT) "
             "AS mkt_share "
             "FROM l JOIN o ON l.l_orderkey = o.o_orderkey GROUP BY o_year"
+        ),
+        # adapted Q11: argmax nation (most suppliers, ties to smallest
+        # key), 1.5x-mean HAVING as an exact integer cross-multiply —
+        # DuckDB's HUGEINT sums make u*2*np > tot*3 exact, mirroring
+        # the engine's Python-int threshold
+        "q11_important_stock": (
+            "WITH tn AS (SELECT s_nationkey AS nk FROM supplier "
+            "GROUP BY s_nationkey ORDER BY count(*) DESC, s_nationkey LIMIT 1), "
+            "s AS (SELECT s_suppkey FROM supplier, tn WHERE s_nationkey = tn.nk), "
+            "v AS (SELECT l_partkey, "
+            "sum(CAST(round((l_extendedprice*(1-l_discount))*1000000) AS BIGINT)) AS u "
+            "FROM lineitem JOIN s ON l_suppkey = s.s_suppkey GROUP BY l_partkey) "
+            "SELECT l_partkey, CAST(u AS BIGINT)/1000000.0 AS value "
+            "FROM v, (SELECT sum(u) AS tot, count(*) AS np FROM v) t "
+            "WHERE u * 2 * t.np > tot * 3"
         ),
         "q15_top_supplier": (
             "WITH r AS (SELECT l_suppkey, "

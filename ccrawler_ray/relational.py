@@ -3409,6 +3409,91 @@ def q15_top_supplier(sf_dir: str, date_lo: str = "1996-01-01",
         / (MICRO * 1.0)})
 
 
+def q11_important_stock(sf_dir: str):
+    """(l_partkey, value): adapted TPC-H Q11 — per-part lineitem value
+    restricted to suppliers of the nation holding the MOST suppliers
+    (deterministic argmax, ties to the smallest nationkey — a
+    fixture-independent stand-in for Q11's fixed-nation filter; there
+    is no partsupp table, so lineitem value plays supplycost*availqty),
+    kept when the part's value exceeds 1.5x the mean per-part value
+    (Q11's fraction-of-total HAVING restated scale-invariantly:
+    ``u * 2 * n_parts > total * 3`` in exact integer math).
+
+    Plan: nation argmax on the driver (supplier is dim-sized) →
+    broadcast suppkey set → map-side per-part micro-unit partials →
+    ONE salted shuffle → per-part totals (materialized once,
+    part-sized); the global total reduces over THAT aggregate — never
+    a second pass over lineitem — and the distributed HAVING is a
+    single int64 compare ``u >= floor(3*total / (2*n_parts)) + 1``
+    (the exact same predicate, threshold computed once in unbounded
+    Python ints so no per-row multiply can overflow)."""
+    salt_k = coarse_salt_k()
+    sup = _read(sf_dir, "supplier",
+                ["s_suppkey", "s_nationkey"]).to_pandas()
+    empty = pd.DataFrame({"l_partkey": pd.Series(dtype=np.int64),
+                          "value": pd.Series(dtype=np.float64)})
+    if not len(sup):
+        return empty
+    cnt = sup.groupby("s_nationkey").size()
+    top_nk = int(cnt.index[np.lexsort((cnt.index.to_numpy(),
+                                       -cnt.to_numpy()))[0]])
+    keys_ref = ray.put(np.sort(
+        sup.loc[sup["s_nationkey"] == top_nk, "s_suppkey"].to_numpy()))
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_suppkey", "l_extendedprice",
+                  "l_discount"])
+
+    def val_partial(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        m = np.isin(_col(t, "l_suppkey"), ks)
+        pk = _col(t, "l_partkey")[m]
+        price = t.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[m]
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)[m]
+        vu = _to_micro(price * (1 - disc))
+        up, inv = np.unique(pk, return_inverse=True)
+        sums = np.zeros(len(up), dtype=np.int64)
+        np.add.at(sums, inv, vu)
+        # -1 sentinel keeps the executor schema stable on empty batches
+        return pa.table({
+            "pk": pa.array(np.r_[up, [-1]].astype(np.int64)),
+            "u": pa.array(np.r_[sums, [0]].astype(np.int64)),
+            "salt": pa.array(np.r_[up % salt_k, [0]].astype(np.int32))})
+
+    def val_group(t: pa.Table) -> pa.Table:
+        pk = _col(t, "pk")
+        keep = pk >= 0
+        pk = pk[keep]
+        up, inv = np.unique(pk, return_inverse=True)
+        sums = np.zeros(len(up), dtype=np.int64)
+        np.add.at(sums, inv, _col(t, "u")[keep])
+        return pa.table({"pk": pa.array(up.astype(np.int64)),
+                         "u": pa.array(sums)})
+
+    agg = (line.map_batches(val_partial, batch_format="pyarrow")
+           .groupby("salt").map_groups(val_group, batch_format="pyarrow")
+           ).materialize()
+
+    def tot_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"tot": pa.array([int(_col(t, "u").sum())]),
+                         "np": pa.array([t.num_rows])})
+
+    tp = agg.map_batches(tot_partial, batch_format="pyarrow").to_pandas()
+    n_parts = int(tp["np"].sum())
+    if not n_parts:
+        return empty
+    total = int(tp["tot"].sum())          # exact: Python-int reduce
+    thr = (3 * total) // (2 * n_parts) + 1
+
+    def having(t: pa.Table) -> pa.Table:
+        u = _col(t, "u")
+        m = u >= thr
+        return pa.table({"l_partkey": pa.array(_col(t, "pk")[m]),
+                         "value": pa.array(u[m] / (MICRO * 1.0))})
+
+    return agg.map_batches(having, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Q7: volume shipping between a nation pair. Same dim/fact split as
 # Q5: the supplier->nation and nation-name maps broadcast (dims), the
