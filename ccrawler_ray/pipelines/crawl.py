@@ -166,6 +166,42 @@ def _dedup_salted_group(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _hot_hosts(frontier_ds, threshold: int, salt_k: int) -> list[str]:
+    """Hosts with more than ``threshold`` frontier rows, computed as
+    per-batch partial counts + ONE salted (host-hash % k) sum with the
+    threshold applied inside the group fn — the driver only ever sees
+    the hot hosts themselves (a tiny set by definition), never a row
+    per live host. Each batch appends a sentinel row ("" , 0) so empty
+    filter results keep a typed schema through the shuffle."""
+    from ccrawler_ray.spec import hash64_batch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hosts = np.asarray(batch.column("host").to_pylist(), dtype=object)
+        uniq, cnt = np.unique(hosts, return_counts=True)
+        hh = (hash64_batch(list(uniq)) % np.uint64(salt_k)
+              if len(uniq) else np.empty(0, np.uint64))
+        return pa.table({
+            "host": pa.array(list(uniq) + [""], pa.string()),
+            "c": pa.array(np.r_[cnt, [0]].astype(np.int64)),
+            "hh_salt": pa.array(np.r_[hh, [0]].astype(np.int32))})
+
+    def reduce_hot(t: pa.Table) -> pa.Table:
+        hosts = np.asarray(t.column("host").to_pylist(), dtype=object)
+        uniq, inv = np.unique(hosts, return_inverse=True)
+        tot = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(tot, inv, t.column("c").to_numpy(zero_copy_only=False))
+        m = (tot > threshold) & (uniq != "")
+        return pa.table({"host": pa.array(list(uniq[m]), pa.string())})
+
+    hot = (frontier_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("hh_salt").map_groups(reduce_hot,
+                                          batch_format="pyarrow")
+           ).to_pandas()
+    # all-groups-empty result loses its schema (tiny-input lore):
+    # no "host" column just means no hot hosts
+    return hot["host"].tolist() if "host" in hot.columns else []
+
+
 def make_seen_filter(shards):
     """A1 routing: partition each batch by url_hash % S, one
     check_and_add RPC per touched shard (key-affine, atomic per shard)."""
@@ -469,13 +505,6 @@ class CrawlEngine:
     def _admit_distributed(self, frontier_ds, gen: int):
         cfg = self.cfg
         robots_ref = self.robots_ref
-        # hot-host detection for salting (small aggregate)
-        hostc = frontier_ds.groupby("host").count().to_pandas()
-        cnt_col = "count()" if "count()" in hostc.columns else hostc.columns[-1]
-        hot = frozenset(hostc.loc[hostc[cnt_col] > cfg.hot_host_threshold, "host"])
-        if hot:
-            self._count(gen, "admission", "salted_hosts", len(hot))
-
         # coarse shuffle fan-out: live-host cardinality is unbounded at
         # web scale and Ray's groupby collapses at high key counts —
         # both admission shuffles key on hash(host) % k (driver-pinned)
@@ -483,6 +512,16 @@ class CrawlEngine:
         from ccrawler_ray.scale import coarse_salt_k
 
         adm_k = coarse_salt_k()
+        # hot-host detection: per-batch partial host counts → salted
+        # sum → threshold filter IN the group fn, so the shuffle moves
+        # (host, count) partials (distinct hosts per block, not rows)
+        # and only the hot tail — not one row per live host — reaches
+        # the driver. A raw groupby("host").count().to_pandas() here
+        # was the last admission step keyed on unbounded cardinality.
+        hot = frozenset(_hot_hosts(
+            frontier_ds, cfg.hot_host_threshold, adm_k))
+        if hot:
+            self._count(gen, "admission", "salted_hosts", len(hot))
 
         def salt_fn(batch: pa.Table) -> pa.Table:
             robots = get_broadcast(robots_ref)
