@@ -188,6 +188,11 @@ QUERY_SUITE = [
     "q22_sales_opportunity",
     "dedup_index_roundtrip",
     "ann_index_roundtrip",
+    # round-3 session-4 additions
+    "io_ipc_roundtrip",
+    "ann_range_search",
+    "spans_line_dedup",
+    "q11_important_stock",
 ]
 
 

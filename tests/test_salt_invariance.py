@@ -36,6 +36,8 @@ QUERIES = [
     "dedup_ngram_spans",
     "q4_order_priority",
     "bpe_train_merges",
+    "spans_line_dedup",
+    "q11_important_stock",
 ]
 
 
