@@ -107,7 +107,8 @@ _QUERY_ORDER = (
     "w10_funnel", "g15_corr",
     "g19_grouping_sets", "bpe_pair_topk", "bpe_train_merges",
     "bpe_encode_stats", "dsir_importance",
-    "j5_asof_join", "tfidf_topk", "link_pagerank", "link_components",
+    "j5_asof_join", "tfidf_topk", "link_pagerank", "link_hits",
+    "link_components",
     "q1_pricing_summary",
     "dedup_semantic", "j7_bloom_semi_join", "media_pipeline",
     "j9_full_outer_join", "w8_late_events", "m11_json_extract",
@@ -261,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25": T.search_bm25,
         # --- iterative graph analytics
         "link_pagerank": G.link_pagerank,
+        "link_hits": G.link_hits,
         "link_triangles": G.link_triangles,
         "link_components": G.link_components,
         "lang_id": T.lang_id,
@@ -422,6 +424,10 @@ def _serial_oracles() -> dict[str, str]:
         "link_pagerank": V(SR.link_pagerank(),
                            {"doc_id": "BIGINT", "rank_u": "BIGINT",
                             "rank": "DOUBLE"}),
+        "link_hits": V(SR.link_hits(),
+                       {"doc_id": "BIGINT", "auth_u": "BIGINT",
+                        "hub_u": "BIGINT", "authority": "DOUBLE",
+                        "hub": "DOUBLE"}),
         "link_triangles": V(SR.link_triangles(),
                             {"doc_id": "BIGINT", "n_tri": "BIGINT"}),
         "link_components": V(SR.link_components(),

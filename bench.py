@@ -193,6 +193,7 @@ QUERY_SUITE = [
     "ann_range_search",
     "spans_line_dedup",
     "q11_important_stock",
+    "link_hits",
 ]
 
 

@@ -256,3 +256,78 @@ def link_components(sf_dir: str, keep_mod: int = 4, max_rounds: int = 32,
                          "is_rep": t.column("keep")})
 
     return lab.map_batches(rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities over the frozen preferential graph. The
+# simultaneous-update variant (a_new from h_old AND h_new from a_old
+# in the same iteration) so ONE pass over the edge table per
+# iteration produces both partials. All mass is exact int64: the
+# per-iteration renormalization is the FROZEN integer rule
+# scale_q = max(1, total // U); v = v // scale_q, which keeps every
+# value within a few U without a 128-bit multiply, so block summation
+# order cannot change the result — bitwise equal to the serial mirror
+# (serial_ref.link_hits) at any partitioning.
+#
+# Scale shape: identical to link_pagerank — hub/auth vectors are
+# driver/worker-resident (2 × n × 8 bytes, fine to ~1e8 nodes; shard
+# by dst hash beyond), edges materialized ONCE and re-scanned, and
+# per-block partials are pre-aggregated sparse (node, contrib) pairs.
+# ---------------------------------------------------------------------------
+
+
+def link_hits(sf_dir: str, iters: int = 10, k_top: int = 100
+              ) -> pd.DataFrame:
+    """Exact-integer HITS. Returns the top ``k_top`` nodes as
+    (doc_id, auth_u, hub_u, authority, hub) ordered by auth_u desc,
+    doc_id asc; authority/hub are the /1e12 readable floats."""
+    n = read_docs(sf_dir, ["doc_id"]).count()
+    edges = pagerank_edges(sf_dir).materialize()
+
+    h = np.full(n, _U // n, dtype=np.int64)
+    a = np.full(n, _U // n, dtype=np.int64)
+    for _ in range(iters):
+        ref = ray.put((h, a))
+
+        def contrib(batch: pa.Table, _ref=ref) -> pa.Table:
+            hh, aa = ray.get(_ref)
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            # authority partial: h_old mass flows src -> dst
+            ud, invd = np.unique(dst, return_inverse=True)
+            sa = np.zeros(len(ud), dtype=np.int64)
+            np.add.at(sa, invd, hh[src])
+            # hub partial: a_old mass flows dst -> src
+            us, invs = np.unique(src, return_inverse=True)
+            sh = np.zeros(len(us), dtype=np.int64)
+            np.add.at(sh, invs, aa[dst])
+            return pa.table({
+                "node": pa.array(np.concatenate([ud, us])),
+                "a_c": pa.array(np.concatenate(
+                    [sa, np.zeros(len(us), np.int64)])),
+                "h_c": pa.array(np.concatenate(
+                    [np.zeros(len(ud), np.int64), sh]))})
+
+        a_new = np.zeros(n, dtype=np.int64)
+        h_new = np.zeros(n, dtype=np.int64)
+        for b in edges.map_batches(
+                contrib, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"):
+            node = b.column("node").to_numpy(zero_copy_only=False)
+            np.add.at(a_new, node,
+                      b.column("a_c").to_numpy(zero_copy_only=False))
+            np.add.at(h_new, node,
+                      b.column("h_c").to_numpy(zero_copy_only=False))
+        for v in (a_new, h_new):
+            scale_q = max(1, int(v.sum()) // _U)
+            if scale_q > 1:
+                np.floor_divide(v, scale_q, out=v)
+        a, h = a_new, h_new
+
+    out = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                        "auth_u": a, "hub_u": h})
+    out = out.sort_values(["auth_u", "doc_id"],
+                          ascending=[False, True]).head(k_top)
+    out["authority"] = out["auth_u"] / float(_U)
+    out["hub"] = out["hub_u"] / float(_U)
+    return out.reset_index(drop=True)

@@ -784,6 +784,49 @@ def link_pagerank(sf_dir: str | None = None, iters: int = 10,
     return out.reset_index(drop=True)
 
 
+def link_hits(sf_dir: str | None = None, iters: int = 10,
+              k_top: int = 100) -> pd.DataFrame:
+    """Serial mirror of functions.graph.link_hits — same frozen graph
+    spec, simultaneous int64 update and scale_q = max(1, total // U)
+    renormalization, built with Python ints and dicts (independent:
+    integer math is associative, so the implementations must agree
+    bit-for-bit)."""
+    ids, _ = _docs(sf_dir or oracle_sf_dir())
+    n = len(ids)
+    U = 10**12
+    targets: dict[int, list[int]] = {}
+    for i in range(1, n):
+        ts: list[int] = []
+        for kk in (1, 2, 3):
+            t = _splitmix64_int(4 * i + kk) % i
+            if t not in ts:
+                ts.append(t)
+        targets[i] = ts
+    h = [U // n] * n
+    a = [U // n] * n
+    for _ in range(iters):
+        a_new = [0] * n
+        h_new = [0] * n
+        for s, ts in targets.items():
+            for d in ts:
+                a_new[d] += h[s]
+                h_new[s] += a[d]
+        for v in (a_new, h_new):
+            scale_q = max(1, sum(v) // U)
+            if scale_q > 1:
+                for i in range(n):
+                    v[i] //= scale_q
+        a, h = a_new, h_new
+    out = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                        "auth_u": np.asarray(a, dtype=np.int64),
+                        "hub_u": np.asarray(h, dtype=np.int64)})
+    out = out.sort_values(["auth_u", "doc_id"],
+                          ascending=[False, True]).head(k_top)
+    out["authority"] = out["auth_u"] / float(U)
+    out["hub"] = out["hub_u"] / float(U)
+    return out.reset_index(drop=True)
+
+
 def search_bm25(sf_dir: str | None = None,
                 terms: tuple = ("join", "vector", "spark", "fast"),
                 k: int = 20) -> pd.DataFrame:

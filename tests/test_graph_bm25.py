@@ -76,3 +76,34 @@ def test_pagerank_engine_matches_serial_partitioned():
     want = SR.link_pagerank(SF_DIR, iters=5, k_top=50)
     for c in ("doc_id", "rank_u", "rank"):
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_hits_spec_properties():
+    out = SR.link_hits(SF_DIR, iters=10, k_top=500)
+    # mass stays bounded and positive after the frozen rescale rule
+    assert (out["auth_u"] >= 0).all() and (out["hub_u"] >= 0).all()
+    # node 0 has no outlinks -> zero hub mass after the first iteration
+    row0 = out[out["doc_id"] == 0]
+    if len(row0):
+        assert int(row0["hub_u"].iloc[0]) == 0
+    # ordering contract: auth_u desc, doc_id asc
+    a = out["auth_u"].to_numpy()
+    assert (a[:-1] >= a[1:]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hits_engine_matches_serial_partitioned():
+    import ray.data
+
+    from ccrawler_ray.functions.graph import link_hits
+
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 8 * 1024
+    try:
+        got = link_hits(SF_DIR, iters=5, k_top=50)
+    finally:
+        ctx.target_max_block_size = old
+    want = SR.link_hits(SF_DIR, iters=5, k_top=50)
+    for c in ("doc_id", "auth_u", "hub_u", "authority", "hub"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
