@@ -125,7 +125,7 @@ _QUERY_ORDER = (
     "training_mix_stats", "ann_recall_report", "q4_order_priority",
     "q12_late_priority", "q7_volume_shipping", "q8_market_share",
     "q9_product_profit", "q18_big_orders",
-    "g12_embedding_centroids", "dedup_containment_stats",
+    "g12_embedding_centroids", "embedding_pca", "dedup_containment_stats",
     "q10_returned_revenue", "q5_local_supplier_volume",
     "io_partitioned_roundtrip", "dedup_index_roundtrip",
     "dedup_clusters", "corpus_prep_stats",
@@ -298,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_semantic": lambda sf: D.dedup_semantic(sf, threshold=0.4),
         "dedup_embedding_lsh": lambda sf: D.dedup_embedding_lsh(sf, threshold=0.4),
         # --- similarity search
+        "embedding_pca": S.embedding_pca,
         "ann_topk_cosine": lambda sf: S.ann_topk_cosine(sf, num_queries=5, k=5),
         "ann_range_search": lambda sf: S.ann_range_search(
             sf, num_queries=8, threshold=0.25),
@@ -428,6 +429,10 @@ def _serial_oracles() -> dict[str, str]:
                        {"doc_id": "BIGINT", "auth_u": "BIGINT",
                         "hub_u": "BIGINT", "authority": "DOUBLE",
                         "hub": "DOUBLE"}),
+        "embedding_pca": V(SR.embedding_pca(),
+                           {"component": "BIGINT", "eigenvalue": "DOUBLE",
+                            "explained_var": "DOUBLE",
+                            "cum_var": "DOUBLE"}),
         "link_triangles": V(SR.link_triangles(),
                             {"doc_id": "BIGINT", "n_tri": "BIGINT"}),
         "link_components": V(SR.link_components(),

@@ -194,6 +194,7 @@ QUERY_SUITE = [
     "spans_line_dedup",
     "q11_important_stock",
     "link_hits",
+    "embedding_pca",
 ]
 
 

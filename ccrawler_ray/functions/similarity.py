@@ -767,3 +767,105 @@ def ann_recall_report(sf_dir: str, num_queries: int = 5, k: int = 5):
         "n_possible": pa.array([r[2] for r in rows], pa.int64()),
         "recall": pa.array([r[3] for r in rows], pa.float64())})
     return ray.data.from_arrow(tbl)
+
+
+# ---------------------------------------------------------------------------
+# Distributed exact PCA over the embedding column. The Gram matrix is
+# accumulated in EXACT integers: vectors quantize to int64 at
+# PCA_QSCALE (|x| <= ~1, d = 64 -> per-batch q.T @ q is far from
+# int64 overflow), per-batch partials reduce inside a 16-way salted
+# groupby with PYTHON-INT sums (unbounded, so no row count can
+# overflow), and the per-salt totals ship to the driver as signed
+# hi/lo int64 limbs. The eigen-decomposition itself runs on the
+# driver over the exact covariance via the FROZEN pca_finish below —
+# shared by import with serial_ref.embedding_pca, so engine and
+# mirror are bitwise equal iff the distributed integer Gram is exact
+# (the differential).
+# ---------------------------------------------------------------------------
+
+PCA_QSCALE = float(1 << 20)
+_PCA_SALTS = 16
+
+
+def pca_finish(n: int, svec: list, gram_u: list, d: int) -> "pd.DataFrame":
+    """FROZEN finish: exact-integer covariance numerators
+    (n*G_jk - s_j*s_k as Python ints), one correctly-rounded
+    big-int -> float64 conversion each, one division by the exact
+    denominator, np.linalg.eigh, outputs rounded to 9 decimals.
+    gram_u is the upper triangle of the raw Gram in row-major
+    np.triu_indices order."""
+    C = np.empty((d, d), dtype=np.float64)
+    den = float(PCA_QSCALE) * float(PCA_QSCALE) * float(n) * float(n)
+    iu = np.triu_indices(d)
+    for t, (j, k) in enumerate(zip(iu[0], iu[1])):
+        num = n * gram_u[t] - svec[j] * svec[k]
+        C[j, k] = C[k, j] = float(num) / den
+    evals = np.linalg.eigh(C)[0][::-1]  # descending
+    tot = float(evals.sum())
+    evr = evals / tot
+    cum = np.cumsum(evr)
+    return pd.DataFrame({
+        "component": np.arange(1, d + 1, dtype=np.int64),
+        "eigenvalue": np.round(evals, 9),
+        "explained_var": np.round(evr, 9),
+        "cum_var": np.round(cum, 9)})
+
+
+def embedding_pca(sf_dir: str) -> "pd.DataFrame":
+    """(component, eigenvalue, explained_var, cum_var): PCA spectrum
+    of the embedding table's covariance, components ordered by
+    eigenvalue descending."""
+    ds = read_embeddings(sf_dir, ["vec_id", "embedding"])
+    probe = ds.take(1)
+    d = len(probe[0]["embedding"]) if probe else 0
+    if not d:
+        return pd.DataFrame({"component": pd.Series(dtype="int64"),
+                             "eigenvalue": pd.Series(dtype="float64"),
+                             "explained_var": pd.Series(dtype="float64"),
+                             "cum_var": pd.Series(dtype="float64")})
+    iu = np.triu_indices(d)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"salt": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "svec": pd.Series(dtype="object"),
+                                 "gram": pd.Series(dtype="object")})
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        q = np.round(m * PCA_QSCALE).astype(np.int64)
+        g = q.T @ q
+        return pd.DataFrame({
+            "salt": [int(df["vec_id"].iloc[0]) % _PCA_SALTS],
+            "n": [len(df)],
+            "svec": [q.sum(axis=0).tolist()],
+            "gram": [g[iu].tolist()]})
+
+    def per_salt(g: pd.DataFrame) -> pd.DataFrame:
+        # Python-int exact accumulation; signed hi/lo int64 limbs out
+        n = int(sum(int(x) for x in g["n"]))
+        sv = [0] * d
+        gr = [0] * len(iu[0])
+        for svec, gram in zip(g["svec"], g["gram"]):
+            for i, x in enumerate(svec):
+                sv[i] += int(x)
+            for i, x in enumerate(gram):
+                gr[i] += int(x)
+        return pd.DataFrame({
+            "n": [n],
+            "svec_hi": [[v >> 32 for v in sv]],
+            "svec_lo": [[v & 0xFFFFFFFF for v in sv]],
+            "gram_hi": [[v >> 32 for v in gr]],
+            "gram_lo": [[v & 0xFFFFFFFF for v in gr]]})
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("salt").map_groups(per_salt, batch_format="pandas")
+             .to_pandas())
+    n = int(parts["n"].astype(object).sum())
+    svec = [0] * d
+    gram = [0] * len(iu[0])
+    for row in parts.itertuples():
+        for i in range(d):
+            svec[i] += (int(row.svec_hi[i]) << 32) + int(row.svec_lo[i])
+        for i in range(len(gram)):
+            gram[i] += (int(row.gram_hi[i]) << 32) + int(row.gram_lo[i])
+    return pca_finish(n, svec, gram, d)

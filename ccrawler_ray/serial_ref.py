@@ -1539,3 +1539,26 @@ def quality_compression(sf_dir: str | None = None,
         "doc_id": np.asarray(ids, dtype=np.int64),
         "raw_len": rl_a, "comp_len": cl_a, "ratio": ratio,
         "keep": cl_a * 100 > rl_a * np.int64(keep_pct)})
+
+
+def embedding_pca(sf_dir: str | None = None) -> pd.DataFrame:
+    """Serial mirror of functions.similarity.embedding_pca: the same
+    PCA_QSCALE quantization accumulated row-by-row with Python ints
+    (genuinely independent of the salted distributed reduce), then
+    the SAME frozen pca_finish — bitwise equal iff the distributed
+    integer Gram is exact."""
+    from ccrawler_ray.functions.similarity import PCA_QSCALE, pca_finish
+
+    _, mat = _embeddings(sf_dir or oracle_sf_dir())
+    n, d = mat.shape
+    q = np.round(mat * PCA_QSCALE).astype(np.int64)
+    svec = [0] * d
+    iu = list(zip(*np.triu_indices(d)))
+    gram = [0] * len(iu)
+    for r in range(n):
+        row = [int(v) for v in q[r]]
+        for j in range(d):
+            svec[j] += row[j]
+        for t, (j, k) in enumerate(iu):
+            gram[t] += row[j] * row[k]
+    return pca_finish(n, svec, gram, d)

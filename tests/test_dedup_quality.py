@@ -387,3 +387,29 @@ def test_byte_shingle_simhash_edge_payloads():
     # short payload: single shingle -> simhash == splitmix64(padded LE)
     from ccrawler_ray.serial_ref import _splitmix64_int
     assert h[1] == _splitmix64_int(int.from_bytes(b"abc", "little"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_pca_bitwise_and_partition_independent():
+    """The exact-integer Gram promise: block partitioning cannot
+    change the spectrum bits (Python-int salted reduce; shared frozen
+    pca_finish)."""
+    import ray.data
+
+    from ccrawler_ray import serial_ref as SR
+    from ccrawler_ray.functions.similarity import embedding_pca
+
+    want = SR.embedding_pca(SF)
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 8 * 1024
+    try:
+        got = embedding_pca(SF)
+    finally:
+        ctx.target_max_block_size = old
+    for c in ("component", "eigenvalue", "explained_var", "cum_var"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # spectrum sanity: eigenvalues descending, cum_var ends at ~1
+    ev = got["eigenvalue"].to_numpy()
+    assert (ev[:-1] >= ev[1:]).all()
+    assert abs(got["cum_var"].iloc[-1] - 1.0) < 1e-6
