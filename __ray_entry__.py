@@ -120,6 +120,7 @@ _QUERY_ORDER = (
     "dedup_simhash", "lang_id", "m2_filter_validate", "io_csv_roundtrip",
     "io_ipc_roundtrip",
     "dedup_filtered_docs", "link_triangles", "lm_perplexity",
+    "ccnet_buckets",
     "dedup_minhash_lsh", "j4_multi_join", "j8_salted_skew_join",
     "g9_rollup", "dedup_incremental", "dedup_lsh_verified",
     "training_mix_stats", "ann_recall_report", "q4_order_priority",
@@ -259,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": T.pii_scrub,
         "model_score_docs": T.model_score_docs,
         "lm_perplexity": T.lm_perplexity,
+        "ccnet_buckets": T.ccnet_buckets,
         "search_bm25": T.search_bm25,
         # --- iterative graph analytics
         "link_pagerank": G.link_pagerank,
@@ -433,6 +435,9 @@ def _serial_oracles() -> dict[str, str]:
                            {"component": "BIGINT", "eigenvalue": "DOUBLE",
                             "explained_var": "DOUBLE",
                             "cum_var": "DOUBLE"}),
+        "ccnet_buckets": V(SR.ccnet_buckets(),
+                           {"doc_id": "BIGINT", "lang": "VARCHAR",
+                            "xent": "DOUBLE", "bucket": "VARCHAR"}),
         "link_triangles": V(SR.link_triangles(),
                             {"doc_id": "BIGINT", "n_tri": "BIGINT"}),
         "link_components": V(SR.link_components(),

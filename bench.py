@@ -195,6 +195,7 @@ QUERY_SUITE = [
     "q11_important_stock",
     "link_hits",
     "embedding_pca",
+    "ccnet_buckets",
 ]
 
 

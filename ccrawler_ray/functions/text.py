@@ -734,14 +734,170 @@ def lm_perplexity(sf_dir: str, xent_max: float = LM_XENT_MAX):
     """(doc_id, n_words, xent, keep): bigram-LM cross-entropy per doc
     (bits/word, add-one smoothing), model trained on the
     doc_id % 10 < 8 split of the same corpus; keep = xent <= LM_XENT_MAX."""
+    from ccrawler_ray.memo import memo_val
+
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     # vocab-bounded model: Ray auto-puts large constructor args in the
     # object store once; passing the dict (not an explicit ref) keeps
-    # actor restarts self-contained
-    model = _lm_train_counts(ds)
+    # actor restarts self-contained. Trained once per (sf_dir, session)
+    # — ccnet_buckets shares the same model.
+    model = memo_val(("lm_model", sf_dir), lambda: _lm_train_counts(ds))
     return ds.map_batches(LMScorer,
                           fn_constructor_args=(model, xent_max),
                           batch_format="pyarrow", concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing: within each language, docs rank by
+# LM cross-entropy and split into head / middle / tail terciles (the
+# classic CCNet quality tiers). xent is floor-scaled to 4 decimals by
+# the frozen kernel, so qx = round(xent * 1e4) is an EXACT int64 key
+# and the rank order (qx, doc_id) is integer-exact at any
+# partitioning. The tercile cuts are found WITHOUT a global sort:
+# a per-(lang, qx>>CCNET_CX_SHIFT) histogram (bounded by the xent
+# VALUE RANGE, never the doc count) locates the cut bucket, only that
+# bucket's members reach the driver, and one broadcast-cut map pass
+# assigns buckets.
+# ---------------------------------------------------------------------------
+
+CCNET_CX_SHIFT = 4     # coarse histogram bucket = qx // 16
+
+
+class _CCNetScorer:
+    """LMScorer variant that keeps the lang column and emits the exact
+    integer xent key."""
+
+    def __init__(self, model):
+        import ray
+
+        self.m = (ray.get(model)
+                  if isinstance(model, ray.ObjectRef) else model)
+        for k in ("uni_k", "uni_c", "bi_k", "bi_c"):
+            self.m[k] = np.asarray(self.m[k])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ccrawler_ray.functions.dedup import word_hashes
+
+        m = self.m
+        dids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        qx = np.empty(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
+            h = word_hashes(text.split())
+            qx[i] = round(_lm_doc_xent(h, m["uni_k"], m["uni_c"],
+                                       m["bi_k"], m["bi_c"],
+                                       m["n_tokens"], m["vocab"]) * 10_000)
+        return pa.table({"doc_id": pa.array(dids.astype(np.int64)),
+                         "lang": batch.column("lang"),
+                         "qx": pa.array(qx)})
+
+
+def ccnet_buckets(sf_dir: str):
+    """(doc_id, lang, xent, bucket): per-language perplexity terciles —
+    bucket = head / middle / tail by rank in (xent, doc_id) order."""
+    from ccrawler_ray.memo import memo_val
+
+    train_ds = _read_docs(sf_dir, ["doc_id", "text"])
+    model = memo_val(("lm_model", sf_dir),
+                     lambda: _lm_train_counts(train_ds))
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+    scored = ds.map_batches(_CCNetScorer, fn_constructor_args=(model,),
+                            batch_format="pyarrow",
+                            concurrency=2).materialize()
+
+    # pass 1: (lang, cx) histogram — map-side combine, tiny reduce
+    def hist(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"lang": t.column("lang").to_pylist(),
+                           "cx": np.right_shift(
+                               t.column("qx").to_numpy(zero_copy_only=False),
+                               CCNET_CX_SHIFT)})
+        g = df.groupby(["lang", "cx"], as_index=False).size()
+        return pa.table({"lang": pa.array(g["lang"]),
+                         "cx": pa.array(g["cx"].to_numpy()),
+                         "n": pa.array(g["size"].to_numpy().astype(np.int64))})
+
+    hdf = (scored.map_batches(hist, batch_format="pyarrow").to_pandas()
+           .groupby(["lang", "cx"], as_index=False)["n"].sum())
+
+    # per lang: locate the histogram buckets containing ranks
+    # r1 = ceil(n/3), r2 = ceil(2n/3); (rank < r_i) == (tuple < cut_i)
+    need = {}          # lang -> [(target_rank, below_count, cut_cx), ...]
+    for lang, g in hdf.groupby("lang"):
+        g = g.sort_values("cx")
+        n = int(g["n"].sum())
+        cum = g["n"].cumsum().to_numpy()
+        cxs = g["cx"].to_numpy()
+        for r in ((n + 2) // 3, (2 * n + 2) // 3):
+            if r >= n:
+                need.setdefault(lang, []).append((r, 0, None))  # +inf cut
+                continue
+            b = int(np.searchsorted(cum, r, side="right"))
+            below = int(cum[b - 1]) if b else 0
+            need.setdefault(lang, []).append((r, below, int(cxs[b])))
+
+    want_cx = {(lang, c) for lang, cuts in need.items()
+               for _, _, c in cuts if c is not None}
+
+    by_lang_cx = {}
+    for lang, c in want_cx:
+        by_lang_cx.setdefault(lang, set()).add(c)
+
+    def cut_members(t: pa.Table) -> pa.Table:
+        langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        qx = t.column("qx").to_numpy(zero_copy_only=False)
+        cx = np.right_shift(qx, CCNET_CX_SHIFT)
+        keep = np.zeros(len(qx), dtype=bool)
+        for lang, cset in by_lang_cx.items():    # few langs, tiny sets
+            keep |= (langs == lang) & np.isin(
+                cx, np.fromiter(cset, dtype=np.int64))
+        return pa.table({"lang": pa.array(langs[keep].tolist()),
+                         "doc_id": pa.array(
+                             t.column("doc_id").to_numpy(
+                                 zero_copy_only=False)[keep]),
+                         "qx": pa.array(qx[keep])})
+
+    mem = (scored.map_batches(cut_members, batch_format="pyarrow")
+           .to_pandas() if want_cx else pd.DataFrame(
+               columns=["lang", "doc_id", "qx"]))
+
+    INF = (np.iinfo(np.int64).max, np.iinfo(np.int64).max)
+    cuts = {}          # lang -> (cut1 tuple, cut2 tuple), exclusive
+    for lang, items in need.items():
+        pair = []
+        for r, below, c in items:
+            if c is None:
+                pair.append(INF)
+                continue
+            sub = mem[(mem["lang"] == lang)
+                      & ((mem["qx"].to_numpy() >> CCNET_CX_SHIFT) == c)]
+            sub = sub.sort_values(["qx", "doc_id"]).reset_index(drop=True)
+            row = sub.iloc[r - below]
+            pair.append((int(row["qx"]), int(row["doc_id"])))
+        cuts[lang] = tuple(pair)
+
+    def assign(t: pa.Table) -> pa.Table:
+        langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        qx = t.column("qx").to_numpy(zero_copy_only=False)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        # per-row cut tuples via a tiny lang lookup, then vectorized
+        # lexicographic compares
+        c1q = np.empty(len(qx), np.int64)
+        c1d = np.empty(len(qx), np.int64)
+        c2q = np.empty(len(qx), np.int64)
+        c2d = np.empty(len(qx), np.int64)
+        for lang, (c1, c2) in cuts.items():
+            m = langs == lang
+            c1q[m], c1d[m] = c1
+            c2q[m], c2d[m] = c2
+        lt1 = (qx < c1q) | ((qx == c1q) & (did < c1d))
+        lt2 = (qx < c2q) | ((qx == c2q) & (did < c2d))
+        buckets = np.where(lt1, "head", np.where(lt2, "middle", "tail"))
+        return pa.table({"doc_id": pa.array(did),
+                         "lang": pa.array(langs.tolist()),
+                         "xent": pa.array(qx / 10_000.0),
+                         "bucket": pa.array(buckets.tolist())})
+
+    return scored.map_batches(assign, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -1562,3 +1562,60 @@ def embedding_pca(sf_dir: str | None = None) -> pd.DataFrame:
         for t, (j, k) in enumerate(iu):
             gram[t] += row[j] * row[k]
     return pca_finish(n, svec, gram, d)
+
+
+def ccnet_buckets(sf_dir: str | None = None) -> pd.DataFrame:
+    """Serial mirror of functions.text.ccnet_buckets: dict-trained LM
+    counts (independent of the distributed training), the SAME frozen
+    _lm_doc_xent kernel, a plain per-lang sort by (qx, doc_id), and
+    the 3*rank < n / 3*rank < 2n tercile rule — equivalent by
+    construction to the engine's cut-tuple comparison."""
+    import pyarrow.parquet as pq_
+
+    from ccrawler_ray.functions.text import (LM_TRAIN_KEEP, LM_TRAIN_MOD,
+                                             _REP_C1, _lm_doc_xent)
+
+    sf = sf_dir or oracle_sf_dir()
+    t = pq_.read_table(f"{sf}/documents.parquet",
+                       columns=["doc_id", "text", "lang"])
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    langs = t.column("lang").to_pylist()
+    uni: dict[int, int] = {}
+    bi: dict[int, int] = {}
+    mod = 1 << 64
+    for did, text in zip(ids, texts):
+        if did % LM_TRAIN_MOD >= LM_TRAIN_KEEP:
+            continue
+        hs = [_whash(w) for w in text.split()]
+        for x in hs:
+            uni[x] = uni.get(x, 0) + 1
+        for a, b in zip(hs, hs[1:]):
+            k = (a * _REP_C1 + b) % mod
+            bi[k] = bi.get(k, 0) + 1
+    uni_k = np.array(sorted(uni), dtype=np.uint64)
+    uni_c = np.array([uni[int(k)] for k in uni_k], dtype=np.int64)
+    bi_k = np.array(sorted(bi), dtype=np.uint64)
+    bi_c = np.array([bi[int(k)] for k in bi_k], dtype=np.int64)
+    n_tokens, vocab = int(uni_c.sum()), len(uni_k)
+    rows = []
+    for did, text, lang in zip(ids, texts, langs):
+        h = np.array([_whash(w) for w in text.split()], dtype=np.uint64)
+        xe = _lm_doc_xent(h, uni_k, uni_c, bi_k, bi_c, n_tokens, vocab)
+        rows.append((did, lang, round(xe * 10_000)))
+    df = pd.DataFrame(rows, columns=["doc_id", "lang", "qx"])
+    out = []
+    for lang, g in df.groupby("lang"):
+        g = g.sort_values(["qx", "doc_id"]).reset_index(drop=True)
+        n = len(g)
+        r = np.arange(n, dtype=np.int64)
+        bucket = np.where(3 * r < n, "head",
+                          np.where(3 * r < 2 * n, "middle", "tail"))
+        out.append(pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "lang": lang,
+            "xent": g["qx"].to_numpy() / 10_000.0,
+            "bucket": bucket}))
+    return (pd.concat(out).sort_values("doc_id").reset_index(drop=True)
+            if out else pd.DataFrame(
+                columns=["doc_id", "lang", "xent", "bucket"]))

@@ -109,3 +109,30 @@ def test_lm_perplexity_engine_eq_serial():
     pd.testing.assert_frame_equal(got, want)   # no tolerance: bitwise
     # the keep threshold actually splits the corpus
     assert 0.05 < got["keep"].mean() < 0.95
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ccnet_buckets_bitwise_and_tercile_sizes():
+    """Engine (histogram-cut path, forced tiny blocks) == serial
+    mirror (per-lang sort + 3*rank rule) bitwise; tercile sizes differ
+    by at most 1 within every language."""
+    import pandas as pd
+    import ray.data
+
+    from ccrawler_ray import serial_ref as SR
+    from ccrawler_ray.functions.text import ccnet_buckets
+
+    sf = "/root/testdata/sf0.001"
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 8 * 1024
+    try:
+        got = (ccnet_buckets(sf).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+    finally:
+        ctx.target_max_block_size = old
+    want = SR.ccnet_buckets(sf).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    for _, g in got.groupby("lang"):
+        sizes = g["bucket"].value_counts()
+        assert sizes.max() - sizes.min() <= 1
