@@ -85,7 +85,7 @@ _QUERY_ORDER = (
     "g17_string_agg", "quality_score", "quality_compression",
     "media_byte_stats",
     "g5_hll_distinct", "g11_countmin_est", "o4_stratified_sample",
-    "repetition_stats", "o6_weighted_sample", "search_bm25",
+    "repetition_stats", "gopher_quality", "o6_weighted_sample", "search_bm25",
     "j2_anti_join", "pii_scrub", "media_dedup_exact", "o1_global_sort",
     "g18_unpivot", "o7_wordcount_topk", "g4_distinct_counts",
     "q6_forecast_revenue", "q14_promo_revenue", "q19_discounted_revenue",
@@ -104,7 +104,7 @@ _QUERY_ORDER = (
     "q20_excess_suppliers", "q21_waiting_supplier",
     "q2_min_cost_supplier", "q16_part_supplier_counts",
     "mix_interleave", "mix_temperature_sample",
-    "w10_funnel", "g15_corr",
+    "w10_funnel", "g15_corr", "g20_regression", "w12_retention_cohorts",
     "g19_grouping_sets", "bpe_pair_topk", "bpe_train_merges",
     "bpe_encode_stats", "dsir_importance",
     "j5_asof_join", "tfidf_topk", "link_pagerank", "link_hits",
@@ -206,7 +206,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w9_percent_rank": R.w9_percent_rank,
         "w10_funnel": R.w10_funnel,
         "w11_ewma": R.w11_ewma,
+        "w12_retention_cohorts": R.w12_retention_cohorts,
         "g15_corr": R.g15_corr,
+        "g20_regression": R.g20_regression,
         "j9_full_outer_join": R.j9_full_outer_join,
         "g14_group_median": R.g14_group_median,
         "d5_latest_per_key": R.d5_latest_per_key,
@@ -257,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": T.tfidf_topk,
         "char_entropy": T.char_entropy,
         "repetition_stats": T.repetition_stats,
+        "gopher_quality": T.gopher_quality,
         "pii_scrub": T.pii_scrub,
         "model_score_docs": T.model_score_docs,
         "lm_perplexity": T.lm_perplexity,
@@ -410,6 +413,15 @@ def _serial_oracles() -> dict[str, str]:
                                "top_bigram_frac": "DOUBLE",
                                "dup_5gram_frac": "DOUBLE",
                                "keep": "BOOLEAN"}),
+        "gopher_quality": V(SR.gopher_quality(),
+                            {"doc_id": "BIGINT", "n_words": "BIGINT",
+                             "mean_word_len": "DOUBLE",
+                             "stop_hits": "BIGINT", "f_words": "BOOLEAN",
+                             "f_mwl": "BOOLEAN", "f_symbol": "BOOLEAN",
+                             "f_bullet": "BOOLEAN",
+                             "f_ellipsis": "BOOLEAN",
+                             "f_alpha": "BOOLEAN", "f_stop": "BOOLEAN",
+                             "keep": "BOOLEAN"}),
         "dedup_simhash": V(SR.dedup_simhash(max_hamming=3),
                            {**pair_d, "hamming": "BIGINT"}),
         "media_dedup_near": V(SR.media_dedup_near(max_hamming=3),
@@ -1044,6 +1056,47 @@ def oracle_sql() -> dict[str, str]:
             "(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * "
             "sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_qty_price "
             "FROM s"
+        ),
+        "g20_regression": (
+            # same exact HUGEINT moments as g15_corr; the finish
+            # repeats the engine's IEEE-double op order verbatim
+            "WITH s AS (SELECT l_returnflag, "
+            "CAST(count(*) AS HUGEINT) AS n, "
+            "sum(CAST(CAST(round(l_quantity*100) AS BIGINT) AS HUGEINT)) "
+            "AS sx, "
+            "sum(CAST(CAST(round(l_extendedprice*100) AS BIGINT) "
+            "AS HUGEINT)) AS sy, "
+            "sum(CAST(CAST(round(l_quantity*100) AS BIGINT)"
+            "*CAST(round(l_extendedprice*100) AS BIGINT) AS HUGEINT)) "
+            "AS sxy, "
+            "sum(CAST(CAST(round(l_quantity*100) AS BIGINT)"
+            "*CAST(round(l_quantity*100) AS BIGINT) AS HUGEINT)) AS sxx, "
+            "sum(CAST(CAST(round(l_extendedprice*100) AS BIGINT)"
+            "*CAST(round(l_extendedprice*100) AS BIGINT) AS HUGEINT)) "
+            "AS syy FROM lineitem GROUP BY 1), "
+            "t AS (SELECT l_returnflag, n, sx, sy, "
+            "n*sxy - sx*sy AS sxy_n, n*sxx - sx*sx AS sxx_n, "
+            "n*syy - sy*sy AS syy_n FROM s) "
+            "SELECT l_returnflag, CAST(n AS BIGINT) AS n, "
+            "CAST(sxy_n AS DOUBLE)/CAST(sxx_n AS DOUBLE) AS slope, "
+            "(CAST(sy AS DOUBLE) - "
+            "CAST(sxy_n AS DOUBLE)/CAST(sxx_n AS DOUBLE)"
+            "*CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0 "
+            "AS intercept, "
+            "CAST(sxy_n AS DOUBLE)*CAST(sxy_n AS DOUBLE) / "
+            "(CAST(sxx_n AS DOUBLE)*CAST(syy_n AS DOUBLE)) AS r2 "
+            "FROM t"
+        ),
+        "w12_retention_cohorts": (
+            # integer weeks via BIGINT floor division — no float
+            # epoch() (a double quotient could flip floor() at exact
+            # week boundaries)
+            "WITH a AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 604800000000 AS w FROM events), "
+            "f AS (SELECT user_id, min(w) AS w0 FROM a GROUP BY 1) "
+            "SELECT f.w0 AS cohort_week, a.w - f.w0 AS week_offset, "
+            "count(*) AS n_users "
+            "FROM a JOIN f USING (user_id) GROUP BY 1, 2"
         ),
         "w10_funnel": (
             "WITH x AS (SELECT event_id, user_id, ts, event_type, "

@@ -486,6 +486,80 @@ def repetition_stats(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, §A1.1) — the published
+# heuristic document filter. All signals are COUNTS (rust-regex via
+# polars in the engine, Python re in the serial mirror — equality
+# pinned by tests/test_text_kernels.py on adversarial strings), all
+# thresholds integer cross-multiplications, the one ratio column
+# floor-scaled — so the row is deterministic and partitioning-free.
+# Embarrassingly parallel: one batch pass, no shuffle.
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_WORD_RE = r"\S+"
+GOPHER_NONSPACE_RE = r"\S"
+GOPHER_ALPHA_WORD_RE = r"\S*[A-Za-z]\S*"
+GOPHER_SYM_RE = r"#|\.\.\."
+GOPHER_BULLET_RE = r"(?m)^[\-\*•]"
+GOPHER_ELLIPSIS_RE = r"(?m)(?:\.\.\.|…)$"
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MWL_LO_Q, GOPHER_MWL_HI_Q = 3 * 10_000, 10 * 10_000
+
+
+def _gopher_flags(n_words, mwl_q, syms, bullets, ells, n_lines,
+                  alpha_words, stop_hits):
+    """FROZEN rule set on integer signals (shared engine/mirror):
+    every threshold is an exact integer comparison."""
+    f_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    f_mwl = (mwl_q >= GOPHER_MWL_LO_Q) & (mwl_q <= GOPHER_MWL_HI_Q)
+    f_symbol = syms * 10 < n_words          # symbol/word < 0.1
+    f_bullet = bullets * 10 <= n_lines * 9  # <= 90% bullet lines
+    f_ellipsis = ells * 10 <= n_lines * 3   # <= 30% ellipsis lines
+    f_alpha = alpha_words * 5 >= n_words * 4  # >= 80% alpha words
+    f_stop = stop_hits >= 2
+    keep = (f_words & f_mwl & f_symbol & f_bullet & f_ellipsis
+            & f_alpha & f_stop)
+    return (f_words, f_mwl, f_symbol, f_bullet, f_ellipsis, f_alpha,
+            f_stop, keep)
+
+
+def gopher_quality(sf_dir: str):
+    """(doc_id, n_words, mean_word_len, stop_hits, f_words, f_mwl,
+    f_symbol, f_bullet, f_ellipsis, f_alpha, f_stop, keep): the Gopher
+    rule filter, one flag per rule plus the conjunction."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        t = pl.Series(df["text"])
+        n_words = t.str.count_matches(GOPHER_WORD_RE).to_numpy().astype(np.int64)
+        n_ns = t.str.count_matches(GOPHER_NONSPACE_RE).to_numpy().astype(np.int64)
+        alpha = t.str.count_matches(GOPHER_ALPHA_WORD_RE).to_numpy().astype(np.int64)
+        syms = t.str.count_matches(GOPHER_SYM_RE).to_numpy().astype(np.int64)
+        bullets = t.str.count_matches(GOPHER_BULLET_RE).to_numpy().astype(np.int64)
+        ells = t.str.count_matches(GOPHER_ELLIPSIS_RE).to_numpy().astype(np.int64)
+        n_lines = t.str.count_matches(r"\n").to_numpy().astype(np.int64) + 1
+        stop_hits = np.zeros(len(df), dtype=np.int64)
+        for w in GOPHER_STOPWORDS:
+            stop_hits += t.str.contains(rf"\b{w}\b").to_numpy().astype(np.int64)
+        mwl_q = n_ns * 10_000 // np.maximum(n_words, 1)
+        flags = _gopher_flags(n_words, mwl_q, syms, bullets, ells,
+                              n_lines, alpha, stop_hits)
+        out = {"doc_id": df["doc_id"].to_numpy().astype(np.int64),
+               "n_words": n_words,
+               "mean_word_len": mwl_q / 10_000.0,
+               "stop_hits": stop_hits}
+        for name, v in zip(("f_words", "f_mwl", "f_symbol", "f_bullet",
+                            "f_ellipsis", "f_alpha", "f_stop", "keep"),
+                           flags):
+            out[name] = v
+        return pd.DataFrame(out)
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # M12: PII scrub — the redaction pass every training-data pipeline
 # runs before tokenization. Patterns applied in a FIXED order (email →
 # phone → ipv4), each counted on the text state it sees, so the

@@ -2262,6 +2262,63 @@ def g15_corr(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# G20: per-group OLS regression — same exact-integer moment machinery
+# as g15_corr (map-side combine, 7 int64 sums, syy in 2^32 limbs), one
+# tiny groupby, and a finish whose IEEE-double op order is mirrored
+# verbatim in the oracle SQL so slope/intercept/r2 are bitwise equal.
+# Partitioning cannot change the bits: the moments are exact integers.
+# ---------------------------------------------------------------------------
+
+
+def g20_regression(sf_dir: str):
+    """Per l_returnflag: n and OLS fit of l_extendedprice on
+    l_quantity — slope, intercept (original price units), r2."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.round(df["l_quantity"].to_numpy() * 100).astype(np.int64)
+        y = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        y2 = y * y
+        t = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "n": np.ones(len(df), dtype=np.int64),
+            "sx": x, "sy": y, "sxy": x * y, "sxx": x * x,
+            "syy_hi": y2 >> np.int64(32),
+            "syy_lo": y2 & np.int64(0xFFFFFFFF)})
+        return t.groupby("l_returnflag", as_index=False).sum()
+
+    agg = ds.map_batches(partial, batch_format="pandas").groupby(
+        "l_returnflag").aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy_hi", alias_name="syy_hi"),
+            Sum("syy_lo", alias_name="syy_lo"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for r in df.itertuples():
+            n, sx, sy = int(r.n), int(r.sx), int(r.sy)
+            syy = (int(r.syy_hi) << 32) + int(r.syy_lo)  # exact big int
+            sxy_n = n * int(r.sxy) - sx * sy             # exact big ints
+            sxx_n = n * int(r.sxx) - sx * sx
+            syy_n = n * syy - sy * sy
+            # frozen IEEE op order — the oracle SQL repeats it verbatim
+            slope = np.float64(sxy_n) / np.float64(sxx_n)
+            intercept = ((np.float64(sy) - slope * np.float64(sx))
+                         / np.float64(n) / np.float64(100.0))
+            r2 = (np.float64(sxy_n) * np.float64(sxy_n)
+                  / (np.float64(sxx_n) * np.float64(syy_n)))
+            out.append((r.l_returnflag, n, float(slope), float(intercept),
+                        float(r2)))
+        return pd.DataFrame(out, columns=["l_returnflag", "n", "slope",
+                                          "intercept", "r2"])
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # Q6: forecast-revenue filter+aggregate — the canonical predicate-
 # pushdown benchmark shape: a read pruned to 4 columns, a fully
 # vectorized Arrow mask, ONE micro-unit partial sum per block, a
@@ -2587,6 +2644,70 @@ def w11_ewma(sf_dir: str):
 
     return (ds.map_batches(add_salt, batch_format="pyarrow")
             .groupby("u_salt").map_groups(per_salt, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# W12: retention cohorts — the classic activation/retention matrix a
+# product-analytics (or data-curation freshness) job computes. ONE
+# salted per-user shuffle: every (user, week) activity pair of a user
+# lands in the same coarse group, so cohort week (= min week) and the
+# per-(cohort, offset) partial counts are computed in-group over
+# DISJOINT user sets; the final groupby sums tiny partials. Counts are
+# exact integers — partitioning cannot change the result.
+# ---------------------------------------------------------------------------
+
+WEEK_US = 604_800 * MICRO
+
+
+def w12_retention_cohorts(sf_dir: str):
+    """(cohort_week, week_offset, n_users): users active in week
+    ``cohort_week + week_offset`` whose FIRST event fell in epoch-week
+    ``cohort_week`` (weeks = floor(epoch_us / 604800e6))."""
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_tbl([("user_id", pa.int64()),
+                               ("week", pa.int64()),
+                               ("u_salt", pa.int32())])
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        wk = _ts_us(batch) // WEEK_US
+        # in-batch (user, week) dedup — cuts shuffle bytes; the
+        # in-group pass dedups globally (lexsort, not key-packing:
+        # user_id has the full int64 range)
+        order = np.lexsort((wk, uid))
+        uid, wk = uid[order], wk[order]
+        keep = np.r_[True, (uid[1:] != uid[:-1]) | (wk[1:] != wk[:-1])]
+        uid, wk = uid[keep], wk[keep]
+        return pa.table({"user_id": pa.array(uid.astype(np.int64)),
+                         "week": pa.array(wk.astype(np.int64)),
+                         "u_salt": pa.array((uid % salt_k).astype(np.int32))})
+
+    w12_fields = [("cohort_week", pa.int64()), ("week_offset", pa.int64()),
+                  ("n_users", pa.int64())]
+
+    def per_salt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_tbl(w12_fields)
+        uid, wk = _col(t, "user_id"), _col(t, "week")
+        order = np.lexsort((wk, uid))
+        uid, wk = uid[order], wk[order]
+        keep = np.r_[True, (uid[1:] != uid[:-1]) | (wk[1:] != wk[:-1])]
+        uid, wk = uid[keep], wk[keep]
+        new_u = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(new_u)
+        w0 = np.repeat(wk[starts], np.diff(np.r_[starts, len(uid)]))
+        packed = w0 * np.int64(1 << 20) + (wk - w0)
+        u, c = np.unique(packed, return_counts=True)
+        return pa.table({"cohort_week": pa.array(u >> np.int64(20)),
+                         "week_offset": pa.array(u & np.int64((1 << 20) - 1)),
+                         "n_users": pa.array(c.astype(np.int64))})
+
+    parts = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("u_salt").map_groups(per_salt, batch_format="pyarrow"))
+    return parts.groupby(["cohort_week", "week_offset"]).aggregate(
+        Sum("n_users", alias_name="n_users"))
 
 
 # ---------------------------------------------------------------------------

@@ -705,6 +705,50 @@ def repetition_stats(sf_dir: str | None = None) -> pd.DataFrame:
                                        "dup_5gram_frac", "keep"])
 
 
+def gopher_quality(sf_dir: str | None = None) -> pd.DataFrame:
+    """Serial mirror of functions.text.gopher_quality — same frozen
+    patterns and integer rule set (imported, not re-stated); counts
+    via Python re instead of polars' rust-regex (equality pinned by
+    tests/test_text_kernels.py on adversarial strings)."""
+    import re
+
+    from ccrawler_ray.functions.text import (GOPHER_ALPHA_WORD_RE,
+                                             GOPHER_BULLET_RE,
+                                             GOPHER_ELLIPSIS_RE,
+                                             GOPHER_NONSPACE_RE,
+                                             GOPHER_STOPWORDS,
+                                             GOPHER_SYM_RE, GOPHER_WORD_RE,
+                                             _gopher_flags)
+
+    ids, texts = _docs(sf_dir or oracle_sf_dir())
+    word_re = re.compile(GOPHER_WORD_RE)
+    ns_re = re.compile(GOPHER_NONSPACE_RE)
+    alpha_re = re.compile(GOPHER_ALPHA_WORD_RE)
+    sym_re = re.compile(GOPHER_SYM_RE)
+    bullet_re = re.compile(GOPHER_BULLET_RE)
+    ell_re = re.compile(GOPHER_ELLIPSIS_RE)
+    stop_res = [re.compile(rf"\b{w}\b") for w in GOPHER_STOPWORDS]
+    rows = []
+    for did, text in zip(ids, texts):
+        n_words = len(word_re.findall(text))
+        n_ns = len(ns_re.findall(text))
+        alpha = len(alpha_re.findall(text))
+        syms = len(sym_re.findall(text))
+        bullets = len(bullet_re.findall(text))
+        ells = len(ell_re.findall(text))
+        n_lines = text.count("\n") + 1
+        stop_hits = sum(1 for r in stop_res if r.search(text))
+        mwl_q = n_ns * 10_000 // max(n_words, 1)
+        flags = _gopher_flags(n_words, mwl_q, syms, bullets, ells,
+                              n_lines, alpha, stop_hits)
+        rows.append((did, n_words, mwl_q / 10_000.0, stop_hits,
+                     *[bool(x) for x in flags]))
+    return pd.DataFrame(rows, columns=[
+        "doc_id", "n_words", "mean_word_len", "stop_hits", "f_words",
+        "f_mwl", "f_symbol", "f_bullet", "f_ellipsis", "f_alpha",
+        "f_stop", "keep"])
+
+
 def decontaminate_overlap(sf_dir: str | None = None, n: int = 5,
                           min_overlap: int = 2,
                           bench_mod: int = 97) -> pd.DataFrame:

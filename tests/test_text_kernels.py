@@ -136,3 +136,68 @@ def test_ccnet_buckets_bitwise_and_tercile_sizes():
     for _, g in got.groupby("lang"):
         sizes = g["bucket"].value_counts()
         assert sizes.max() - sizes.min() <= 1
+
+
+# --- Gopher rule filter: polars (rust-regex, engine) vs Python re
+# (serial mirror) count equality on adversarial strings, plus frozen
+# rule-threshold pins.
+
+_GOPHER_TRICKY = [
+    "",
+    " ",
+    "word",
+    "the the the",
+    "- bullet line\n* another\n• third\nplain",
+    "ends with dots...\nand ellipsis…\nno end",
+    "### ## # hash camp",
+    "a#b ...c d... ...",
+    "123 456 7a8 #9 ok",
+    "mixed\nlines...\n- bullet...\nthe be to of and that have with",
+    "tab\tsep  double  space\n\ntrailing \n",
+    "…\n...\n.…\n..",
+    "* \n-\n•x",
+    "word... word…",
+]
+
+
+def test_gopher_counts_polars_eq_re():
+    import re
+
+    import polars as pl
+
+    from ccrawler_ray.functions.text import (GOPHER_ALPHA_WORD_RE,
+                                             GOPHER_BULLET_RE,
+                                             GOPHER_ELLIPSIS_RE,
+                                             GOPHER_NONSPACE_RE,
+                                             GOPHER_STOPWORDS,
+                                             GOPHER_SYM_RE,
+                                             GOPHER_WORD_RE)
+
+    t = pl.Series(_GOPHER_TRICKY)
+    for pat in (GOPHER_WORD_RE, GOPHER_NONSPACE_RE, GOPHER_ALPHA_WORD_RE,
+                GOPHER_SYM_RE, GOPHER_BULLET_RE, GOPHER_ELLIPSIS_RE):
+        got = t.str.count_matches(pat).to_list()
+        want = [len(re.findall(pat, s)) for s in _GOPHER_TRICKY]
+        assert got == want, f"pattern {pat!r}: polars {got} != re {want}"
+    for w in GOPHER_STOPWORDS:
+        got = t.str.contains(rf"\b{w}\b").to_list()
+        want = [bool(re.search(rf"\b{w}\b", s)) for s in _GOPHER_TRICKY]
+        assert got == want, f"stopword {w}: {got} != {want}"
+
+
+def test_gopher_flags_frozen_thresholds():
+    from ccrawler_ray.functions.text import _gopher_flags
+
+    # exactly at each boundary: 50 words, mwl 3.0, symbol ratio just
+    # under 0.1, 90% bullets, 30% ellipsis, 80% alpha, 2 stopwords
+    flags = _gopher_flags(n_words=50, mwl_q=30_000, syms=4, bullets=9,
+                          ells=3, n_lines=10, alpha_words=40, stop_hits=2)
+    assert all(bool(f) for f in flags)
+    # one past each boundary flips exactly that flag
+    assert not _gopher_flags(49, 30_000, 4, 9, 3, 10, 40, 2)[0]
+    assert not _gopher_flags(50, 29_999, 4, 9, 3, 10, 40, 2)[1]
+    assert not _gopher_flags(50, 30_000, 5, 9, 3, 10, 40, 2)[2]
+    assert not _gopher_flags(50, 30_000, 4, 10, 3, 10, 40, 2)[3]
+    assert not _gopher_flags(50, 30_000, 4, 9, 4, 10, 40, 2)[4]
+    assert not _gopher_flags(50, 30_000, 4, 9, 3, 10, 39, 2)[5]
+    assert not _gopher_flags(50, 30_000, 4, 9, 3, 10, 40, 1)[6]

@@ -15,7 +15,7 @@ DOC_QUERIES = [
     "token_count", "token_count_bpe", "quality_score",
     "quality_compression", "lang_id",
     "doc_fingerprint", "char_entropy", "tfidf_topk", "search_bm25",
-    "repetition_stats", "pii_scrub", "model_score_docs",
+    "repetition_stats", "gopher_quality", "pii_scrub", "model_score_docs",
     "lm_perplexity", "o10_pack_sequences", "o7_wordcount_topk",
     "m2_filter_validate", "m9_content_hash", "m10_normalize_text",
     "o8_hash_split", "o9_seeded_shuffle", "o11_chunk_overlap",
@@ -125,10 +125,11 @@ REL_QUERIES = [
     "g1_rank_topk_per_key", "g3_metrics_rollup", "g4_distinct_counts",
     "g5_hll_distinct", "g7_quantile_hist", "g8_grouped_quantiles",
     "g9_rollup", "g11_countmin_est", "g13_user_value_drift",
-    "g14_group_median", "g15_corr", "g18_unpivot", "g10_pivot",
+    "g14_group_median", "g15_corr", "g20_regression", "g18_unpivot",
+    "g10_pivot",
     "w2_sessionize", "w3_tumbling_window", "w4_sliding_window",
     "w5_lag_lead", "w6_ntile", "w7_rolling_mean", "w8_late_events",
-    "w9_percent_rank", "w10_funnel", "w11_ewma",
+    "w9_percent_rank", "w10_funnel", "w11_ewma", "w12_retention_cohorts",
     "o1_global_sort", "o2_global_topk", "o3_sample", "o3_sample_hash",
     "o4_stratified_sample", "o5_exact_quantiles", "o6_weighted_sample",
     "d1_exact_dedup", "d5_latest_per_key", "s1_set_intersect",
