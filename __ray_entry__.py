@@ -105,6 +105,7 @@ _QUERY_ORDER = (
     "q2_min_cost_supplier", "q16_part_supplier_counts",
     "mix_interleave", "mix_temperature_sample",
     "w10_funnel", "g15_corr", "g20_regression", "w12_retention_cohorts",
+    "zipf_fit", "source_sketch_sim",
     "g19_grouping_sets", "bpe_pair_topk", "bpe_train_merges",
     "bpe_encode_stats", "dsir_importance",
     "j5_asof_join", "tfidf_topk", "link_pagerank", "link_hits",
@@ -260,6 +261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": T.char_entropy,
         "repetition_stats": T.repetition_stats,
         "gopher_quality": T.gopher_quality,
+        "zipf_fit": T.zipf_fit,
+        "source_sketch_sim": D.source_sketch_sim,
         "pii_scrub": T.pii_scrub,
         "model_score_docs": T.model_score_docs,
         "lm_perplexity": T.lm_perplexity,
@@ -413,6 +416,14 @@ def _serial_oracles() -> dict[str, str]:
                                "top_bigram_frac": "DOUBLE",
                                "dup_5gram_frac": "DOUBLE",
                                "keep": "BOOLEAN"}),
+        "zipf_fit": V(SR.zipf_fit(),
+                      {"source": "VARCHAR", "v": "BIGINT",
+                       "slope": "DOUBLE", "intercept": "DOUBLE"}),
+        "source_sketch_sim": V(SR.source_sketch_sim(),
+                               {"source_a": "VARCHAR",
+                                "source_b": "VARCHAR",
+                                "sig_matches": "BIGINT",
+                                "est_jaccard": "DOUBLE"}),
         "gopher_quality": V(SR.gopher_quality(),
                             {"doc_id": "BIGINT", "n_words": "BIGINT",
                              "mean_word_len": "DOUBLE",

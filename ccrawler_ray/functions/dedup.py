@@ -213,6 +213,57 @@ def minhash_signatures(sf_dir: str, num_perm: int = 64):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=512)
 
 
+def source_sketch_sim(sf_dir: str, num_perm: int = 128):
+    """(source_a, source_b, sig_matches, est_jaccard): pairwise
+    MinHash-estimated Jaccard similarity between SOURCES (corpora),
+    from one mergeable sketch per source.
+
+    The scale story: a per-source signature is the elementwise MIN of
+    its docs' signatures (= the signature of the union of their word
+    sets), so each batch emits one partial row per source it touched,
+    a tiny source-keyed groupby folds partials with elementwise min,
+    and only #sources sketches — never tokens — cross the wire or
+    reach the driver. Exact integer mins ⇒ partitioning cannot change
+    the sketch; est_jaccard is floor-scaled from the integer match
+    count, bitwise equal to the serial mirror."""
+    a, b = _minhash_params(num_perm)
+    ds = read_docs(sf_dir, ["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch.column("source").to_pylist())
+        sigs = _batch_signatures(batch.column("text").to_pylist(), a, b)
+        order = np.argsort(src, kind="stable")
+        src, sigs = src[order], sigs[order]
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        mins = np.minimum.reduceat(sigs, starts, axis=0)
+        return pa.table({
+            "source": pa.array(src[starts]),
+            "sig": pa.array([mins[i].tobytes() for i in range(len(starts))],
+                            pa.binary())})
+
+    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        m = np.stack([np.frombuffer(s, dtype=np.uint64) for s in df["sig"]])
+        return pd.DataFrame({"source": [df["source"].iloc[0]],
+                             "sig": [m.min(axis=0).tobytes()]})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow", batch_size=512)
+              .groupby("source").map_groups(fold, batch_format="pandas")
+              .to_pandas())  # #sources rows — driver-sized by construction
+    merged = merged.sort_values("source").reset_index(drop=True)
+    srcs = merged["source"].to_numpy()
+    sig_m = np.stack([np.frombuffer(s, dtype=np.uint64)
+                      for s in merged["sig"]]) if len(merged) else \
+        np.empty((0, num_perm), dtype=np.uint64)
+    rows = []
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            matches = int((sig_m[i] == sig_m[j]).sum())
+            est = np.floor(matches * 10_000.0 / num_perm) / 10_000
+            rows.append((srcs[i], srcs[j], matches, float(est)))
+    return pd.DataFrame(rows, columns=["source_a", "source_b",
+                                       "sig_matches", "est_jaccard"])
+
+
 def minhash_sig_wset(sf_dir: str, num_perm: int = 64):
     """doc_id → (minhash signature, sorted word-hash set) — one pass;
     both as binary (Acero/shuffle-friendly). Input to the exact-verify

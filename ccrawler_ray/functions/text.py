@@ -486,6 +486,85 @@ def repetition_stats(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Zipf fit — corpus-health diagnostic: the log-log OLS slope of the
+# word-frequency/rank curve per source (natural text ≈ -1; word-soup
+# or boilerplate drifts off). Distributed exact word counts (one
+# salted shuffle — same shape as the BPE counts), per-source top-V
+# merge in a tiny source-keyed group, and a FROZEN quantized-log
+# finish shared by import with the serial mirror. The fit is
+# tie-invariant by construction: only the sorted COUNT sequence enters
+# it, and the top-V count multiset is unique even when words tie at
+# the boundary.
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_V = 128
+_ZIPF_LQ = 1_000_000.0  # ln quantization: round(ln(x) * 1e6) as int64
+
+
+def zipf_finish(counts: np.ndarray) -> tuple[int, float, float]:
+    """FROZEN finish (shared engine/mirror): exact integer OLS over
+    (round(ln(rank)*1e6), round(ln(count)*1e6)); returns
+    (v, slope, intercept) with intercept in ln units."""
+    counts = np.sort(np.asarray(counts, dtype=np.int64))[::-1]
+    v = int(len(counts))
+    if v == 0:
+        return 0, 0.0, 0.0
+    ly = np.round(np.log(counts.astype(np.float64)) * _ZIPF_LQ).astype(np.int64)
+    if v == 1:
+        return 1, 0.0, float(np.float64(ly[0]) / np.float64(_ZIPF_LQ))
+    lx = np.round(np.log(np.arange(1, v + 1, dtype=np.float64))
+                  * _ZIPF_LQ).astype(np.int64)
+    sx, sy = int(lx.sum()), int(ly.sum())
+    sxy, sxx = int((lx * ly).sum()), int((lx * lx).sum())
+    slope = np.float64(v * sxy - sx * sy) / np.float64(v * sxx - sx * sx)
+    intercept = ((np.float64(sy) - slope * np.float64(sx))
+                 / np.float64(v) / np.float64(_ZIPF_LQ))
+    return v, float(slope), float(intercept)
+
+
+def zipf_fit(sf_dir: str, top_v: int = ZIPF_TOP_V):
+    """(source, v, slope, intercept): Zipf log-log OLS over each
+    source's top-``top_v`` word frequencies."""
+    from ccrawler_ray.functions.dedup import word_hashes
+
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
+    ds = _read_docs(sf_dir, ["text", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words_per = [t.split() for t in df["text"]]
+        lens = np.fromiter((len(w) for w in words_per), dtype=np.int64,
+                           count=len(df))
+        flat = pd.DataFrame({
+            "source": np.repeat(df["source"].to_numpy(), lens),
+            "word": [w for ws in words_per for w in ws]})
+        g = flat.groupby(["source", "word"], as_index=False).size()
+        g = g.rename(columns={"size": "cnt"})
+        g["cnt"] = g["cnt"].astype(np.int64)
+        g["w_salt"] = (word_hashes(list(g["word"]))
+                       % np.uint64(salt_k)).astype(np.int32)
+        return g
+
+    def per_salt(df: pd.DataFrame) -> pd.DataFrame:
+        # every (source, word) pair lives in exactly ONE salt group →
+        # the in-group sum is its final global count
+        g = df.groupby(["source", "word"], as_index=False)["cnt"].sum()
+        g = g.sort_values("cnt", ascending=False, kind="stable")
+        top = g.groupby("source", as_index=False).head(top_v)
+        return top[["source", "cnt"]].reset_index(drop=True)
+
+    def per_source(df: pd.DataFrame) -> pd.DataFrame:
+        cnts = np.sort(df["cnt"].to_numpy().astype(np.int64))[::-1][:top_v]
+        v, slope, intercept = zipf_finish(cnts)
+        return pd.DataFrame({"source": [df["source"].iloc[0]],
+                             "v": np.array([v], np.int64),
+                             "slope": [slope], "intercept": [intercept]})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("w_salt").map_groups(per_salt, batch_format="pandas")
+            .groupby("source").map_groups(per_source, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
 # Gopher quality rules (Rae et al. 2021, §A1.1) — the published
 # heuristic document filter. All signals are COUNTS (rust-regex via
 # polars in the engine, Python re in the serial mirror — equality

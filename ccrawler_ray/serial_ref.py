@@ -705,6 +705,58 @@ def repetition_stats(sf_dir: str | None = None) -> pd.DataFrame:
                                        "dup_5gram_frac", "keep"])
 
 
+def source_sketch_sim(sf_dir: str | None = None,
+                      num_perm: int = 128) -> pd.DataFrame:
+    """Serial mirror of functions.dedup.source_sketch_sim — per-source
+    union word set, the SAME hash family and signature kernel by
+    import, same floor-scaled estimate."""
+    from ccrawler_ray.functions.dedup import (_minhash_params, _signature,
+                                              word_hashes)
+
+    a, b = _minhash_params(num_perm)
+    d = sf_dir or oracle_sf_dir()
+    t = pq.read_table(f"{d}/documents.parquet", columns=["text", "source"])
+    words_by_src: dict[str, set] = {}
+    for text, src in zip(t.column("text").to_pylist(),
+                         t.column("source").to_pylist()):
+        words_by_src.setdefault(src, set()).update(text.split())
+    srcs = sorted(words_by_src)
+    sigs = {s: _signature(word_hashes(list(words_by_src[s])), a, b)
+            for s in srcs}
+    rows = []
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            matches = int((sigs[srcs[i]] == sigs[srcs[j]]).sum())
+            est = np.floor(matches * 10_000.0 / num_perm) / 10_000
+            rows.append((srcs[i], srcs[j], matches, float(est)))
+    return pd.DataFrame(rows, columns=["source_a", "source_b",
+                                       "sig_matches", "est_jaccard"])
+
+
+def zipf_fit(sf_dir: str | None = None, top_v: int | None = None) -> pd.DataFrame:
+    """Serial mirror of functions.text.zipf_fit — full serial word
+    counts per source, same top-V count multiset (tie-invariant), same
+    frozen quantized-log finish by import."""
+    from collections import Counter
+
+    from ccrawler_ray.functions.text import ZIPF_TOP_V, zipf_finish
+
+    top_v = top_v or ZIPF_TOP_V
+    d = sf_dir or oracle_sf_dir()
+    t = pq.read_table(f"{d}/documents.parquet", columns=["text", "source"])
+    by_src: dict[str, Counter] = {}
+    for text, src in zip(t.column("text").to_pylist(),
+                         t.column("source").to_pylist()):
+        by_src.setdefault(src, Counter()).update(text.split())
+    rows = []
+    for src in sorted(by_src):
+        cnts = np.array(sorted(by_src[src].values(), reverse=True)[:top_v],
+                        dtype=np.int64)
+        v, slope, intercept = zipf_finish(cnts)
+        rows.append((src, v, slope, intercept))
+    return pd.DataFrame(rows, columns=["source", "v", "slope", "intercept"])
+
+
 def gopher_quality(sf_dir: str | None = None) -> pd.DataFrame:
     """Serial mirror of functions.text.gopher_quality — same frozen
     patterns and integer rule set (imported, not re-stated); counts

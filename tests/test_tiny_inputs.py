@@ -20,7 +20,8 @@ DOC_QUERIES = [
     "m2_filter_validate", "m9_content_hash", "m10_normalize_text",
     "o8_hash_split", "o9_seeded_shuffle", "o11_chunk_overlap",
     "g16_heavy_hitters",
-    "g17_string_agg", "dsir_importance", "bpe_pair_topk",
+    "g17_string_agg", "dsir_importance", "zipf_fit", "source_sketch_sim",
+    "bpe_pair_topk",
     "bpe_train_merges", "bpe_encode_stats",
     # dedup family
     "d3_content_dedup", "dedup_minhash_lsh", "dedup_simhash",
