@@ -79,7 +79,7 @@ _QUERY_ORDER = (
     "m9_content_hash", "scalar_string_ops", "o3_sample_hash",
     "o8_hash_split", "o9_seeded_shuffle", "o11_chunk_overlap",
     "explode_embeddings",
-    "spans_rollup", "spans_line_dedup", "o3_sample",
+    "spans_rollup", "spans_line_dedup", "spans_pack_multimodal", "o3_sample",
     "d1_exact_dedup", "doc_fingerprint", "char_entropy", "token_count_bpe",
     "o2_global_topk", "d3_content_dedup", "g14_group_median",
     "g17_string_agg", "quality_score", "quality_compression",
@@ -113,7 +113,7 @@ _QUERY_ORDER = (
     "q1_pricing_summary",
     "dedup_semantic", "j7_bloom_semi_join", "media_pipeline",
     "j9_full_outer_join", "w8_late_events", "m11_json_extract",
-    "ann_pq_topk", "model_score_docs", "io_jsonl_roundtrip",
+    "ann_pq_topk", "ann_sq_topk", "model_score_docs", "io_jsonl_roundtrip",
     "g7_quantile_hist", "ann_ivf_pq", "ann_index_roundtrip",
     "ann_filtered_topk",
     "q3_shipping_priority", "dedup_embedding_cosine", "decode_media_meta",
@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": lambda sf: S.ann_lsh_topk(sf, num_queries=5, k=5),
         "ann_ivf_topk": lambda sf: S.ann_ivf_topk(sf, num_queries=5, k=5),
         "ann_pq_topk": lambda sf: S.ann_pq_topk(sf, num_queries=5, k=5),
+        "ann_sq_topk": lambda sf: S.ann_sq_topk(sf, num_queries=5, k=5),
         "ann_ivf_pq": lambda sf: S.ann_ivf_pq(sf, num_queries=5, k=5),
         "ann_index_roundtrip": lambda sf: S.ann_index_roundtrip(
             sf, num_queries=5, k=5),
@@ -330,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dedup_near": M.media_dedup_near,
         "spans_rollup": SP.spans_rollup,
         "spans_line_dedup": SP.spans_line_dedup,
+        "spans_pack_multimodal": SP.spans_pack_multimodal,
         # --- the crawl itself
         "crawl_docs_out": _crawl_docs_out,
     })
@@ -437,6 +439,13 @@ def _serial_oracles() -> dict[str, str]:
                            {**pair_d, "hamming": "BIGINT"}),
         "media_dedup_near": V(SR.media_dedup_near(max_hamming=3),
                               {**pair_d, "hamming": "BIGINT"}),
+        "spans_pack_multimodal": V(SR.spans_pack_multimodal(),
+                                   {"doc_id": "VARCHAR",
+                                    "n_tokens": "BIGINT",
+                                    "n_media": "BIGINT",
+                                    "bin_id": "BIGINT",
+                                    "bin_off": "BIGINT",
+                                    "end_bin": "BIGINT"}),
         "spans_rollup": V(SR.spans_rollup(),
                           {"kind": "VARCHAR", "n_spans": "BIGINT",
                            "n_docs": "BIGINT", "sum_text_len": "BIGINT",
@@ -583,6 +592,9 @@ def _serial_oracles() -> dict[str, str]:
         "ann_pq_topk": V(SR.ann_pq_topk(num_queries=5, k=5),
                          {"query_id": "BIGINT", "vec_id": "BIGINT",
                           "adist": "DOUBLE", "rank": "BIGINT"}),
+        "ann_sq_topk": V(SR.ann_sq_topk(num_queries=5, k=5),
+                         {"query_id": "BIGINT", "vec_id": "BIGINT",
+                          "qdot": "BIGINT", "rank": "BIGINT"}),
         "ann_recall_report": V(SR.ann_recall_report(),
                                {"method": "VARCHAR", "n_hits": "BIGINT",
                                 "n_possible": "BIGINT",

@@ -212,6 +212,103 @@ def _topk_reduce(partials, k: int, dedup: bool = False):
     )
 
 
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization — the memory-bandwidth scale path FAISS
+# calls SQ: normalized vectors quantized per-dimension to uint8, the
+# score an EXACT int64 dot product of the quantized codes. At 100 TB
+# this is the 8x-smaller-index / int-SIMD variant of the brute scan;
+# per-dim min/max is a distributed Min/Max aggregate over dim-keyed
+# partial rows (one row per (block, dim) crosses the wire — never
+# vectors). Exact-int scores ⇒ top-k is partitioning-independent and
+# bitwise equal to the serial mirror.
+# ---------------------------------------------------------------------------
+
+SQ_LEVELS = 255
+
+
+def _sq_quantize(m: np.ndarray, mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
+    """FROZEN SQ8 rule (shared engine/mirror): rows must already be
+    L2-normalized; per-dim affine map to [0, 255], floor, clip."""
+    rng = mx - mn
+    s = np.where(rng > 0, np.float64(SQ_LEVELS) / rng, 0.0)
+    q = np.floor((m - mn[None, :]) * s[None, :])
+    return np.clip(q, 0, SQ_LEVELS).astype(np.int64)
+
+
+def _sq_minmax(ds, dim: int):
+    """Distributed per-dim min/max of the L2-NORMALIZED corpus."""
+    from ray.data.aggregate import Max, Min
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"d": pd.Series(dtype="int64"),
+                                 "mn": pd.Series(dtype="float64"),
+                                 "mx": pd.Series(dtype="float64")})
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.DataFrame({"d": np.arange(dim, dtype=np.int64),
+                             "mn": m.min(axis=0), "mx": m.max(axis=0)})
+
+    pdf = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("d").aggregate(Min("mn", alias_name="mn"),
+                                   Max("mx", alias_name="mx"))
+           .to_pandas().sort_values("d"))  # dim rows
+    return pdf["mn"].to_numpy(), pdf["mx"].to_numpy()
+
+
+def ann_sq_topk(sf_dir: str, num_queries: int = 5, k: int = 5):
+    """(query_id, vec_id, qdot, rank): top-k neighbors by exact int64
+    dot product of SQ8-quantized normalized vectors (self excluded;
+    ties by vec_id asc)."""
+    qids, qm = _query_matrix(sf_dir, num_queries)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    ds = read_embeddings(sf_dir, ["vec_id", "embedding"])
+    dim = qm.shape[1]
+    mn, mx = _sq_minmax(ds, dim)
+    qq = _sq_quantize(qn, mn, mx)
+    ref = ray.put((qids, qq, mn, mx))
+
+    empty = {"query_id": pd.Series(dtype="int64"),
+             "vec_id": pd.Series(dtype="int64"),
+             "qdot": pd.Series(dtype="int64")}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(empty)
+        qids_, qq_, mn_, mx_ = ray.get(ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        mq = _sq_quantize(m, mn_, mx_)
+        vids = df["vec_id"].to_numpy().astype(np.int64)
+        dots = qq_ @ mq.T  # (nq, batch) exact int64
+        out = []
+        for qi, qid in enumerate(qids_):
+            mask = vids != qid
+            d, v = dots[qi][mask], vids[mask]
+            idx = np.lexsort((v, -d))[: min(len(d), _BLOCK_CAP)]
+            if len(idx):
+                out.append(pd.DataFrame({"query_id": np.int64(qid),
+                                         "vec_id": v[idx], "qdot": d[idx]}))
+        return pd.concat(out) if out else pd.DataFrame(empty)
+
+    def reduce_all(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for _, g in df.groupby("query_id", sort=True):
+            g = g.sort_values(["qdot", "vec_id"],
+                              ascending=[False, True]).head(k)
+            parts.append(g.assign(
+                rank=np.arange(1, len(g) + 1, dtype=np.int64)))
+        if not parts:
+            out = pd.DataFrame(empty)
+            out["rank"] = pd.Series(dtype="int64")
+            return out
+        return pd.concat(parts, ignore_index=True)
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(reduce_all, batch_format="pandas", batch_size=None))
+
+
 # Quantization scale for k-means partial sums: per-element int64
 # micro-sums make the merged centroid independent of block order /
 # summation association, so the distributed result is BITWISE equal to

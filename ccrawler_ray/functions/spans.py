@@ -173,3 +173,118 @@ def spans_rollup(sf_dir: str):
                           Sum("n_docs", alias_name="n_docs"),
                           Sum("sum_text_len", alias_name="sum_text_len"),
                           Sum("n_media_refs", alias_name="n_media_refs"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal sequence packing — the training-batch builder for an
+# INTERLEAVED text+media corpus (MMC4/Chameleon-style): a text span
+# costs its whitespace-token count, a media span a fixed placeholder
+# budget, and documents are concatenated in corpus row order then
+# chunked into fixed-capacity bins. Same two-pass distributed prefix
+# sum as o10_pack_sequences (pass 1: per-bucket cost sums — a
+# driver-sized offset table; pass 2: in-bucket exact cumsum), so no
+# global sort and no full materialization on one worker. All costs
+# are exact integers ⇒ bitwise equal to the serial mirror.
+# ---------------------------------------------------------------------------
+
+MEDIA_TOKENS = 64
+SPANS_PACK_CAPACITY = 512
+
+
+def span_costs(kinds: np.ndarray, texts: list,
+               media_tokens: int = MEDIA_TOKENS) -> np.ndarray:
+    """FROZEN per-span token cost (shared engine/mirror): a text span
+    costs whitespace-separator count + 1 (the token_count rule), a
+    media span costs the fixed placeholder budget."""
+    import polars as pl
+
+    seps = pl.Series(texts).str.count_matches(r"\s+").to_numpy()
+    cost = (seps + 1).astype(np.int64)
+    return np.where(kinds == "media", np.int64(media_tokens), cost)
+
+
+def _doc_pack_rows(batch: pa.Table,
+                   media_tokens: int) -> tuple[np.ndarray, np.ndarray]:
+    """(n_tokens, n_media) per doc of one corpus block — shared by the
+    engine cost map and the serial mirror (same explode, same frozen
+    cost rule)."""
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = pc.list_flatten(spans)
+    lens = pc.list_value_length(spans).to_numpy().astype(np.int64)
+    kinds = np.asarray(flat.field("kind").to_pylist(), dtype=object)
+    costs = span_costs(kinds, flat.field("text").to_pylist(), media_tokens)
+    doc_idx = np.repeat(np.arange(len(lens)), lens)
+    n_tokens = np.zeros(len(lens), dtype=np.int64)
+    np.add.at(n_tokens, doc_idx, costs)
+    n_media = np.zeros(len(lens), dtype=np.int64)
+    np.add.at(n_media, doc_idx, (kinds == "media").astype(np.int64))
+    return n_tokens, n_media
+
+
+def spans_pack_multimodal(sf_dir: str, capacity: int = SPANS_PACK_CAPACITY,
+                          media_tokens: int = MEDIA_TOKENS,
+                          n_buckets: int = 256):
+    """(doc_id, n_tokens, n_media, bin_id, bin_off, end_bin): where
+    each interleaved document's token+media budget lands when the
+    corpus is concatenated in row order and chunked into
+    ``capacity``-token training bins."""
+    import pandas as pd
+
+    from ccrawler_ray.sources.corpus import corpus_from_documents
+
+    t = corpus_from_documents(f"{sf_dir}/documents.parquet")
+    n = t.num_rows
+    t = t.append_column("row_no", pa.array(np.arange(n, dtype=np.int64)))
+    ds = ray.data.from_arrow(
+        [t.slice(o, _BLOCK_ROWS) for o in range(0, n, _BLOCK_ROWS)])
+    width = max((n + n_buckets - 1) // n_buckets, 1)
+
+    def cost_rows(batch: pa.Table) -> pa.Table:
+        n_tokens, n_media = _doc_pack_rows(batch, media_tokens)
+        row_no = batch.column("row_no").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "row_no": pa.array(row_no),
+            "n_tokens": pa.array(n_tokens),
+            "n_media": pa.array(n_media),
+            "bkt": pa.array((row_no // width).astype(np.int32))})
+
+    rows = ds.map_batches(cost_rows, batch_format="pyarrow").materialize()
+
+    # pass 1: per-bucket token sums → exclusive prefix (driver-sized)
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("bkt", as_index=False)["n_tokens"].sum()
+        return g.rename(columns={"n_tokens": "s"})
+
+    pdf = (rows.map_batches(partial, batch_format="pandas")
+           .to_pandas().groupby("bkt", as_index=False)["s"].sum()
+           .sort_values("bkt"))
+    pdf["off"] = pdf["s"].cumsum() - pdf["s"]
+    offsets = dict(zip(pdf["bkt"].astype(int), pdf["off"].astype(int)))
+
+    cap = np.int64(capacity)
+
+    def pack(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="object"),
+                 "n_tokens": pd.Series(dtype="int64"),
+                 "n_media": pd.Series(dtype="int64"),
+                 "bin_id": pd.Series(dtype="int64"),
+                 "bin_off": pd.Series(dtype="int64"),
+                 "end_bin": pd.Series(dtype="int64")})
+        df = df.sort_values("row_no")
+        tok = df["n_tokens"].to_numpy()
+        base = offsets[int(df["bkt"].iloc[0])]
+        pre = base + np.cumsum(tok) - tok
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_tokens": tok,
+            "n_media": df["n_media"].to_numpy(),
+            "bin_id": pre // cap,
+            "bin_off": pre % cap,
+            "end_bin": (pre + tok - 1) // cap})
+
+    return rows.groupby("bkt").map_groups(pack, batch_format="pandas")

@@ -982,6 +982,56 @@ def g11_countmin_est(sf_dir: str | None = None) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["term", "est_n"])
 
 
+def spans_pack_multimodal(sf_dir: str | None = None,
+                          capacity: int | None = None) -> pd.DataFrame:
+    """Serial mirror of functions.spans.spans_pack_multimodal — same
+    corpus lift, same frozen per-span cost rule and explode kernel by
+    import, one serial cumsum over the full row order."""
+    from ccrawler_ray.functions.spans import (MEDIA_TOKENS,
+                                              SPANS_PACK_CAPACITY,
+                                              _doc_pack_rows)
+    from ccrawler_ray.sources.corpus import corpus_from_documents
+
+    capacity = capacity or SPANS_PACK_CAPACITY
+    d = sf_dir or oracle_sf_dir()
+    t = corpus_from_documents(f"{d}/documents.parquet")
+    n_tokens, n_media = _doc_pack_rows(t, MEDIA_TOKENS)
+    pre = np.cumsum(n_tokens) - n_tokens
+    cap = np.int64(capacity)
+    return pd.DataFrame({
+        "doc_id": t.column("doc_id").to_pylist(),
+        "n_tokens": n_tokens,
+        "n_media": n_media,
+        "bin_id": pre // cap,
+        "bin_off": pre % cap,
+        "end_bin": (pre + n_tokens - 1) // cap})
+
+
+def ann_sq_topk(sf_dir: str | None = None, num_queries: int = 5,
+                k: int = 5) -> pd.DataFrame:
+    """Serial mirror of functions.similarity.ann_sq_topk — same frozen
+    SQ8 quantization rule by import over the full normalized matrix
+    (per-dim min/max are order-independent), same exact int64 dots."""
+    from ccrawler_ray.functions.similarity import _sq_quantize
+
+    ids, mat = _embeddings(sf_dir or oracle_sf_dir())
+    mat = mat.astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    mn, mx = mat.min(axis=0), mat.max(axis=0)
+    q = _sq_quantize(mat, mn, mx)
+    rows = []
+    for qid in range(num_queries):
+        qv = q[ids == qid][0]
+        dots = q @ qv
+        mask = ids != qid
+        g = pd.DataFrame({"query_id": np.int64(qid), "vec_id": ids[mask],
+                          "qdot": dots[mask]})
+        g = g.sort_values(["qdot", "vec_id"],
+                          ascending=[False, True]).head(k)
+        rows.append(g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64)))
+    return pd.concat(rows).reset_index(drop=True)
+
+
 def ann_pq_topk(sf_dir: str | None = None, num_queries: int = 5,
                 k: int = 5, iters: int = 5,
                 train_mod: int = 1) -> pd.DataFrame:

@@ -34,7 +34,7 @@ DOC_QUERIES = [
     "training_mix_stats",
     "mix_interleave", "mix_temperature_sample", "corpus_prep_stats",
     "quality_filtered_docs",
-    "spans_rollup", "spans_line_dedup",
+    "spans_rollup", "spans_line_dedup", "spans_pack_multimodal",
     "media_byte_stats", "media_dedup_exact", "media_dedup_near",
     "decode_media_meta", "media_pipeline",
     # io
@@ -43,7 +43,7 @@ DOC_QUERIES = [
 ]
 EMB_QUERIES = [
     "ann_topk_cosine", "ann_range_search", "ann_lsh_topk", "ann_ivf_topk",
-    "ann_pq_topk",
+    "ann_pq_topk", "ann_sq_topk",
     "ann_ivf_pq", "ann_index_roundtrip", "ann_filtered_topk",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh", "dedup_semantic", "explode_embeddings",
