@@ -105,7 +105,8 @@ _QUERY_ORDER = (
     "q2_min_cost_supplier", "q16_part_supplier_counts",
     "mix_interleave", "mix_temperature_sample",
     "w10_funnel", "g15_corr", "g20_regression", "w12_retention_cohorts",
-    "zipf_fit", "source_sketch_sim",
+    "zipf_fit", "source_sketch_sim", "fertility_stats",
+    "g21_zscore_outliers",
     "g19_grouping_sets", "bpe_pair_topk", "bpe_train_merges",
     "bpe_encode_stats", "dsir_importance",
     "j5_asof_join", "tfidf_topk", "link_pagerank", "link_hits",
@@ -262,6 +263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": T.repetition_stats,
         "gopher_quality": T.gopher_quality,
         "zipf_fit": T.zipf_fit,
+        "fertility_stats": T.fertility_stats,
+        "g21_zscore_outliers": R.g21_zscore_outliers,
         "source_sketch_sim": D.source_sketch_sim,
         "pii_scrub": T.pii_scrub,
         "model_score_docs": T.model_score_docs,
@@ -418,6 +421,19 @@ def _serial_oracles() -> dict[str, str]:
                                "top_bigram_frac": "DOUBLE",
                                "dup_5gram_frac": "DOUBLE",
                                "keep": "BOOLEAN"}),
+        "fertility_stats": (
+            # same BPE-ish pre-tokenization rule as token_count_bpe;
+            # fertility = one IEEE division of the exact BIGINT sums
+            "WITH s AS (SELECT lang, count(*) AS n_docs, "
+            "sum(n_chars) AS sum_chars, "
+            "sum(CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)) "
+            "AS sum_bpe_tokens FROM documents GROUP BY 1) "
+            "SELECT lang, n_docs, sum_chars, sum_bpe_tokens, "
+            "CASE WHEN sum_bpe_tokens > 0 THEN "
+            "CAST(sum_chars AS DOUBLE)/CAST(sum_bpe_tokens AS DOUBLE) "
+            "ELSE 0.0 END AS fertility FROM s"
+        ),
         "zipf_fit": V(SR.zipf_fit(),
                       {"source": "VARCHAR", "v": "BIGINT",
                        "slope": "DOUBLE", "intercept": "DOUBLE"}),
@@ -1109,6 +1125,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sxy_n AS DOUBLE)*CAST(sxy_n AS DOUBLE) / "
             "(CAST(sxx_n AS DOUBLE)*CAST(syy_n AS DOUBLE)) AS r2 "
             "FROM t"
+        ),
+        "g21_zscore_outliers": (
+            # exact HUGEINT moments; z repeats the engine's single
+            # IEEE division (the n's cancel — no float mean/std)
+            "WITH s AS (SELECT event_type, "
+            "CAST(count(*) AS HUGEINT) AS n, "
+            "sum(CAST(CAST(round(value*1000000) AS BIGINT) AS HUGEINT)) "
+            "AS s, "
+            "sum(CAST(CAST(round(value*1000000) AS BIGINT)"
+            "*CAST(round(value*1000000) AS BIGINT) AS HUGEINT)) AS s2 "
+            "FROM events GROUP BY 1), "
+            "t AS (SELECT event_type, n, s, n*s2 - s*s AS var_num "
+            "FROM s) "
+            "SELECT event_id, e.event_type, value, z FROM ("
+            "SELECT e.event_id, e.event_type, e.value, "
+            "CAST(t.n*CAST(round(e.value*1000000) AS BIGINT) - t.s "
+            "AS DOUBLE)/sqrt(CAST(t.var_num AS DOUBLE)) AS z "
+            "FROM events e JOIN t ON e.event_type = t.event_type "
+            "WHERE t.var_num > 0) e WHERE abs(z) > 2.5"
         ),
         "w12_retention_cohorts": (
             # integer weeks via BIGINT floor division — no float

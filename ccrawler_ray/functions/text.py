@@ -486,6 +486,51 @@ def repetition_stats(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Tokenizer fertility — chars per (BPE-ish) token per language, the
+# standard tokenizer-fit diagnostic for a multilingual corpus. One
+# map-side partial per batch, a lang-keyed sum, one IEEE division of
+# exact int64 sums — SQL-oracle-checked end to end.
+# ---------------------------------------------------------------------------
+
+
+def fertility_stats(sf_dir: str):
+    """(lang, n_docs, sum_chars, sum_bpe_tokens, fertility): per-lang
+    totals and chars-per-BPE-token ratio."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["lang", "text", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        toks = pl.Series(df["text"]).str.count_matches(_BPE_RE).to_numpy()
+        t = pd.DataFrame({"lang": df["lang"],
+                          "n_docs": np.ones(len(df), dtype=np.int64),
+                          "sum_chars": df["n_chars"].to_numpy().astype(np.int64),
+                          "sum_bpe_tokens": toks.astype(np.int64)})
+        return t.groupby("lang", as_index=False).sum()
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("lang").aggregate(
+               Sum("n_docs", alias_name="n_docs"),
+               Sum("sum_chars", alias_name="sum_chars"),
+               Sum("sum_bpe_tokens", alias_name="sum_bpe_tokens")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        sc = df["sum_chars"].to_numpy().astype(np.int64)
+        st = df["sum_bpe_tokens"].to_numpy().astype(np.int64)
+        fert = np.zeros(len(df), dtype=np.float64)
+        nz = st > 0
+        fert[nz] = sc[nz].astype(np.float64) / st[nz].astype(np.float64)
+        return pd.DataFrame({"lang": df["lang"],
+                             "n_docs": df["n_docs"].astype(np.int64),
+                             "sum_chars": sc, "sum_bpe_tokens": st,
+                             "fertility": fert})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # Zipf fit — corpus-health diagnostic: the log-log OLS slope of the
 # word-frequency/rank curve per source (natural text ≈ -1; word-soup
 # or boilerplate drifts off). Distributed exact word counts (one

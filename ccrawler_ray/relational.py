@@ -2319,6 +2319,68 @@ def g20_regression(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# G21: z-score outlier detection — the two-pass aggregate→broadcast→
+# filter shape every monitoring/data-quality job uses. Pass 1 reduces
+# exact integer moments per event_type (s2 in 2^32 limbs — a squared
+# micro-unit overflows int64 in the sum); the tiny per-type table
+# broadcasts into pass 2, which computes z with ONE frozen IEEE
+# division per row:  z = (n·v_u − s) / sqrt(n·s2 − s²)  — the n's
+# cancel exactly, so no intermediate mean/std float exists to drift.
+# ---------------------------------------------------------------------------
+
+ZSCORE_THRESHOLD = 2.5
+
+
+def g21_zscore_outliers(sf_dir: str, threshold: float = ZSCORE_THRESHOLD):
+    """(event_id, event_type, value, z): events whose value is an
+    outlier (|z| > threshold) within their event_type."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = _to_micro(df["value"])
+        v2 = v * v
+        t = pd.DataFrame({"event_type": df["event_type"],
+                          "n": np.ones(len(df), dtype=np.int64),
+                          "s": v,
+                          "s2_hi": v2 >> np.int64(32),
+                          "s2_lo": v2 & np.int64(0xFFFFFFFF)})
+        return t.groupby("event_type", as_index=False).sum()
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("event_type").aggregate(
+               Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+               Sum("s2_hi", alias_name="s2_hi"),
+               Sum("s2_lo", alias_name="s2_lo"))
+           .to_pandas())  # one row per event_type — driver-sized
+    stats = {}
+    for r in agg.itertuples():
+        n, s = int(r.n), int(r.s)
+        s2 = (int(r.s2_hi) << 32) + int(r.s2_lo)
+        stats[r.event_type] = (n, s, n * s2 - s * s)  # exact big ints
+    stats_ref = ray.put(stats)
+
+    fields = [("event_id", pa.int64()), ("event_type", pa.string()),
+              ("value", pa.float64()), ("z", pa.float64())]
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(stats_ref)
+        v_u = _to_micro(df["value"])
+        ns = np.array([st[t][0] for t in df["event_type"]], dtype=np.int64)
+        ss = np.array([st[t][1] for t in df["event_type"]], dtype=np.int64)
+        var = np.array([np.float64(st[t][2]) for t in df["event_type"]])
+        ok = var > 0
+        z = np.zeros(len(df), dtype=np.float64)
+        z[ok] = ((ns[ok] * v_u[ok] - ss[ok]).astype(np.float64)
+                 / np.sqrt(var[ok]))
+        keep = ok & (np.abs(z) > threshold)
+        out = df.loc[keep, ["event_id", "event_type", "value"]].copy()
+        out["z"] = z[keep]
+        return out
+
+    return _typed(ds.map_batches(flag, batch_format="pandas"), fields)
+
+
+# ---------------------------------------------------------------------------
 # Q6: forecast-revenue filter+aggregate — the canonical predicate-
 # pushdown benchmark shape: a read pruned to 4 columns, a fully
 # vectorized Arrow mask, ONE micro-unit partial sum per block, a

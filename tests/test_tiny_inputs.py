@@ -21,6 +21,7 @@ DOC_QUERIES = [
     "o8_hash_split", "o9_seeded_shuffle", "o11_chunk_overlap",
     "g16_heavy_hitters",
     "g17_string_agg", "dsir_importance", "zipf_fit", "source_sketch_sim",
+    "fertility_stats",
     "bpe_pair_topk",
     "bpe_train_merges", "bpe_encode_stats",
     # dedup family
@@ -126,7 +127,8 @@ REL_QUERIES = [
     "g1_rank_topk_per_key", "g3_metrics_rollup", "g4_distinct_counts",
     "g5_hll_distinct", "g7_quantile_hist", "g8_grouped_quantiles",
     "g9_rollup", "g11_countmin_est", "g13_user_value_drift",
-    "g14_group_median", "g15_corr", "g20_regression", "g18_unpivot",
+    "g14_group_median", "g15_corr", "g20_regression",
+    "g21_zscore_outliers", "g18_unpivot",
     "g10_pivot",
     "w2_sessionize", "w3_tumbling_window", "w4_sliding_window",
     "w5_lag_lead", "w6_ntile", "w7_rolling_mean", "w8_late_events",
