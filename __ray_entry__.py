@@ -106,7 +106,7 @@ _QUERY_ORDER = (
     "mix_interleave", "mix_temperature_sample",
     "w10_funnel", "g15_corr", "g20_regression", "w12_retention_cohorts",
     "zipf_fit", "source_sketch_sim", "fertility_stats",
-    "g21_zscore_outliers",
+    "g21_zscore_outliers", "search_phrase",
     "g19_grouping_sets", "bpe_pair_topk", "bpe_train_merges",
     "bpe_encode_stats", "dsir_importance",
     "j5_asof_join", "tfidf_topk", "link_pagerank", "link_hits",
@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": T.gopher_quality,
         "zipf_fit": T.zipf_fit,
         "fertility_stats": T.fertility_stats,
+        "search_phrase": T.search_phrase,
         "g21_zscore_outliers": R.g21_zscore_outliers,
         "source_sketch_sim": D.source_sketch_sim,
         "pii_scrub": T.pii_scrub,
@@ -421,6 +422,8 @@ def _serial_oracles() -> dict[str, str]:
                                "top_bigram_frac": "DOUBLE",
                                "dup_5gram_frac": "DOUBLE",
                                "keep": "BOOLEAN"}),
+        "search_phrase": V(SR.search_phrase(),
+                           {"doc_id": "BIGINT", "n_hits": "BIGINT"}),
         "fertility_stats": (
             # same BPE-ish pre-tokenization rule as token_count_bpe;
             # fertility = one IEEE division of the exact BIGINT sums

@@ -486,6 +486,79 @@ def repetition_stats(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Phrase search over positional postings — the inverted-index access
+# pattern: each batch emits (doc, position) postings ONLY for the
+# query terms (the posting-list read; everything else never leaves
+# the scan task), one salted per-doc shuffle co-locates a document's
+# postings, and the in-group kernel counts exact adjacencies with one
+# lexsort — positional-index semantics (ALL occurrences, including
+# separator-sharing ones a non-overlapping regex would miss, hence the
+# serial differential mirror rather than a regex SQL oracle).
+# ---------------------------------------------------------------------------
+
+PHRASE_T1, PHRASE_T2 = "hash", "join"
+
+
+def search_phrase(sf_dir: str, t1: str = PHRASE_T1, t2: str = PHRASE_T2):
+    """(doc_id, n_hits): documents containing the exact token sequence
+    ``t1 t2`` (whitespace tokenization), with occurrence counts."""
+    assert t1 != t2, "phrase terms must be distinct (adjacency rule)"
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    post_fields = [("doc_id", pa.int64()), ("pos", pa.int64()),
+                   ("is_t1", pa.bool_()), ("d_salt", pa.int32())]
+
+    def postings(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        words_per = [t.split() for t in texts]
+        lens = np.fromiter((len(w) for w in words_per), dtype=np.int64,
+                           count=len(texts))
+        flat = np.asarray([w for ws in words_per for w in ws], dtype=object)
+        m1, m2 = flat == t1, flat == t2
+        keep = np.nonzero(m1 | m2)[0]
+        if not len(keep):
+            return pa.schema(post_fields).empty_table()
+        doc_idx = np.repeat(np.arange(len(texts)), lens)[keep]
+        starts = np.r_[np.int64(0), np.cumsum(lens)][:-1]
+        pos = keep - starts[doc_idx]
+        dids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False)[doc_idx].astype(np.int64)
+        return pa.table({"doc_id": pa.array(dids),
+                         "pos": pa.array(pos.astype(np.int64)),
+                         "is_t1": pa.array(m1[keep]),
+                         "d_salt": pa.array((dids % salt_k).astype(np.int32))})
+
+    out_fields = [("doc_id", pa.int64()), ("n_hits", pa.int64())]
+
+    def per_salt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(out_fields).empty_table()
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = t.column("pos").to_numpy(zero_copy_only=False)
+        m1 = t.column("is_t1").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, did))
+        did, pos, m1 = did[order], pos[order], m1[order]
+        # only query-term postings are present, so "t2 directly after
+        # t1 in the document" == consecutive postings at pos+1
+        hit = (did[1:] == did[:-1]) & (pos[1:] - pos[:-1] == 1) \
+            & m1[:-1] & ~m1[1:]
+        if not hit.any():
+            return pa.schema(out_fields).empty_table()
+        udoc, inv = np.unique(did[:-1][hit], return_inverse=True)
+        n = np.bincount(inv, minlength=len(udoc)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(udoc.astype(np.int64)),
+                         "n_hits": pa.array(n)})
+
+    from ccrawler_ray.functions.dedup import _stamp_schema
+
+    out = (ds.map_batches(postings, batch_format="pyarrow")
+           .groupby("d_salt").map_groups(per_salt, batch_format="pyarrow"))
+    # zero-posting corpora yield zero blocks (schema-less) — stamp
+    return _stamp_schema(out, pa.schema(out_fields))
+
+
+# ---------------------------------------------------------------------------
 # Tokenizer fertility — chars per (BPE-ish) token per language, the
 # standard tokenizer-fit diagnostic for a multilingual corpus. One
 # map-side partial per batch, a lang-keyed sum, one IEEE division of

@@ -757,6 +757,24 @@ def zipf_fit(sf_dir: str | None = None, top_v: int | None = None) -> pd.DataFram
     return pd.DataFrame(rows, columns=["source", "v", "slope", "intercept"])
 
 
+def search_phrase(sf_dir: str | None = None, t1: str | None = None,
+                  t2: str | None = None) -> pd.DataFrame:
+    """Serial mirror of functions.text.search_phrase — same whitespace
+    tokenization, same all-occurrences adjacency rule."""
+    from ccrawler_ray.functions.text import PHRASE_T1, PHRASE_T2
+
+    t1, t2 = t1 or PHRASE_T1, t2 or PHRASE_T2
+    ids, texts = _docs(sf_dir or oracle_sf_dir())
+    rows = []
+    for did, text in zip(ids, texts):
+        toks = text.split()
+        n = sum(1 for i in range(len(toks) - 1)
+                if toks[i] == t1 and toks[i + 1] == t2)
+        if n:
+            rows.append((did, n))
+    return pd.DataFrame(rows, columns=["doc_id", "n_hits"])
+
+
 def gopher_quality(sf_dir: str | None = None) -> pd.DataFrame:
     """Serial mirror of functions.text.gopher_quality — same frozen
     patterns and integer rule set (imported, not re-stated); counts
