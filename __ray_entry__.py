@@ -106,7 +106,7 @@ _QUERY_ORDER = (
     "mix_interleave", "mix_temperature_sample",
     "w10_funnel", "g15_corr", "g20_regression", "w12_retention_cohorts",
     "zipf_fit", "source_sketch_sim", "fertility_stats",
-    "g21_zscore_outliers", "search_phrase",
+    "g21_zscore_outliers", "search_phrase", "pmi_topk",
     "g19_grouping_sets", "bpe_pair_topk", "bpe_train_merges",
     "bpe_encode_stats", "dsir_importance",
     "j5_asof_join", "tfidf_topk", "link_pagerank", "link_hits",
@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_fit": T.zipf_fit,
         "fertility_stats": T.fertility_stats,
         "search_phrase": T.search_phrase,
+        "pmi_topk": T.pmi_topk,
         "g21_zscore_outliers": R.g21_zscore_outliers,
         "source_sketch_sim": D.source_sketch_sim,
         "pii_scrub": T.pii_scrub,
@@ -424,6 +425,9 @@ def _serial_oracles() -> dict[str, str]:
                                "keep": "BOOLEAN"}),
         "search_phrase": V(SR.search_phrase(),
                            {"doc_id": "BIGINT", "n_hits": "BIGINT"}),
+        "pmi_topk": V(SR.pmi_topk(),
+                      {"w1": "VARCHAR", "w2": "VARCHAR",
+                       "c_xy": "BIGINT", "pmi": "DOUBLE"}),
         "fertility_stats": (
             # same BPE-ish pre-tokenization rule as token_count_bpe;
             # fertility = one IEEE division of the exact BIGINT sums

@@ -486,6 +486,106 @@ def repetition_stats(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# PMI collocations — word2vec-style phrase mining: pointwise mutual
+# information over adjacent bigrams. Unigram totals are a tiny
+# vocabulary aggregate broadcast once (at web scale the min_count
+# prune bounds both sides — a bigram that appears >= min_count times
+# has both words >= min_count, so only the pruned vocab ships);
+# bigram counts take ONE salted shuffle; PMI itself is a frozen float
+# kernel shared by import with the serial mirror, computed from exact
+# integer counts, so the top-k is bitwise reproducible.
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+
+
+def pmi_score(c_xy, c_x, c_y, n) -> np.ndarray:
+    """FROZEN PMI kernel (shared engine/mirror): exact int counts in,
+    one op-ordered float expression out."""
+    return np.log((np.float64(1.0) * np.asarray(c_xy, np.float64)
+                   * np.float64(n))
+                  / (np.asarray(c_x, np.float64)
+                     * np.asarray(c_y, np.float64)))
+
+
+def pmi_topk(sf_dir: str, k: int = 20, min_count: int = PMI_MIN_COUNT):
+    """(w1, w2, c_xy, pmi): top-k adjacent-bigram collocations by PMI
+    (ties by (w1, w2) asc) among bigrams with count >= min_count."""
+    from ray.data.aggregate import Sum
+
+    from ccrawler_ray.functions.dedup import word_hashes
+
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
+    ds = _read_docs(sf_dir, ["text"])
+
+    # pass 1: unigram counts + total tokens (vocabulary-sized rows)
+    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = [w for t in df["text"] for w in t.split()]
+        s = pd.Series(words, dtype="object").value_counts()
+        return pd.DataFrame({"w": s.index, "c": s.to_numpy().astype(np.int64)})
+
+    uni = (ds.map_batches(uni_partial, batch_format="pandas")
+           .groupby("w").aggregate(Sum("c", alias_name="c")).to_pandas())
+    total = int(uni["c"].sum())
+    uni_ref = ray.put(dict(zip(uni["w"], uni["c"].astype(int))))
+
+    # pass 2: bigram counts — one salted shuffle, then local top-k
+    def bi_partial(df: pd.DataFrame) -> pd.DataFrame:
+        w1, w2 = [], []
+        for t in df["text"]:
+            toks = t.split()
+            w1.extend(toks[:-1])
+            w2.extend(toks[1:])
+        g = pd.DataFrame({"w1": w1, "w2": w2})
+        g = g.groupby(["w1", "w2"], as_index=False).size().rename(
+            columns={"size": "c"})
+        g["c"] = g["c"].astype(np.int64)
+        h = (word_hashes(list(g["w1"])) * np.uint64(0x9E3779B97F4A7C15)
+             + word_hashes(list(g["w2"])))
+        g["b_salt"] = (h % np.uint64(salt_k)).astype(np.int32)
+        return g
+
+    empty = pd.DataFrame({"w1": pd.Series(dtype="object"),
+                          "w2": pd.Series(dtype="object"),
+                          "c_xy": pd.Series(dtype="int64"),
+                          "pmi": pd.Series(dtype="float64")})
+
+    def per_salt(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["w1", "w2"], as_index=False)["c"].sum()
+        g = g[g["c"] >= min_count]
+        if not len(g):
+            return empty.copy()
+        umap = ray.get(uni_ref)
+        cx = np.array([umap[w] for w in g["w1"]], dtype=np.int64)
+        cy = np.array([umap[w] for w in g["w2"]], dtype=np.int64)
+        out = pd.DataFrame({"w1": g["w1"].to_numpy(),
+                            "w2": g["w2"].to_numpy(),
+                            "c_xy": g["c"].to_numpy().astype(np.int64),
+                            "pmi": pmi_score(g["c"].to_numpy(), cx, cy,
+                                             total)})
+        out = out.sort_values(["pmi", "w1", "w2"],
+                              ascending=[False, True, True]).head(k)
+        return out.reset_index(drop=True)
+
+    def reduce_all(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return empty.copy()
+        df = df.sort_values(["pmi", "w1", "w2"],
+                            ascending=[False, True, True]).head(k)
+        return df.reset_index(drop=True)
+
+    from ccrawler_ray.functions.dedup import _stamp_schema
+
+    out = (ds.map_batches(bi_partial, batch_format="pandas")
+           .groupby("b_salt").map_groups(per_salt, batch_format="pandas")
+           .repartition(1)
+           .map_batches(reduce_all, batch_format="pandas", batch_size=None))
+    return _stamp_schema(out, pa.schema(
+        [("w1", pa.string()), ("w2", pa.string()),
+         ("c_xy", pa.int64()), ("pmi", pa.float64())]))
+
+
+# ---------------------------------------------------------------------------
 # Phrase search over positional postings — the inverted-index access
 # pattern: each batch emits (doc, position) postings ONLY for the
 # query terms (the posting-list read; everything else never leaves

@@ -757,6 +757,39 @@ def zipf_fit(sf_dir: str | None = None, top_v: int | None = None) -> pd.DataFram
     return pd.DataFrame(rows, columns=["source", "v", "slope", "intercept"])
 
 
+def pmi_topk(sf_dir: str | None = None, k: int = 20,
+             min_count: int | None = None) -> pd.DataFrame:
+    """Serial mirror of functions.text.pmi_topk — full serial unigram/
+    bigram counts, same frozen PMI kernel by import, same sort keys."""
+    from collections import Counter
+
+    from ccrawler_ray.functions.text import PMI_MIN_COUNT, pmi_score
+
+    min_count = min_count or PMI_MIN_COUNT
+    _, texts = _docs(sf_dir or oracle_sf_dir())
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for text in texts:
+        toks = text.split()
+        uni.update(toks)
+        bi.update(zip(toks[:-1], toks[1:]))
+    total = sum(uni.values())
+    rows = [(w1, w2, c) for (w1, w2), c in bi.items() if c >= min_count]
+    if not rows:
+        return pd.DataFrame({"w1": pd.Series(dtype="object"),
+                             "w2": pd.Series(dtype="object"),
+                             "c_xy": pd.Series(dtype="int64"),
+                             "pmi": pd.Series(dtype="float64")})
+    df = pd.DataFrame(rows, columns=["w1", "w2", "c_xy"])
+    df["c_xy"] = df["c_xy"].astype(np.int64)
+    cx = np.array([uni[w] for w in df["w1"]], dtype=np.int64)
+    cy = np.array([uni[w] for w in df["w2"]], dtype=np.int64)
+    df["pmi"] = pmi_score(df["c_xy"].to_numpy(), cx, cy, total)
+    df = df.sort_values(["pmi", "w1", "w2"],
+                        ascending=[False, True, True]).head(k)
+    return df.reset_index(drop=True)
+
+
 def search_phrase(sf_dir: str | None = None, t1: str | None = None,
                   t2: str | None = None) -> pd.DataFrame:
     """Serial mirror of functions.text.search_phrase — same whitespace

@@ -21,7 +21,7 @@ DOC_QUERIES = [
     "o8_hash_split", "o9_seeded_shuffle", "o11_chunk_overlap",
     "g16_heavy_hitters",
     "g17_string_agg", "dsir_importance", "zipf_fit", "source_sketch_sim",
-    "fertility_stats", "search_phrase",
+    "fertility_stats", "search_phrase", "pmi_topk",
     "bpe_pair_topk",
     "bpe_train_merges", "bpe_encode_stats",
     # dedup family
