@@ -105,6 +105,7 @@ _QUERY_ORDER = (
     "q2_min_cost_supplier", "q16_part_supplier_counts",
     "mix_interleave", "mix_temperature_sample",
     "w10_funnel", "g15_corr", "g20_regression", "w12_retention_cohorts",
+    "w13_scd2_history", "o12_skyline", "j10_fuzzy_join",
     "zipf_fit", "source_sketch_sim", "fertility_stats",
     "g21_zscore_outliers", "search_phrase", "pmi_topk",
     "g19_grouping_sets", "bpe_pair_topk", "bpe_train_merges",
@@ -128,7 +129,8 @@ _QUERY_ORDER = (
     "training_mix_stats", "ann_recall_report", "q4_order_priority",
     "q12_late_priority", "q7_volume_shipping", "q8_market_share",
     "q9_product_profit", "q18_big_orders",
-    "g12_embedding_centroids", "embedding_pca", "dedup_containment_stats",
+    "g12_embedding_centroids", "embedding_pca", "cluster_kmeans",
+    "knn_graph", "dedup_containment_stats",
     "q10_returned_revenue", "q5_local_supplier_volume",
     "io_partitioned_roundtrip", "dedup_index_roundtrip",
     "dedup_clusters", "corpus_prep_stats",
@@ -209,6 +211,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w10_funnel": R.w10_funnel,
         "w11_ewma": R.w11_ewma,
         "w12_retention_cohorts": R.w12_retention_cohorts,
+        "w13_scd2_history": R.w13_scd2_history,
+        "o12_skyline": R.o12_skyline,
+        "j10_fuzzy_join": R.j10_fuzzy_join,
         "g15_corr": R.g15_corr,
         "g20_regression": R.g20_regression,
         "j9_full_outer_join": R.j9_full_outer_join,
@@ -312,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_lsh": lambda sf: D.dedup_embedding_lsh(sf, threshold=0.4),
         # --- similarity search
         "embedding_pca": S.embedding_pca,
+        "cluster_kmeans": S.cluster_kmeans,
+        "knn_graph": S.knn_graph,
         "ann_topk_cosine": lambda sf: S.ann_topk_cosine(sf, num_queries=5, k=5),
         "ann_range_search": lambda sf: S.ann_range_search(
             sf, num_queries=8, threshold=0.25),
@@ -490,6 +497,12 @@ def _serial_oracles() -> dict[str, str]:
                            {"component": "BIGINT", "eigenvalue": "DOUBLE",
                             "explained_var": "DOUBLE",
                             "cum_var": "DOUBLE"}),
+        "cluster_kmeans": V(SR.cluster_kmeans(),
+                            {"cluster": "BIGINT", "n_members": "BIGINT",
+                             "inertia": "DOUBLE"}),
+        "knn_graph": V(SR.knn_graph(),
+                       {"vec_id": "BIGINT", "rank": "BIGINT",
+                        "nbr_id": "BIGINT", "cos": "DOUBLE"}),
         "ccnet_buckets": V(SR.ccnet_buckets(),
                            {"doc_id": "BIGINT", "lang": "VARCHAR",
                             "xent": "DOUBLE", "bucket": "VARCHAR"}),
@@ -1151,6 +1164,39 @@ def oracle_sql() -> dict[str, str]:
             "AS DOUBLE)/sqrt(CAST(t.var_num AS DOUBLE)) AS z "
             "FROM events e JOIN t ON e.event_type = t.event_type "
             "WHERE t.var_num > 0) e WHERE abs(z) > 2.5"
+        ),
+        "w13_scd2_history": (
+            # gaps-and-islands: runs of consecutive equal event_type
+            # per user in (ts, event_id) order
+            "WITH x AS (SELECT user_id, event_type, ts, event_id, "
+            "CASE WHEN lag(event_type) OVER w IS NULL "
+            "OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END "
+            "AS is_new FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "y AS (SELECT *, CAST(sum(is_new) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_no FROM x), "
+            "r AS (SELECT user_id, run_no, min(event_type) AS event_type, "
+            "min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM y GROUP BY user_id, run_no) "
+            "SELECT user_id, run_no, event_type, valid_from, "
+            "lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_no) "
+            "AS valid_to, n_rows FROM r"
+        ),
+        "o12_skyline": (
+            "SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) "
+            "AS p_size FROM part x WHERE NOT EXISTS ("
+            "SELECT 1 FROM part d "
+            "WHERE d.p_retailprice <= x.p_retailprice "
+            "AND d.p_size >= x.p_size "
+            "AND (d.p_retailprice < x.p_retailprice "
+            "OR d.p_size > x.p_size))"
+        ),
+        "j10_fuzzy_join": (
+            "SELECT a.c_custkey AS c1, b.c_custkey AS c2 "
+            "FROM customer a JOIN customer b "
+            "ON a.c_custkey < b.c_custkey "
+            "WHERE levenshtein(a.c_name, b.c_name) = 1"
         ),
         "w12_retention_cohorts": (
             # integer weeks via BIGINT floor division — no float

@@ -196,6 +196,10 @@ QUERY_SUITE = [
     "link_hits",
     "embedding_pca",
     "ccnet_buckets",
+    # round-3 session-6 additions
+    "o12_skyline",
+    "w13_scd2_history",
+    "j10_fuzzy_join",
 ]
 
 

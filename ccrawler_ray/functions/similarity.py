@@ -966,3 +966,147 @@ def embedding_pca(sf_dir: str) -> "pd.DataFrame":
         for i in range(len(gram)):
             gram[i] += (int(row.gram_hi[i]) << 32) + int(row.gram_lo[i])
     return pca_finish(n, svec, gram, d)
+
+
+# ---------------------------------------------------------------------------
+# cluster_kmeans: the clustering surface behind dedup_semantic / IVF,
+# exposed directly — per-cluster size + EXACT inertia.
+# ---------------------------------------------------------------------------
+
+
+def cluster_kmeans(sf_dir: str, n_clusters: int = 16, iters: int = 5):
+    """Per-cluster k-means summary over the embedding column: cluster
+    id, member count, exact inertia (sum of squared distances to the
+    centroid). The shared memoized quantizer trains once per session
+    (kmeans_centroids — same artifact IVF/SemDeDup use); the summary
+    pass is SHUFFLE-FREE: per-batch argmin assignment + (count,
+    quantized int64 distance sum) partials — ≤ k rows per block reach
+    the driver, vectors never move. Each squared distance quantizes
+    to micro-units BEFORE summation, so the total is an exact int64
+    and block order cannot change the bits (bitwise mirror:
+    serial_ref.cluster_kmeans)."""
+    cents = kmeans_centroids(sf_dir, k=n_clusters, iters=iters)
+    c_ref = ray.put(cents)
+    ds = read_embeddings(sf_dir, ["embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"cluster": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "dq": pd.Series(dtype="int64")})
+        c = ray.get(c_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        dq = np.round(d2[np.arange(len(m)), a] * 1e6).astype(np.int64)
+        cl, inv = np.unique(a, return_inverse=True)
+        dsum = np.zeros(len(cl), dtype=np.int64)
+        np.add.at(dsum, inv, dq)           # exact int64 accumulation
+        return pd.DataFrame({"cluster": cl.astype(np.int64),
+                             "n": np.bincount(inv).astype(np.int64),
+                             "dq": dsum})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"cluster": pd.Series(dtype="int64"),
+                             "n_members": pd.Series(dtype="int64"),
+                             "inertia": pd.Series(dtype="float64")})
+    agg = parts.groupby("cluster", as_index=False).sum()
+    return pd.DataFrame({
+        "cluster": agg["cluster"].astype(np.int64),
+        "n_members": agg["n"].astype(np.int64),
+        "inertia": agg["dq"].astype(np.float64) / 1e6,
+    })
+
+
+# ---------------------------------------------------------------------------
+# knn_graph: exact k-NN graph over the embedding column — the
+# neighbor structure SemDeDup-style curation, graph-based ANN indexes
+# and label propagation all start from.
+# ---------------------------------------------------------------------------
+
+
+def knn_graph(sf_dir: str, k: int = 5):
+    """For every vector, its ``k`` nearest neighbors by cosine (self
+    excluded): (vec_id, rank 1..k, nbr_id, cos). One Ray task per
+    QUERY block streams the candidate blocks one object ref at a time
+    (bounded memory at any n) keeping a running top-k, so no shuffle
+    happens and the driver sees only the final n×k rows. Selection
+    compares the 4-dp-ROUNDED cosine with nbr_id ascending as the
+    tie-break — the ann_range_search reproducibility rule (a last-ulp
+    BLAS difference cannot flip the neighbor set) — packed into ONE
+    int64 sort key, so the whole selection is integer math. Bitwise
+    mirror: serial_ref.knn_graph."""
+    from ccrawler_ray.functions.dedup import (_embedding_dim, _stamp_schema,
+                                              as_single_array)
+
+    fields = [("vec_id", pa.int64()), ("rank", pa.int64()),
+              ("nbr_id", pa.int64()), ("cos", pa.float64())]
+    ds = read_embeddings(sf_dir, ["vec_id", "embedding"])
+    dim = _embedding_dim(ds)
+    if dim is None:
+        return ray.data.from_arrow(pa.schema(fields).empty_table())
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        emb = as_single_array(batch.column("embedding"))
+        m = np.asarray(emb.flatten(), dtype=np.float64).reshape(-1, dim)
+        if batch.num_rows:
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pa.table(
+            {"vec_id": batch.column("vec_id"),
+             "norm": pa.FixedSizeListArray.from_arrays(
+                 pa.array(m.ravel(), pa.float64()), dim)})
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    nblocks = max(4, 2 * ncpu)
+    norm = ds.map_batches(normalize, batch_format="pyarrow") \
+             .repartition(nblocks).materialize()
+    refs = norm.to_arrow_refs()
+    kk = int(k)
+    _INF = np.int64(2**62)              # worse than any real key
+
+    @ray.remote
+    def query_block(tq: pa.Table, cand_refs: list) -> pa.Table:
+        # repartition pads with EMPTY blocks whose schema is dropped
+        if "vec_id" not in tq.column_names or tq.num_rows == 0:
+            return pa.schema(fields).empty_table()
+        qi = tq.column("vec_id").to_numpy(zero_copy_only=False)
+        qm = np.asarray(
+            as_single_array(tq.column("norm")).flatten()).reshape(-1, dim)
+        nq = len(qi)
+        if nq == 0:
+            return pa.schema(fields).empty_table()
+        best = np.full((nq, kk), _INF, dtype=np.int64)
+        for r in cand_refs:
+            tc = ray.get(r)             # one candidate block at a time
+            if "vec_id" not in tc.column_names or tc.num_rows == 0:
+                continue
+            ci = tc.column("vec_id").to_numpy(zero_copy_only=False)
+            cm = np.asarray(
+                as_single_array(tc.column("norm")).flatten()).reshape(-1, dim)
+            qcos = np.round(qm @ cm.T * 1e4).astype(np.int64)
+            # key = (-rounded_cos, nbr_id) packed into one int64:
+            # cos desc then id asc, pure integer comparison
+            key = (np.int64(10_000) - qcos) * np.int64(1) * np.int64(2**33) \
+                + ci[None, :]
+            key[qi[:, None] == ci[None, :]] = _INF      # self
+            merged = np.concatenate([best, key], axis=1)
+            take = min(kk, merged.shape[1])
+            part = np.partition(merged, take - 1, axis=1)[:, :kk]
+            best = part
+        best.sort(axis=1)
+        real = best < _INF
+        n_per = real.sum(axis=1)
+        flat = best[real]
+        vec = np.repeat(qi, n_per)
+        ranks = (np.arange(real.shape[1], dtype=np.int64)[None, :] + 1)
+        ranks = np.broadcast_to(ranks, real.shape)[real]
+        nbr = (flat & np.int64(2**33 - 1)).astype(np.int64)
+        qc = np.int64(10_000) - (flat >> np.int64(33))
+        return pa.table({"vec_id": pa.array(vec.astype(np.int64)),
+                         "rank": pa.array(ranks),
+                         "nbr_id": pa.array(nbr),
+                         "cos": pa.array(qc.astype(np.float64) / 1e4)})
+
+    out = [query_block.remote(r, list(refs)) for r in refs]
+    return _stamp_schema(ray.data.from_arrow_refs(out), pa.schema(fields))

@@ -4363,3 +4363,284 @@ def q16_part_supplier_counts(sf_dir: str, excl_brand: str = "Brand#1",
         "p_type": trip.loc[c, "p_type"].to_numpy(),
         "p_size": trip.loc[c, "p_size"].astype(np.int64).to_numpy(),
         "supplier_cnt": res["supplier_cnt"].astype(np.int64).to_numpy()})
+
+
+# ---------------------------------------------------------------------------
+# O12: skyline (Pareto frontier) — the multi-criteria "best tradeoffs"
+# query (minimize price, maximize size). Distributed 2-phase skyline:
+# every block computes its LOCAL skyline with one vectorized
+# sort + prefix-max scan (a globally dominated point is dominated by
+# some global-skyline point, and global-skyline points survive every
+# local skyline containing them — so the union of local skylines is a
+# complete candidate superset), then the tiny candidate union gets the
+# same exact kernel once. Driver traffic is bounded by
+# blocks × |local skyline| — for random 2-d data the skyline is
+# O(log n), so candidates are vanishingly small at any scale.
+# ---------------------------------------------------------------------------
+
+
+def _skyline_keep(price: np.ndarray, size: np.ndarray,
+                  tie: np.ndarray) -> np.ndarray:
+    """Original-position indices of the (min price, max size) Pareto
+    frontier. Dominance: d dominates x iff d.price <= x.price and
+    d.size >= x.size with at least one strict. Sorted by (price asc,
+    size desc), a row survives iff its size exceeds the max size of
+    every strictly-cheaper row AND it carries its price group's max
+    size (equal (price, size) rows never dominate each other — all
+    kept). Exact float comparisons only; no arithmetic on price."""
+    if len(price) == 0:
+        return np.empty(0, dtype=np.int64)
+    order = np.lexsort((tie, -size, price))
+    p, s = price[order], size[order]
+    new_p = np.r_[True, p[1:] != p[:-1]]
+    grp_id = np.cumsum(new_p) - 1
+    starts = np.flatnonzero(new_p)
+    cmax = np.maximum.accumulate(s)
+    # max size among STRICTLY cheaper rows = cummax at previous group's end
+    prev_end = starts - 1
+    mprev = np.where(prev_end >= 0, cmax[np.maximum(prev_end, 0)],
+                     np.iinfo(np.int64).min)[grp_id]
+    grp_max = s[starts][grp_id]         # first of group = its max (sort)
+    keep = (s > mprev) & (s == grp_max)
+    return order[keep]
+
+
+def o12_skyline(sf_dir: str):
+    """Skyline of ``part`` on (p_retailprice MIN, p_size MAX): parts no
+    other part beats on both price and size."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+
+    def local(t: pa.Table) -> pa.Table:
+        keep = _skyline_keep(_col(t, "p_retailprice"),
+                             _col(t, "p_size").astype(np.int64),
+                             _col(t, "p_partkey"))
+        return t.take(pa.array(keep))
+
+    # candidates: blocks × O(log rows) rows — driver-sized by construction
+    cand = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    keep = _skyline_keep(cand["p_retailprice"].to_numpy(),
+                         cand["p_size"].to_numpy().astype(np.int64),
+                         cand["p_partkey"].to_numpy())
+    out = cand.iloc[np.sort(keep)].reset_index(drop=True)
+    out["p_partkey"] = out["p_partkey"].astype(np.int64)
+    out["p_size"] = out["p_size"].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# W13: SCD2 change history (gaps-and-islands) — collapse each user's
+# event stream into runs of consecutive equal event_type with
+# valid_from/valid_to boundaries: the slowly-changing-dimension build
+# every warehouse compaction job runs. Same salted per-user shuffle as
+# w2; the in-group kernel is one lexsort + vectorized run detection
+# over ALL users in the salt group (no per-user loop).
+# ---------------------------------------------------------------------------
+
+
+def w13_scd2_history(sf_dir: str):
+    """Per (user, run) SCD2 row: 1-based run_no, the run's event_type,
+    valid_from = first ts, valid_to = next run's valid_from (NULL on
+    the user's last run), n_rows = events in the run."""
+    salt_k = coarse_salt_k()
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "u_salt", pa.array((u % salt_k).astype(np.int32)))
+
+    fields = [("user_id", pa.int64()), ("run_no", pa.int64()),
+              ("event_type", pa.string()),
+              ("valid_from", pa.timestamp("us")),
+              ("valid_to", pa.timestamp("us")), ("n_rows", pa.int64())]
+
+    def per_salt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_tbl(fields)
+        uid, eid, ts = _col(t, "user_id"), _col(t, "event_id"), _ts_us(t)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        uniq, code = np.unique(et, return_inverse=True)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, code = uid[order], ts[order], code[order]
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        new_run = new_user | np.r_[True, code[1:] != code[:-1]]
+        starts = np.flatnonzero(new_run)
+        n_rows = np.diff(np.r_[starts, len(uid)])
+        r_uid, r_code, r_from = uid[starts], code[starts], ts[starts]
+        # 1-based run_no within user: run index − user's first run index
+        u_new = new_user[starts]
+        u_first = np.flatnonzero(u_new)
+        base = np.repeat(u_first, np.diff(np.r_[u_first, len(starts)]))
+        run_no = np.arange(len(starts), dtype=np.int64) - base + 1
+        # valid_to = next run's valid_from unless the user changes
+        last_of_user = np.r_[u_new[1:], True]
+        v_to = np.r_[r_from[1:], 0]
+        return pa.table({
+            "user_id": pa.array(r_uid),
+            "run_no": pa.array(run_no),
+            "event_type": pa.array(uniq[r_code]),
+            "valid_from": pa.array(r_from).cast(pa.timestamp("us")),
+            "valid_to": pa.array(v_to, mask=last_of_user).cast(
+                pa.timestamp("us")),
+            "n_rows": pa.array(n_rows.astype(np.int64)),
+        })
+
+    return _typed(
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby("u_salt")
+        .map_groups(per_salt, batch_format="pyarrow"),
+        fields,
+    )
+
+
+# ---------------------------------------------------------------------------
+# J10: fuzzy (edit-distance) similarity self-join — entity-resolution
+# near-duplicate names at Levenshtein distance exactly 1. Blocking is
+# the SymSpell deletion neighborhood: two strings within edit distance
+# 1 share at least one key in {s} ∪ {s minus one char}, so candidates
+# come from ONE salted hash shuffle over those keys (never an n² name
+# comparison); every candidate pair is verified EXACTLY in-bucket
+# (vectorized Hamming for equal lengths, prefix/suffix deletion check
+# for off-by-one lengths — together exhaustive for distance 1), and a
+# final narrow int64 distinct pass collapses pairs found under
+# multiple shared keys. Key hashing is a polynomial rolling hash whose
+# deletion variants derive from ONE prefix-sum pass per name (modular
+# inverse of the odd multiplier "removes" the deleted character's
+# positional weight) — hash collisions only ever ADD candidates, which
+# the exact verify rejects, so the result is exact by construction.
+# ---------------------------------------------------------------------------
+
+_FJ_A = np.uint64(0x9E3779B97F4A7C15)          # odd ⇒ invertible mod 2^64
+_FJ_AINV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
+
+
+def _fj_del_keys(names: np.ndarray):
+    """(keys, row_idx) of the distance-1 deletion-neighborhood blocking
+    keys of each name: the name itself plus every single-deletion
+    variant, all as uint64 rolling hashes mixed with the variant
+    length (assumes no interior NUL — true for text columns)."""
+    from ccrawler_ray.functions.graph import _splitmix64
+
+    arr = np.asarray(names, dtype=np.str_)
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    w = arr.dtype.itemsize // 4
+    m = arr.view(np.uint32).reshape(n, w).astype(np.uint64)
+    lens = (m != 0).sum(1).astype(np.uint64)
+    pw = np.cumprod(np.r_[np.uint64(1), np.full(w - 1, _FJ_A, np.uint64)],
+                    dtype=np.uint64)
+    term = m * pw                              # c_j · A^j (wrapping)
+    pfx = np.cumsum(term, axis=1, dtype=np.uint64) - term   # Σ_{j<p}
+    total = pfx[:, -1] + term[:, -1]
+    # delete position p: Σ_{j<p} c_j A^j + (Σ_{j>p} c_j A^j) · A⁻¹
+    var = pfx + (total[:, None] - pfx - term) * _FJ_AINV
+    ident = _splitmix64(total ^ lens)
+    varm = _splitmix64(var ^ (lens - np.uint64(1))[:, None])
+    pos_ok = np.arange(w, dtype=np.uint64)[None, :] < lens[:, None]
+    del_idx = np.repeat(np.arange(n, dtype=np.int64),
+                        lens.astype(np.int64))
+    return (np.r_[ident, varm[pos_ok]],
+            np.r_[np.arange(n, dtype=np.int64), del_idx])
+
+
+def _fj_verify_lev1(na: np.ndarray, nb: np.ndarray) -> np.ndarray:
+    """Boolean mask: Levenshtein(na[i], nb[i]) == 1, exactly. Equal
+    lengths ⇔ Hamming 1 (vectorized); lengths off by one ⇔ the longer
+    deletes one char to the shorter (checked at the first mismatch —
+    the only possible deletion site family); anything else is > 1."""
+    a = np.asarray(na, dtype=np.str_)
+    b = np.asarray(nb, dtype=np.str_)
+    la = np.char.str_len(a).astype(np.int64)
+    lb = np.char.str_len(b).astype(np.int64)
+    w = max(a.dtype.itemsize, b.dtype.itemsize) // 4
+    am = np.asarray(a, dtype=f"<U{w}").view(np.uint32).reshape(len(a), w)
+    bm = np.asarray(b, dtype=f"<U{w}").view(np.uint32).reshape(len(b), w)
+    ham = (am != bm).sum(1)
+    ok = (la == lb) & (ham == 1)
+    off1 = np.flatnonzero(np.abs(la - lb) == 1)
+    for i in off1:                      # rare: only off-by-one lengths
+        s, t = (a[i], b[i]) if la[i] < lb[i] else (b[i], a[i])
+        k = 0
+        while k < len(s) and s[k] == t[k]:
+            k += 1
+        if t[:k] + t[k + 1:] == s:
+            ok[i] = True
+    return ok
+
+
+def j10_fuzzy_join(sf_dir: str):
+    """All customer pairs whose names are at Levenshtein distance
+    exactly 1 (c1 < c2)."""
+    salt_k = coarse_salt_k()
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    fields = [("c1", pa.int64()), ("c2", pa.int64())]
+
+    def emit_keys(t: pa.Table) -> pa.Table:
+        names = t.column("c_name").to_numpy(zero_copy_only=False)
+        ck = _col(t, "c_custkey")
+        keys, idx = _fj_del_keys(names)
+        # dedupe (key, name) pairs a repeated character creates
+        order = np.lexsort((idx, keys))
+        keys, idx = keys[order], idx[order]
+        first = np.r_[True, (keys[1:] != keys[:-1]) | (idx[1:] != idx[:-1])]
+        keys, idx = keys[first], idx[first]
+        return pa.table({
+            "kh": pa.array(keys.view(np.int64)),
+            "ck": pa.array(ck[idx]),
+            "name": pa.array(names[idx]),
+            "k_salt": pa.array((keys % np.uint64(salt_k)).astype(np.int32)),
+        })
+
+    def per_key_salt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_tbl([("ph", pa.int64()), ("p_salt", pa.int32())])
+        kh, ck = _col(t, "kh"), _col(t, "ck")
+        nm = np.asarray(t.column("name").to_numpy(zero_copy_only=False),
+                        dtype=np.str_)
+        order = np.lexsort((ck, kh))
+        kh, ck, nm = kh[order], ck[order], nm[order]
+        starts = np.flatnonzero(np.r_[True, kh[1:] != kh[:-1]])
+        sizes = np.diff(np.r_[starts, len(kh)])
+        ia_l, ib_l = [], []
+        from ccrawler_ray.functions.dedup import _triu_pairs
+        for s, g in zip(starts[sizes > 1], sizes[sizes > 1]):
+            ia, ib = _triu_pairs(int(g))
+            ia_l.append(ia + s)
+            ib_l.append(ib + s)
+        if not ia_l:
+            return _empty_tbl([("ph", pa.int64()), ("p_salt", pa.int32())])
+        ia, ib = np.concatenate(ia_l), np.concatenate(ib_l)
+        # in-bucket custkey sort ⇒ ck[ia] < ck[ib] strictly (one row
+        # per (key, custkey) after emit_keys' dedupe)
+        ph = (ck[ia] << np.int64(32)) | ck[ib]
+        ph = np.unique(ph)              # same pair under 2 keys in-salt
+        c1 = (ph >> np.int64(32)).astype(np.int64)
+        c2 = (ph & np.int64(0xFFFFFFFF)).astype(np.int64)
+        # verify exactly against the group's names (a custkey may occur
+        # under several keys; any occurrence carries the same name)
+        uck, uidx = np.unique(ck, return_index=True)
+        a = uidx[np.searchsorted(uck, c1)]
+        b = uidx[np.searchsorted(uck, c2)]
+        keep = _fj_verify_lev1(nm[a], nm[b])
+        ph = ph[keep]
+        return pa.table({
+            "ph": pa.array(ph),
+            "p_salt": pa.array((ph % np.int64(salt_k)).astype(np.int32)),
+        })
+
+    def per_pair_salt(t: pa.Table) -> pa.Table:
+        ph = np.unique(_col(t, "ph"))
+        return pa.table({
+            "c1": pa.array((ph >> np.int64(32)).astype(np.int64)),
+            "c2": pa.array((ph & np.int64(0xFFFFFFFF)).astype(np.int64)),
+        })
+
+    return _typed(
+        ds.map_batches(emit_keys, batch_format="pyarrow")
+        .groupby("k_salt")
+        .map_groups(per_key_salt, batch_format="pyarrow")
+        .groupby("p_salt")
+        .map_groups(per_pair_salt, batch_format="pyarrow"),
+        fields,
+    )

@@ -1816,3 +1816,52 @@ def ccnet_buckets(sf_dir: str | None = None) -> pd.DataFrame:
     return (pd.concat(out).sort_values("doc_id").reset_index(drop=True)
             if out else pd.DataFrame(
                 columns=["doc_id", "lang", "xent", "bucket"]))
+
+
+def cluster_kmeans(sf_dir: str | None = None, n_clusters: int = 16,
+                   iters: int = 5) -> pd.DataFrame:
+    """Serial mirror of functions.similarity.cluster_kmeans — same
+    shared quantized-int64 k-means (kmeans_centroids above is already
+    bitwise-equal to the engine's), same per-vector micro-unit
+    distance quantization BEFORE the int64 sum, same single double
+    division — bitwise equal at any partitioning."""
+    sf_dir = sf_dir or oracle_sf_dir()
+    ids, mat = _embeddings(sf_dir)
+    cents = kmeans_centroids(sf_dir, k=n_clusters, iters=iters)
+    d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    a = d2.argmin(axis=1)
+    dq = np.round(d2[np.arange(len(mat)), a] * 1e6).astype(np.int64)
+    cl, inv = np.unique(a, return_inverse=True)
+    dsum = np.zeros(len(cl), dtype=np.int64)
+    np.add.at(dsum, inv, dq)
+    return pd.DataFrame({
+        "cluster": cl.astype(np.int64),
+        "n_members": np.bincount(inv).astype(np.int64),
+        "inertia": dsum.astype(np.float64) / 1e6})
+
+
+def knn_graph(sf_dir: str | None = None, k: int = 5) -> pd.DataFrame:
+    """Serial mirror of functions.similarity.knn_graph: full cosine
+    matrix, 4-dp rounding, the same packed (-cos, nbr_id) int64 sort
+    key — integer selection, bitwise equal."""
+    sf_dir = sf_dir or oracle_sf_dir()
+    ids, mat = _embeddings(sf_dir)
+    n = len(ids)
+    if n == 0:
+        return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                             "rank": pd.Series(dtype="int64"),
+                             "nbr_id": pd.Series(dtype="int64"),
+                             "cos": pd.Series(dtype="float64")})
+    m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qcos = np.round(m @ m.T * 1e4).astype(np.int64)
+    key = (np.int64(10_000) - qcos) * np.int64(2**33) + ids[None, :]
+    inf = np.int64(2**62)
+    key[ids[:, None] == ids[None, :]] = inf
+    rows = []
+    order = np.sort(key, axis=1)[:, :k]
+    for i in range(n):
+        sel = order[i][order[i] < inf]
+        for r, kv in enumerate(sel, 1):
+            rows.append((int(ids[i]), r, int(kv & np.int64(2**33 - 1)),
+                         float(np.int64(10_000) - (kv >> np.int64(33))) / 1e4))
+    return pd.DataFrame(rows, columns=["vec_id", "rank", "nbr_id", "cos"])

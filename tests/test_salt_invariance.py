@@ -38,6 +38,8 @@ QUERIES = [
     "bpe_train_merges",
     "spans_line_dedup",
     "q11_important_stock",
+    "w13_scd2_history",
+    "j10_fuzzy_join",
 ]
 
 

@@ -48,7 +48,7 @@ EMB_QUERIES = [
     "ann_ivf_pq", "ann_index_roundtrip", "ann_filtered_topk",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh", "dedup_semantic", "explode_embeddings",
-    "g12_embedding_centroids",
+    "g12_embedding_centroids", "cluster_kmeans", "knn_graph",
 ]
 
 
@@ -133,6 +133,7 @@ REL_QUERIES = [
     "w2_sessionize", "w3_tumbling_window", "w4_sliding_window",
     "w5_lag_lead", "w6_ntile", "w7_rolling_mean", "w8_late_events",
     "w9_percent_rank", "w10_funnel", "w11_ewma", "w12_retention_cohorts",
+    "w13_scd2_history", "o12_skyline", "j10_fuzzy_join",
     "o1_global_sort", "o2_global_topk", "o3_sample", "o3_sample_hash",
     "o4_stratified_sample", "o5_exact_quantiles", "o6_weighted_sample",
     "d1_exact_dedup", "d5_latest_per_key", "s1_set_intersect",
