@@ -1180,8 +1180,9 @@ def oracle_sql() -> dict[str, str]:
             "min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_rows "
             "FROM y GROUP BY user_id, run_no) "
             "SELECT user_id, run_no, event_type, valid_from, "
-            "lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_no) "
-            "AS valid_to, n_rows FROM r"
+            "COALESCE(lead(valid_from) OVER ("
+            "PARTITION BY user_id ORDER BY run_no), "
+            "TIMESTAMP '9999-12-31 00:00:00') AS valid_to, n_rows FROM r"
         ),
         "o12_skyline": (
             "SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) "

@@ -4436,11 +4436,17 @@ def o12_skyline(sf_dir: str):
 # over ALL users in the salt group (no per-user loop).
 # ---------------------------------------------------------------------------
 
+# open-row sentinel: 9999-12-31 00:00:00 as us-since-epoch (beyond
+# pandas' ns range, so computed from calendar days, not pd.Timestamp)
+_SCD2_OPEN_US = np.int64(2932896 * 86_400_000_000)
+
 
 def w13_scd2_history(sf_dir: str):
     """Per (user, run) SCD2 row: 1-based run_no, the run's event_type,
-    valid_from = first ts, valid_to = next run's valid_from (NULL on
-    the user's last run), n_rows = events in the run."""
+    valid_from = first ts, valid_to = next run's valid_from (the
+    open-row sentinel 9999-12-31 on the user's last run — avoids a
+    nullable timestamp in the comparison surface), n_rows = events in
+    the run."""
     salt_k = coarse_salt_k()
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
 
@@ -4472,16 +4478,16 @@ def w13_scd2_history(sf_dir: str):
         u_first = np.flatnonzero(u_new)
         base = np.repeat(u_first, np.diff(np.r_[u_first, len(starts)]))
         run_no = np.arange(len(starts), dtype=np.int64) - base + 1
-        # valid_to = next run's valid_from unless the user changes
+        # valid_to = next run's valid_from; user's last run stays open
+        # at the SCD2 sentinel (9999-12-31 00:00:00 in us)
         last_of_user = np.r_[u_new[1:], True]
-        v_to = np.r_[r_from[1:], 0]
+        v_to = np.where(last_of_user, _SCD2_OPEN_US, np.r_[r_from[1:], 0])
         return pa.table({
             "user_id": pa.array(r_uid),
             "run_no": pa.array(run_no),
             "event_type": pa.array(uniq[r_code]),
             "valid_from": pa.array(r_from).cast(pa.timestamp("us")),
-            "valid_to": pa.array(v_to, mask=last_of_user).cast(
-                pa.timestamp("us")),
+            "valid_to": pa.array(v_to).cast(pa.timestamp("us")),
             "n_rows": pa.array(n_rows.astype(np.int64)),
         })
 

@@ -61,7 +61,10 @@ def _assert_frames_match(got: pd.DataFrame, want: pd.DataFrame, name: str):
             ok = np.isclose(g[c].to_numpy(), w[c].to_numpy(), rtol=0, atol=1e-9, equal_nan=True)
             assert ok.all(), f"{name}.{c}: {int((~ok).sum())} value mismatches"
         else:
-            same = (g[c].to_numpy() == w[c].to_numpy())
+            # NaT == NaT is False in numpy; treat aligned nulls as equal
+            same = (g[c].to_numpy() == w[c].to_numpy()) | (
+                g[c].isna().to_numpy() & w[c].isna().to_numpy()
+            )
             assert same.all(), f"{name}.{c}: {int((~same).sum())} value mismatches"
 
 
