@@ -105,7 +105,9 @@ _QUERY_ORDER = (
     "q2_min_cost_supplier", "q16_part_supplier_counts",
     "mix_interleave", "mix_temperature_sample",
     "w10_funnel", "g15_corr", "g20_regression", "w12_retention_cohorts",
-    "w13_scd2_history", "o12_skyline", "j10_fuzzy_join",
+    "w13_scd2_history", "w14_markov_transitions", "o12_skyline",
+    "j10_fuzzy_join", "g22_mad", "g23_market_basket", "model_auc_report",
+    "io_orc_roundtrip", "source_ngram_overlap", "ann_nsw_topk",
     "zipf_fit", "source_sketch_sim", "fertility_stats",
     "g21_zscore_outliers", "search_phrase", "pmi_topk",
     "g19_grouping_sets", "bpe_pair_topk", "bpe_train_merges",
@@ -157,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ccrawler_ray.sources import csvio as CSV
     from ccrawler_ray.sources import ipcio as IPC
     from ccrawler_ray.sources import jsonl as JL
+    from ccrawler_ray.sources import orcio as ORC
 
     return _cost_ordered({
         # --- per-record maps / filters / scalar fns (M-rows)
@@ -214,6 +217,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w13_scd2_history": R.w13_scd2_history,
         "o12_skyline": R.o12_skyline,
         "j10_fuzzy_join": R.j10_fuzzy_join,
+        "g22_mad": R.g22_mad,
+        "g23_market_basket": R.g23_market_basket,
+        "w14_markov_transitions": R.w14_markov_transitions,
+        "model_auc_report": T.model_auc_report,
+        "source_ngram_overlap": D.source_ngram_overlap,
+        "io_orc_roundtrip": ORC.io_orc_roundtrip,
         "g15_corr": R.g15_corr,
         "g20_regression": R.g20_regression,
         "j9_full_outer_join": R.j9_full_outer_join,
@@ -319,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": S.embedding_pca,
         "cluster_kmeans": S.cluster_kmeans,
         "knn_graph": S.knn_graph,
+        "ann_nsw_topk": S.ann_nsw_topk,
         "ann_topk_cosine": lambda sf: S.ann_topk_cosine(sf, num_queries=5, k=5),
         "ann_range_search": lambda sf: S.ann_range_search(
             sf, num_queries=8, threshold=0.25),
@@ -456,6 +466,12 @@ def _serial_oracles() -> dict[str, str]:
                                 "source_b": "VARCHAR",
                                 "sig_matches": "BIGINT",
                                 "est_jaccard": "DOUBLE"}),
+        "source_ngram_overlap": V(SR.source_ngram_overlap(),
+                                  {"source_a": "VARCHAR",
+                                   "source_b": "VARCHAR",
+                                   "n_inter": "BIGINT",
+                                   "n_union": "BIGINT",
+                                   "jaccard_micro": "BIGINT"}),
         "gopher_quality": V(SR.gopher_quality(),
                             {"doc_id": "BIGINT", "n_words": "BIGINT",
                              "mean_word_len": "DOUBLE",
@@ -625,6 +641,9 @@ def _serial_oracles() -> dict[str, str]:
                                   "cos": "DOUBLE"}),
         "ann_lsh_topk": V(SR.ann_lsh_topk(num_queries=5, k=5), ann_t),
         "ann_ivf_topk": V(SR.ann_ivf_topk(num_queries=5, k=5), ann_t),
+        "ann_nsw_topk": V(SR.ann_nsw_topk(num_queries=5, k=5),
+                          {"query_id": "BIGINT", "rank": "BIGINT",
+                           "vec_id": "BIGINT", "cos": "DOUBLE"}),
         "ann_pq_topk": V(SR.ann_pq_topk(num_queries=5, k=5),
                          {"query_id": "BIGINT", "vec_id": "BIGINT",
                           "adist": "DOUBLE", "rank": "BIGINT"}),
@@ -1581,6 +1600,63 @@ def oracle_sql() -> dict[str, str]:
             "CAST(min(doc_id) AS BIGINT) AS min_doc, "
             "CAST(max(doc_id) AS BIGINT) AS max_doc "
             "FROM documents GROUP BY lang"
+        ),
+        "io_orc_roundtrip": (
+            "SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(max(doc_id) AS BIGINT) AS max_doc "
+            "FROM documents GROUP BY lang, source"
+        ),
+        "g22_mad": (
+            # quantile_disc on BOTH passes — the engine's histogram
+            # refinement implements exactly these discrete selections
+            "SELECT (SELECT quantile_disc(value, 0.5) FROM events) "
+            "AS median, (SELECT quantile_disc(abs(value - "
+            "(SELECT quantile_disc(value, 0.5) FROM events)), 0.5) "
+            "FROM events) AS mad"
+        ),
+        "g23_market_basket": (
+            "WITH b AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "FROM lineitem) "
+            "SELECT a.l_partkey AS p1, c.l_partkey AS p2, "
+            "CAST(count(*) AS BIGINT) AS pair_orders "
+            "FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey "
+            "AND a.l_partkey < c.l_partkey "
+            "GROUP BY 1, 2 HAVING count(*) >= 2"
+        ),
+        "w14_markov_transitions": (
+            "WITH x AS (SELECT event_type AS from_type, "
+            "lead(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS to_type FROM events), "
+            "c AS (SELECT from_type, to_type, "
+            "CAST(count(*) AS BIGINT) AS n FROM x "
+            "WHERE to_type IS NOT NULL GROUP BY 1, 2), "
+            "t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot "
+            "FROM c GROUP BY 1) "
+            "SELECT c.from_type, c.to_type, c.n, "
+            "CAST((c.n * 1000000) // t.tot AS BIGINT) AS p_micro "
+            "FROM c JOIN t USING (from_type)"
+        ),
+        "model_auc_report": (
+            # exact tie-aware AUC of the frozen quality logit
+            # (MODEL_WEIGHTS) for predicting lang = 'en'
+            "WITH s AS (SELECT "
+            r"35*(len(regexp_extract_all(text,'\s+'))+1) - 2*n_chars "
+            "- 50*len(regexp_extract_all(text,'[A-Z]')) "
+            "- 20*len(regexp_extract_all(text,'[0-9]')) + 900 AS score, "
+            "(lang = 'en') AS label FROM documents), "
+            "d AS (SELECT score, CAST(sum(CASE WHEN label THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS pos_v, "
+            "CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) "
+            "AS neg_v FROM s GROUP BY score), "
+            "o AS (SELECT *, CAST(coalesce(sum(neg_v) OVER ("
+            "ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS BIGINT) AS neg_below FROM d) "
+            "SELECT CAST(sum(pos_v) AS BIGINT) AS n_pos, "
+            "CAST(sum(neg_v) AS BIGINT) AS n_neg, "
+            "CAST(sum(pos_v*(2*neg_below+neg_v)) AS BIGINT) AS auc_num, "
+            "CAST(sum(pos_v*(2*neg_below+neg_v)) AS DOUBLE) "
+            "/ (2.0 * sum(pos_v) * sum(neg_v)) AS auc FROM o"
         ),
         "media_dedup_exact": (
             # payload == encode(text) by construction (synth_media), so

@@ -200,6 +200,14 @@ QUERY_SUITE = [
     "o12_skyline",
     "w13_scd2_history",
     "j10_fuzzy_join",
+    # round-3 session-7 additions
+    "g22_mad",
+    "g23_market_basket",
+    "w14_markov_transitions",
+    "model_auc_report",
+    "source_ngram_overlap",
+    "io_orc_roundtrip",
+    "ann_nsw_topk",
 ]
 
 

@@ -1896,3 +1896,121 @@ def _block_as_arrow_md(block):
     if isinstance(block, pd.DataFrame):
         block = pa.Table.from_pandas(block, preserve_index=False)
     return block, block_metadata(block)
+
+
+# ---------------------------------------------------------------------------
+# Cross-source EXACT n-gram overlap — the exact counterpart of
+# source_sketch_sim's MinHash estimate: |A∩B| / |A∪B| over each
+# source's distinct word-8-gram hash set (the cross-corpus
+# contamination / redundancy matrix a mixing run consults before
+# setting source weights).
+#
+# Scale shape: the map side emits one narrow row per DISTINCT
+# (8-gram hash, source) per batch (same chunked rolling-hash kernel
+# as dedup_ngram_spans); ONE coarse-salted shuffle on the hash
+# co-locates each hash's source set, whose OR-mask collapses the
+# group to per-MASK counts — the driver receives Σ_groups
+# |distinct masks| rows (bounded by 2^|sources|·salt_k, independent
+# of corpus size) and finishes the ≤ |sources|² pair table with
+# vectorized bit tests. Text never crosses the shuffle; per-doc rows
+# never reach the driver.
+# ---------------------------------------------------------------------------
+
+
+def source_ngram_overlap(sf_dir: str, n: int = 8):
+    """(source_a, source_b, n_inter, n_union, jaccard_micro): exact
+    distinct-8-gram Jaccard for every source pair (a < b);
+    jaccard_micro = inter·10⁶ // union (0 when both sets are empty)."""
+    salt_k = coarse_salt_k()
+    ds = read_docs(sf_dir, ["text", "source"])
+    pows = _roll_powers(n)
+
+    # tiny pre-pass: the source alphabet (bounded, drives the bit map)
+    src_parts = ds.map_batches(
+        lambda t: pa.table({"source": pa.array(
+            sorted(set(t.column("source").to_pylist())), pa.string())}),
+        batch_format="pyarrow").to_pandas()
+    sources = sorted(set(src_parts["source"]))
+    if len(sources) > 62:
+        raise ValueError(f"source alphabet too wide for the bit-mask "
+                         f"kernel: {len(sources)} > 62")
+    src_bit = {s: i for i, s in enumerate(sources)}
+
+    empty_rows = pa.table({"h": pa.array([], pa.uint64()),
+                           "bit": pa.array([], pa.int64()),
+                           "h_salt": pa.array([], pa.int32())})
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        words_per_doc = [t.split() for t in texts]
+        lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64,
+                           count=len(texts))
+        h = word_hashes([w for ws in words_per_doc for w in ws])
+        nw = len(h) - n + 1
+        if nw <= 0:
+            return empty_rows
+        acc = np.empty(nw, dtype=np.uint64)
+        s = 0
+        while s < nw:
+            e = min(nw, s + 16 * CHUNK_WORDS)
+            a = np.zeros(e - s, dtype=np.uint64)
+            for j in range(n):
+                a += h[s + j: e + j] * pows[j]
+            acc[s:e] = a
+            s = e
+        doc_idx = np.repeat(np.arange(len(texts)), lens)
+        valid = doc_idx[:nw] == doc_idx[n - 1: n - 1 + nw]
+        if not valid.any():
+            return empty_rows
+        bits = np.fromiter((src_bit[x] for x in srcs), dtype=np.int64,
+                           count=len(srcs))[doc_idx[:nw][valid]]
+        wh = acc[valid]
+        # distinct (hash, source-bit) per batch — one narrow row each
+        key = (wh << np.uint64(6)) | bits.astype(np.uint64)
+        u = np.unique(key)
+        uh = u >> np.uint64(6)
+        return pa.table({
+            "h": pa.array(uh),
+            "bit": pa.array((u & np.uint64(63)).astype(np.int64)),
+            "h_salt": pa.array((uh % np.uint64(salt_k)).astype(np.int32)),
+        })
+
+    def per_salt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"mask": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        bit = t.column("bit").to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h, bit = h[order], bit[order]
+        starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        grp = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, len(h)]))
+        mask = np.zeros(len(starts), dtype=np.int64)
+        np.bitwise_or.at(mask, grp, np.int64(1) << bit)
+        um, cnt = np.unique(mask, return_counts=True)
+        return pa.table({"mask": pa.array(um),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    parts = (
+        ds.map_batches(shingle_rows, batch_format="pyarrow")
+        .groupby("h_salt")
+        .map_groups(per_salt, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = (parts.groupby("mask")["cnt"].sum() if len(parts)
+           else pd.Series(dtype="int64"))
+    masks = agg.index.to_numpy(dtype=np.int64)
+    cnts = agg.to_numpy(dtype=np.int64)
+    rows = []
+    for i in range(len(sources)):
+        bi = np.int64(1) << i
+        for j in range(i + 1, len(sources)):
+            bj = np.int64(1) << j
+            inter = int(cnts[(masks & bi).astype(bool)
+                             & (masks & bj).astype(bool)].sum())
+            union = int(cnts[((masks & (bi | bj)) != 0)].sum())
+            jm = inter * 1_000_000 // union if union else 0
+            rows.append((sources[i], sources[j], inter, union, jm))
+    return pd.DataFrame(rows, columns=["source_a", "source_b", "n_inter",
+                                       "n_union", "jaccard_micro"])

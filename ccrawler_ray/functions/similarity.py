@@ -1027,6 +1027,14 @@ def cluster_kmeans(sf_dir: str, n_clusters: int = 16, iters: int = 5):
 
 
 def knn_graph(sf_dir: str, k: int = 5):
+    """Memoized per (sf_dir, k, session): ann_nsw_topk navigates the
+    same graph the query entry returns."""
+    from ccrawler_ray.memo import memo_ds
+
+    return memo_ds(("knn_graph", sf_dir, k), lambda: _knn_graph(sf_dir, k))
+
+
+def _knn_graph(sf_dir: str, k: int = 5):
     """For every vector, its ``k`` nearest neighbors by cosine (self
     excluded): (vec_id, rank 1..k, nbr_id, cos). One Ray task per
     QUERY block streams the candidate blocks one object ref at a time
@@ -1110,3 +1118,153 @@ def knn_graph(sf_dir: str, k: int = 5):
 
     out = [query_block.remote(r, list(refs)) for r in refs]
     return _stamp_schema(ray.data.from_arrow_refs(out), pa.schema(fields))
+
+
+# ---------------------------------------------------------------------------
+# Graph-navigation ANN (NSW-style): greedy best-first beam search over
+# the exact kNN graph — the HNSW-family serving pattern, complementing
+# the scan (brute/SQ), hash (LSH) and coarse-quantizer (IVF/PQ)
+# families. The searcher is an ACTOR-POOL stage: each actor is an
+# index REPLICA that assembles its adjacency + vector state ONCE in
+# __init__ from the materialized graph's object-store blocks (driver
+# moves refs, never edge bytes) and serves query batches from RAM —
+# exactly how production graph-ANN replicas deploy. Scale path beyond
+# one replica's RAM: IVF-shard the corpus and run one NSW per shard
+# (both building blocks are in-tree).
+#
+# Determinism: all comparisons use the packed integer key
+# (10000 − round(cos·1e4))·2^33 + vec_id — cos desc, id asc, no float
+# ties — so the walk's expansion order, stop rule and final top-k are
+# partitioning- and BLAS-independent; the walk kernel (`nsw_search`)
+# is SHARED BY IMPORT with serial_ref.ann_nsw_topk, which feeds it the
+# serially-built graph — bitwise equal iff the distributed graph and
+# normalization are exact (the differential, both already pinned).
+# ---------------------------------------------------------------------------
+
+
+def nsw_search(qids: np.ndarray, qm: np.ndarray, ids: np.ndarray,
+               m: np.ndarray, nbr_pos: list, entry_pos: int,
+               ef: int, k: int) -> pd.DataFrame:
+    """Frozen best-first beam search (HNSW searchLayer over one
+    layer). ``nbr_pos[i]`` lists neighbor POSITIONS of position i
+    (bidirectional, deduped); keys are the packed int64 (cos desc,
+    id asc) — unique per vector, so heap order is total and the
+    result is deterministic for ANY tie pattern."""
+    import heapq
+
+    rows = []
+    for qi, qv in zip(qids, qm):
+        def key_of(pos_arr: np.ndarray) -> np.ndarray:
+            qcos = np.round(m[pos_arr] @ qv * 1e4).astype(np.int64)
+            return (np.int64(10_000) - qcos) * np.int64(2**33) + ids[pos_arr]
+
+        ek = int(key_of(np.array([entry_pos]))[0])
+        cand = [(ek, entry_pos)]                 # min-heap: best first
+        top = [(-ek, entry_pos)]                 # max-heap of ef best
+        visited = {entry_pos}
+        while cand:
+            ckey, cpos = heapq.heappop(cand)
+            if len(top) == ef and ckey > -top[0][0]:
+                break
+            fresh = [p for p in nbr_pos[cpos] if p not in visited]
+            if not fresh:
+                continue
+            visited.update(fresh)
+            fkeys = key_of(np.asarray(fresh, dtype=np.int64))
+            for fk, fp in zip(fkeys, fresh):
+                fk = int(fk)
+                if len(top) < ef or fk < -top[0][0]:
+                    heapq.heappush(cand, (fk, fp))
+                    heapq.heappush(top, (-fk, fp))
+                    if len(top) > ef:
+                        heapq.heappop(top)
+        # self is excluded from the RESULT (the ann_* convention) but
+        # stays in the walk — it is the best possible waypoint
+        best = [kv for kv in sorted(-t[0] for t in top)
+                if int(kv & np.int64(2**33 - 1)) != int(qi)][:k]
+        for r, kv in enumerate(best, 1):
+            rows.append((int(qi), r, int(kv & np.int64(2**33 - 1)),
+                         float(np.int64(10_000) - (kv >> np.int64(33))) / 1e4))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "cos"])
+
+
+def adjacency_from_edges(ids: np.ndarray, src: np.ndarray,
+                         dst: np.ndarray) -> list:
+    """Bidirectional position adjacency from (vec_id → nbr_id) edges:
+    both directions, deduped, ascending — the frozen assembly rule
+    shared by the engine replicas and the serial mirror."""
+    pos = {int(v): i for i, v in enumerate(ids)}
+    sp = np.fromiter((pos[int(v)] for v in src), np.int64, count=len(src))
+    dp = np.fromiter((pos[int(v)] for v in dst), np.int64, count=len(dst))
+    a = np.concatenate([np.stack([sp, dp]), np.stack([dp, sp])], axis=1)
+    order = np.lexsort((a[1], a[0]))
+    s, d = a[0][order], a[1][order]
+    keep = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
+    s, d = s[keep], d[keep]
+    starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+    bounds = np.r_[starts, len(s)]
+    out: list = [np.empty(0, np.int64)] * len(ids)
+    for i, st in enumerate(starts):
+        out[int(s[st])] = d[st:bounds[i + 1]]
+    return out
+
+
+class NSWSearcher:
+    """Index replica: adjacency + normalized vectors assembled once
+    per actor from object-store refs (graph) and a direct parquet read
+    (vectors) — zero driver bytes, the stateful-stage pattern."""
+
+    def __init__(self, sf_dir: str, edge_refs: list, ef: int, k: int):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        self.ids = ids[order].astype(np.int64)
+        from ccrawler_ray.functions.dedup import as_single_array
+
+        mat = np.asarray(as_single_array(t.column("embedding")).flatten(),
+                         dtype=np.float64).reshape(len(ids), -1)[order]
+        self.m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        tabs = []
+        for b in ray.get(list(edge_refs)):
+            # _stamp_schema appends one typed empty PANDAS block
+            if isinstance(b, pd.DataFrame):
+                b = pa.Table.from_pandas(b, preserve_index=False)
+            if b.num_rows:
+                tabs.append(b.select(["vec_id", "nbr_id"]))
+        edges = pa.concat_tables(tabs)
+        self.nbr = adjacency_from_edges(
+            self.ids,
+            edges.column("vec_id").to_numpy(zero_copy_only=False),
+            edges.column("nbr_id").to_numpy(zero_copy_only=False))
+        self.entry = 0                      # position of min vec_id
+        self.ef, self.k = ef, k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        qids = df["vec_id"].to_numpy()
+        qm = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        return nsw_search(qids, qm, self.ids, self.m, self.nbr,
+                          self.entry, self.ef, self.k)
+
+
+def ann_nsw_topk(sf_dir: str, num_queries: int = 5, k: int = 5,
+                 graph_k: int = 5, ef: int = 32):
+    """(query_id, rank, vec_id, cos): NSW greedy beam search over the
+    exact kNN graph, served by an actor-pool of index replicas."""
+    knn = knn_graph(sf_dir, graph_k)        # memoized, materialized
+    if knn.count() == 0:
+        return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                             "rank": pd.Series(dtype="int64"),
+                             "vec_id": pd.Series(dtype="int64"),
+                             "cos": pd.Series(dtype="float64")})
+    edge_refs = knn.to_arrow_refs()
+    queries = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") < num_queries)
+    return queries.map_batches(
+        NSWSearcher, batch_format="pandas", concurrency=2,
+        fn_constructor_kwargs={"sf_dir": sf_dir, "edge_refs": edge_refs,
+                               "ef": ef, "k": k})

@@ -1831,3 +1831,115 @@ def quality_compression(sf_dir: str, keep_pct: int = 30):
             "keep": pa.array(cl * 100 > rl * np.int64(keep_pct))})
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=512)
+
+
+# ---------------------------------------------------------------------------
+# Model evaluation: exact ROC-AUC of the frozen quality logit as a
+# predictor of lang == 'en' — the classifier-calibration report every
+# filtered-corpus pipeline needs before trusting a score threshold.
+#
+# Exact AUC without a global sort: AUC over ties is
+#   Σ_v pos_v·(2·neg_below_v + neg_v) / (2·P·N)
+# summed over DISTINCT logit values v ascending. Distributed shape:
+# per-batch (logit, label) partial counts → one salted reduce to
+# per-distinct-value counts (the shuffle moves one row per distinct
+# value per block) → coarse value-bucket negative totals to the driver
+# (bounded by the logit VALUE RANGE >> 6, never by doc count — the
+# ccnet_buckets/w8 two-pass prefix pattern) → per-bucket groups
+# compute their exact contribution with the broadcast bucket prefix
+# offsets. The driver sees bucket totals and one final partial sum
+# per group; no per-doc row ever reaches it.
+# ---------------------------------------------------------------------------
+
+
+def model_auc_report(sf_dir: str):
+    """One row (n_pos, n_neg, auc_num, auc): exact tie-aware ROC-AUC
+    of the QualityModel logit for predicting lang == 'en'.
+    ``auc_num`` is the integer numerator Σ pos_v·(2·neg_below_v +
+    neg_v); ``auc = auc_num / (2.0·n_pos·n_neg)`` — the identical
+    IEEE division the oracle performs."""
+    from ccrawler_ray.scale import coarse_salt_k
+
+    salt_k = coarse_salt_k()
+    ds = _read_docs(sf_dir, ["doc_id", "text", "n_chars", "lang"])
+    model = QualityModel()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        scored = model(df)
+        logit = scored["logit"].to_numpy()
+        pos = (df["lang"].to_numpy() == "en")
+        key = logit * 2 + pos                      # (logit, label) packed
+        uk, cnt = np.unique(key, return_counts=True)
+        lv = uk >> 1
+        return pd.DataFrame({
+            "logit": lv,
+            "pos_v": np.where(uk & 1, cnt, 0).astype(np.int64),
+            "neg_v": np.where(uk & 1, 0, cnt).astype(np.int64),
+            "v_salt": ((lv % salt_k) + salt_k) % salt_k,
+        }).astype({"v_salt": "int32"})
+
+    def reduce_values(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"logit": pd.Series(dtype="int64"),
+                                 "pos_v": pd.Series(dtype="int64"),
+                                 "neg_v": pd.Series(dtype="int64"),
+                                 "b_salt": pd.Series(dtype="int32")})
+        g = df.groupby("logit", as_index=False)[["pos_v", "neg_v"]].sum()
+        bucket = g["logit"].to_numpy() >> 6
+        g["b_salt"] = (((bucket % salt_k) + salt_k) % salt_k).astype("int32")
+        return g.astype({"pos_v": "int64", "neg_v": "int64"})
+
+    per_value = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("v_salt")
+        .map_groups(reduce_values, batch_format="pandas")
+        .materialize()
+    )
+    # pass 1: per-bucket negative totals (driver rows bounded by the
+    # logit value range >> 6)
+    def bucket_tot(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["logit"].to_numpy() >> 6
+        g = pd.DataFrame({"bucket": b, "neg_v": df["neg_v"]})
+        return g.groupby("bucket", as_index=False)["neg_v"].sum()
+
+    bt = per_value.map_batches(bucket_tot, batch_format="pandas").to_pandas()
+    bt = bt.groupby("bucket", as_index=False)["neg_v"].sum().sort_values("bucket")
+    buckets = bt["bucket"].to_numpy()
+    neg_prefix = np.r_[0, np.cumsum(bt["neg_v"].to_numpy())][:-1]
+    import ray as _ray
+    off_ref = _ray.put((buckets, neg_prefix))
+
+    # pass 2: per-bucket groups — each bucket lands whole in one group,
+    # so neg_below inside the bucket is a local prefix over its values
+    def per_bucket_group(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"num2": pd.Series(dtype="int64"),
+                                 "pos": pd.Series(dtype="int64"),
+                                 "neg": pd.Series(dtype="int64")})
+        bks, offs = _ray.get(off_ref)
+        df = df.sort_values("logit")
+        lv = df["logit"].to_numpy()
+        pos_v = df["pos_v"].to_numpy()
+        neg_v = df["neg_v"].to_numpy()
+        b = lv >> 6
+        base = offs[np.searchsorted(bks, b)]
+        # local negatives below, restarting at each bucket boundary
+        cum = np.r_[0, np.cumsum(neg_v)][:-1]
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        local0 = np.repeat(cum[starts], np.diff(np.r_[starts, len(b)]))
+        neg_below = base + (cum - local0)
+        num2 = int((pos_v * (2 * neg_below + neg_v)).sum())
+        return pd.DataFrame({"num2": [num2], "pos": [int(pos_v.sum())],
+                             "neg": [int(neg_v.sum())]})
+
+    parts = (
+        per_value.groupby("b_salt")
+        .map_groups(per_bucket_group, batch_format="pandas")
+        .to_pandas()
+    )
+    num2 = int(parts["num2"].sum())
+    n_pos = int(parts["pos"].sum())
+    n_neg = int(parts["neg"].sum())
+    auc = num2 / (2.0 * n_pos * n_neg) if n_pos and n_neg else float("nan")
+    return pd.DataFrame({"n_pos": [n_pos], "n_neg": [n_neg],
+                         "auc_num": [num2], "auc": [auc]})

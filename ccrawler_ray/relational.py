@@ -966,12 +966,24 @@ def o5_exact_quantiles(sf_dir: str, quants: tuple = (0.5, 0.95, 0.99),
     pass is one small histogram; the final selection pulls <= ``cap``
     candidate rows."""
     vals = _read(sf_dir, "events", ["value"]).materialize()
+    rows = _exact_quantiles_over(vals, quants, cap, bins)
+    if rows is None:
+        return pd.DataFrame({"q": pd.Series(dtype="float64"),
+                             "value": pd.Series(dtype="float64")})
+    return pd.DataFrame(rows, columns=["q", "value"])
+
+
+def _exact_quantiles_over(vals, quants: tuple, cap: int = 10_000,
+                          bins: int = 1024):
+    """Histogram-refinement exact quantiles over a MATERIALIZED
+    single-column Dataset (column ``value``) — the o5 engine, reusable
+    for derived value streams (g22_mad runs it twice). Returns
+    [(q, value), ...] or None on an empty input."""
     agg = vals.aggregate(Min("value"), Max("value"), Count())
     n = int(agg["count()"])
     gmin, gmax = float(agg["min(value)"]), float(agg["max(value)"])
     if n == 0:
-        return pd.DataFrame({"q": pd.Series(dtype="float64"),
-                             "value": pd.Series(dtype="float64")})
+        return None
 
     def _mask(v: np.ndarray, lo: float, hi: float, closed_hi: bool):
         # ranges are half-open [lo, hi) except while the selection
@@ -1038,7 +1050,7 @@ def o5_exact_quantiles(sf_dir: str, quants: tuple = (0.5, 0.95, 0.99),
             continue
         cand = pull_sorted(lo, hi, closed_hi)
         rows.append((q, float(cand[k - 1])))
-    return pd.DataFrame(rows, columns=["q", "value"])
+    return rows
 
 
 # ---------------------------------------------------------------------------
@@ -4650,3 +4662,190 @@ def j10_fuzzy_join(sf_dir: str):
         .map_groups(per_pair_salt, batch_format="pyarrow"),
         fields,
     )
+
+
+# ---------------------------------------------------------------------------
+# G22: exact median absolute deviation — the robust-dispersion twin of
+# o5: two histogram-refinement passes (median of value, then median of
+# |value − median|), each moving only bounded per-block histograms.
+# No global sort anywhere; DuckDB quantile_disc semantics both passes.
+# ---------------------------------------------------------------------------
+
+
+def g22_mad(sf_dir: str):
+    """One row (median, mad): exact discrete median of events.value
+    and the exact discrete median of |value − median|. The derived
+    deviation column is float64 |x − med| with the identical IEEE ops
+    the oracle's abs(value − med) performs, so the second pass selects
+    the same element bit-for-bit."""
+    vals = _read(sf_dir, "events", ["value"]).materialize()
+    got = _exact_quantiles_over(vals, (0.5,))
+    if got is None:
+        return pd.DataFrame({"median": pd.Series(dtype="float64"),
+                             "mad": pd.Series(dtype="float64")})
+    med = got[0][1]
+
+    def dev(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({"value": pa.array(np.abs(v - med))})
+
+    devs = vals.map_batches(dev, batch_format="pyarrow").materialize()
+    mad = _exact_quantiles_over(devs, (0.5,))[0][1]
+    return pd.DataFrame({"median": [med], "mad": [mad]})
+
+
+# ---------------------------------------------------------------------------
+# G23: market-basket pair mining — co-occurrence support counts over
+# order baskets (the association-rule / recommender counting job).
+# Shape: per-batch distinct (order, part) rows → ONE salted shuffle on
+# the order key (each basket lands whole in one group) → in-group
+# vectorized pair generation (lexsort + _triu_pairs per basket run) →
+# per-group partial pair counts → second salted shuffle on the packed
+# pair key sums partials and applies min-support. Pair cardinality
+# never exceeds Σ C(basket,2); baskets are small and bounded, so no
+# quadratic blowup, and only (pair, count) rows cross the shuffles.
+# ---------------------------------------------------------------------------
+
+
+def g23_market_basket(sf_dir: str, min_support: int = 2):
+    """(p1, p2, pair_orders): part pairs bought together in >=
+    ``min_support`` orders; p1 < p2."""
+    salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def distinct_rows(t: pa.Table) -> pa.Table:
+        ok = _col(t, "l_orderkey")
+        pk = _col(t, "l_partkey")
+        key = (ok << np.int64(32)) | pk          # both < 2^31
+        u = np.unique(key)
+        return pa.table({
+            "ok": pa.array((u >> np.int64(32)).astype(np.int64)),
+            "pk": pa.array((u & np.int64(0xFFFFFFFF)).astype(np.int64)),
+            "o_salt": pa.array(((u >> np.int64(32)) % salt_k)
+                               .astype(np.int32)),
+        })
+
+    def per_order_salt(t: pa.Table) -> pa.Table:
+        from ccrawler_ray.functions.dedup import _triu_pairs
+
+        empty = [("ph", pa.int64()), ("n", pa.int64()),
+                 ("p_salt", pa.int32())]
+        if t.num_rows == 0:
+            return _empty_tbl(empty)
+        ok, pk = _col(t, "ok"), _col(t, "pk")
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        # distinct again across blocks (distinct_rows dedupes per batch)
+        first = np.r_[True, (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])]
+        ok, pk = ok[first], pk[first]
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        sizes = np.diff(np.r_[starts, len(ok)])
+        ia_l, ib_l = [], []
+        for s, g in zip(starts[sizes > 1], sizes[sizes > 1]):
+            ia, ib = _triu_pairs(int(g))
+            ia_l.append(ia + s)
+            ib_l.append(ib + s)
+        if not ia_l:
+            return _empty_tbl(empty)
+        ia, ib = np.concatenate(ia_l), np.concatenate(ib_l)
+        # pk sorted within order ⇒ pk[ia] < pk[ib] strictly
+        ph = (pk[ia] << np.int64(32)) | pk[ib]
+        uph, cnt = np.unique(ph, return_counts=True)
+        return pa.table({
+            "ph": pa.array(uph),
+            "n": pa.array(cnt.astype(np.int64)),
+            "p_salt": pa.array((uph % salt_k).astype(np.int32)),
+        })
+
+    def per_pair_salt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_tbl([("p1", pa.int64()), ("p2", pa.int64()),
+                               ("pair_orders", pa.int64())])
+        ph, n = _col(t, "ph"), _col(t, "n")
+        order = np.argsort(ph, kind="stable")
+        ph, n = ph[order], n[order]
+        starts = np.flatnonzero(np.r_[True, ph[1:] != ph[:-1]])
+        tot = np.add.reduceat(n, starts)
+        uph = ph[starts]
+        keep = tot >= min_support
+        uph, tot = uph[keep], tot[keep]
+        return pa.table({
+            "p1": pa.array((uph >> np.int64(32)).astype(np.int64)),
+            "p2": pa.array((uph & np.int64(0xFFFFFFFF)).astype(np.int64)),
+            "pair_orders": pa.array(tot.astype(np.int64)),
+        })
+
+    return _typed(
+        ds.map_batches(distinct_rows, batch_format="pyarrow")
+        .groupby("o_salt")
+        .map_groups(per_order_salt, batch_format="pyarrow")
+        .groupby("p_salt")
+        .map_groups(per_pair_salt, batch_format="pyarrow"),
+        [("p1", pa.int64()), ("p2", pa.int64()),
+         ("pair_orders", pa.int64())],
+    )
+
+
+# ---------------------------------------------------------------------------
+# W14: Markov transition matrix over event streams — consecutive
+# event_type transitions per user (the session-model / process-mining
+# rollup). ONE salted per-user shuffle (the w2/w13 shape); the
+# in-group kernel emits partial (from, to) counts, and the final
+# reduce is driver-side over |event_type|² rows — bounded by the TYPE
+# alphabet, never by user or event count. Probabilities are exact
+# integer floor micro-units (cnt·10⁶ // from_total), mirroring the
+# oracle's BIGINT // division.
+# ---------------------------------------------------------------------------
+
+
+def w14_markov_transitions(sf_dir: str):
+    """(from_type, to_type, n, p_micro): transition counts between
+    consecutive events of each user in (ts, event_id) order, with the
+    row-conditional probability floor-scaled to micro-units."""
+    salt_k = coarse_salt_k()
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "u_salt", pa.array((u % salt_k).astype(np.int32)))
+
+    def per_salt(t: pa.Table) -> pa.Table:
+        empty = [("from_type", pa.string()), ("to_type", pa.string()),
+                 ("n", pa.int64())]
+        if t.num_rows == 0:
+            return _empty_tbl(empty)
+        uid, eid, ts = _col(t, "user_id"), _col(t, "event_id"), _ts_us(t)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        uniq, code = np.unique(et, return_inverse=True)
+        order = np.lexsort((eid, ts, uid))
+        uid, code = uid[order], code[order]
+        same = uid[1:] == uid[:-1]
+        f_code, t_code = code[:-1][same], code[1:][same]
+        if not len(f_code):
+            return _empty_tbl(empty)
+        pk = f_code.astype(np.int64) * len(uniq) + t_code
+        upk, cnt = np.unique(pk, return_counts=True)
+        return pa.table({
+            "from_type": pa.array(uniq[(upk // len(uniq))]),
+            "to_type": pa.array(uniq[(upk % len(uniq))]),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    parts = (
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby("u_salt")
+        .map_groups(per_salt, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if not len(parts):
+        return pd.DataFrame({"from_type": pd.Series(dtype="object"),
+                             "to_type": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64"),
+                             "p_micro": pd.Series(dtype="int64")})
+    g = parts.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+    tot = g.groupby("from_type")["n"].transform("sum").to_numpy()
+    n = g["n"].to_numpy().astype(np.int64)
+    g["n"] = n
+    g["p_micro"] = n * 1_000_000 // tot.astype(np.int64)
+    return g.reset_index(drop=True)

@@ -39,6 +39,12 @@ def coarse_salt_k(floor: int = 64, per_cpu: int = 2) -> int:
     env = os.environ.get("CCRAWLER_SALT_K")
     if env:
         return max(1, int(env))
+    return max(floor, min(_cluster_pow2(per_cpu), CAP))
+
+
+def _cluster_pow2(per_cpu: int) -> int:
+    """Memoized next power of two ≥ per_cpu × cluster CPUs — the raw
+    cluster probe, NOT subject to the CCRAWLER_SALT_K override."""
     global _PROBE
     if _PROBE is None:
         cpus = 0
@@ -47,12 +53,12 @@ def coarse_salt_k(floor: int = 64, per_cpu: int = 2) -> int:
                 cpus = int(ray.cluster_resources().get("CPU", 0))
         except Exception:  # resource probe must never break a query
             cpus = 0
-        target = max(per_cpu * cpus, 1)
         k = 1
-        while k < target:
+        while k < max(2 * cpus, 1):
             k <<= 1
         _PROBE = k
-    return max(floor, min(_PROBE, CAP))
+    # _PROBE is sized at per_cpu=2; rescale by shifting
+    return max(1, _PROBE >> (1 if per_cpu == 1 else 0))
 
 
 def join_partitions(floor: int = 8, cap: int = 256) -> int:
@@ -65,12 +71,16 @@ def join_partitions(floor: int = 8, cap: int = 256) -> int:
     aggregate CPU count actually exceeds 4×floor×... (256 CPUs → 64
     partitions). ``CCRAWLER_JOIN_PARTS`` overrides (tests / A-B).
     Join OUTPUT is partition-count independent — a pure parallelism
-    knob."""
+    knob. Deliberately reads the RAW cluster probe, not
+    ``coarse_salt_k``: the CCRAWLER_SALT_K test override must sweep
+    salting only — at k=256 on a small session it would force 64 join
+    aggregator actors and stall every ``Dataset.join`` (found by the
+    salt-invariance suite hanging in dedup_clusters)."""
     env = os.environ.get("CCRAWLER_JOIN_PARTS")
     if env:
         return max(1, int(env))
-    # memoized cluster probe: pow2 ≥ 2×CPU, shifted down to ≥ CPU/4
-    k = max(1, coarse_salt_k(floor=1, per_cpu=1) >> 2)
+    # cluster probe: pow2 ≥ 2×CPU, shifted down to ≥ CPU/4
+    k = max(1, _cluster_pow2(1) >> 2)
     return max(floor, min(k, cap))
 
 

@@ -1865,3 +1865,59 @@ def knn_graph(sf_dir: str | None = None, k: int = 5) -> pd.DataFrame:
             rows.append((int(ids[i]), r, int(kv & np.int64(2**33 - 1)),
                          float(np.int64(10_000) - (kv >> np.int64(33))) / 1e4))
     return pd.DataFrame(rows, columns=["vec_id", "rank", "nbr_id", "cos"])
+
+
+def source_ngram_overlap(sf_dir: str | None = None, n: int = 8) -> pd.DataFrame:
+    """Serial mirror of functions.dedup.source_ngram_overlap: the same
+    rolling polynomial hash over the same blake2b word hashes, plain
+    per-source Python sets instead of the salted mask shuffle."""
+    d = sf_dir or oracle_sf_dir()
+    t = pq.read_table(f"{d}/documents.parquet", columns=["text", "source"])
+    mod = 1 << 64
+    pows = [pow(0x9E3779B97F4A7C15, n - 1 - j, mod) for j in range(n)]
+    by_src: dict[str, set] = {}
+    for text, src in zip(t.column("text").to_pylist(),
+                         t.column("source").to_pylist()):
+        hs = [_whash(w) for w in text.split()]
+        s = by_src.setdefault(src, set())
+        for i in range(len(hs) - n + 1):
+            v = 0
+            for j in range(n):
+                v = (v + hs[i + j] * pows[j]) % mod
+            s.add(v)
+    srcs = sorted(by_src)
+    rows = []
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            a, b = by_src[srcs[i]], by_src[srcs[j]]
+            inter, union = len(a & b), len(a | b)
+            jm = inter * 1_000_000 // union if union else 0
+            rows.append((srcs[i], srcs[j], inter, union, jm))
+    return pd.DataFrame(rows, columns=["source_a", "source_b", "n_inter",
+                                       "n_union", "jaccard_micro"])
+
+
+def ann_nsw_topk(sf_dir: str | None = None, num_queries: int = 5,
+                 k: int = 5, graph_k: int = 5, ef: int = 32) -> pd.DataFrame:
+    """Serial mirror of functions.similarity.ann_nsw_topk: the SAME
+    walk kernel and adjacency-assembly rule by import, fed the
+    serially-built exact kNN graph — bitwise equal iff the distributed
+    graph and normalization are exact."""
+    from ccrawler_ray.functions.similarity import (adjacency_from_edges,
+                                                   nsw_search)
+
+    d = sf_dir or oracle_sf_dir()
+    ids, mat = _embeddings(d)
+    if len(ids) == 0:
+        return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                             "rank": pd.Series(dtype="int64"),
+                             "vec_id": pd.Series(dtype="int64"),
+                             "cos": pd.Series(dtype="float64")})
+    ids = ids.astype(np.int64)
+    m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    g = knn_graph(d, k=graph_k)
+    nbr = adjacency_from_edges(ids, g["vec_id"].to_numpy(),
+                               g["nbr_id"].to_numpy())
+    qsel = ids < num_queries
+    qm = mat[qsel] / np.linalg.norm(mat[qsel], axis=1, keepdims=True)
+    return nsw_search(ids[qsel], qm, ids, m, nbr, 0, ef, k)

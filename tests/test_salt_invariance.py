@@ -40,6 +40,10 @@ QUERIES = [
     "q11_important_stock",
     "w13_scd2_history",
     "j10_fuzzy_join",
+    "g23_market_basket",
+    "w14_markov_transitions",
+    "model_auc_report",
+    "source_ngram_overlap",
 ]
 
 

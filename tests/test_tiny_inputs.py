@@ -21,6 +21,7 @@ DOC_QUERIES = [
     "o8_hash_split", "o9_seeded_shuffle", "o11_chunk_overlap",
     "g16_heavy_hitters",
     "g17_string_agg", "dsir_importance", "zipf_fit", "source_sketch_sim",
+    "source_ngram_overlap", "model_auc_report", "io_orc_roundtrip",
     "fertility_stats", "search_phrase", "pmi_topk",
     "bpe_pair_topk",
     "bpe_train_merges", "bpe_encode_stats",
@@ -49,6 +50,7 @@ EMB_QUERIES = [
     "dedup_embedding_cosine",
     "dedup_embedding_lsh", "dedup_semantic", "explode_embeddings",
     "g12_embedding_centroids", "cluster_kmeans", "knn_graph",
+    "ann_nsw_topk",
 ]
 
 
@@ -134,6 +136,7 @@ REL_QUERIES = [
     "w5_lag_lead", "w6_ntile", "w7_rolling_mean", "w8_late_events",
     "w9_percent_rank", "w10_funnel", "w11_ewma", "w12_retention_cohorts",
     "w13_scd2_history", "o12_skyline", "j10_fuzzy_join",
+    "g22_mad", "g23_market_basket", "w14_markov_transitions",
     "o1_global_sort", "o2_global_topk", "o3_sample", "o3_sample_hash",
     "o4_stratified_sample", "o5_exact_quantiles", "o6_weighted_sample",
     "d1_exact_dedup", "d5_latest_per_key", "s1_set_intersect",
