@@ -77,3 +77,21 @@ def test_salt_k_invariance(monkeypatch):
         diffs = {n: (got[k][n], base[n])
                  for n in QUERIES if got[k][n] != base[n]}
         assert not diffs, f"salt k={k} changed outputs: {diffs}"
+
+
+def test_join_partitions_ignore_salt_override(monkeypatch):
+    """Regression: the CCRAWLER_SALT_K sweep must steer SALTING only.
+    join_partitions once read it through coarse_salt_k(floor=1) — at
+    k=256 that forced 64 join aggregator actors per Dataset.join on a
+    small session and stalled dedup_clusters (this suite hung)."""
+    from ccrawler_ray.scale import coarse_salt_k, join_partitions
+
+    base = join_partitions()
+    monkeypatch.setenv("CCRAWLER_SALT_K", "256")
+    assert coarse_salt_k() == 256          # the override still salts
+    assert join_partitions() == base       # ...but never re-fans joins
+    monkeypatch.setenv("CCRAWLER_SALT_K", "4")
+    assert coarse_salt_k() == 4
+    assert join_partitions() == base
+    monkeypatch.setenv("CCRAWLER_JOIN_PARTS", "32")
+    assert join_partitions() == 32         # the join knob is its own env
