@@ -840,9 +840,9 @@ def ann_recall_report(sf_dir: str, num_queries: int = 5, k: int = 5):
     Each leg's result is the pipeline's own Dataset collapsed to its
     (query, vec) pair set (num_queries × k rows — driver-sized by
     construction); recall is floor-scaled to 4 decimals. Methods:
-    lsh, ivf, pq, ivf_pq."""
+    lsh, ivf, pq, ivf_pq, sq, nsw — every approximate family in-tree."""
     def pairs(ds) -> set:
-        df = ds.to_pandas()
+        df = ds if isinstance(ds, pd.DataFrame) else ds.to_pandas()
         return set(zip(df["query_id"].astype(int), df["vec_id"].astype(int)))
 
     exact = pairs(ann_topk_cosine(sf_dir, num_queries, k))
@@ -851,6 +851,8 @@ def ann_recall_report(sf_dir: str, num_queries: int = 5, k: int = 5):
         "ivf_pq": ann_ivf_pq(sf_dir, num_queries, k),
         "lsh": ann_lsh_topk(sf_dir, num_queries, k),
         "pq": ann_pq_topk(sf_dir, num_queries, k),
+        "sq": ann_sq_topk(sf_dir, num_queries, k),
+        "nsw": ann_nsw_topk(sf_dir, num_queries, k),
     }
     rows = []
     denom = max(len(exact), 1)

@@ -1545,7 +1545,9 @@ def ann_recall_report(sf_dir: str | None = None, num_queries: int = 5,
     legs = {"ivf": ann_ivf_topk(sf, num_queries, k),
             "ivf_pq": ann_ivf_pq(sf, num_queries, k),
             "lsh": ann_lsh_topk(sf, num_queries, k),
-            "pq": ann_pq_topk(sf, num_queries, k)}
+            "pq": ann_pq_topk(sf, num_queries, k),
+            "sq": ann_sq_topk(sf, num_queries, k),
+            "nsw": ann_nsw_topk(sf, num_queries, k)}
     rows = []
     denom = max(len(exact), 1)
     for method in sorted(legs):
