@@ -79,7 +79,8 @@ _QUERY_ORDER = (
     "m9_content_hash", "scalar_string_ops", "o3_sample_hash",
     "o8_hash_split", "o9_seeded_shuffle", "o11_chunk_overlap",
     "explode_embeddings",
-    "spans_rollup", "spans_line_dedup", "spans_pack_multimodal", "o3_sample",
+    "spans_rollup", "spans_integrity_report", "spans_line_dedup",
+    "spans_pack_multimodal", "o3_sample",
     "d1_exact_dedup", "doc_fingerprint", "char_entropy", "token_count_bpe",
     "o2_global_topk", "d3_content_dedup", "g14_group_median",
     "g17_string_agg", "quality_score", "quality_compression",
@@ -352,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_byte_stats": M.media_byte_stats,
         "media_dedup_near": M.media_dedup_near,
         "spans_rollup": SP.spans_rollup,
+        "spans_integrity_report": SP.spans_integrity_report,
         "spans_line_dedup": SP.spans_line_dedup,
         "spans_pack_multimodal": SP.spans_pack_multimodal,
         # --- the crawl itself
@@ -496,6 +498,12 @@ def _serial_oracles() -> dict[str, str]:
                           {"kind": "VARCHAR", "n_spans": "BIGINT",
                            "n_docs": "BIGINT", "sum_text_len": "BIGINT",
                            "n_media_refs": "BIGINT"}),
+        "spans_integrity_report": V(
+            SR.spans_integrity_report(),
+            {"n_docs": "BIGINT", "n_spans": "BIGINT",
+             "n_offset_violations": "BIGINT", "n_ref_violations": "BIGINT",
+             "tt": "BIGINT", "tm": "BIGINT", "mt": "BIGINT",
+             "mm": "BIGINT"}),
         "spans_line_dedup": V(SR.spans_line_dedup(),
                               {"doc_id": "VARCHAR", "n_spans": "BIGINT",
                                "n_kept": "BIGINT", "n_dropped": "BIGINT"}),

@@ -208,6 +208,7 @@ QUERY_SUITE = [
     "source_ngram_overlap",
     "io_orc_roundtrip",
     "ann_nsw_topk",
+    "spans_integrity_report",
 ]
 
 

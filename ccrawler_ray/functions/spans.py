@@ -288,3 +288,63 @@ def spans_pack_multimodal(sf_dir: str, capacity: int = SPANS_PACK_CAPACITY,
             "end_bin": (pre + tok - 1) // cap})
 
     return rows.groupby("bkt").map_groups(pack, batch_format="pandas")
+
+
+def spans_integrity_report(sf_dir: str):
+    """ONE row — the north-rule per-row invariant (kind, text,
+    media_ref, order) checked DISTRIBUTEDLY over the whole interleaved
+    corpus, plus the interleaving structure a multimodal packer sizes
+    against:
+
+    (n_docs, n_spans, n_offset_violations, n_ref_violations,
+     tt, tm, mt, mm)
+
+    * offset violation — a span whose ``offset`` is not strictly
+      greater than its predecessor's within the document (the ORDER
+      leg of the invariant); expected 0 on a well-formed corpus.
+    * ref violation — a text span carrying a media_ref, or a media
+      span without one (the media_ref discipline leg); expected 0.
+    * tt/tm/mt/mm — adjacent-pair kind transitions (text→text,
+      text→media, …): the interleaving profile.
+
+    Per-batch partials only (docs never span the driver-sliced
+    blocks); the reduce is a driver-side sum of |blocks| tiny rows.
+    """
+    import pandas as pd
+
+    ds = corpus_dataset(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        lens = pc.list_value_length(spans).to_numpy().astype(np.int64)
+        kind = np.asarray(flat.field("kind").to_pylist(), dtype=object)
+        off = flat.field("offset").to_numpy(zero_copy_only=False)
+        has_ref = (pc.utf8_length(flat.field("media_ref"))
+                   .to_numpy(zero_copy_only=False) > 0)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        is_media = kind == "media"
+        ref_bad = int((has_ref != is_media).sum())
+        same_doc = np.r_[False, doc_idx[1:] == doc_idx[:-1]]
+        off_bad = int((same_doc & np.r_[False, off[1:] <= off[:-1]]).sum())
+        pair = same_doc[1:] if len(kind) else np.empty(0, bool)
+        a = is_media[:-1][pair].astype(np.int64) if len(kind) else []
+        b = is_media[1:][pair].astype(np.int64) if len(kind) else []
+        code = np.asarray(a) * 2 + np.asarray(b)
+        trans = np.bincount(code.astype(np.int64), minlength=4)
+        return pa.table({
+            "n_docs": pa.array([int((lens > 0).sum())], pa.int64()),
+            "n_spans": pa.array([len(kind)], pa.int64()),
+            "n_offset_violations": pa.array([off_bad], pa.int64()),
+            "n_ref_violations": pa.array([ref_bad], pa.int64()),
+            "tt": pa.array([int(trans[0])], pa.int64()),
+            "tm": pa.array([int(trans[1])], pa.int64()),
+            "mt": pa.array([int(trans[2])], pa.int64()),
+            "mm": pa.array([int(trans[3])], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame([parts.sum(axis=0).astype("int64")]).reset_index(
+        drop=True)

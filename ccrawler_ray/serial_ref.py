@@ -1923,3 +1923,34 @@ def ann_nsw_topk(sf_dir: str | None = None, num_queries: int = 5,
     qsel = ids < num_queries
     qm = mat[qsel] / np.linalg.norm(mat[qsel], axis=1, keepdims=True)
     return nsw_search(ids[qsel], qm, ids, m, nbr, 0, ef, k)
+
+
+def spans_integrity_report(sf_dir: str | None = None) -> pd.DataFrame:
+    """Serial mirror of functions.spans.spans_integrity_report: plain
+    Python loop over the same deterministic interleaved corpus."""
+    from ccrawler_ray.sources.corpus import corpus_from_documents
+
+    sf = sf_dir or oracle_sf_dir()
+    t = corpus_from_documents(f"{sf}/documents.parquet")
+    n_docs = n_spans = off_bad = ref_bad = 0
+    trans = [0, 0, 0, 0]
+    for spans in t.column("spans").to_pylist():
+        if spans:
+            n_docs += 1
+        prev_off = None
+        prev_media = None
+        for s in spans:
+            n_spans += 1
+            is_media = s["kind"] == "media"
+            if bool(s["media_ref"]) != is_media:
+                ref_bad += 1
+            if prev_off is not None and s["offset"] <= prev_off:
+                off_bad += 1
+            if prev_media is not None:
+                trans[prev_media * 2 + is_media] += 1
+            prev_off, prev_media = s["offset"], int(is_media)
+    return pd.DataFrame([{
+        "n_docs": n_docs, "n_spans": n_spans,
+        "n_offset_violations": off_bad, "n_ref_violations": ref_bad,
+        "tt": trans[0], "tm": trans[1], "mt": trans[2], "mm": trans[3],
+    }]).astype("int64")

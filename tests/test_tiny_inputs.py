@@ -36,7 +36,8 @@ DOC_QUERIES = [
     "training_mix_stats",
     "mix_interleave", "mix_temperature_sample", "corpus_prep_stats",
     "quality_filtered_docs",
-    "spans_rollup", "spans_line_dedup", "spans_pack_multimodal",
+    "spans_rollup", "spans_integrity_report", "spans_line_dedup",
+    "spans_pack_multimodal",
     "media_byte_stats", "media_dedup_exact", "media_dedup_near",
     "decode_media_meta", "media_pipeline",
     # io
