@@ -25,9 +25,12 @@ def entry() -> Any:
     corpus (4 generations), returning the docs_out Dataset."""
     from ccrawler_ray.config import CrawlConfig
     from ccrawler_ray.pipelines.crawl import CrawlEngine
-    from ccrawler_ray.sources.corpus import corpus_from_documents, default_seeds
+    from ccrawler_ray.sources.corpus import corpus_parquet, default_seeds
 
-    corpus = corpus_from_documents(f"{SF0001}/documents.parquet")
+    # the interleaved corpus is built DISTRIBUTED once per sf_dir and
+    # handed to the engine BY PATH — its broadcast/semi-join size seam
+    # decides how the bytes move (never a driver-side per-row lift).
+    corpus = corpus_parquet(SF0001)
     cfg = CrawlConfig(
         seeds=default_seeds(4),
         max_generations=4,
@@ -48,9 +51,9 @@ def _crawl_docs_out(sf_dir: str):
     """Crawl pipeline as a query: docs_out audit columns (no spans)."""
     from ccrawler_ray.config import CrawlConfig
     from ccrawler_ray.pipelines.crawl import CrawlEngine
-    from ccrawler_ray.sources.corpus import corpus_from_documents, default_seeds
+    from ccrawler_ray.sources.corpus import corpus_parquet, default_seeds
 
-    corpus = corpus_from_documents(f"{sf_dir}/documents.parquet")
+    corpus = corpus_parquet(sf_dir)  # distributed lift, engine takes a path
     cfg = CrawlConfig(
         seeds=default_seeds(4),
         max_generations=4,

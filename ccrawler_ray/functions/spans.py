@@ -14,14 +14,15 @@ import ray.data
 _BLOCK_ROWS = 512
 
 
-def corpus_dataset(sf_dir: str) -> "ray.data.Dataset":
-    """The deterministic interleaved corpus as a Dataset, sliced into
-    blocks on the driver (map parallelism == block count)."""
-    from ccrawler_ray.sources.corpus import corpus_from_documents
+def corpus_dataset(sf_dir: str, with_row_no: bool = False) -> "ray.data.Dataset":
+    """The deterministic interleaved corpus as a DISTRIBUTED Dataset:
+    pruned read_parquet over documents → map_batches lift (block count
+    from parquet metadata; the corpus never materializes on the
+    driver) → union with the tiny robots block."""
+    from ccrawler_ray.sources.corpus import corpus_dataset as _build
 
-    t = corpus_from_documents(f"{sf_dir}/documents.parquet")
-    return ray.data.from_arrow(
-        [t.slice(o, _BLOCK_ROWS) for o in range(0, t.num_rows, _BLOCK_ROWS)])
+    return _build(f"{sf_dir}/documents.parquet", with_row_no=with_row_no,
+                  block_rows=_BLOCK_ROWS)
 
 
 def spans_line_dedup(sf_dir: str):
@@ -232,13 +233,13 @@ def spans_pack_multimodal(sf_dir: str, capacity: int = SPANS_PACK_CAPACITY,
     ``capacity``-token training bins."""
     import pandas as pd
 
-    from ccrawler_ray.sources.corpus import corpus_from_documents
+    from ccrawler_ray.sources.corpus import NUM_HOSTS, _contiguous_rows
 
-    t = corpus_from_documents(f"{sf_dir}/documents.parquet")
-    n = t.num_rows
-    t = t.append_column("row_no", pa.array(np.arange(n, dtype=np.int64)))
-    ds = ray.data.from_arrow(
-        [t.slice(o, _BLOCK_ROWS) for o in range(0, n, _BLOCK_ROWS)])
+    # global corpus row count from parquet METADATA (robots prefix +
+    # one row per document); the corpus itself stays distributed —
+    # row_no is attached inside the lift (robots 0..22, 23 + doc_id).
+    n = NUM_HOSTS + _contiguous_rows(f"{sf_dir}/documents.parquet")
+    ds = corpus_dataset(sf_dir, with_row_no=True)
     width = max((n + n_buckets - 1) // n_buckets, 1)
 
     def cost_rows(batch: pa.Table) -> pa.Table:

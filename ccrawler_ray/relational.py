@@ -276,7 +276,11 @@ def g4_distinct_counts(sf_dir: str):
 
 
 def j1_broadcast_join(sf_dir: str):
-    """orders ⋈ customer (broadcast) → revenue per market segment."""
+    """orders ⋈ customer (broadcast) → revenue per market segment.
+
+    The driver-prepared ``ray.put`` dim broadcast IS the demonstrated
+    operator here (the J1 frontier→corpus resolve shape); size-adaptive
+    fact joins go through ``_join_auto`` (q3/q4/q7/…)."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
     seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
@@ -326,7 +330,11 @@ def j2_anti_join(sf_dir: str, min_price: float = 400_000.0):
 
 def j3_semi_join(sf_dir: str):
     """Orders of BUILDING-segment customers (broadcast semi join) →
-    per-status counts."""
+    per-status counts.
+
+    Like J1, the broadcast key-set probe IS the demonstrated operator
+    (the J3 domain-config lookup shape); size-adaptive plans use the
+    ``_join_auto`` seam instead."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
     keys = np.sort(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy())
     keys_ref = ray.put(keys)
@@ -614,31 +622,40 @@ def w1_running_sum(sf_dir: str):
 
 
 def q3_shipping_priority(sf_dir: str, k: int = 10):
-    """Top-k orders of BUILDING-segment customers by lineitem revenue
-    (broadcast semi-join + map-side partial agg + global top-k)."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    keys_ref = ray.put(
-        np.sort(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy())
-    )
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    """Top-k orders of BUILDING-segment customers by lineitem revenue.
 
-    def keep_orders(df: pd.DataFrame) -> pd.DataFrame:
-        ks = ray.get(keys_ref)
-        return df[np.isin(df["o_custkey"].to_numpy(), ks)][["o_orderkey", "o_orderdate"]]
-
-    bld_orders = orders.map_batches(keep_orders, batch_format="pandas").to_pandas()
+    Scale plan (every fact-sized side goes through the ``_join_auto``
+    size seam — no unconditional driver broadcast of orders/customer):
+    lineitem pre-aggregates to per-order revenue (batch partials + the
+    coarse-salted exact sum — the only lineitem shuffle is at ORDER
+    cardinality), BUILDING orders come from an orders ⋈ customer
+    semi-join through the seam, and the two order-cardinality sides
+    meet in one seamed join before the global top-k.  ``-1`` sentinel
+    rows keep every join input schema-ful on tiny inputs (the Ray
+    empty-block hazard pinned by tests/test_tiny_inputs.py)."""
     q3_fields = [("l_orderkey", pa.int64()), ("revenue", pa.float64()),
                  ("o_orderdate", pa.timestamp("us"))]
-    if not len(bld_orders):   # no BUILDING orders at all (tiny inputs)
-        return ray.data.from_arrow(pa.schema(q3_fields).empty_table())
-    ord_ref = ray.put(
-        dict(zip(bld_orders["o_orderkey"], bld_orders["o_orderdate"]))
-    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def bld_keys(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["c_mktsegment"] == "BUILDING", ["c_custkey"]]
+
+    bld_cust = cust.map_batches(bld_keys, batch_format="pandas").union(
+        ray.data.from_arrow(pa.table({"c_custkey": pa.array([-1], pa.int64())})))
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).union(
+        ray.data.from_arrow(pa.table({
+            "o_orderkey": pa.array([-1], pa.int64()),
+            "o_custkey": pa.array([-1], pa.int64()),
+            "o_orderdate": pa.array([0], pa.timestamp("us"))})))
+    bld = _join_auto(
+        orders, bld_cust, "o_custkey", "c_custkey",
+        _rows_hint(sf_dir, "customer"),
+    ).select_columns(["o_orderkey", "o_orderdate"])
+
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        om = ray.get(ord_ref)
-        df = df[df["l_orderkey"].map(om).notna()]
         df = df.assign(
             rev_u=_to_micro(df["l_extendedprice"] * (1 - df["l_discount"]))
         )
@@ -659,16 +676,19 @@ def q3_shipping_priority(sf_dir: str, k: int = 10):
                              "revenue": g["revenue"].astype(np.int64)})
 
     agg = (partials.map_batches(add_salt, batch_format="pandas")
-           .groupby("o_salt").map_groups(sum_group, batch_format="pandas"))
-    agg = _from_micro(agg, ["revenue"])
-    top = agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(k)
+           .groupby("o_salt").map_groups(sum_group, batch_format="pandas")
+           .union(ray.data.from_arrow(pa.table(
+               {"l_orderkey": pa.array([-1], pa.int64()),
+                "revenue": pa.array([0], pa.int64())}))))
+    joined = _join_auto(agg, bld, "l_orderkey", "o_orderkey",
+                        _rows_hint(sf_dir, "orders"))
 
-    def attach_date(df: pd.DataFrame) -> pd.DataFrame:
-        om = ray.get(ord_ref)
-        return df.assign(o_orderdate=df["l_orderkey"].map(om))
+    def drop_sentinel(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["l_orderkey"] >= 0]
 
-    return _typed(top.map_batches(attach_date, batch_format="pandas"),
-                  q3_fields)
+    top = (joined.map_batches(drop_sentinel, batch_format="pandas")
+           .sort(["revenue", "l_orderkey"], descending=[True, False]).limit(k))
+    return _typed(_from_micro(top, ["revenue"]), q3_fields)
 
 
 # ---------------------------------------------------------------------------

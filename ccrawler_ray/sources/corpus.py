@@ -1,13 +1,34 @@
 """Corpus sources (S1/S2): interleaved-docs readers and adapters.
 
-``corpus_from_documents`` deterministically lifts the conformance
-``documents`` parquet (doc_id:int64, text) into the engine's
-interleaved span corpus (DOCS_SCHEMA) with a synthetic link graph, so
-the flagship ``entry()`` pipeline can run the real crawl engine over
-driver-provided testdata.
+The conformance ``documents`` parquet (doc_id:int64, text) is lifted
+into the engine's interleaved span corpus (DOCS_SCHEMA) with a
+synthetic link graph. ONE frozen per-batch kernel
+(:func:`lift_docs_batch`) is shared by
+
+- :func:`corpus_dataset` — the DISTRIBUTED builder: ``read_parquet``
+  over the documents table → ``map_batches(lift)`` → union with the
+  tiny robots block.  Nothing corpus-sized touches the driver; map
+  parallelism comes from ``override_num_blocks`` derived from parquet
+  metadata.
+- :func:`corpus_parquet` — a memoized on-disk parquet artifact of the
+  same dataset (one build per (source file, mtime, params) across
+  sessions), so the crawl engine consumes the corpus BY PATH and its
+  broadcast/semi-join size seam decides how the bytes move.
+- :func:`corpus_from_documents` — the SERIAL reference (used by the
+  differential oracles in ``serial_ref.py``): the same kernel applied
+  to the whole table at once.  Engine and mirror cannot fork.
+
+Precondition (checked loudly in both paths): ``doc_id`` is the
+contiguous range 0..n-1, which lets the link-target rule
+``(doc_id*7 + 13*k) % n`` address documents BY VALUE — the property
+that makes the lift per-row independent and therefore distributable.
+The driver-generated testdata satisfies it at every scale factor.
 """
 
 from __future__ import annotations
+
+import os
+from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
@@ -16,53 +37,165 @@ import pyarrow.parquet as pq
 from ccrawler_ray.spec import DOCS_SCHEMA
 
 NUM_HOSTS = 23
+_BLOCK_ROWS = 512  # corpus block size: map parallelism == block count
 
 
 def _url(doc_id: int) -> str:
     return f"http://h{doc_id % NUM_HOSTS}.example/p{doc_id}"
 
 
-def corpus_from_documents(documents_path: str, links_per_doc: int = 3) -> pa.Table:
-    """documents.parquet → interleaved corpus table (deterministic).
+def robots_table(with_row_no: bool = False) -> pa.Table:
+    """Per-host robots docs (crawl-delay from host index) — the tiny
+    fixed prefix of every lifted corpus (row_no 0..NUM_HOSTS-1)."""
+    doc_ids = [f"http://h{h}.example/robots.txt" for h in range(NUM_HOSTS)]
+    spans = [
+        [{"kind": "text", "text": f"crawl-delay: {h % 3}\ndisallow: /private",
+          "media_ref": "", "offset": 0}]
+        for h in range(NUM_HOSTS)
+    ]
+    t = pa.Table.from_pydict({"doc_id": doc_ids, "spans": spans},
+                             schema=DOCS_SCHEMA)
+    if with_row_no:
+        t = t.append_column(
+            "row_no", pa.array(np.arange(NUM_HOSTS, dtype=np.int64)))
+    return t
+
+
+def lift_docs_batch(batch: pa.Table, n_total: int, links_per_doc: int = 3,
+                    with_row_no: bool = False) -> pa.Table:
+    """FROZEN lift kernel: one documents batch → interleaved span rows.
 
     Per doc: text split into ~3 sentence spans, one media span, and
-    ``links_per_doc`` href tokens pointing at (doc_id*7 + 13*k) % N —
-    a deterministic expander graph so a seeded crawl fans out.
-    Per-host robots docs are appended (crawl-delay from host index).
+    ``links_per_doc`` href tokens pointing at ``(doc_id*7 + 13*k) %
+    n_total`` — a deterministic expander graph so a seeded crawl fans
+    out.  Addresses link targets by doc_id VALUE (contiguity checked
+    by the callers), so any batch of rows lifts independently.
     """
-    t = pq.read_table(documents_path, columns=["doc_id", "text"])
-    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-    texts = t.column("text").to_pylist()
-    n = len(ids)
-    doc_ids: list[str] = []
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = batch.column("text").to_pylist()
     spans_col: list[list[dict]] = []
-    for host in range(NUM_HOSTS):
-        doc_ids.append(f"http://h{host}.example/robots.txt")
-        spans_col.append(
-            [{"kind": "text", "text": f"crawl-delay: {host % 3}\ndisallow: /private",
-              "media_ref": "", "offset": 0}]
-        )
-    for i in range(n):
+    for i in range(len(ids)):
         did = int(ids[i])
         words = texts[i].split()
         third = max(1, len(words) // 3)
-        chunks = [" ".join(words[j : j + third]) for j in range(0, len(words), third)]
+        chunks = [" ".join(words[j: j + third])
+                  for j in range(0, len(words), third)]
         spans: list[dict] = []
         off = 0
         for ci, chunk in enumerate(chunks[:3]):
             if ci == 1:
                 for k in range(links_per_doc):
-                    tgt = (did * 7 + 13 * (k + 1)) % n
-                    chunk += f" href:{_url(int(ids[tgt]))}"
-            spans.append({"kind": "text", "text": chunk, "media_ref": "", "offset": off})
+                    tgt = (did * 7 + 13 * (k + 1)) % n_total
+                    chunk += f" href:{_url(tgt)}"
+            spans.append({"kind": "text", "text": chunk,
+                          "media_ref": "", "offset": off})
             off += len(chunk) + 1
         spans.append(
             {"kind": "media", "text": "",
-             "media_ref": f"http://h{did % NUM_HOSTS}.example/img{did}.jpg", "offset": off}
-        )
-        doc_ids.append(_url(did))
+             "media_ref": f"http://h{did % NUM_HOSTS}.example/img{did}.jpg",
+             "offset": off})
         spans_col.append(spans)
-    return pa.Table.from_pydict({"doc_id": doc_ids, "spans": spans_col}, schema=DOCS_SCHEMA)
+    t = pa.Table.from_pydict(
+        {"doc_id": [_url(int(d)) for d in ids], "spans": spans_col},
+        schema=DOCS_SCHEMA)
+    if with_row_no:
+        t = t.append_column(
+            "row_no", pa.array(ids.astype(np.int64) + NUM_HOSTS))
+    return t
+
+
+def _contiguous_rows(documents_path: str) -> int:
+    """Row count, after verifying doc_id == 0..n-1 from parquet
+    METADATA only (row-group column statistics — no data read)."""
+    f = pq.ParquetFile(documents_path)
+    md = f.metadata
+    n = md.num_rows
+    idx = md.schema.to_arrow_schema().get_field_index("doc_id")
+    mn, mx = None, None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            mn = None
+            break
+        mn = st.min if mn is None else min(mn, st.min)
+        mx = st.max if mx is None else max(mx, st.max)
+    if mn is None:  # stats absent: one bounded column scan
+        col = pq.read_table(documents_path, columns=["doc_id"])["doc_id"]
+        arr = col.to_numpy(zero_copy_only=False)
+        mn, mx = int(arr.min()), int(arr.max())
+    if not (n == 0 or (mn == 0 and mx == n - 1)):
+        raise ValueError(
+            f"corpus lift requires contiguous doc_id 0..{n - 1}; "
+            f"{documents_path} has min={mn} max={mx} rows={n}")
+    return n
+
+
+def corpus_from_documents(documents_path: str, links_per_doc: int = 3) -> pa.Table:
+    """documents.parquet → interleaved corpus table (deterministic).
+
+    SERIAL reference path (oracle mirrors, tiny fixtures): the shared
+    kernel over the whole table.  Production consumers use
+    :func:`corpus_dataset` / :func:`corpus_parquet`.
+    """
+    n = _contiguous_rows(documents_path)
+    t = pq.read_table(documents_path, columns=["doc_id", "text"])
+    return pa.concat_tables(
+        [robots_table(), lift_docs_batch(t, n, links_per_doc)]
+    ).combine_chunks()
+
+
+def corpus_dataset(documents_path: str, links_per_doc: int = 3,
+                   with_row_no: bool = False,
+                   block_rows: int = _BLOCK_ROWS):
+    """The interleaved corpus as a DISTRIBUTED Dataset: pruned
+    ``read_parquet`` split into ~block_rows blocks (parallelism from
+    metadata, never a driver materialization) → ``map_batches`` lift →
+    union with the robots block.  ``with_row_no`` appends the global
+    corpus row number (robots 0..22, then 23 + doc_id) for
+    order-dependent consumers (sequence packing)."""
+    import ray.data
+
+    n = _contiguous_rows(documents_path)
+    nblocks = max(1, -(-n // block_rows))
+
+    def lift(b: pa.Table) -> pa.Table:
+        return lift_docs_batch(b, n, links_per_doc, with_row_no)
+
+    docs = ray.data.read_parquet(
+        documents_path, columns=["doc_id", "text"],
+        override_num_blocks=nblocks,
+    ).map_batches(lift, batch_format="pyarrow")
+    return ray.data.from_arrow(robots_table(with_row_no)).union(docs)
+
+
+def corpus_parquet(sf_dir: str, links_per_doc: int = 3) -> str:
+    """Materialize the interleaved corpus ONCE as a parquet directory
+    under /tmp (distributed build + write), memoized across sessions
+    by (source path, size, mtime, params).  Returns the directory —
+    the crawl engine takes it BY PATH, so its broadcast/semi-join
+    corpus-size seam (crawl.py:261) governs how the bytes move."""
+    import hashlib
+    import tempfile
+
+    src = os.path.realpath(f"{sf_dir}/documents.parquet")
+    st = os.stat(src)
+    tag = f"{src}|{st.st_size}|{int(st.st_mtime)}|{links_per_doc}"
+    key = f"{hashlib.blake2b(tag.encode(), digest_size=8).hexdigest()}_{links_per_doc}"
+    root = Path(tempfile.gettempdir()) / "ccrawler_ray_corpus"
+    out = root / key
+    done = root / f"{key}.done"
+    if done.exists() and out.is_dir():
+        return str(out)
+    root.mkdir(parents=True, exist_ok=True)
+    tmp = root / f"{key}.building-{os.getpid()}"
+    corpus_dataset(src, links_per_doc).write_parquet(str(tmp))
+    if done.exists() and out.is_dir():  # lost a (cross-process) race
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+        return str(out)
+    os.replace(tmp, out)
+    done.touch()
+    return str(out)
 
 
 def default_seeds(num: int = 4) -> tuple[str, ...]:

@@ -9,6 +9,7 @@ import pytest
 SF_DIR = "/root/testdata/sf0.001"
 
 SEAMED = [
+    "q3_shipping_priority",
     "q4_order_priority", "q5_local_supplier_volume",
     "q7_volume_shipping", "q8_market_share", "q10_returned_revenue",
     "q12_late_priority", "q13_customer_distribution", "q18_big_orders",
