@@ -144,9 +144,33 @@ _QUERY_ORDER = (
 )
 
 
+def _rotation_offset(n: int) -> int:
+    """Driver CORRECTNESS budget rotation (VERDICT r3 #4): the driver
+    checks only the FIRST 50 ``queries()`` entries, so rotate which
+    50-entry window of the cost order leads — every entry gets a driver
+    row every ~n/50 rounds.  Window index = (round + 1) % n_windows,
+    where round = 1 + the newest ``CORRECTNESS_r*.json`` round on disk:
+    rounds 1–3 all ran window 0, so round 4 leads with window 1
+    (fully disjoint from r03's coverage), round 5 window 2, …"""
+    import re
+    from pathlib import Path
+
+    here = Path(__file__).resolve().parent
+    rounds = [
+        int(m.group(1))
+        for p in here.glob("CORRECTNESS_r*.json")
+        if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", p.name))
+    ]
+    nxt = (max(rounds) + 1) if rounds else 1
+    n_windows = max(1, -(-n // 50))
+    return ((nxt + 1) % n_windows) * 50
+
+
 def _cost_ordered(d: dict) -> dict:
     rank = {n: i for i, n in enumerate(_QUERY_ORDER)}
-    return {k: d[k] for k in sorted(d, key=lambda n: (rank.get(n, len(rank)), n))}
+    names = sorted(d, key=lambda n: (rank.get(n, len(rank)), n))
+    off = _rotation_offset(len(names))
+    return {k: d[k] for k in names[off:] + names[:off]}
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
