@@ -35,6 +35,7 @@ generation (SURVEY.md §4.5).
 from __future__ import annotations
 
 import dataclasses
+import os
 from pathlib import Path
 
 import numpy as np
@@ -70,21 +71,30 @@ DUMP_COLS = ["generation", "host", "queue_pos", "ord_key", "canon", "status", "f
 
 
 @ray.remote(num_cpus=0.25)
-def _project_dump(block) -> pd.DataFrame | None:
-    """Narrow dump projection of one materialized block, worker-side —
-    one task round trip replaces the per-generation
-    ``select_columns().to_pandas()`` Dataset execution (executor
-    startup was pure stepped-regime fixed cost)."""
-    if block.num_rows == 0:
+def _project_dump(*blocks) -> pd.DataFrame | None:
+    """Narrow dump projection of a handful of materialized blocks,
+    worker-side — one task round trip per ~4 blocks replaces the
+    per-generation ``select_columns().to_pandas()`` Dataset execution
+    (executor startup was pure stepped-regime fixed cost; one task per
+    BLOCK cost ~24 ms/call in scheduling latency once the fused stage
+    went per-block, round 4)."""
+    parts = [b.select(DUMP_COLS).to_pandas() for b in blocks if b.num_rows]
+    if not parts:
         return None
-    return block.select(DUMP_COLS).to_pandas()
+    return pd.concat(parts, ignore_index=True)
 
 
-def _dump_from_blocks(fused) -> pd.DataFrame:
+def _launch_dump(fused, blocks_per_task: int = 4) -> list:
+    """Fire the dump-projection tasks without blocking (the driver
+    overlaps them with the shard resolve RPCs)."""
     refs = [r for b in fused.iter_internal_ref_bundles()
             for r in b.block_refs]
-    parts = [p for p in ray.get([_project_dump.remote(r) for r in refs])
-             if p is not None]
+    return [_project_dump.remote(*refs[o: o + blocks_per_task])
+            for o in range(0, len(refs), blocks_per_task)]
+
+
+def _collect_dump(task_refs: list) -> pd.DataFrame:
+    parts = [p for p in ray.get(task_refs) if p is not None]
     if not parts:
         return pd.DataFrame(columns=DUMP_COLS)
     return pd.concat(parts, ignore_index=True)
@@ -310,6 +320,7 @@ class CrawlEngine:
         self._frontier = None          # materialized Dataset (dataset modes)
         self._seeded = False           # actor mode: seeds/restore done
         self._phase_sec: dict = {}     # per-phase wall time (profiling)
+        self._phase_hist: list = []    # (phase, sec) per generation, in order
         self._hp_cache: dict = {}      # host -> partition id cache
 
     # ------------------------------------------------------------------
@@ -867,9 +878,10 @@ class CrawlEngine:
 
         import time as _time
 
-        def _tick(phase: str, t0: float) -> float:
+        def _tick(phase: str, t0: float, _g: list = [0]) -> float:
             t1 = _time.perf_counter()
             self._phase_sec[phase] = self._phase_sec.get(phase, 0.0) + (t1 - t0)
+            self._phase_hist.append((phase, round(t1 - t0, 4)))
             return t1
 
         gens_run = self._start_gen
@@ -963,27 +975,35 @@ class CrawlEngine:
                         pa.array(np.full(batch.num_rows, _g, dtype=np.int32)),
                     )
 
+                # batch_size=None → one task per admission block: the
+                # admission layer already sizes blocks at ~2/CPU, and
+                # letting map_batches re-bundle to cfg.batch_size
+                # coalesced 16 balanced blocks into 8 skewed tasks
+                # (269 ms..1.47 s wall — the stepped-regime scaling
+                # loss measured in ds.stats(), round 4)
                 pipe = adm_ds.map_batches(add_gen, batch_format="pyarrow").map_batches(
-                    fetch_fn, batch_format="pyarrow", batch_size=cfg.batch_size
+                    fetch_fn, batch_format="pyarrow", batch_size=None
                 )
             else:
                 # semi-join needs a driver-side miss step; fusion
                 # starts at extract for that path
                 pipe = self._run_fetch(adm_ds, g, fetch_fn)
             pipe = pipe.map_batches(
-                extract_docs_audit, batch_format="pyarrow", batch_size=cfg.batch_size
+                extract_docs_audit, batch_format="pyarrow", batch_size=None
             )
             if cfg.analyze:
                 from ccrawler_ray.stages.analyze import analyze_docs
 
                 pipe = pipe.map_batches(
-                    analyze_docs, batch_format="pyarrow", batch_size=cfg.batch_size
+                    analyze_docs, batch_format="pyarrow", batch_size=None
                 )
             pipe = pipe.map_batches(
                 self._make_offer_stage(g + 1), batch_format="pyarrow",
-                batch_size=cfg.batch_size,
+                batch_size=None,
             )
             fused = pipe.materialize()
+            if os.environ.get("CCRAWLER_PROFILE"):  # pragma: no cover
+                self._last_fused = fused  # for ds.stats() inspection
             t0 = _tick("fetch_extract_offer", t0)
 
             # shards resolve fresh offers and route to partition queues
@@ -991,8 +1011,9 @@ class CrawlEngine:
             # offers completed inside the materialized execution, and
             # the collection barrier before checkpoint/next-admission
             # keeps queue state exact
+            dump_refs = _launch_dump(fused)
             resolve_refs = self._launch_resolve()
-            dump = _dump_from_blocks(fused)
+            dump = _collect_dump(dump_refs)
             self._append_dump(dump)  # sorted once in _result
             n200 = int((dump["status"] == 200).sum())
             self._count(g, "fetch", "status_200", n200)
