@@ -584,9 +584,34 @@ def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
                 ka, kb, met = ka[sel], kb[sel], met[sel]
             if not len(ka):
                 continue
-            if cc_edges:  # one min–min edge per rep pair suffices
+            if cc_edges:
+                # connectivity-equivalent SPANNING emission: a
+                # min-label fixpoint over this bucket's verified rep
+                # pairs (vectorized rounds, O(diameter) — near-dup
+                # soup buckets converge in a handful), then ONE edge
+                # per non-root rep. Emitting one edge per verified
+                # pair is quadratic inside large near-dup families
+                # (145M edges on the 10x rehearsal); the forest is
+                # <= u-1 edges and CC downstream sees the same
+                # components, so cluster_rep/keep are unchanged.
                 gmins = np.minimum.reduceat(members, offs[:-1])
-                emit(gmins[ka], gmins[kb], None)
+                lbl = np.arange(u)
+                for _ in range(64):
+                    m = np.minimum(lbl[ka], lbl[kb])
+                    new = lbl.copy()
+                    np.minimum.at(new, ka, m)
+                    np.minimum.at(new, kb, m)
+                    new = new[new]          # path halving
+                    if np.array_equal(new, lbl):
+                        break
+                    lbl = new
+                else:  # pragma: no cover - pathological chain: raw edges
+                    emit(gmins[ka], gmins[kb], None)
+                    continue
+                nodes = np.unique(np.concatenate([ka, kb]))
+                nz = nodes[lbl[nodes] != nodes]
+                if len(nz):
+                    emit(gmins[lbl[nz]], gmins[nz], None)
                 continue
             # expand rep pairs to member pairs (fully vectorized)
             ca = counts[ka]

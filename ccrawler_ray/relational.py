@@ -65,13 +65,22 @@ def _typed(ds, fields):
 
 
 def _from_micro(ds, cols: list[str]):
-    """int64 micro-unit sums → exact float (identical division both sides)."""
+    """int64 micro-unit sums → float (identical division both sides).
+
+    The cast is numpy ``astype`` (IEEE round-to-nearest), NOT pyarrow's
+    safe cast: micro-unit sums exceed 2^53 past ~$9.2e9 per group (hit
+    at the 10x rehearsal, round 4) and pyarrow refuses the inexact
+    int64→float64 conversion; DuckDB's BIGINT/DOUBLE division performs
+    the same IEEE conversion numpy does, so both sides stay identical."""
 
     def f(t: pa.Table) -> pa.Table:
         for c in cols:
+            col = t.column(c)
+            vals = col.to_numpy(zero_copy_only=False).astype(np.float64) / MICRO
+            mask = (pc.is_null(col).to_numpy(zero_copy_only=False)
+                    if col.null_count else None)
             t = t.set_column(
-                t.column_names.index(c), c,
-                pc.divide(pc.cast(t.column(c), pa.float64()), MICRO * 1.0),
+                t.column_names.index(c), c, pa.array(vals, mask=mask),
             )
         return t
 

@@ -125,6 +125,9 @@ SIZES = {
     # bench: realistic page weight (~900 words/page) + dense linking
     "bench": dict(num_hosts=500, total_pages=200_000, link_prob=0.6,
                   links_per_embed=2, words_lo=60, words_hi=180),
+    # 10x scale rehearsal (VERDICT r3 #5): same shape, 10x the pages
+    "bench10x": dict(num_hosts=5_000, total_pages=2_000_000, link_prob=0.6,
+                     links_per_embed=2, words_lo=60, words_hi=180),
 }
 
 
