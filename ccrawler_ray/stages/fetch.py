@@ -126,13 +126,20 @@ def fetch_via_semi_join(corpus_ds, admitted_table: pa.Table, delays: dict,
     def probe(batch: pa.Table) -> pa.Table:
         adm: pa.Table = ray.get(adm_ref)
         dl: dict = ray.get(delays_ref)
-        lookup = {c: j for j, c in enumerate(adm.column("canon").to_pylist())}
-        doc_ids = batch.column("doc_id").to_pylist()
-        pairs = [(i, lookup[d]) for i, d in enumerate(doc_ids) if d in lookup]
-        if not pairs:
-            return pa.table({}, schema=FETCHED_SCHEMA)
-        bidx = pa.array([p[0] for p in pairs], type=pa.int64())
-        aidx = pa.array([p[1] for p in pairs], type=pa.int64())
+        # vectorized semi-join: pc.index_in (C++ hash probe) instead of
+        # a per-batch python dict over the FULL admitted set — the dict
+        # rebuild was O(|admitted|) per corpus batch, ruinous once the
+        # corpus streams in many blocks (admitted canons are unique, so
+        # first-match semantics are identical)
+        idx = pc.index_in(as_single_array(batch.column("doc_id")),
+                          value_set=as_single_array(adm.column("canon")))
+        valid = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        if not valid.any():
+            # NB pa.table({}, schema=...) raises on a non-empty schema —
+            # every no-hit corpus batch lands here at scale
+            return FETCHED_SCHEMA.empty_table()
+        bidx = pa.array(np.flatnonzero(valid), type=pa.int64())
+        aidx = idx.filter(pa.array(valid))
         sub_a = adm.take(aidx)
         canons = sub_a.column("canon").to_pylist()
         hosts = sub_a.column("host").to_pylist()
@@ -141,7 +148,7 @@ def fetch_via_semi_join(corpus_ds, admitted_table: pa.Table, delays: dict,
         retries = _batch_retries(sub_a)
         dls = np.fromiter((dl.get(h, 0) for h in hosts), dtype=np.int64, count=len(hosts))
         ts = gens * 1_000_000 + qpos * (1 + dls) * 1_000
-        n = len(pairs)
+        n = len(bidx)
         status = np.full(n, 200, dtype=np.int32)
         spans = as_single_array(batch.column("spans")).take(bidx)
         if failure_rate > 0.0:

@@ -135,7 +135,11 @@ def write_corpus(name: str, out_path: str, seed: int = 42) -> str:
     import pyarrow.parquet as pq
 
     table = generate_corpus(seed=seed, **SIZES[name])
-    pq.write_table(table, out_path)
+    # bounded row groups: a multi-GB nested (list<struct>) column in one
+    # row group exceeds Arrow's 2GB chunk limit and becomes UNREADABLE
+    # ("Nested data conversions not implemented for chunked array
+    # outputs") — hit by the 2M-page bench10x corpus, round 4
+    pq.write_table(table, out_path, row_group_size=50_000)
     return out_path
 
 

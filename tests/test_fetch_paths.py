@@ -92,3 +92,24 @@ def test_bloom_cardinality_estimate():
         assert 0.9 * n < est < 1.1 * n, est
     finally:
         pool.kill()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semi_join_no_hit_block(tiny_corpus):
+    """A corpus block with ZERO admitted hits must yield a typed empty
+    block, not crash (pa.table({}, schema=...) raises on a non-empty
+    schema — hit by the 10x rehearsal, where admitted << corpus and
+    most streamed blocks have no hits)."""
+    import ray.data
+
+    from ccrawler_ray.stages.fetch import fetch_via_semi_join
+
+    batch = _admitted_batch(tiny_corpus, n=3)
+    # split corpus so at least the tail blocks carry no admitted docs
+    blocks = [tiny_corpus.slice(o, 4) for o in range(0, tiny_corpus.num_rows, 4)]
+    ds = ray.data.from_arrow(blocks)
+    hits, _ = fetch_via_semi_join(ds, batch, {})
+    got = hits.to_pandas()
+    assert set(got["canon"]) == {
+        c for c in batch.column("canon").to_pylist() if "missing" not in c
+    }
