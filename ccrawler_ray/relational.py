@@ -2852,24 +2852,32 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
                                 nat["n_name"])))
     supp = _read(sf_dir, "supplier",
                  ["s_suppkey", "s_nationkey"]).to_pandas()
-    smap_ref = ray.put(dict(zip(supp["s_suppkey"].astype(int),
-                                supp["s_nationkey"].astype(int))))
+    # sorted (key, nation) arrays, not a dict: the map-side lookup is a
+    # vectorized searchsorted instead of a per-row python hash probe
+    sk_arr = supp["s_suppkey"].to_numpy().astype(np.int64)
+    sn_arr = supp["s_nationkey"].to_numpy().astype(np.int64)
+    so = np.argsort(sk_arr)
+    smap_ref = ray.put((sk_arr[so], sn_arr[so]))
 
-    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+    lo_us = np.datetime64(date_lo, "us").astype(np.int64)
+    hi_us = np.datetime64(date_hi, "us").astype(np.int64)
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate"])
 
-    def date_filter(df: pd.DataFrame) -> pd.DataFrame:
-        m = (df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)
-        out = df.loc[m, ["o_orderkey", "o_custkey"]]
-        sent = pd.DataFrame({"o_orderkey": np.array([-1], np.int64),
-                             "o_custkey": np.array([-1], np.int64)})
-        return pd.concat([out, sent], ignore_index=True)
+    def date_filter(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        m = (od >= lo_us) & (od < hi_us)
+        return pa.table({
+            "o_orderkey": pa.array(np.r_[_col(t, "o_orderkey")[m],
+                                         [-1]].astype(np.int64)),
+            "o_custkey": pa.array(np.r_[_col(t, "o_custkey")[m],
+                                        [-1]].astype(np.int64))})
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).union(
         ray.data.from_arrow(pa.table({"c_custkey": pa.array([-1], pa.int64()),
                                       "c_nationkey": pa.array([-1], pa.int32())})))
-    filt = orders.map_batches(date_filter, batch_format="pandas")
+    filt = orders.map_batches(date_filter, batch_format="pyarrow")
     orders_n = _join_auto(
         filt, cust, "o_custkey", "c_custkey",
         _rows_hint(sf_dir, "customer"),
@@ -2885,26 +2893,37 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
     joined = _join_auto(line, orders_n, "l_orderkey", "o_orderkey",
                         _rows_hint(sf_dir, "orders"))
 
-    def local_partial(df: pd.DataFrame) -> pd.DataFrame:
+    def local_partial(t: pa.Table) -> pa.Table:
         nmap = ray.get(nmap_ref)
-        smap = ray.get(smap_ref)
-        df = df[df["l_orderkey"] >= 0]  # drop join-survival sentinels
-        s_nat = df["l_suppkey"].map(smap)
-        keep = (s_nat == df["c_nationkey"]) & s_nat.isin(nmap)
-        df = df.loc[keep]
-        out = pd.DataFrame({
-            "n_name": s_nat.loc[keep].map(nmap) if len(df) else
-            pd.Series(dtype="str"),
-            "rev_u": _to_micro(df["l_extendedprice"] * (1 - df["l_discount"]))
-            if len(df) else pd.Series(dtype="int64"),
-        })
-        out = out.groupby("n_name", as_index=False)["rev_u"].sum()
+        keys, vals = ray.get(smap_ref)
+        ok = _col(t, "l_orderkey") >= 0  # drop join-survival sentinels
+        sk = _col(t, "l_suppkey")[ok]
+        c_nat = _col(t, "c_nationkey")[ok].astype(np.int64)
+        # vectorized supplier→nation lookup (sorted-array searchsorted)
+        if len(keys):
+            pos_c = np.minimum(np.searchsorted(keys, sk), len(keys) - 1)
+            found = keys[pos_c] == sk
+            s_nat = np.where(found, vals[pos_c], np.int64(-2))
+        else:  # no suppliers at all (tiny inputs)
+            found = np.zeros(len(sk), dtype=bool)
+            s_nat = np.full(len(sk), -2, dtype=np.int64)
+        region_keys = np.fromiter(nmap, dtype=np.int64) if nmap else \
+            np.empty(0, np.int64)
+        keep = found & (s_nat == c_nat) & np.isin(s_nat, region_keys)
+        s_kept = s_nat[keep]
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)[ok][keep]
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)[ok][keep]
+        rev = _to_micro(price * (1 - disc))
+        un, inv = np.unique(s_kept, return_inverse=True)
+        rv = np.zeros(len(un), dtype=np.int64)
+        np.add.at(rv, inv, rev)
+        names = [nmap[int(k)] for k in un]
         # partial sentinel keeps the aggregate input non-empty
-        sent = pd.DataFrame({"n_name": [_Q5_SENT_NAME],
-                             "rev_u": np.array([0], np.int64)})
-        return pd.concat([out, sent], ignore_index=True)
+        return pa.table({
+            "n_name": pa.array(names + [_Q5_SENT_NAME], pa.string()),
+            "rev_u": pa.array(np.r_[rv, [0]].astype(np.int64))})
 
-    out = (joined.map_batches(local_partial, batch_format="pandas")
+    out = (joined.map_batches(local_partial, batch_format="pyarrow")
            .groupby("n_name").aggregate(Sum("rev_u", alias_name="revenue")))
 
     def drop_sent(t: pa.Table) -> pa.Table:
@@ -2934,30 +2953,31 @@ def q10_returned_revenue(sf_dir: str, date_lo: str = "1996-01-01",
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     nmap_ref = ray.put(dict(zip(nation["n_nationkey"].astype(int),
                                 nation["n_name"])))
-    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+    lo_us = np.datetime64(date_lo, "us").astype(np.int64)
+    hi_us = np.datetime64(date_hi, "us").astype(np.int64)
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate"])
-
-    def date_filter(df: pd.DataFrame) -> pd.DataFrame:
-        m = (df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)
-        return df.loc[m, ["o_orderkey", "o_custkey"]]
 
     # Empty-side safety: same SENTINEL design as q5 (one impossible
     # -1-key row per filtered batch, a matching -1 row on the joined
     # side) — sentinels flow through both joins so no stage is ever
     # empty/schema-less and the query is ONE streaming execution.
-    def date_filter_s(df: pd.DataFrame) -> pd.DataFrame:
-        out = date_filter(df)
-        sent = pd.DataFrame({"o_orderkey": np.array([-1], np.int64),
-                             "o_custkey": np.array([-1], np.int64)})
-        return pd.concat([out, sent], ignore_index=True)
+    def date_filter_s(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        m = (od >= lo_us) & (od < hi_us)
+        return pa.table({
+            "o_orderkey": pa.array(np.r_[_col(t, "o_orderkey")[m],
+                                         [-1]].astype(np.int64)),
+            "o_custkey": pa.array(np.r_[_col(t, "o_custkey")[m],
+                                        [-1]].astype(np.int64))})
 
     cust = _read(sf_dir, "customer",
                  ["c_custkey", "c_name", "c_nationkey"]).union(
         ray.data.from_arrow(pa.table({"c_custkey": pa.array([-1], pa.int64()),
                                       "c_name": pa.array([""], pa.string()),
                                       "c_nationkey": pa.array([-1], pa.int32())})))
-    filt = orders.map_batches(date_filter_s, batch_format="pandas")
+    filt = orders.map_batches(date_filter_s, batch_format="pyarrow")
     orders_c = _join_auto(
         filt, cust, "o_custkey", "c_custkey",
         _rows_hint(sf_dir, "customer"),
@@ -2967,16 +2987,17 @@ def q10_returned_revenue(sf_dir: str, date_lo: str = "1996-01-01",
                  ["l_orderkey", "l_returnflag", "l_extendedprice",
                   "l_discount"])
 
-    def returned(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["l_returnflag"] == "R"]
-        out = pd.DataFrame({
-            "l_orderkey": df["l_orderkey"].to_numpy(),
-            "rev_u": _to_micro(df["l_extendedprice"] * (1 - df["l_discount"]))})
-        sent = pd.DataFrame({"l_orderkey": np.array([-1], np.int64),
-                             "rev_u": np.array([0], np.int64)})
-        return pd.concat([out, sent], ignore_index=True)
+    def returned(t: pa.Table) -> pa.Table:
+        t2 = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        price = t2.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t2.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": pa.array(np.r_[_col(t2, "l_orderkey"),
+                                         [-1]].astype(np.int64)),
+            "rev_u": pa.array(np.r_[_to_micro(price * (1 - disc)),
+                                    [0]].astype(np.int64))})
 
-    joined = _join_auto(line.map_batches(returned, batch_format="pandas"),
+    joined = _join_auto(line.map_batches(returned, batch_format="pyarrow"),
                         orders_c, "l_orderkey", "o_orderkey",
                         _rows_hint(sf_dir, "orders"))
 
@@ -3248,20 +3269,25 @@ def q12_late_priority(sf_dir: str, date_lo: str = "1996-01-01",
                         "l_orderkey", "o_orderkey",
                         _rows_hint(sf_dir, "orders"))
 
-    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[(df["l_orderkey"] >= 0)
-                & (df["ship_us"] > df["o_date_us"] + late_us)]
-        hi_m = df["o_orderpriority"].isin(_HIGH)
-        g = pd.DataFrame({"l_linestatus": df["l_linestatus"],
-                          "h": hi_m.astype(np.int64),
-                          "l": (~hi_m).astype(np.int64)}).groupby(
-            "l_linestatus", as_index=False).sum()
-        sent = pd.DataFrame({"l_linestatus": ["\x00sent"],
-                             "h": np.array([0], np.int64),
-                             "l": np.array([0], np.int64)})
-        return pd.concat([g, sent], ignore_index=True)
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        m = ((_col(t, "l_orderkey") >= 0)
+             & (_col(t, "ship_us") > _col(t, "o_date_us") + late_us))
+        st = np.asarray(t.column("l_linestatus").to_pylist(), dtype=object)[m]
+        pri = np.asarray(t.column("o_orderpriority").to_pylist(),
+                         dtype=object)[m]
+        hi_m = np.isin(pri, _HIGH)
+        statuses, inv = np.unique(st, return_inverse=True)
+        h = np.zeros(len(statuses), dtype=np.int64)
+        low = np.zeros(len(statuses), dtype=np.int64)
+        np.add.at(h, inv, hi_m.astype(np.int64))
+        np.add.at(low, inv, (~hi_m).astype(np.int64))
+        return pa.table({
+            "l_linestatus": pa.array(statuses.tolist() + ["\x00sent"],
+                                     pa.string()),
+            "h": pa.array(np.r_[h, [0]]),
+            "l": pa.array(np.r_[low, [0]])})
 
-    out = (joined.map_batches(cnt_partial, batch_format="pandas")
+    out = (joined.map_batches(cnt_partial, batch_format="pyarrow")
            .groupby("l_linestatus")
            .aggregate(Sum("h", alias_name="high_line_count"),
                       Sum("l", alias_name="low_line_count")))
@@ -3802,24 +3828,30 @@ def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_5",
                         orders_n, "l_orderkey", "o_orderkey",
                         _rows_hint(sf_dir, "orders"))
 
-    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+    def pair_partial(t: pa.Table) -> pa.Table:
         nmap = ray.get(nmap_ref)
-        df = df[(df["l_orderkey"] >= 0) & (df["c_nat"] >= 0)
-                & (df["s_nat"] != df["c_nat"])]
-        g = df.groupby(["s_nat", "c_nat", "l_year"],
-                       as_index=False)["rev_u"].sum()
-        out = pd.DataFrame({
-            "supp_nation": g["s_nat"].astype(int).map(nmap),
-            "cust_nation": g["c_nat"].astype(int).map(nmap),
-            "l_year": g["l_year"].astype(np.int64),
-            "rev_u": g["rev_u"].astype(np.int64)})
-        sent = pd.DataFrame({"supp_nation": ["\x00sent"],
-                             "cust_nation": ["\x00sent"],
-                             "l_year": np.array([0], np.int64),
-                             "rev_u": np.array([0], np.int64)})
-        return pd.concat([out, sent], ignore_index=True)
+        s = _col(t, "s_nat")
+        c = _col(t, "c_nat")
+        ok = (_col(t, "l_orderkey") >= 0) & (c >= 0) & (s != c)
+        s, c = s[ok], c[ok]
+        y = _col(t, "l_year")[ok]
+        r = _col(t, "rev_u")[ok]
+        # composite int64 group key (nat < 100, year < 10^4): one
+        # np.unique replaces the pandas three-column groupby
+        key = (s * np.int64(100) + c) * np.int64(10_000) + y
+        uk, first, inv = np.unique(key, return_index=True,
+                                   return_inverse=True)
+        rv = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(rv, inv, r)
+        sn = [nmap[int(k)] for k in s[first]]
+        cn = [nmap[int(k)] for k in c[first]]
+        return pa.table({
+            "supp_nation": pa.array(sn + ["\x00sent"], pa.string()),
+            "cust_nation": pa.array(cn + ["\x00sent"], pa.string()),
+            "l_year": pa.array(np.r_[y[first], [0]].astype(np.int64)),
+            "rev_u": pa.array(np.r_[rv, [0]].astype(np.int64))})
 
-    out = (joined.map_batches(pair_partial, batch_format="pandas")
+    out = (joined.map_batches(pair_partial, batch_format="pyarrow")
            .groupby(["supp_nation", "cust_nation", "l_year"])
            .aggregate(Sum("rev_u", alias_name="revenue")))
 
