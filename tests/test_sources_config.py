@@ -80,3 +80,44 @@ def test_extra_stage_applies_to_docs_out(tiny_corpus):
         assert (df["n_spans"] == df["spans"].map(len)).all()
     finally:
         eng.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_lift_distributed_equals_serial():
+    """The distributed corpus builder (read_parquet → map_batches lift
+    → union robots) must produce row-for-row the SAME table as the
+    serial reference `corpus_from_documents` (shared kernel), and the
+    memoized parquet artifact must hold the same content."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from ccrawler_ray.sources.corpus import (
+        corpus_dataset, corpus_from_documents, corpus_parquet)
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    serial = corpus_from_documents(path)
+    dist = pa.concat_tables(
+        ray.get(corpus_dataset(path).to_arrow_refs())).combine_chunks()
+    assert dist.cast(serial.schema).to_pylist() == serial.to_pylist()
+    art = pq.read_table(corpus_parquet("/root/testdata/sf0.001"))
+    assert art.num_rows == serial.num_rows
+    assert (art.cast(serial.schema).sort_by("doc_id").to_pylist()
+            == serial.sort_by("doc_id").to_pylist())
+
+
+def test_corpus_lift_rejects_noncontiguous(tmp_path):
+    """The by-value link-target rule requires doc_id == 0..n-1; a
+    gapped id space must fail LOUDLY, not silently mis-link."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from ccrawler_ray.sources.corpus import corpus_from_documents
+
+    t = pa.table({"doc_id": pa.array([0, 1, 5], pa.int64()),
+                  "text": pa.array(["a b c", "d e f", "g h i"])})
+    p = tmp_path / "documents.parquet"
+    pq.write_table(t, p)
+    with _pytest.raises(ValueError, match="contiguous"):
+        corpus_from_documents(str(p))
