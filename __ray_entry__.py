@@ -81,6 +81,7 @@ _QUERY_ORDER = (
     "dedup_ngram_spans", "decontaminate_overlap", "m10_normalize_text",
     "m9_content_hash", "scalar_string_ops", "o3_sample_hash",
     "o8_hash_split", "o9_seeded_shuffle", "o11_chunk_overlap",
+    "io_pushdown_scan", "mix_curriculum_order",
     "explode_embeddings",
     "spans_rollup", "spans_integrity_report", "spans_line_dedup",
     "spans_pack_multimodal", "o3_sample",
@@ -116,6 +117,7 @@ _QUERY_ORDER = (
     "g21_zscore_outliers", "search_phrase", "pmi_topk",
     "g19_grouping_sets", "bpe_pair_topk", "bpe_train_merges",
     "bpe_encode_stats", "dsir_importance",
+    "ann_hybrid_search",
     "j5_asof_join", "tfidf_topk", "link_pagerank", "link_hits",
     "link_components",
     "q1_pricing_summary",
@@ -287,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o4_stratified_sample": R.o4_stratified_sample,
         "o8_hash_split": R.o8_hash_split,
         "o9_seeded_shuffle": R.o9_seeded_shuffle,
+        "io_pushdown_scan": R.io_pushdown_scan,
         "o11_chunk_overlap": T.o11_chunk_overlap,
         "o10_pack_sequences": T.o10_pack_sequences,
         # --- wide aggregate
@@ -340,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep_stats": MIX.corpus_prep_stats,
         "mix_interleave": MIX.mix_interleave,
         "mix_temperature_sample": MIX.mix_temperature_sample,
+        "mix_curriculum_order": MIX.mix_curriculum_order,
         "quality_filtered_docs": MIX.quality_filtered_docs,
         # max_hamming=3: the scale-safe blocking point (16-bit keys);
         # radius-derived blocking guarantees full recall (ADVICE r1)
@@ -357,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_kmeans": S.cluster_kmeans,
         "knn_graph": S.knn_graph,
         "ann_nsw_topk": S.ann_nsw_topk,
+        "ann_hybrid_search": S.ann_hybrid_search,
         "ann_topk_cosine": lambda sf: S.ann_topk_cosine(sf, num_queries=5, k=5),
         "ann_range_search": lambda sf: S.ann_range_search(
             sf, num_queries=8, threshold=0.25),
@@ -537,6 +542,10 @@ def _serial_oracles() -> dict[str, str]:
         "search_bm25": V(SR.search_bm25(),
                          {"doc_id": "BIGINT", "score": "DOUBLE",
                           "rank": "BIGINT"}),
+        "ann_hybrid_search": V(SR.ann_hybrid_search(),
+                               {"doc_id": "BIGINT", "bm25": "DOUBLE",
+                                "cos": "DOUBLE", "hybrid": "DOUBLE",
+                                "rank": "BIGINT"}),
         "link_pagerank": V(SR.link_pagerank(),
                            {"doc_id": "BIGINT", "rank_u": "BIGINT",
                             "rank": "DOUBLE"}),
@@ -1447,6 +1456,27 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT doc_id, skey, row_number() OVER "
             "(ORDER BY skey, doc_id) AS pos FROM k) "
             "SELECT doc_id, skey, pos, (pos - 1) % 8 AS shard FROM r"
+        ),
+        "mix_curriculum_order": (
+            # curriculum order: shortest-first token buckets, the o9
+            # seeded-shuffle key INSIDE a bucket, global rank
+            r"WITH t AS (SELECT doc_id, "
+            r"CAST(len(regexp_split_to_array(text,'\s+')) AS BIGINT) "
+            "AS n_tokens FROM documents), "
+            "k AS (SELECT doc_id, n_tokens, "
+            "least(n_tokens // 32, 7) AS qbucket, "
+            "CAST(CAST(('0x' || "
+            "substr(md5('77:' || CAST(doc_id AS VARCHAR)),1,15)) "
+            "AS UBIGINT) AS BIGINT) AS skey FROM t) "
+            "SELECT doc_id, n_tokens, qbucket, skey, row_number() OVER "
+            "(ORDER BY qbucket, skey, doc_id) AS pos FROM k"
+        ),
+        "io_pushdown_scan": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "sum(CAST(round(l_quantity*1000000) AS BIGINT))/1000000.0 "
+            "AS sum_qty FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-06-01' "
+            "AND l_shipdate < TIMESTAMP '1996-07-01'"
         ),
         "o10_pack_sequences": (
             # concat-then-chunk packing: per-source exclusive token

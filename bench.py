@@ -209,6 +209,10 @@ QUERY_SUITE = [
     "io_orc_roundtrip",
     "ann_nsw_topk",
     "spans_integrity_report",
+    # round-4 additions
+    "mix_curriculum_order",
+    "io_pushdown_scan",
+    "ann_hybrid_search",
 ]
 
 

@@ -1270,3 +1270,93 @@ def ann_nsw_topk(sf_dir: str, num_queries: int = 5, k: int = 5,
         NSWSearcher, batch_format="pandas", concurrency=2,
         fn_constructor_kwargs={"sf_dir": sf_dir, "edge_refs": edge_refs,
                                "ef": ef, "k": k})
+
+
+# ---------------------------------------------------------------------------
+# Hybrid lexical+vector search — the RAG-style retrieval fusion: BM25
+# over the text column fused with cosine similarity over the embedding
+# column. Two narrow legs (the shared bm25 tf/dl leg at doc
+# cardinality, a one-pass cosine scan at vector cardinality) meet in a
+# size-seamed int64 join; text and vectors never cross a shuffle.
+# Frozen semantics (shared with the serial mirror, bitwise): bm25
+# score via the frozen _bm25_score_cols kernel; cos ROUNDED to 4 dp
+# (the ann_range_search reproducibility convention); hybrid =
+# 0.5*(bm25/(1+bm25)) + 0.5*cos4; top-k by (hybrid desc, doc_id asc).
+# ---------------------------------------------------------------------------
+
+HYBRID_TERMS = ("join", "merge", "sort", "fast")
+HYBRID_QVEC_N = 8      # query vector = mean of embeddings vec_id < N
+HYBRID_K = 20
+
+
+def hybrid_qvec(sf_dir: str, n: int = HYBRID_QVEC_N) -> np.ndarray:
+    """FROZEN query vector: the normalized mean of the first ``n``
+    embeddings (a pruned n-row read — never the full table)."""
+    _, qm = _query_matrix(sf_dir, n)
+    q = qm.astype(np.float64).mean(axis=0)
+    return q / np.linalg.norm(q)
+
+
+def ann_hybrid_search(sf_dir: str, terms: tuple = HYBRID_TERMS,
+                      k: int = HYBRID_K, qvec_n: int = HYBRID_QVEC_N):
+    """(doc_id, bm25, cos, hybrid, rank): top-k docs by the fused
+    lexical+vector score, over docs that have an embedding
+    (vec_id == doc_id on the conformance tables)."""
+    from ccrawler_ray.functions.text import (
+        _bm25_score_cols, bm25_idf_stats, bm25_tf_dl_ds)
+    from ccrawler_ray.relational import _join_auto, _rows_hint, _typed
+
+    m = len(terms)
+    inter = bm25_tf_dl_ds(sf_dir, terms)
+    n_docs, total_len, idf = bm25_idf_stats(inter, m)
+    qn_ref = ray.put(hybrid_qvec(sf_dir, qvec_n))
+
+    def bm25_all(batch: pa.Table) -> pa.Table:
+        dids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        dl = batch.column("dl").to_numpy(zero_copy_only=False)
+        tf = np.stack([batch.column(f"tf_{j}").to_numpy(zero_copy_only=False)
+                       for j in range(m)], axis=1)
+        s = _bm25_score_cols(tf, dl, idf, n_docs, total_len)
+        return pa.table({
+            "doc_id": pa.array(np.r_[dids, [-1]].astype(np.int64)),
+            "bm25": pa.array(np.r_[s, [0.0]])})
+
+    scores = inter.map_batches(bm25_all, batch_format="pyarrow")
+
+    def cos_leg(df: pd.DataFrame) -> pd.DataFrame:
+        qn = ray.get(qn_ref)
+        if not len(df):
+            return pd.DataFrame({"vec_id": np.array([-1], np.int64),
+                                 "cos": np.array([0.0])})
+        mm = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mm /= np.linalg.norm(mm, axis=1, keepdims=True)
+        cos4 = np.round(mm @ qn, 4)
+        return pd.DataFrame({
+            "vec_id": np.r_[df["vec_id"].to_numpy(), [-1]].astype(np.int64),
+            "cos": np.r_[cos4, [0.0]]})
+
+    vecs = read_embeddings(sf_dir, ["vec_id", "embedding"]).map_batches(
+        cos_leg, batch_format="pandas")
+    joined = _join_auto(scores, vecs, "doc_id", "vec_id",
+                        _rows_hint(sf_dir, "embeddings"))
+
+    def fuse(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] >= 0]
+        b = df["bm25"].to_numpy(dtype=np.float64)
+        c = df["cos"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+            "bm25": b, "cos": c,
+            "hybrid": 0.5 * (b / (1.0 + b)) + 0.5 * c})
+
+    out = (joined.map_batches(fuse, batch_format="pandas")
+           .sort(["hybrid", "doc_id"], descending=[True, False]).limit(k))
+
+    def ranked(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(rank=np.arange(1, len(df) + 1, dtype=np.int64))
+
+    # one block after limit(k) → the rank assignment is global
+    return _typed(out.repartition(1).map_batches(ranked, batch_format="pandas"),
+                  [("doc_id", pa.int64()), ("bm25", pa.float64()),
+                   ("cos", pa.float64()), ("hybrid", pa.float64()),
+                   ("rank", pa.int64())])

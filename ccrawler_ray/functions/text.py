@@ -328,13 +328,9 @@ def _bm25_score_cols(tf: np.ndarray, dl: np.ndarray, idf: np.ndarray,
     return s
 
 
-def search_bm25(sf_dir: str, terms: tuple = ("join", "vector", "spark", "fast"),
-                k: int = 20) -> pd.DataFrame:
-    """Global BM25 top-k docs for a fixed query-term set.
-
-    Returns (doc_id, score, rank) for the k best-scoring docs that
-    contain at least one query term; ties break on doc_id ascending.
-    """
+def bm25_tf_dl_ds(sf_dir: str, terms: tuple):
+    """Materialized (doc_id, dl, tf_0..tf_{m-1}) dataset — the shared
+    text leg of ``search_bm25`` and ``similarity.ann_hybrid_search``."""
     m = len(terms)
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
@@ -359,7 +355,12 @@ def search_bm25(sf_dir: str, terms: tuple = ("join", "vector", "spark", "fast"),
             cols[f"tf_{j}"] = pa.array(tf[:, j])
         return pa.table(cols)
 
-    inter = ds.map_batches(tf_dl, batch_format="pyarrow").materialize()
+    return ds.map_batches(tf_dl, batch_format="pyarrow").materialize()
+
+
+def bm25_idf_stats(inter, m: int):
+    """(n_docs, total_len, idf) from the tf/dl dataset — exact integer
+    partials, one tiny driver reduce (shared with the hybrid search)."""
 
     def stat_partial(batch: pa.Table) -> pa.Table:
         cols = {"n": pa.array([batch.num_rows], pa.int64()),
@@ -376,6 +377,19 @@ def search_bm25(sf_dir: str, terms: tuple = ("join", "vector", "spark", "fast"),
     n_docs, total_len = int(stats["n"]), int(stats["tl"])
     dfreq = np.array([stats[f"df_{j}"] for j in range(m)], dtype=np.int64)
     idf = np.log((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+    return n_docs, total_len, idf
+
+
+def search_bm25(sf_dir: str, terms: tuple = ("join", "vector", "spark", "fast"),
+                k: int = 20) -> pd.DataFrame:
+    """Global BM25 top-k docs for a fixed query-term set.
+
+    Returns (doc_id, score, rank) for the k best-scoring docs that
+    contain at least one query term; ties break on doc_id ascending.
+    """
+    m = len(terms)
+    inter = bm25_tf_dl_ds(sf_dir, terms)
+    n_docs, total_len, idf = bm25_idf_stats(inter, m)
 
     def local_topk(batch: pa.Table) -> pa.Table:
         dids = batch.column("doc_id").to_numpy(zero_copy_only=False)

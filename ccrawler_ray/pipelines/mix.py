@@ -476,3 +476,77 @@ def mix_temperature_sample(sf_dir: str, alpha: float = TEMP_ALPHA,
     out = ds.map_batches(pick, batch_format="pandas")
     return _stamp_schema(out, pa.schema([("doc_id", pa.int64()),
                                          ("source", pa.string())]))
+
+
+# ---------------------------------------------------------------------------
+# Curriculum training order: shortest-first difficulty buckets with a
+# seeded shuffle INSIDE each bucket — the "easy→hard, but not
+# deterministic-easy" ordering curriculum-learning data loaders use.
+# Distributed shape: the memoized quality leg supplies n_tokens, the
+# global position comes from the o9-style TWO-PASS bucket-offset
+# numbering (pass 1: per-(qbucket, skey-bucket) counts — a
+# driver-sized offset table; pass 2: in-group lexsort + base offset).
+# No global sort; composite group ids ascend exactly like
+# (qbucket, skey), so offsets are rank-exact.
+# ---------------------------------------------------------------------------
+
+CURRICULUM_SEED = 77
+CURRICULUM_WIDTH = 32      # tokens per difficulty bucket
+CURRICULUM_BUCKETS = 8
+
+
+def mix_curriculum_order(sf_dir: str, seed: int = CURRICULUM_SEED,
+                         width: int = CURRICULUM_WIDTH,
+                         n_qbuckets: int = CURRICULUM_BUCKETS):
+    """(doc_id, n_tokens, qbucket, skey, pos): curriculum order —
+    qbucket = min(n_tokens // width, n_qbuckets-1) (short docs first),
+    skey = first-15-hex md5('{seed}:{doc_id}') (BIGINT-safe, the o9
+    rule), pos = global rank by (qbucket, skey, doc_id)."""
+    import hashlib
+
+    from ccrawler_ray.functions.text import quality_score
+
+    qs = quality_score(sf_dir)   # memoized (doc_id, n_tokens, ...) leg
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ntok = t.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = np.fromiter(
+            (int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16)
+             for i in ids), dtype=np.int64, count=len(ids))
+        qb = np.minimum(ntok // np.int64(width), np.int64(n_qbuckets - 1))
+        return pa.table({
+            "doc_id": pa.array(ids), "n_tokens": pa.array(ntok),
+            "qbucket": pa.array(qb), "skey": pa.array(keys),
+            "grp": pa.array((qb * np.int64(256)
+                             + (keys >> np.int64(52))).astype(np.int32))})
+
+    withk = qs.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    def cnt(t: pa.Table) -> pa.Table:
+        g = t.column("grp").to_numpy(zero_copy_only=False)
+        ug, c = np.unique(g, return_counts=True)
+        return pa.table({"grp": pa.array(ug.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    parts = withk.map_batches(cnt, batch_format="pyarrow").to_pandas()
+    per_grp = np.zeros(n_qbuckets * 256, dtype=np.int64)
+    np.add.at(per_grp, parts["grp"].to_numpy(), parts["n"].to_numpy())
+    offsets = np.r_[np.int64(0), np.cumsum(per_grp)[:-1]]
+
+    def number(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keys = t.column("skey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, keys))
+        base = offsets[int(t.column("grp")[0].as_py())]
+        return pa.table({
+            "doc_id": pa.array(ids[order]),
+            "n_tokens": pa.array(
+                t.column("n_tokens").to_numpy(zero_copy_only=False)[order]),
+            "qbucket": pa.array(
+                t.column("qbucket").to_numpy(zero_copy_only=False)[order]),
+            "skey": pa.array(keys[order]),
+            "pos": pa.array(base + np.arange(1, len(ids) + 1,
+                                             dtype=np.int64))})
+
+    return withk.groupby("grp").map_groups(number, batch_format="pyarrow")

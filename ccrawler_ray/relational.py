@@ -480,6 +480,33 @@ def j4_multi_join(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def io_pushdown_scan(sf_dir: str, date_lo: str = "1996-06-01",
+                     date_hi: str = "1996-07-01"):
+    """(n_rows, sum_qty): one shipdate month with BOTH the column
+    projection and the row predicate pushed INTO ``read_parquet`` —
+    pyarrow evaluates the filter against row-group statistics so
+    non-qualifying row groups never leave storage (the
+    prune-at-the-read contract, demonstrated as a first-class op)."""
+    import ray.data
+
+    expr = ((pc.field("l_shipdate") >= pa.scalar(np.datetime64(date_lo, "us")))
+            & (pc.field("l_shipdate") < pa.scalar(np.datetime64(date_hi, "us"))))
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_quantity"], filter=expr)
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty_u = _to_micro(t.column("l_quantity").to_numpy(zero_copy_only=False))
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "qty_u": pa.array([int(qty_u.sum())], pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("qty_u", alias_name="qty_u"))
+    n = int(agg["n"] or 0)
+    qu = int(agg["qty_u"] or 0)
+    return pd.DataFrame({"n_rows": np.array([n], np.int64),
+                         "sum_qty": [qu / (MICRO * 1.0)]})
+
+
 def o1_global_sort(sf_dir: str, n: int = 100):
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
     return ds.sort(

@@ -1954,3 +1954,52 @@ def spans_integrity_report(sf_dir: str | None = None) -> pd.DataFrame:
         "n_offset_violations": off_bad, "n_ref_violations": ref_bad,
         "tt": trans[0], "tm": trans[1], "mt": trans[2], "mm": trans[3],
     }]).astype("int64")
+
+
+def ann_hybrid_search(sf_dir: str | None = None,
+                      terms: tuple = None, k: int = None,
+                      qvec_n: int = None) -> pd.DataFrame:
+    """Serial mirror of functions.similarity.ann_hybrid_search —
+    identical frozen ops: the shared _bm25_score_cols kernel (exact
+    integer inputs → bitwise scores), cos rounded to 4 dp (the
+    ann_range_search reproducibility convention), the same fusion
+    expression, (hybrid desc, doc_id asc) top-k."""
+    from ccrawler_ray.functions.similarity import (
+        HYBRID_K, HYBRID_QVEC_N, HYBRID_TERMS)
+    from ccrawler_ray.functions.text import _bm25_score_cols
+
+    terms = terms or HYBRID_TERMS
+    k = k or HYBRID_K
+    qvec_n = qvec_n or HYBRID_QVEC_N
+    d = sf_dir or oracle_sf_dir()
+    ids, texts = _docs(d)
+    m = len(terms)
+    tf = np.zeros((len(ids), m), dtype=np.int64)
+    dl = np.zeros(len(ids), dtype=np.int64)
+    for i, t in enumerate(texts):
+        ws = t.split()
+        dl[i] = len(ws)
+        for j, term in enumerate(terms):
+            tf[i, j] = ws.count(term)
+    n_docs, total_len = len(ids), int(dl.sum())
+    dfreq = (tf > 0).sum(axis=0).astype(np.int64)
+    idf = np.log((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+    s = _bm25_score_cols(tf, dl, idf, n_docs, total_len)
+    bm = dict(zip((int(i) for i in ids), s))
+
+    vids, mat = _embeddings(d)
+    q = mat[vids < qvec_n].mean(axis=0)
+    q /= np.linalg.norm(q)
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos4 = np.round(mn @ q, 4)
+
+    rows = [(int(v), bm.get(int(v), 0.0), float(c)) for v, c in zip(vids, cos4)
+            if int(v) in bm]
+    df = pd.DataFrame(rows, columns=["doc_id", "bm25", "cos"])
+    b = df["bm25"].to_numpy(dtype=np.float64)
+    c = df["cos"].to_numpy(dtype=np.float64)
+    df["hybrid"] = 0.5 * (b / (1.0 + b)) + 0.5 * c
+    df = df.sort_values(["hybrid", "doc_id"],
+                        ascending=[False, True]).head(k).reset_index(drop=True)
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df[["doc_id", "bm25", "cos", "hybrid", "rank"]]
