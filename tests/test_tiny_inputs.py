@@ -143,6 +143,7 @@ REL_QUERIES = [
     "d1_exact_dedup", "d5_latest_per_key", "s1_set_intersect",
     "s2_set_except", "m11_json_extract", "scalar_string_ops",
     "explode_embeddings", "w1_running_sum",
+    "mix_curriculum_order", "io_pushdown_scan", "ann_hybrid_search",
 ]
 
 
