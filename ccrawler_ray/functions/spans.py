@@ -18,11 +18,16 @@ def corpus_dataset(sf_dir: str, with_row_no: bool = False) -> "ray.data.Dataset"
     """The deterministic interleaved corpus as a DISTRIBUTED Dataset:
     pruned read_parquet over documents → map_batches lift (block count
     from parquet metadata; the corpus never materializes on the
-    driver) → union with the tiny robots block."""
+    driver) → union with the tiny robots block. Memoized per
+    (sf_dir, row_no) and session — every spans_* consumer shares ONE
+    lift (object-store blocks, no worker/driver heap state)."""
+    from ccrawler_ray.memo import memo_ds
     from ccrawler_ray.sources.corpus import corpus_dataset as _build
 
-    return _build(f"{sf_dir}/documents.parquet", with_row_no=with_row_no,
-                  block_rows=_BLOCK_ROWS)
+    return memo_ds(
+        ("corpus_ds", sf_dir, with_row_no),
+        lambda: _build(f"{sf_dir}/documents.parquet",
+                       with_row_no=with_row_no, block_rows=_BLOCK_ROWS))
 
 
 def spans_line_dedup(sf_dir: str):
