@@ -373,7 +373,8 @@ def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
                          threshold: float | None = None,
                          exact: bool = False,
                          cc_edges: bool = False,
-                         containment: bool = False):
+                         containment: bool = False,
+                         stats: bool = False):
     """Banded LSH pairs (doc_a < doc_b), each emitted EXACTLY ONCE.
 
     The signature (and in exact mode the word-hash set) rides along in
@@ -404,6 +405,8 @@ def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
         raise ValueError("cc_edges requires exact mode")
     if containment and (not exact or cc_edges):
         raise ValueError("containment requires exact pair mode")
+    if stats and not containment:
+        raise ValueError("stats mode is the containment rollup")
     metric_col = None if cc_edges else (
         ("containment" if containment else "jaccard") if exact
         else ("est_jaccard" if threshold is not None else None)
@@ -445,6 +448,11 @@ def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
     band_rows = sigs.map_batches(to_bands, batch_format="pyarrow")
 
     def empty_out() -> pd.DataFrame:
+        if stats:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "n_pairs": pd.Series(dtype="int64"),
+                "max_containment": pd.Series(dtype="float64")})
         cols = {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
         if metric_col:
             cols[metric_col] = pd.Series(dtype="float64")
@@ -470,6 +478,15 @@ def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
         out_a: list = []
         out_b: list = []
         out_e: list = []
+        out_d: list = []   # stats mode: (doc, n_partial, max_partial)
+        out_n: list = []
+        out_m: list = []
+
+        def emit_stats(docs: np.ndarray, n: np.ndarray, mx) -> None:
+            out_d.append(docs.astype(np.int64, copy=False))
+            out_n.append(n.astype(np.int64, copy=False))
+            out_m.append(mx if isinstance(mx, np.ndarray)
+                         else np.full(len(docs), mx))
 
         def emit(a: np.ndarray, b: np.ndarray, e) -> None:
             lo = np.minimum(a, b)
@@ -529,6 +546,9 @@ def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
                     grp = np.sort(members[offs[g]: offs[g + 1]])
                     if cc_edges:  # star: same component, c-1 edges
                         emit(np.full(len(grp) - 1, grp[0]), grp[1:], met_ident)
+                    elif stats:  # each member is in c-1 identical pairs
+                        emit_stats(grp, np.full(len(grp), len(grp) - 1),
+                                   met_ident)
                     else:
                         gi, gj = _triu_pairs(len(grp))
                         emit(grp[gi], grp[gj], met_ident)
@@ -613,6 +633,27 @@ def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
                 if len(nz):
                     emit(gmins[lbl[nz]], gmins[nz], None)
                 continue
+            if stats:
+                # per-DOC rollup without the member-pair expansion:
+                # a member of rep group A in a kept pair (A, B) is in
+                # |B| member pairs at A-B's containment — scatter to
+                # reps, repeat to members (O(u + members) rows instead
+                # of |A|x|B|; the expansion measured 605 s on the 10x
+                # soup corpus). Metric floor-scaled FIRST, so maxima
+                # match the old pair stream's emitted values exactly.
+                met4 = np.floor(met * 10000) / 10000
+                n_rep = np.zeros(u, dtype=np.int64)
+                m_rep = np.full(u, -np.inf)
+                np.add.at(n_rep, ka, counts[kb])
+                np.add.at(n_rep, kb, counts[ka])
+                np.maximum.at(m_rep, ka, met4)
+                np.maximum.at(m_rep, kb, met4)
+                n_mem = np.repeat(n_rep, counts)
+                m_mem = np.repeat(m_rep, counts)
+                sel2 = n_mem > 0
+                if sel2.any():
+                    emit_stats(members[sel2], n_mem[sel2], m_mem[sel2])
+                continue
             # expand rep pairs to member pairs (fully vectorized)
             ca = counts[ka]
             cb = counts[kb]
@@ -623,6 +664,13 @@ def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
             a = members[offs[ka][pidx] + k // cb[pidx]]
             b = members[offs[kb][pidx] + k % cb[pidx]]
             emit(a, b, met[pidx] if met is not None else None)
+        if stats:
+            if not out_d:
+                return empty_out()
+            return pd.DataFrame({
+                "doc_id": np.concatenate(out_d),
+                "n_pairs": np.concatenate(out_n),
+                "max_containment": np.concatenate(out_m)})
         if not out_a:
             return empty_out()
         cols = {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
@@ -637,9 +685,13 @@ def _lsh_candidate_pairs(sigs, bands: int, num_perm: int,
     out = band_rows.groupby(["band", "bh_salt"]).map_groups(
         salted_group_pairs, batch_format="pandas"
     )
-    fields = [("doc_a", pa.int64()), ("doc_b", pa.int64())]
-    if metric_col:
-        fields.append((metric_col, pa.float64()))
+    if stats:
+        fields = [("doc_id", pa.int64()), ("n_pairs", pa.int64()),
+                  ("max_containment", pa.float64())]
+    else:
+        fields = [("doc_a", pa.int64()), ("doc_b", pa.int64())]
+        if metric_col:
+            fields.append((metric_col, pa.float64()))
     return _stamp_schema(out, pa.schema(fields))
 
 
@@ -700,11 +752,17 @@ def dedup_containment_stats(sf_dir: str, num_perm: int = 64,
     """Per-doc containment rollup — the bounded O(docs) surface over
     the (potentially quadratic-ish on a small-vocab corpus) pair
     stream: for every doc in >= 1 high-containment pair,
-    (doc_id, n_pairs, max_containment). Map-side partial agg per
-    batch, then one salted shuffle of at most one row per
-    (batch, doc)."""
+    (doc_id, n_pairs, max_containment). The kernel's STATS mode rolls
+    up at rep level INSIDE the LSH buckets (a member of group A in a
+    kept pair (A,B) is in |B| member pairs at A-B's containment), so
+    the member-pair expansion never materializes — the expansion was
+    605 s on the 10x soup corpus vs ~8 s for this path; values are
+    identical because the metric is floor-scaled before the max."""
     salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
-    pairs = dedup_containment(sf_dir, num_perm, bands, threshold)
+    sigs = _memo(("sigw", sf_dir, num_perm),
+                 lambda: minhash_sig_wset(sf_dir, num_perm))
+    pairs = _lsh_candidate_pairs(sigs, bands, num_perm, threshold=threshold,
+                                 exact=True, containment=True, stats=True)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -713,13 +771,10 @@ def dedup_containment_stats(sf_dir: str, num_perm: int = 64,
                                  "max_containment": pd.Series(
                                      dtype="float64"),
                                  "d_salt": pd.Series(dtype="int32")})
-        both = pd.DataFrame({
-            "doc_id": np.concatenate([df["doc_a"].to_numpy(),
-                                      df["doc_b"].to_numpy()]),
-            "c": np.concatenate([df["containment"].to_numpy()] * 2)})
-        g = both.groupby("doc_id", as_index=False).agg(
-            n_pairs=("c", "size"), max_containment=("c", "max"))
-        g["d_salt"] = (g["doc_id"] % salt_k).astype(np.int32)
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_pairs=("n_pairs", "sum"),
+            max_containment=("max_containment", "max"))
+        g["d_salt"] = (g["doc_id"].astype(np.int64) % salt_k).astype(np.int32)
         return g
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
