@@ -213,6 +213,7 @@ QUERY_SUITE = [
     "mix_curriculum_order",
     "io_pushdown_scan",
     "ann_hybrid_search",
+    "dedup_containment_stats",
 ]
 
 
