@@ -38,6 +38,7 @@ KEYS = [
     "io_partitioned_roundtrip",
     "spans_line_dedup",
     "o9_seeded_shuffle",
+    "dedup_containment_stats",
 ]
 
 
