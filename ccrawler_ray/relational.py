@@ -3032,22 +3032,25 @@ def q10_returned_revenue(sf_dir: str, date_lo: str = "1996-01-01",
     salt_k = coarse_salt_k()  # pinned once: the k+salt_k limit below
     # must match the per-group sentinel count exactly
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["o_custkey"] >= 0]  # drop join-survival sentinels
-        g = (df.groupby(["o_custkey", "c_name", "c_nationkey"],
-                        as_index=False)["rev_u"].sum())
-        ck = g["o_custkey"].to_numpy().astype(np.int64)
-        out = pd.DataFrame({"c_custkey": ck, "c_name": g["c_name"],
-                            "n_key": g["c_nationkey"].to_numpy().astype(np.int64),
-                            "rev_u": g["rev_u"].to_numpy().astype(np.int64),
-                            "salt": (ck % salt_k).astype(np.int32)})
+    def partial(t: pa.Table) -> pa.Table:
+        ok = _col(t, "o_custkey") >= 0  # drop join-survival sentinels
+        ck = _col(t, "o_custkey")[ok].astype(np.int64)
+        rev = _col(t, "rev_u")[ok]
+        nk = _col(t, "c_nationkey")[ok].astype(np.int64)
+        names = np.asarray(t.column("c_name").to_pylist(), dtype=object)[ok]
+        # c_name / c_nationkey are functions of the custkey, so the
+        # (custkey, name, nationkey) groupby is a custkey groupby
+        uk, first, inv = np.unique(ck, return_index=True,
+                                   return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, rev)
         # partial sentinel: keeps the salted groupby input non-empty
-        sent = pd.DataFrame({"c_custkey": np.array([-1], np.int64),
-                             "c_name": [""],
-                             "n_key": np.array([-1], np.int64),
-                             "rev_u": np.array([0], np.int64),
-                             "salt": np.array([0], np.int32)})
-        return pd.concat([out, sent], ignore_index=True)
+        return pa.table({
+            "c_custkey": pa.array(np.r_[uk, [-1]].astype(np.int64)),
+            "c_name": pa.array(names[first].tolist() + [""], pa.string()),
+            "n_key": pa.array(np.r_[nk[first], [-1]].astype(np.int64)),
+            "rev_u": pa.array(np.r_[s, [0]].astype(np.int64)),
+            "salt": pa.array(np.r_[uk % salt_k, [0]].astype(np.int32))})
 
     def per_salt(df: pd.DataFrame) -> pd.DataFrame:
         nmap = ray.get(nmap_ref)
@@ -3073,7 +3076,7 @@ def q10_returned_revenue(sf_dir: str, date_lo: str = "1996-01-01",
     def drop_sent(df: pd.DataFrame) -> pd.DataFrame:
         return df[df["c_custkey"] >= 0]
 
-    out = (joined.map_batches(partial, batch_format="pandas")
+    out = (joined.map_batches(partial, batch_format="pyarrow")
            .groupby("salt").map_groups(per_salt, batch_format="pandas")
            .sort(["rev_u", "c_custkey"], descending=[True, False])
            # sentinels sort strictly below every real row (one per salt
@@ -3215,17 +3218,18 @@ def q4_order_priority(sf_dir: str, date_lo: str = "1996-01-01",
                         per_order, "o_orderkey", "l_orderkey",
                         _rows_hint(sf_dir, "orders"))
 
-    def late_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[(df["o_orderkey"] >= 0)
-                & (df["max_ship_us"] > df["o_date_us"] + grace_us)]
-        g = df.groupby("o_orderpriority", as_index=False).size()
-        out = pd.DataFrame({"o_orderpriority": g["o_orderpriority"],
-                            "n": g["size"].astype(np.int64)})
-        sent = pd.DataFrame({"o_orderpriority": ["\x00sent"],
-                             "n": np.array([0], np.int64)})
-        return pd.concat([out, sent], ignore_index=True)
+    def late_partial(t: pa.Table) -> pa.Table:
+        m = ((_col(t, "o_orderkey") >= 0)
+             & (_col(t, "max_ship_us") > _col(t, "o_date_us") + grace_us))
+        pri = np.asarray(t.column("o_orderpriority").to_pylist(),
+                         dtype=object)[m]
+        up, c = np.unique(pri, return_counts=True)
+        return pa.table({
+            "o_orderpriority": pa.array(up.tolist() + ["\x00sent"],
+                                        pa.string()),
+            "n": pa.array(np.r_[c, [0]].astype(np.int64))})
 
-    out = (joined.map_batches(late_partial, batch_format="pandas")
+    out = (joined.map_batches(late_partial, batch_format="pyarrow")
            .groupby("o_orderpriority")
            .aggregate(Sum("n", alias_name="n_orders")))
 
@@ -3980,19 +3984,23 @@ def q8_market_share(sf_dir: str, target: str = "NATION_7",
                         orders_n, "l_orderkey", "o_orderkey",
                         _rows_hint(sf_dir, "orders"))
 
-    def share_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["l_orderkey"] >= 0]
-        tgt = np.where(df["supp_nation"] == target, df["rev_u"], 0)
-        g = pd.DataFrame({"o_year": df["o_year"].astype(np.int64),
-                          "tu": tgt.astype(np.int64),
-                          "su": df["rev_u"].astype(np.int64)}).groupby(
-            "o_year", as_index=False).sum()
-        sent = pd.DataFrame({"o_year": np.array([-1], np.int64),
-                             "tu": np.array([0], np.int64),
-                             "su": np.array([0], np.int64)})
-        return pd.concat([g, sent], ignore_index=True)
+    def share_partial(t: pa.Table) -> pa.Table:
+        ok = _col(t, "l_orderkey") >= 0
+        yr = _col(t, "o_year")[ok]
+        rev = _col(t, "rev_u")[ok]
+        nat = np.asarray(t.column("supp_nation").to_pylist(), dtype=object)[ok]
+        tgt = np.where(nat == target, rev, np.int64(0))
+        uy, inv = np.unique(yr, return_inverse=True)
+        tu = np.zeros(len(uy), dtype=np.int64)
+        su = np.zeros(len(uy), dtype=np.int64)
+        np.add.at(tu, inv, tgt)
+        np.add.at(su, inv, rev)
+        return pa.table({
+            "o_year": pa.array(np.r_[uy, [-1]].astype(np.int64)),
+            "tu": pa.array(np.r_[tu, [0]].astype(np.int64)),
+            "su": pa.array(np.r_[su, [0]].astype(np.int64))})
 
-    out = (joined.map_batches(share_partial, batch_format="pandas")
+    out = (joined.map_batches(share_partial, batch_format="pyarrow")
            .groupby("o_year")
            .aggregate(Sum("tu", alias_name="tu"),
                       Sum("su", alias_name="su")))
@@ -4372,17 +4380,24 @@ def q9_product_profit(sf_dir: str):
                         "l_orderkey", "o_orderkey",
                         _rows_hint(sf_dir, "orders"))
 
-    def profit_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["l_orderkey"] >= 0]
-        g = df.groupby(["n_name", "o_year"], as_index=False)["amt_u"].sum()
-        sent = pd.DataFrame({"n_name": ["\x00sent"],
-                             "o_year": np.array([0], np.int64),
-                             "amt_u": np.array([0], np.int64)})
-        g["o_year"] = g["o_year"].astype(np.int64)
-        g["amt_u"] = g["amt_u"].astype(np.int64)
-        return pd.concat([g, sent], ignore_index=True)
+    def profit_partial(t: pa.Table) -> pa.Table:
+        ok = _col(t, "l_orderkey") >= 0
+        names = np.asarray(t.column("n_name").to_pylist(), dtype=object)[ok]
+        yr = _col(t, "o_year")[ok]
+        amt = _col(t, "amt_u")[ok]
+        _, codes = np.unique(names, return_inverse=True)
+        key = codes.astype(np.int64) * np.int64(8192) + yr  # years < 8192
+        uk, first, inv = np.unique(key, return_index=True,
+                                   return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, amt)
+        return pa.table({
+            "n_name": pa.array(names[first].tolist() + ["\x00sent"],
+                               pa.string()),
+            "o_year": pa.array(np.r_[yr[first], [0]].astype(np.int64)),
+            "amt_u": pa.array(np.r_[s, [0]].astype(np.int64))})
 
-    out = (joined.map_batches(profit_partial, batch_format="pandas")
+    out = (joined.map_batches(profit_partial, batch_format="pyarrow")
            .groupby(["n_name", "o_year"])
            .aggregate(Sum("amt_u", alias_name="profit")))
 
