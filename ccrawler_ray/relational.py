@@ -673,10 +673,11 @@ def q3_shipping_priority(sf_dir: str, k: int = 10):
                  ("o_orderdate", pa.timestamp("us"))]
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
 
-    def bld_keys(df: pd.DataFrame) -> pd.DataFrame:
-        return df.loc[df["c_mktsegment"] == "BUILDING", ["c_custkey"]]
+    def bld_keys(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING")
+                        ).select(["c_custkey"])
 
-    bld_cust = cust.map_batches(bld_keys, batch_format="pandas").union(
+    bld_cust = cust.map_batches(bld_keys, batch_format="pyarrow").union(
         ray.data.from_arrow(pa.table({"c_custkey": pa.array([-1], pa.int64())})))
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate"]).union(
@@ -691,38 +692,43 @@ def q3_shipping_priority(sf_dir: str, k: int = 10):
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(
-            rev_u=_to_micro(df["l_extendedprice"] * (1 - df["l_discount"]))
-        )
-        return df.groupby("l_orderkey", as_index=False).agg(revenue=("rev_u", "sum"))
-
-    partials = li.map_batches(partial, batch_format="pandas")
     # salted final sum: Ray's Aggregate costs ~1.4 ms per distinct key
     # (measured) — at |orders| cardinality that dwarfs the data; the
-    # coarse-salted in-group pandas sum is O(rows)
+    # coarse-salted in-group sum is O(rows)
     salt_k = coarse_salt_k()
 
-    def add_salt(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(o_salt=(df["l_orderkey"] % salt_k).astype(np.int32))
+    def partial(t: pa.Table) -> pa.Table:
+        ok = _col(t, "l_orderkey")
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = _to_micro(price * (1 - disc))
+        uk, inv = np.unique(ok, return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, rev)
+        return pa.table({"l_orderkey": pa.array(uk.astype(np.int64)),
+                         "revenue": pa.array(s),
+                         "o_salt": pa.array((uk % salt_k).astype(np.int32))})
 
-    def sum_group(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("l_orderkey", as_index=False)["revenue"].sum()
-        return pd.DataFrame({"l_orderkey": g["l_orderkey"].astype(np.int64),
-                             "revenue": g["revenue"].astype(np.int64)})
+    def sum_group(t: pa.Table) -> pa.Table:
+        ok = _col(t, "l_orderkey")
+        uk, inv = np.unique(ok, return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, _col(t, "revenue"))
+        return pa.table({"l_orderkey": pa.array(uk.astype(np.int64)),
+                         "revenue": pa.array(s)})
 
-    agg = (partials.map_batches(add_salt, batch_format="pandas")
-           .groupby("o_salt").map_groups(sum_group, batch_format="pandas")
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_salt").map_groups(sum_group, batch_format="pyarrow")
            .union(ray.data.from_arrow(pa.table(
                {"l_orderkey": pa.array([-1], pa.int64()),
                 "revenue": pa.array([0], pa.int64())}))))
     joined = _join_auto(agg, bld, "l_orderkey", "o_orderkey",
                         _rows_hint(sf_dir, "orders"))
 
-    def drop_sentinel(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["l_orderkey"] >= 0]
+    def drop_sentinel(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("l_orderkey"), 0))
 
-    top = (joined.map_batches(drop_sentinel, batch_format="pandas")
+    top = (joined.map_batches(drop_sentinel, batch_format="pyarrow")
            .sort(["revenue", "l_orderkey"], descending=[True, False]).limit(k))
     return _typed(_from_micro(top, ["revenue"]), q3_fields)
 
