@@ -151,21 +151,20 @@ def _rotation_offset(n: int) -> int:
     checks only the FIRST 50 ``queries()`` entries, so rotate which
     50-entry window of the cost order leads — every entry gets a driver
     row every ~n/50 rounds.  Window index = (round + 1) % n_windows,
-    where round = 1 + the newest ``CORRECTNESS_r*.json`` round on disk:
-    rounds 1–3 all ran window 0, so round 4 leads with window 1
-    (fully disjoint from r03's coverage), round 5 window 2, …"""
-    import re
+    where round comes from the COMMITTED ``ROUND`` marker file (bumped
+    once per round) so the ordering is reproducible from repo contents
+    alone — not from untracked artifacts.  Rounds 1–3 all ran window 0,
+    round 4 led with window 1 (fully disjoint from r03's coverage),
+    round 5 window 2, …"""
     from pathlib import Path
 
-    here = Path(__file__).resolve().parent
-    rounds = [
-        int(m.group(1))
-        for p in here.glob("CORRECTNESS_r*.json")
-        if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", p.name))
-    ]
-    nxt = (max(rounds) + 1) if rounds else 1
+    marker = Path(__file__).resolve().parent / "ROUND"
+    try:
+        rnd = int(marker.read_text().strip())
+    except (OSError, ValueError):
+        rnd = 1
     n_windows = max(1, -(-n // 50))
-    return ((nxt + 1) % n_windows) * 50
+    return ((rnd + 1) % n_windows) * 50
 
 
 def _cost_ordered(d: dict) -> dict:

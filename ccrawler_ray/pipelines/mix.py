@@ -493,6 +493,12 @@ def mix_temperature_sample(sf_dir: str, alpha: float = TEMP_ALPHA,
 CURRICULUM_SEED = 77
 CURRICULUM_WIDTH = 32      # tokens per difficulty bucket
 CURRICULUM_BUCKETS = 8
+# 64 salt groups per qbucket (top 6 bits of the 60-bit skey) keeps the
+# total map_groups key count at 8*64 = 512 — within the <=~few-hundred
+# coarse-group budget (~1.4 ms fixed cost per distinct Ray groupby key).
+# Group ids still ascend with (qbucket, skey), so the two-pass offset
+# numbering stays rank-exact and pos values are unchanged.
+CURRICULUM_SALTS = 64
 
 
 def mix_curriculum_order(sf_dir: str, seed: int = CURRICULUM_SEED,
@@ -518,8 +524,8 @@ def mix_curriculum_order(sf_dir: str, seed: int = CURRICULUM_SEED,
         return pa.table({
             "doc_id": pa.array(ids), "n_tokens": pa.array(ntok),
             "qbucket": pa.array(qb), "skey": pa.array(keys),
-            "grp": pa.array((qb * np.int64(256)
-                             + (keys >> np.int64(52))).astype(np.int32))})
+            "grp": pa.array((qb * np.int64(CURRICULUM_SALTS)
+                             + (keys >> np.int64(54))).astype(np.int32))})
 
     withk = qs.map_batches(keyed, batch_format="pyarrow").materialize()
 
@@ -530,7 +536,7 @@ def mix_curriculum_order(sf_dir: str, seed: int = CURRICULUM_SEED,
                          "n": pa.array(c.astype(np.int64))})
 
     parts = withk.map_batches(cnt, batch_format="pyarrow").to_pandas()
-    per_grp = np.zeros(n_qbuckets * 256, dtype=np.int64)
+    per_grp = np.zeros(n_qbuckets * CURRICULUM_SALTS, dtype=np.int64)
     np.add.at(per_grp, parts["grp"].to_numpy(), parts["n"].to_numpy())
     offsets = np.r_[np.int64(0), np.cumsum(per_grp)[:-1]]
 

@@ -123,6 +123,15 @@ def _contiguous_rows(documents_path: str) -> int:
         col = pq.read_table(documents_path, columns=["doc_id"])["doc_id"]
         arr = col.to_numpy(zero_copy_only=False)
         mn, mx = int(arr.min()), int(arr.max())
+        # min/max alone cannot catch duplicates ([0,2,2] passes); the
+        # scan path has the data in hand, so check uniqueness too.
+        if len(np.unique(arr)) != n:
+            raise ValueError(
+                f"corpus lift requires UNIQUE doc_id 0..{n - 1}; "
+                f"{documents_path} has duplicates")
+    # NOTE: on the metadata-only path duplicates within the min/max
+    # range are undetectable (stats carry no distinct counts); the
+    # fixture generators emit a contiguous range by construction.
     if not (n == 0 or (mn == 0 and mx == n - 1)):
         raise ValueError(
             f"corpus lift requires contiguous doc_id 0..{n - 1}; "
@@ -183,18 +192,35 @@ def corpus_parquet(sf_dir: str, links_per_doc: int = 3) -> str:
     key = f"{hashlib.blake2b(tag.encode(), digest_size=8).hexdigest()}_{links_per_doc}"
     root = Path(tempfile.gettempdir()) / "ccrawler_ray_corpus"
     out = root / key
-    done = root / f"{key}.done"
-    if done.exists() and out.is_dir():
+    # Completion marker lives INSIDE the artifact dir so "replace"
+    # and "mark done" are one atomic os.replace — a crash can never
+    # leave a non-empty `out` without its marker (the legacy sibling
+    # `.done` file is still honored for artifacts built pre-fix).
+    done_in = out / ".done"
+    done_legacy = root / f"{key}.done"
+
+    def _complete() -> bool:
+        return out.is_dir() and (done_in.exists() or done_legacy.exists())
+
+    if _complete():
         return str(out)
     root.mkdir(parents=True, exist_ok=True)
     tmp = root / f"{key}.building-{os.getpid()}"
     corpus_dataset(src, links_per_doc).write_parquet(str(tmp))
-    if done.exists() and out.is_dir():  # lost a (cross-process) race
+    (tmp / ".done").touch()
+    try:
+        os.replace(tmp, out)
+    except OSError:
         import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-        return str(out)
-    os.replace(tmp, out)
-    done.touch()
+        if _complete():  # lost a (cross-process) race — theirs wins
+            shutil.rmtree(tmp, ignore_errors=True)
+            return str(out)
+        # `out` exists but has no marker: a stale partial from a
+        # crashed build. Sweep it aside and retry once.
+        stale = root / f"{key}.stale-{os.getpid()}"
+        os.replace(out, stale)
+        shutil.rmtree(stale, ignore_errors=True)
+        os.replace(tmp, out)
     return str(out)
 
 

@@ -120,6 +120,17 @@ def fetch_via_semi_join(corpus_ds, admitted_table: pa.Table, delays: dict,
 
     Returns (hits Dataset with FETCHED_SCHEMA columns, admitted_table).
     """
+    # The pc.index_in probe below takes the FIRST matching admitted row;
+    # that is only correct because admitted canons are unique (D1 dedup
+    # upstream). Enforce the invariant here rather than assume it — a
+    # duplicate-canon admission would silently corrupt queue_pos /
+    # generation metadata on fetched rows. One hash pass, per generation.
+    n_canon = admitted_table.num_rows
+    if n_canon and pc.count_distinct(
+            as_single_array(admitted_table.column("canon"))).as_py() != n_canon:
+        raise ValueError(
+            "fetch_via_semi_join: admitted 'canon' column has duplicates; "
+            "the first-match probe requires unique canons")
     adm_ref = ray.put(admitted_table)
     delays_ref = ray.put(delays)
 
