@@ -22,6 +22,16 @@ class CrawlConfig:
     seed: int = 42
     # physical knobs (scale with cluster size; defaults fit the sandbox)
     num_seen_shards: int = 8
+    # URL-seen membership authority:
+    #  "exact"  — per-shard dict (authoritative at sandbox scale; the
+    #             bloom rides alongside for G5 cardinality)
+    #  "bloom"  — bloom filter authoritative (~12 bits/URL): the 10^10
+    #             path; a false positive drops a genuinely-new URL
+    #             (fetched ⊆ exact run), never fetches a dup
+    #  "cuckoo" — cuckoo filter authoritative (16-bit fingerprints +
+    #             exact overflow, supports delete)
+    seen_membership: str = "exact"
+    seen_capacity_per_shard: int = 1_000_000
     num_politeness_partitions: int = 4
     fetch_concurrency: int = 4
     batch_size: int = 8192

@@ -307,7 +307,11 @@ class CrawlEngine:
         self.robots_ref = ray.put(robots)
         self.delays = {h: v[0] for h, v in robots.items()}
         self.delays_ref = ray.put(self.delays)
-        self.seen_pool = SeenPool(cfg.num_seen_shards)
+        self.seen_pool = SeenPool(
+            cfg.num_seen_shards,
+            capacity_per_shard=cfg.seen_capacity_per_shard,
+            membership=cfg.seen_membership,
+        )
         self.politeness = PolitenessPool(
             cfg.num_politeness_partitions, self.robots_ref, ray.put(robots_texts)
         )
@@ -1075,6 +1079,13 @@ class CrawlEngine:
         docs_out.write_parquet(str(gen_dir / "docs_out"))
         for i, t in enumerate(self.seen_pool.dump_tables()):
             storage.write_table(t, gen_dir / "seen" / f"shard={i}.parquet")
+        if self.cfg.seen_membership != "exact":
+            # approx mode: the dict dump above holds only the audit
+            # stratum; full membership is the filter snapshot (shard-
+            # affine — resume asserts the same shard count)
+            for i, blob in enumerate(self.seen_pool.dump_filters()):
+                storage.write_bytes(
+                    blob, gen_dir / "seen_filter" / f"shard={i}.bin")
         for i, t in enumerate(self.politeness.dump_tables()):
             storage.write_table(t, gen_dir / "domain_state" / f"part={i}.parquet")
         storage.write_table(
@@ -1153,6 +1164,13 @@ class CrawlEngine:
         docs_out.write_parquet(str(gen_dir / "docs_out"))
         for i, t in enumerate(self.seen_pool.dump_tables()):
             storage.write_table(t, gen_dir / "seen" / f"shard={i}.parquet")
+        if self.cfg.seen_membership != "exact":
+            # approx mode: the dict dump above holds only the audit
+            # stratum; full membership is the filter snapshot (shard-
+            # affine — resume asserts the same shard count)
+            for i, blob in enumerate(self.seen_pool.dump_filters()):
+                storage.write_bytes(
+                    blob, gen_dir / "seen_filter" / f"shard={i}.bin")
         for i, t in enumerate(self.politeness.dump_tables()):
             storage.write_table(t, gen_dir / "domain_state" / f"part={i}.parquet")
         storage.write_table(
@@ -1209,6 +1227,18 @@ class CrawlEngine:
         seen_tables = [storage.read_table(p) for p in (gen_dir / "seen").glob("*.parquet")]
         if seen_tables:
             self.seen_pool.restore_from_table(pa.concat_tables(seen_tables))
+        filt_dir = gen_dir / "seen_filter"
+        if self.cfg.seen_membership != "exact" and filt_dir.is_dir():
+            # filter snapshots are shard-affine (not re-routable like
+            # the dict dump): the checkpoint's shard count must match
+            assert man.get("num_seen_shards") == self.cfg.num_seen_shards, (
+                "approx seen-membership resume requires the same "
+                "num_seen_shards as the checkpointing run")
+            blobs = [
+                storage.read_bytes(filt_dir / f"shard={i}.bin")
+                for i in range(self.cfg.num_seen_shards)
+            ]
+            self.seen_pool.restore_filters(blobs)
         dom_tables = [storage.read_table(p) for p in (gen_dir / "domain_state").glob("*.parquet")]
         if dom_tables:
             self.politeness.restore_from_table(pa.concat_tables(dom_tables))

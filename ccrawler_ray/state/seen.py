@@ -39,6 +39,12 @@ from ccrawler_ray.spec import SEEN_SCHEMA
 BLOOM_BITS_PER_KEY = 12
 BLOOM_PROBES = 7
 
+# Approximate-authority mode (exact=False): the exact dict is kept only
+# for a 1-in-AUDIT_STRIDE hash-sampled stratum, used to MEASURE the
+# realized false-positive rate (filter says seen, stratum dict says
+# new) instead of trusting the design math.
+AUDIT_STRIDE = 64
+
 
 class _Bloom:
     """Minimal blocked bloom over uint64 keys; vectorized probes."""
@@ -181,6 +187,16 @@ class SeenShard:
     def __init__(self, shard_id: int, capacity: int = 1_000_000,
                  exact: bool = True, membership: str = "bloom"):
         self.shard_id = shard_id
+        # exact=True (default): the dict is AUTHORITATIVE membership and
+        #   the filter rides alongside (G5 cardinality, scale probes).
+        # exact=False: the FILTER is authoritative — the 10^10-URL mode
+        #   (no per-URL python dict entry; ~12-16 bits/URL). The dict
+        #   keeps only the 1/AUDIT_STRIDE hash stratum for FP auditing.
+        #   Semantics vs exact mode: a filter false positive drops a
+        #   genuinely-new URL (fetched set ⊆ exact run, never a dup
+        #   fetch); the exact-mode task-retry re-check (same canon,
+        #   same ord_key ⇒ fresh again) is unnecessary here because
+        #   offers collapse in resolve()'s min-key D1 before the probe.
         self.exact = exact
         self.table: dict[int, tuple[str, str]] = {}
         # "bloom" (default) or "cuckoo" — functionally equivalent probe
@@ -188,11 +204,39 @@ class SeenShard:
         self.bloom = (_Cuckoo(capacity, seed=shard_id)
                       if membership == "cuckoo" else _Bloom(capacity))
         self._pending: list[pa.Table] = []
+        self.audit_probes = 0   # stratum candidates probed (approx mode)
+        self.audit_fps = 0      # filter said seen, stratum dict said new
+
+    def _approx_filter(self, url_hashes: np.ndarray, canons: list[str],
+                       ord_keys: list[str]) -> np.ndarray:
+        """Filter-authoritative first-wins: fresh = not in filter, with
+        in-call duplicates collapsed to their first occurrence. Updates
+        the filter and the sampled audit stratum."""
+        contained = self.bloom.might_contain(url_hashes)
+        first = np.zeros(len(url_hashes), dtype=bool)
+        first[np.unique(url_hashes, return_index=True)[1]] = True
+        fresh = ~contained & first
+        # FP audit on the hash-sampled stratum (exact ground truth kept
+        # only there): filter-positive but stratum-dict-absent = FP
+        stratum = (url_hashes % np.uint64(AUDIT_STRIDE)) == 0
+        for i in np.nonzero(stratum & first)[0]:
+            h = int(url_hashes[i])
+            self.audit_probes += 1
+            if contained[i] and h not in self.table:
+                self.audit_fps += 1
+            if h not in self.table:
+                self.table[h] = (canons[i], ord_keys[i])
+        if fresh.any():
+            self.bloom.add(url_hashes[fresh])
+        return fresh
 
     def check_and_add(self, url_hashes: np.ndarray, canons: list[str],
                       ord_keys: list[str]) -> np.ndarray:
         """First-wins membership: returns bool mask of FRESH rows and
-        registers them. Bloom is maintained alongside the exact dict."""
+        registers them. Bloom is maintained alongside the exact dict;
+        with exact=False the filter alone decides (scale mode)."""
+        if not self.exact:
+            return self._approx_filter(url_hashes, canons, ord_keys)
         fresh = np.zeros(len(canons), dtype=bool)
         table = self.table
         for i, (h, c, k) in enumerate(zip(url_hashes.tolist(), canons, ord_keys)):
@@ -242,6 +286,14 @@ class SeenShard:
         cand = cand.filter(pa.array(first))
         table = self.table
         hashes = cand.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        if not self.exact:
+            # scale mode: the filter alone decides (offers already
+            # collapsed to min-ord_key per canon above, so the exact
+            # path's retry re-check is unnecessary here)
+            fresh_mask = self._approx_filter(
+                hashes, cand.column("canon").to_pylist(),
+                cand.column("ord_key").to_pylist())
+            return cand.filter(pa.array(fresh_mask))
         # vectorized membership against the existing key set; the
         # (rare) already-seen rows get the exact idempotent re-check
         if table:
@@ -325,34 +377,112 @@ class SeenShard:
         )
 
     def restore(self, table: pa.Table) -> int:
-        """Rehydrate from a checkpoint dump."""
+        """Rehydrate from a checkpoint dump. In approx mode only the
+        audit stratum goes back into the dict; full membership is
+        rehydrated via :meth:`restore_filter`."""
         hashes = table.column("url_hash").to_numpy(zero_copy_only=False)
         canons = table.column("canon").to_pylist()
         keys = table.column("first_key").to_pylist()
         for h, c, k in zip(hashes.tolist(), canons, keys):
-            self.table[h] = (c, k)
-        if len(hashes):
+            if self.exact or h % AUDIT_STRIDE == 0:
+                self.table[h] = (c, k)
+        if self.exact and len(hashes):
             self.bloom.add(hashes.astype(np.uint64))
         return len(self.table)
 
+    def dump_filter(self) -> bytes:
+        """Snapshot the approximate filter state (checkpointing in
+        filter-authoritative mode — the dict dump covers only the audit
+        stratum there). Not re-routable across a shard-count change:
+        the caller must restore onto the SAME num_shards."""
+        import pickle
+
+        b = self.bloom
+        if isinstance(b, _Cuckoo):
+            payload = ("cuckoo", b.nbuckets, b.slots.tobytes(),
+                       sorted(b.overflow), b.n_items,
+                       self.audit_probes, self.audit_fps)
+        else:
+            payload = ("bloom", int(b.nbits), b.bits.tobytes(),
+                       self.audit_probes, self.audit_fps)
+        return pickle.dumps(payload)
+
+    def restore_filter(self, blob: bytes) -> None:
+        import pickle
+
+        p = pickle.loads(blob)
+        b = self.bloom
+        if p[0] == "cuckoo":
+            assert isinstance(b, _Cuckoo) and b.nbuckets == p[1], \
+                "cuckoo filter snapshot shape mismatch"
+            b.slots = np.frombuffer(p[2], dtype=np.uint16).reshape(
+                b.nbuckets, CUCKOO_BUCKET).copy()
+            b.overflow = set(p[3])
+            b.n_items = p[4]
+            self.audit_probes, self.audit_fps = p[5], p[6]
+        else:
+            assert isinstance(b, _Bloom) and int(b.nbits) == p[1], \
+                "bloom filter snapshot shape mismatch"
+            b.bits = np.frombuffer(p[2], dtype=np.uint64).copy()
+            self.audit_probes, self.audit_fps = p[3], p[4]
+
     def stats(self) -> dict:
+        b = self.bloom
+        if isinstance(b, _Cuckoo):
+            mem = int(b.slots.nbytes) + 8 * len(b.overflow)
+            bits = int(b.nbuckets * CUCKOO_BUCKET * 16)
+        else:
+            mem = int(b.bits.nbytes)
+            bits = int(b.nbits)
         return {
             "shard": self.shard_id,
+            "kind": "cuckoo" if isinstance(b, _Cuckoo) else "bloom",
             "size": len(self.table),
-            "bloom_fill": self.bloom.fill_ratio(),
-            "bloom_bits": int(self.bloom.nbits),
+            "n_items": int(getattr(b, "n_items", -1)),
+            "bloom_fill": b.fill_ratio(),
+            "bloom_bits": bits,
+            "filter_mem_bytes": mem,
+            "audit_probes": self.audit_probes,
+            "audit_fps": self.audit_fps,
         }
 
 
 class SeenPool:
     """Driver-side handle over the shard actors (key-affine routing)."""
 
-    def __init__(self, num_shards: int, capacity_per_shard: int = 1_000_000):
+    def __init__(self, num_shards: int, capacity_per_shard: int = 1_000_000,
+                 membership: str = "exact"):
+        """membership: "exact" (dict authoritative, bloom alongside) |
+        "bloom" | "cuckoo" (filter authoritative — the 10^10 mode; the
+        dict keeps only the 1/AUDIT_STRIDE FP-audit stratum)."""
+        if membership not in ("exact", "bloom", "cuckoo"):
+            raise ValueError(f"unknown seen membership mode {membership!r}")
         self.num_shards = num_shards
-        self.shards = [SeenShard.remote(i, capacity_per_shard) for i in range(num_shards)]
+        self.membership = membership
+        exact = membership == "exact"
+        kind = "bloom" if exact else membership
+        self.shards = [
+            SeenShard.remote(i, capacity_per_shard, exact=exact,
+                             membership=kind)
+            for i in range(num_shards)
+        ]
 
     def dump_tables(self) -> list[pa.Table]:
         return ray.get([s.dump.remote() for s in self.shards])
+
+    def dump_filters(self) -> list[bytes]:
+        """Filter snapshots (approx-mode checkpointing)."""
+        return ray.get([s.dump_filter.remote() for s in self.shards])
+
+    def restore_filters(self, blobs: list[bytes]) -> None:
+        if len(blobs) != self.num_shards:
+            raise ValueError(
+                f"filter snapshots are shard-affine: got {len(blobs)} "
+                f"blobs for {self.num_shards} shards")
+        ray.get([
+            s.restore_filter.remote(b)
+            for s, b in zip(self.shards, blobs)
+        ])
 
     def restore_from_table(self, table: pa.Table) -> None:
         """Rehydrate by re-routing rows on url_hash % num_shards — robust
@@ -378,6 +508,10 @@ class SeenPool:
         stats = ray.get([sh.stats.remote() for sh in self.shards])
         est = 0.0
         for s in stats:
+            if s.get("kind") == "cuckoo":
+                # cuckoo counts items exactly as it inserts
+                est += max(0, s["n_items"])
+                continue
             fill = min(s["bloom_fill"], 0.999999)
             m = s["bloom_bits"]
             est += -(m / BLOOM_PROBES) * math.log(1.0 - fill)

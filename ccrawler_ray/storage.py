@@ -40,6 +40,20 @@ def write_table(table: pa.Table, path: str | Path) -> None:
     os.replace(tmp, path)
 
 
+def write_bytes(data: bytes, path: str | Path) -> None:
+    """Atomic single-file binary write (temp + rename) — filter
+    snapshots in approx seen-membership mode."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    tmp.write_bytes(data)
+    os.replace(tmp, path)
+
+
+def read_bytes(path: str | Path) -> bytes:
+    return Path(path).read_bytes()
+
+
 def read_table(path: str | Path) -> pa.Table:
     return pq.read_table(path)
 
