@@ -586,8 +586,9 @@ def _serial_oracles() -> dict[str, str]:
         "dedup_semantic": V(SR.dedup_semantic(threshold=0.4),
                             {"vec_id": "BIGINT", "cluster": "BIGINT",
                              "keep": "BOOLEAN", "max_cos": "DOUBLE"}),
-        "dedup_minhash_lsh": V(SR.dedup_minhash_lsh(threshold=0.8),
-                               {**pair_d, "est_jaccard": "DOUBLE"}),
+        "dedup_minhash_lsh": V(SR.dedup_minhash_lsh_rollup(threshold=0.8),
+                               {"doc_id": "BIGINT", "n_pairs": "BIGINT",
+                                "max_est_jaccard": "DOUBLE"}),
         "dedup_incremental": V(SR.dedup_incremental(),
                                {"doc_id": "BIGINT", "dup_of": "BIGINT",
                                 "est_jaccard": "DOUBLE"}),
@@ -597,8 +598,9 @@ def _serial_oracles() -> dict[str, str]:
                                    {"doc_id": "BIGINT",
                                     "dup_of": "BIGINT",
                                     "est_jaccard": "DOUBLE"}),
-        "dedup_lsh_verified": V(SR.dedup_lsh_verified(threshold=0.8),
-                                {**pair_d, "jaccard": "DOUBLE"}),
+        "dedup_lsh_verified": V(SR.dedup_lsh_verified_rollup(threshold=0.8),
+                                {"doc_id": "BIGINT", "n_pairs": "BIGINT",
+                                 "max_jaccard": "DOUBLE"}),
         "dsir_importance": V(SR.dsir_importance(),
                              {"doc_id": "BIGINT", "n_feats": "BIGINT",
                               "logw": "DOUBLE", "keep": "BOOLEAN"}),

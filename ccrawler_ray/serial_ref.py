@@ -231,6 +231,43 @@ def dedup_lsh_verified(sf_dir: str | None = None, num_perm: int = 64,
         if rows else pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
 
 
+def _pair_doc_rollup(pairs: pd.DataFrame, metric: str,
+                     out_metric: str) -> pd.DataFrame:
+    """Shared rollup rule for pair-stream queries (kept in lockstep
+    with functions.dedup._pairs_doc_rollup): per doc, the number of
+    pairs touching it and the max metric. Metrics are already rounded/
+    floor-scaled to 4 decimals upstream, so max is bitwise-stable."""
+    if not len(pairs):
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_pairs": pd.Series(dtype="int64"),
+                             out_metric: pd.Series(dtype="float64")})
+    long = pd.DataFrame({
+        "doc_id": np.concatenate([pairs["doc_a"].to_numpy(),
+                                  pairs["doc_b"].to_numpy()]).astype(np.int64),
+        metric: np.concatenate([pairs[metric].to_numpy()] * 2)})
+    g = long.groupby("doc_id", as_index=False).agg(
+        n_pairs=(metric, "size"), **{out_metric: (metric, "max")})
+    return g.astype({"doc_id": "int64", "n_pairs": "int64"})
+
+
+def dedup_minhash_lsh_rollup(sf_dir: str | None = None, num_perm: int = 64,
+                             bands: int = 16, threshold: float = 0.8
+                             ) -> pd.DataFrame:
+    """Mirror of the sink-or-rollup query surface: per-doc rollup of
+    the LSH candidate pair stream."""
+    return _pair_doc_rollup(
+        dedup_minhash_lsh(sf_dir, num_perm, bands, threshold),
+        "est_jaccard", "max_est_jaccard")
+
+
+def dedup_lsh_verified_rollup(sf_dir: str | None = None, num_perm: int = 64,
+                              bands: int = 16, threshold: float = 0.8
+                              ) -> pd.DataFrame:
+    return _pair_doc_rollup(
+        dedup_lsh_verified(sf_dir, num_perm, bands, threshold),
+        "jaccard", "max_jaccard")
+
+
 def dedup_containment(sf_dir: str | None = None, num_perm: int = 64,
                       bands: int = 16, threshold: float = 0.8
                       ) -> pd.DataFrame:

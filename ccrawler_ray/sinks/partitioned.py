@@ -26,9 +26,32 @@ PART_MANIFEST = "_PART_MANIFEST.json"
 PART_SEED = 1117
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constants) —
+    uint64 in, uint64 out, wrap-on-overflow by construction."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def partition_of(keys, num_partitions: int) -> np.ndarray:
     """Deterministic partition ids for a key column (stable across
-    runs, partitionings, and cluster sizes — the resume contract)."""
+    runs, partitionings, and cluster sizes — the resume contract).
+    Integer keys take a fully-vectorized hash (a per-row ``str()``
+    round-trip measured as the dominant cost on a 157M-row pair
+    stream); everything else goes through the string hash."""
+    if isinstance(keys, (pa.Array, pa.ChunkedArray)):
+        if pa.types.is_integer(keys.type):
+            arr = keys.to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = _splitmix64(arr ^ np.uint64(PART_SEED))
+            return (h % np.uint64(num_partitions)).astype(np.int64)
+        keys = keys.to_pylist()
+    else:
+        arr = np.asarray(keys)
+        if arr.dtype.kind in "iu":
+            h = _splitmix64(arr.astype(np.uint64) ^ np.uint64(PART_SEED))
+            return (h % np.uint64(num_partitions)).astype(np.int64)
     h = hash64_batch([str(k) for k in keys], seed=PART_SEED)
     return (h % np.uint64(num_partitions)).astype(np.int64)
 
@@ -67,7 +90,7 @@ def write_partitioned(ds, out_dir: str | Path, key_col: str,
     todo_arr[todo] = True
 
     def tag_and_filter(batch: pa.Table) -> pa.Table:
-        part = partition_of(batch.column(key_col).to_pylist(), num_partitions)
+        part = partition_of(batch.column(key_col), num_partitions)
         batch = batch.append_column("part", pa.array(part))
         return batch.filter(pa.array(todo_arr[part]))
 

@@ -9,10 +9,10 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.mark.usefixtures("ray_session")
 def test_minhash_lsh_recall_vs_exact_jaccard():
-    from ccrawler_ray.functions.dedup import dedup_minhash_lsh, ngram_jaccard_pairs
+    from ccrawler_ray.functions.dedup import lsh_pair_stream, ngram_jaccard_pairs
 
     exact = ngram_jaccard_pairs(SF, threshold=0.85).to_pandas()
-    approx = dedup_minhash_lsh(SF, threshold=0.8).to_pandas()
+    approx = lsh_pair_stream(SF, threshold=0.8).to_pandas()
     exact_pairs = set(zip(exact["doc_a"], exact["doc_b"]))
     approx_pairs = set(zip(approx["doc_a"], approx["doc_b"]))
     assert exact_pairs, "fixture should contain high-jaccard pairs"
@@ -27,10 +27,10 @@ def test_lsh_verified_subset_of_exact_with_recall():
     """dedup_lsh_verified = EXACT jaccard on LSH candidates: every
     emitted pair must appear in the all-pairs exact output with the
     SAME jaccard value (precision 1.0), and recall must be high."""
-    from ccrawler_ray.functions.dedup import dedup_lsh_verified, ngram_jaccard_pairs
+    from ccrawler_ray.functions.dedup import lsh_verified_pair_stream, ngram_jaccard_pairs
 
     exact = ngram_jaccard_pairs(SF, threshold=0.8).to_pandas()
-    ver = dedup_lsh_verified(SF, threshold=0.8).to_pandas()
+    ver = lsh_verified_pair_stream(SF, threshold=0.8).to_pandas()
     epairs = {(int(r.doc_a), int(r.doc_b)): r.jaccard for r in exact.itertuples()}
     assert len(ver)
     for r in ver.itertuples():
@@ -156,7 +156,7 @@ def test_empty_docs_never_near_dup(tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from ccrawler_ray.functions.dedup import dedup_clusters, dedup_lsh_verified
+    from ccrawler_ray.functions.dedup import dedup_clusters, lsh_verified_pair_stream
 
     t = pa.table({
         "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
@@ -166,7 +166,7 @@ def test_empty_docs_never_near_dup(tmp_path):
         "n_chars": pa.array([0, 3, 16, 16], pa.int64()),
     })
     pq.write_table(t, tmp_path / "documents.parquet")
-    pairs = dedup_lsh_verified(str(tmp_path), threshold=0.5).to_pandas()
+    pairs = lsh_verified_pair_stream(str(tmp_path), threshold=0.5).to_pandas()
     assert not ((pairs["doc_a"] == 0) & (pairs["doc_b"] == 1)).any()
     assert ((pairs["doc_a"] == 2) & (pairs["doc_b"] == 3)).any()
     clusters = dedup_clusters(str(tmp_path), threshold=0.5).to_pandas() \
