@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 from ccrawler_ray.scale import coarse_salt_k, join_partitions
+from ccrawler_ray.spec import as_single_array
 from ray.data.aggregate import Count, Max, Min, Sum
 
 
@@ -257,15 +258,30 @@ def g3_metrics_rollup(sf_dir: str):
     map_batches (combiner) so the shuffle moves one row per key per
     batch, not one per event."""
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    day_us = 86_400_000_000
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(day=df["ts"].dt.floor("D"), value_u=_to_micro(df["value"]))
-        g = df.groupby(["event_type", "day"], as_index=False).agg(
-            n=("value_u", "size"), sum_value=("value_u", "sum")
-        )
-        return g
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("event_type", pa.string()),
+                              ("day", pa.timestamp("us")),
+                              ("n", pa.int64()),
+                              ("sum_value", pa.int64())]).empty_table()
+        day = (_ts_us(t) // day_us) * day_us
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        ue, ecode = np.unique(et, return_inverse=True)
+        ud, dcode = np.unique(day, return_inverse=True)
+        comp = ecode.astype(np.int64) * len(ud) + dcode
+        uc, inv = np.unique(comp, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(len(uc), dtype=np.int64)
+        np.add.at(s, inv, _to_micro(_col(t, "value")))
+        return pa.table({
+            "event_type": pa.array(ue[uc // len(ud)]),
+            "day": pa.array(ud[uc % len(ud)].astype("datetime64[us]")),
+            "n": pa.array(n),
+            "sum_value": pa.array(s)})
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
     out = partials.groupby(["event_type", "day"]).aggregate(
         Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value")
     )
@@ -291,19 +307,37 @@ def j1_broadcast_join(sf_dir: str):
     operator here (the J1 frontier→corpus resolve shape); size-adaptive
     fact joins go through ``_join_auto`` (q3/q4/q7/…)."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    # lookup-ready arrays prepared ONCE on the driver (never per batch)
+    seg_ref = ray.put((
+        pa.array(cust["c_custkey"].to_numpy().astype(np.int64)),
+        cust["c_mktsegment"].to_numpy()))
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def probe(df: pd.DataFrame) -> pd.DataFrame:
-        seg = ray.get(seg_ref)
-        df = df.assign(
-            c_mktsegment=df["o_custkey"].map(seg), price_u=_to_micro(df["o_totalprice"])
-        )
-        return df.groupby("c_mktsegment", as_index=False).agg(
-            n_orders=("price_u", "size"), revenue=("price_u", "sum")
-        )
+    empty_probe = pa.schema([("c_mktsegment", pa.string()),
+                             ("n_orders", pa.int64()),
+                             ("revenue", pa.int64())]).empty_table()
 
-    partials = orders.map_batches(probe, batch_format="pandas")
+    def probe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_probe
+        ckeys, segs = ray.get(seg_ref)
+        idx = pc.index_in(as_single_array(t.column("o_custkey").cast(pa.int64())),
+                          value_set=ckeys).to_numpy(zero_copy_only=False)
+        hit = ~np.isnan(idx.astype(np.float64)) if idx.dtype.kind == "f" \
+            else np.ones(len(idx), dtype=bool)
+        if not hit.any():
+            return empty_probe
+        seg = segs[idx[hit].astype(np.int64)]
+        pu = _to_micro(_col(t, "o_totalprice"))[hit]
+        us, inv = np.unique(seg, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(len(us), dtype=np.int64)
+        np.add.at(s, inv, pu)
+        return pa.table({"c_mktsegment": pa.array(us),
+                         "n_orders": pa.array(n),
+                         "revenue": pa.array(s)})
+
+    partials = orders.map_batches(probe, batch_format="pyarrow")
     out = partials.groupby("c_mktsegment").aggregate(
         Sum("n_orders", alias_name="n_orders"), Sum("revenue", alias_name="revenue")
     )
@@ -349,15 +383,27 @@ def j3_semi_join(sf_dir: str):
     keys_ref = ray.put(keys)
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_totalprice"])
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        ks = ray.get(keys_ref)
-        df = df[np.isin(df["o_custkey"].to_numpy(), ks)]
-        df = df.assign(price_u=_to_micro(df["o_totalprice"]))
-        return df.groupby("o_orderstatus", as_index=False).agg(
-            n=("price_u", "size"), revenue=("price_u", "sum")
-        )
+    j3_empty = pa.schema([("o_orderstatus", pa.string()),
+                          ("n", pa.int64()),
+                          ("revenue", pa.int64())]).empty_table()
 
-    partials = orders.map_batches(f, batch_format="pandas")
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return j3_empty
+        ks = ray.get(keys_ref)
+        m = np.isin(_col(t, "o_custkey"), ks)
+        if not m.any():
+            return j3_empty
+        st = t.column("o_orderstatus").to_numpy(zero_copy_only=False)[m]
+        pu = _to_micro(_col(t, "o_totalprice"))[m]
+        us, inv = np.unique(st, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(len(us), dtype=np.int64)
+        np.add.at(s, inv, pu)
+        return pa.table({"o_orderstatus": pa.array(us),
+                         "n": pa.array(n), "revenue": pa.array(s)})
+
+    partials = orders.map_batches(f, batch_format="pyarrow")
     out = partials.groupby("o_orderstatus").aggregate(
         Sum("n", alias_name="n"), Sum("revenue", alias_name="revenue")
     )
@@ -437,33 +483,44 @@ def j4_multi_join(sf_dir: str):
     """customer ⋈ nation (broadcast) then orders ⋈ customer
     (hash-partitioned Dataset.join) → orders + revenue per nation."""
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    nmap_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    nmap_ref = ray.put((
+        pa.array(nation["n_nationkey"].to_numpy().astype(np.int64)),
+        nation["n_name"].to_numpy()))
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    tag_empty = pa.schema([("c_custkey", pa.int64()),
+                           ("n_name", pa.string())]).empty_table()
 
-    def tag_nation(df: pd.DataFrame) -> pd.DataFrame:
-        nmap = ray.get(nmap_ref)
-        nn = df["c_nationkey"].map(nmap)
-        m = nn.notna()     # inner-join semantics: drop unmatched
-        # (and an all-None column would become Arrow type null, which
-        # Acero rejects as a join payload)
-        return pd.DataFrame({"c_custkey": df["c_custkey"][m],
-                             "n_name": nn[m].astype(str)})
+    def tag_nation(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return tag_empty
+        nk, names = ray.get(nmap_ref)
+        idx = pc.index_in(as_single_array(t.column("c_nationkey").cast(pa.int64())),
+                          value_set=nk).to_numpy(zero_copy_only=False)
+        hit = ~np.isnan(idx.astype(np.float64)) if idx.dtype.kind == "f" \
+            else np.ones(len(idx), dtype=bool)
+        if not hit.any():   # inner-join semantics: drop unmatched
+            return tag_empty
+        return pa.table({
+            "c_custkey": pa.array(_col(t, "c_custkey")[hit].astype(np.int64)),
+            "n_name": pa.array(names[idx[hit].astype(np.int64)].astype(str))})
 
     from ccrawler_ray.functions.dedup import nonempty_blocks
 
     j4_fields = [("n_name", pa.string()), ("n_orders", pa.int64()),
                  ("revenue", pa.float64())]
     cust_n = nonempty_blocks(
-        cust.map_batches(tag_nation, batch_format="pandas").materialize(),
+        cust.map_batches(tag_nation, batch_format="pyarrow").materialize(),
         pa.schema([("c_custkey", pa.int64()), ("n_name", pa.string())]))
     if cust_n.count() == 0:
         return ray.data.from_arrow(pa.schema(j4_fields).empty_table())
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def scale(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(price_u=_to_micro(df["o_totalprice"]))[["o_custkey", "price_u"]]
+    def scale(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t.column("o_custkey"),
+            "price_u": pa.array(_to_micro(_col(t, "o_totalprice")))})
 
-    joined = orders.map_batches(scale, batch_format="pandas").join(
+    joined = orders.map_batches(scale, batch_format="pyarrow").join(
         cust_n, join_type="inner", num_partitions=join_partitions(),
         on=("o_custkey",), right_on=("c_custkey",),
     )
@@ -539,20 +596,38 @@ def q1_pricing_summary(sf_dir: str):
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(
-            qty_u=_to_micro(df["l_quantity"]),
-            price_u=_to_micro(df["l_extendedprice"]),
-            rev_u=_to_micro(df["l_extendedprice"] * (1 - df["l_discount"])),
-        )
-        return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("qty_u", "sum"),
-            sum_base_price=("price_u", "sum"),
-            sum_revenue=("rev_u", "sum"),
-            count_order=("qty_u", "size"),
-        )
+    q1_empty = pa.schema([("l_returnflag", pa.string()),
+                          ("l_linestatus", pa.string()),
+                          ("sum_qty", pa.int64()),
+                          ("sum_base_price", pa.int64()),
+                          ("sum_revenue", pa.int64()),
+                          ("count_order", pa.int64())]).empty_table()
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return q1_empty
+        rf = t.column("l_returnflag").to_numpy(zero_copy_only=False)
+        ls = t.column("l_linestatus").to_numpy(zero_copy_only=False)
+        price = _col(t, "l_extendedprice")
+        urf, rcode = np.unique(rf, return_inverse=True)
+        uls, lcode = np.unique(ls, return_inverse=True)
+        comp = rcode.astype(np.int64) * len(uls) + lcode
+        uc, inv = np.unique(comp, return_inverse=True)
+
+        def ssum(v: np.ndarray) -> pa.Array:
+            s = np.zeros(len(uc), dtype=np.int64)
+            np.add.at(s, inv, v)
+            return pa.array(s)
+
+        return pa.table({
+            "l_returnflag": pa.array(urf[uc // len(uls)]),
+            "l_linestatus": pa.array(uls[uc % len(uls)]),
+            "sum_qty": ssum(_to_micro(_col(t, "l_quantity"))),
+            "sum_base_price": ssum(_to_micro(price)),
+            "sum_revenue": ssum(_to_micro(price * (1 - _col(t, "l_discount")))),
+            "count_order": pa.array(np.bincount(inv).astype(np.int64))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
     out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sum_qty", alias_name="sum_qty"),
         Sum("sum_base_price", alias_name="sum_base_price"),
@@ -1227,15 +1302,16 @@ def j7_bloom_semi_join(sf_dir: str, min_total: float = 450_000.0):
     the survivors (output identical to the plain SQL semi-join)."""
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
 
-    def build_partial(df: pd.DataFrame) -> pd.DataFrame:
-        keys = df.loc[df["o_totalprice"] > min_total, "o_orderkey"].to_numpy()
+    def build_partial(t: pa.Table) -> pa.Table:
+        keys = _col(t, "o_orderkey")[_col(t, "o_totalprice") > min_total]
         bits = np.zeros(_BLOOM_BITS, dtype=bool)
         if len(keys):
             bits[_bloom_positions(keys).ravel()] = True
-        return pd.DataFrame({"bits": [np.packbits(bits).tobytes()],
-                             "keys": [keys.astype(np.int64).tobytes()]})
+        return pa.table({
+            "bits": pa.array([np.packbits(bits).tobytes()], pa.binary()),
+            "keys": pa.array([keys.astype(np.int64).tobytes()], pa.binary())})
 
-    parts = orders.map_batches(build_partial, batch_format="pandas").to_pandas()
+    parts = orders.map_batches(build_partial, batch_format="pyarrow").to_pandas()
     bitmap = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
     all_keys = []
     for b, k in zip(parts["bits"], parts["keys"]):
@@ -1250,38 +1326,43 @@ def j7_bloom_semi_join(sf_dir: str, min_total: float = 450_000.0):
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def probe(df: pd.DataFrame) -> pd.DataFrame:
+    j7_empty = pa.schema([("n_items", pa.int64()),
+                          ("revenue_u", pa.int64())]).empty_table()
+
+    def probe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return j7_empty
         bm = ray.get(bloom_ref)
-        keys = df["l_orderkey"].to_numpy()
+        keys = _col(t, "l_orderkey")
         pos = _bloom_positions(keys)
         hit = np.ones(len(keys), dtype=bool)
         for i in range(_BLOOM_K):
             hit &= (bm[pos[i] >> 3] & (1 << (7 - (pos[i] & 7)))) != 0
-        df = df[hit]
-        if not len(df):
-            return pd.DataFrame({"n_items": pd.Series(dtype="int64"),
-                                 "revenue_u": pd.Series(dtype="int64")})
+        if not hit.any():
+            return j7_empty
         ks = ray.get(keys_ref)            # exact join removes bloom FPs
-        m = df["l_orderkey"].to_numpy()
+        m = keys[hit]
         if len(ks):
             exact = ks[np.searchsorted(ks, m).clip(max=len(ks) - 1)] == m
         else:
             exact = np.zeros(len(m), dtype=bool)
-        df = df[exact]
-        rev = _to_micro(df["l_extendedprice"] * (1 - df["l_discount"]))
-        return pd.DataFrame({"n_items": [np.int64(len(df))],
-                             "revenue_u": [rev.sum()]})
+        price = _col(t, "l_extendedprice")[hit][exact]
+        disc = _col(t, "l_discount")[hit][exact]
+        rev = _to_micro(price * (1 - disc))
+        return pa.table({"n_items": pa.array([int(exact.sum())], pa.int64()),
+                         "revenue_u": pa.array([int(rev.sum())], pa.int64())})
 
-    partials = li.map_batches(probe, batch_format="pandas")
+    partials = li.map_batches(probe, batch_format="pyarrow")
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"n_items": [np.int64(df["n_items"].sum())],
-             "revenue": [df["revenue_u"].sum() / (MICRO * 1.0)]}
-        )
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_items": pa.array([int(_col(t, "n_items").sum())], pa.int64()),
+            "revenue": pa.array(
+                [int(_col(t, "revenue_u").sum()) / (MICRO * 1.0)],
+                pa.float64())})
 
     return _typed(
-        partials.repartition(1).map_batches(final, batch_format="pandas"),
+        partials.repartition(1).map_batches(final, batch_format="pyarrow"),
         [("n_items", pa.int64()), ("revenue", pa.float64())])
 
 
@@ -1302,14 +1383,21 @@ def j8_salted_skew_join(sf_dir: str, salt: int = 8):
     salted replicate join."""
     ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
 
-    def dim_partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.assign(vu=_to_micro(df["value"])).groupby(
-            "event_type", as_index=False
-        ).agg(su=("vu", "sum"), n=("vu", "size"))
-        return g.astype({"su": "int64", "n": "int64"})
+    def dim_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("event_type", pa.string()),
+                              ("su", pa.int64()),
+                              ("n", pa.int64())]).empty_table()
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        ue, inv = np.unique(et, return_inverse=True)
+        s = np.zeros(len(ue), dtype=np.int64)
+        np.add.at(s, inv, _to_micro(_col(t, "value")))
+        return pa.table({"event_type": pa.array(ue),
+                         "su": pa.array(s),
+                         "n": pa.array(np.bincount(inv).astype(np.int64))})
 
     dim = (
-        ev.map_batches(dim_partial, batch_format="pandas")
+        ev.map_batches(dim_partial, batch_format="pyarrow")
         .groupby("event_type")
         .aggregate(Sum("su", alias_name="su"), Sum("n", alias_name="n"))
         .to_pandas()
@@ -1348,15 +1436,28 @@ def g9_rollup(sf_dir: str):
     li = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_extendedprice"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(rev_u=_to_micro(df["l_extendedprice"]))
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            n=("rev_u", "size"), rev_u=("rev_u", "sum")
-        )
-        return g.astype({"n": "int64", "rev_u": "int64"})
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("l_returnflag", pa.string()),
+                              ("l_linestatus", pa.string()),
+                              ("n", pa.int64()),
+                              ("rev_u", pa.int64())]).empty_table()
+        rf = t.column("l_returnflag").to_numpy(zero_copy_only=False)
+        ls = t.column("l_linestatus").to_numpy(zero_copy_only=False)
+        urf, rcode = np.unique(rf, return_inverse=True)
+        uls, lcode = np.unique(ls, return_inverse=True)
+        comp = rcode.astype(np.int64) * len(uls) + lcode
+        uc, inv = np.unique(comp, return_inverse=True)
+        s = np.zeros(len(uc), dtype=np.int64)
+        np.add.at(s, inv, _to_micro(_col(t, "l_extendedprice")))
+        return pa.table({
+            "l_returnflag": pa.array(urf[uc // len(uls)]),
+            "l_linestatus": pa.array(uls[uc % len(uls)]),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "rev_u": pa.array(s)})
 
     base = (
-        li.map_batches(partial, batch_format="pandas")
+        li.map_batches(partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(Sum("n", alias_name="n"), Sum("rev_u", alias_name="rev_u"))
         .to_pandas()
@@ -2680,23 +2781,28 @@ def q18_big_orders(sf_dir: str, min_qty: int = 250, k: int = 20):
     salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("l_orderkey", as_index=False)["l_quantity"].sum()
-        ok = g["l_orderkey"].to_numpy().astype(np.int64)
-        return pd.DataFrame(
-            {"l_orderkey": ok,
-             "sum_qty": g["l_quantity"].astype(np.int64),
-             # coarse salt: a Ray groupby over ~|orders| distinct keys
-             # collapses (map_groups/aggregate pay ~1.4 ms per distinct
-             # key, measured); each orderkey lives wholly in one of <=64
-             # salt groups, so in-group pandas sum+HAVING is exact
-             "salt": (ok % salt_k).astype(np.int32)})
+    def partial(t: pa.Table) -> pa.Table:
+        ok = _col(t, "l_orderkey")
+        qty = _col(t, "l_quantity")
+        uk, inv = np.unique(ok, return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, qty)
+        # coarse salt: a Ray groupby over ~|orders| distinct keys
+        # collapses (map_groups/aggregate pay ~1.4 ms per distinct
+        # key, measured); each orderkey lives wholly in one of <=64
+        # salt groups, so the in-group sum+HAVING is exact
+        return pa.table({"l_orderkey": pa.array(uk.astype(np.int64)),
+                         "sum_qty": pa.array(s),
+                         "salt": pa.array((uk % salt_k).astype(np.int32))})
 
-    def sum_having(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("l_orderkey", as_index=False)["sum_qty"].sum()
-        g = g[g["sum_qty"] > min_qty]
-        return pd.DataFrame({"l_orderkey": g["l_orderkey"].astype(np.int64),
-                             "sum_qty": g["sum_qty"].astype(np.int64)})
+    def sum_having(t: pa.Table) -> pa.Table:
+        ok = _col(t, "l_orderkey")
+        uk, inv = np.unique(ok, return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, _col(t, "sum_qty"))
+        keep = s > min_qty
+        return pa.table({"l_orderkey": pa.array(uk[keep].astype(np.int64)),
+                         "sum_qty": pa.array(s[keep])})
 
     q18_fields = [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
                   ("o_orderdate", pa.timestamp("us")),
@@ -2704,8 +2810,8 @@ def q18_big_orders(sf_dir: str, min_qty: int = 250, k: int = 20):
     from ccrawler_ray.functions.dedup import nonempty_blocks
 
     big = nonempty_blocks(
-        (li.map_batches(partial, batch_format="pandas")
-         .groupby("salt").map_groups(sum_having, batch_format="pandas")
+        (li.map_batches(partial, batch_format="pyarrow")
+         .groupby("salt").map_groups(sum_having, batch_format="pyarrow")
          .materialize()),
         pa.schema([("l_orderkey", pa.int64()), ("sum_qty", pa.int64())]))
     if big.count() == 0:   # HAVING filtered everything (tiny inputs)
@@ -2717,14 +2823,14 @@ def q18_big_orders(sf_dir: str, min_qty: int = 250, k: int = 20):
     out = joined.sort(["sum_qty", "l_orderkey"],
                       descending=[True, False]).limit(k)
 
-    def rename(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"o_orderkey": df["l_orderkey"].astype(np.int64),
-             "o_custkey": df["o_custkey"].astype(np.int64),
-             "o_orderdate": df["o_orderdate"],
-             "sum_qty": df["sum_qty"].astype(np.int64)})
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t.column("l_orderkey").cast(pa.int64()),
+            "o_custkey": t.column("o_custkey").cast(pa.int64()),
+            "o_orderdate": t.column("o_orderdate"),
+            "sum_qty": t.column("sum_qty").cast(pa.int64())})
 
-    return _typed(out.map_batches(rename, batch_format="pandas"),
+    return _typed(out.map_batches(rename, batch_format="pyarrow"),
                   q18_fields)
 
 
@@ -3383,15 +3489,16 @@ def q13_customer_distribution(sf_dir: str):
                         percust, "c_custkey", "ck",
                         _rows_hint(sf_dir, "customer"), how="left")
 
-    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["c_custkey"] >= 0]
-        cc = df["c_count"].fillna(0).astype(np.int64)
-        vc = cc.value_counts()
-        return pd.DataFrame({
-            "c_count": np.r_[vc.index.to_numpy(), [-1]].astype(np.int64),
-            "nc": np.r_[vc.to_numpy(), [0]].astype(np.int64)})
+    def hist_partial(t: pa.Table) -> pa.Table:
+        keep = _col(t, "c_custkey") >= 0
+        cc = pc.fill_null(t.column("c_count"), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        u, n = np.unique(cc[keep], return_counts=True)
+        return pa.table({
+            "c_count": pa.array(np.r_[u, [-1]].astype(np.int64)),
+            "nc": pa.array(np.r_[n, [0]].astype(np.int64))})
 
-    out = (joined.map_batches(hist_partial, batch_format="pandas")
+    out = (joined.map_batches(hist_partial, batch_format="pyarrow")
            .groupby("c_count")
            .aggregate(Sum("nc", alias_name="custdist")))
 

@@ -40,12 +40,19 @@ def generate_corpus(
     links_per_embed: int = 1,
     words_lo: int = 4,
     words_hi: int = 12,
-) -> pa.Table:
+    _sink=None,
+    _flush_rows: int = 200_000,
+) -> pa.Table | None:
     """Generate the docs corpus table (doc_id, spans) per FIXTURES.md §1.
 
     The bench fixture uses heavier pages (words_lo/hi larger, more
     links) — real web pages are 10–100 KB; the default sizes are for
-    fast unit fixtures."""
+    fast unit fixtures.
+
+    ``_sink``: optional callback receiving table chunks (memory-bounded
+    streaming for the 30x+ fixtures — the RNG stream and row ORDER are
+    identical to the in-memory path; only batching changes). When set,
+    returns None."""
     rng = random.Random(seed)
     counts = _zipf_counts(num_hosts, total_pages, rng)
     # page universe first so links can point at real pages
@@ -115,7 +122,17 @@ def generate_corpus(
                     off += 64
             doc_ids.append(page)
             spans_col.append(spans)
+        if _sink is not None and len(doc_ids) >= _flush_rows:
+            _sink(pa.Table.from_pydict(
+                {"doc_id": doc_ids, "spans": spans_col}, schema=DOCS_SCHEMA))
+            doc_ids.clear()
+            spans_col.clear()
 
+    if _sink is not None:
+        if doc_ids:
+            _sink(pa.Table.from_pydict(
+                {"doc_id": doc_ids, "spans": spans_col}, schema=DOCS_SCHEMA))
+        return None
     return pa.Table.from_pydict({"doc_id": doc_ids, "spans": spans_col}, schema=DOCS_SCHEMA)
 
 
@@ -128,17 +145,36 @@ SIZES = {
     # 10x scale rehearsal (VERDICT r3 #5): same shape, 10x the pages
     "bench10x": dict(num_hosts=5_000, total_pages=2_000_000, link_prob=0.6,
                      links_per_embed=2, words_lo=60, words_hi=180),
+    # 30x RAM-edge rehearsal (VERDICT r4 next #3)
+    "bench30x": dict(num_hosts=15_000, total_pages=6_000_000, link_prob=0.6,
+                     links_per_embed=2, words_lo=60, words_hi=180),
 }
 
 
 def write_corpus(name: str, out_path: str, seed: int = 42) -> str:
     import pyarrow.parquet as pq
 
-    table = generate_corpus(seed=seed, **SIZES[name])
     # bounded row groups: a multi-GB nested (list<struct>) column in one
     # row group exceeds Arrow's 2GB chunk limit and becomes UNREADABLE
     # ("Nested data conversions not implemented for chunked array
     # outputs") — hit by the 2M-page bench10x corpus, round 4
+    kw = SIZES[name]
+    if kw["total_pages"] > 2_500_000:
+        # streamed write: the in-memory path would hold every python
+        # span dict at once (tens of GB at 6M pages). Same RNG stream,
+        # same row order — only the batching differs.
+        writer: list[pq.ParquetWriter | None] = [None]
+
+        def sink(chunk: pa.Table) -> None:
+            if writer[0] is None:
+                writer[0] = pq.ParquetWriter(out_path, chunk.schema)
+            writer[0].write_table(chunk, row_group_size=50_000)
+
+        generate_corpus(seed=seed, _sink=sink, **kw)
+        if writer[0] is not None:
+            writer[0].close()
+        return out_path
+    table = generate_corpus(seed=seed, **kw)
     pq.write_table(table, out_path, row_group_size=50_000)
     return out_path
 
