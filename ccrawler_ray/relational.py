@@ -1490,13 +1490,28 @@ def g19_grouping_sets(sf_dir: str):
     count + exact char sum at all four margins."""
     ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["source", "lang"], as_index=False).agg(
-            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
-        return g.astype({"n_docs": "int64", "sum_chars": "int64"})
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("source", pa.string()),
+                              ("lang", pa.string()),
+                              ("n_docs", pa.int64()),
+                              ("sum_chars", pa.int64())]).empty_table()
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        us, scode = np.unique(src, return_inverse=True)
+        ul, lcode = np.unique(lang, return_inverse=True)
+        comp = scode.astype(np.int64) * len(ul) + lcode
+        uc, inv = np.unique(comp, return_inverse=True)
+        s = np.zeros(len(uc), dtype=np.int64)
+        np.add.at(s, inv, _col(t, "n_chars"))
+        return pa.table({
+            "source": pa.array(us[uc // len(ul)]),
+            "lang": pa.array(ul[uc % len(ul)]),
+            "n_docs": pa.array(np.bincount(inv).astype(np.int64)),
+            "sum_chars": pa.array(s)})
 
     base = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["source", "lang"])
         .aggregate(Sum("n_docs", alias_name="n_docs"),
                    Sum("sum_chars", alias_name="sum_chars"))
@@ -1576,21 +1591,34 @@ def g10_pivot(sf_dir: str):
     langs land in n_other) plus total chars across all langs."""
     ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        known = df["lang"].where(df["lang"].isin(_PIVOT_LANGS), "other")
-        w = pd.crosstab(df["source"], known)
-        for lang in (*_PIVOT_LANGS, "other"):
-            if lang not in w.columns:
-                w[lang] = 0
-        w = w.rename(columns={l: f"n_{l}" for l in (*_PIVOT_LANGS, "other")})
-        w["sum_chars"] = df.groupby("source")["n_chars"].sum()
-        cols = [f"n_{l}" for l in (*_PIVOT_LANGS, "other")] + ["sum_chars"]
-        return w[cols].astype("int64").reset_index()
+    g10_names = [f"n_{l}" for l in (*_PIVOT_LANGS, "other")]
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("source", pa.string())]
+                + [(c, pa.int64()) for c in g10_names]
+                + [("sum_chars", pa.int64())]).empty_table()
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        lcode = np.full(len(lang), len(_PIVOT_LANGS), dtype=np.int64)
+        for i, l in enumerate(_PIVOT_LANGS):
+            lcode[lang == l] = i
+        us, scode = np.unique(src, return_inverse=True)
+        counts = np.zeros((len(us), len(_PIVOT_LANGS) + 1), dtype=np.int64)
+        np.add.at(counts, (scode, lcode), 1)
+        sums = np.zeros(len(us), dtype=np.int64)
+        np.add.at(sums, scode, _col(t, "n_chars"))
+        cols = {"source": pa.array(us)}
+        for i, c in enumerate(g10_names):
+            cols[c] = pa.array(counts[:, i])
+        cols["sum_chars"] = pa.array(sums)
+        return pa.table(cols)
 
     aggs = [Sum(f"n_{l}", alias_name=f"n_{l}")
             for l in (*_PIVOT_LANGS, "other")]
     out = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby("source")
         .aggregate(*aggs, Sum("sum_chars", alias_name="sum_chars"))
     )
@@ -1629,18 +1657,22 @@ def o7_wordcount_topk(sf_dir: str, k: int = 20):
                          "n": pa.array(cnt),
                          "t_salt": pa.array(salts)})
 
-    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"term": pd.Series(dtype="object"),
-                                 "n": pd.Series(dtype="int64")})
-        g = df.groupby("term", as_index=False)["n"].sum()
-        g = g.sort_values(["n", "term"], ascending=[False, True])
-        return g.head(k).astype({"n": "int64"})
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("term", pa.string()),
+                              ("n", pa.int64())]).empty_table()
+        terms = t.column("term").to_numpy(zero_copy_only=False)
+        ut, inv = np.unique(terms, return_inverse=True)
+        s = np.zeros(len(ut), dtype=np.int64)
+        np.add.at(s, inv, _col(t, "n"))
+        order = np.lexsort((ut, -s))[:k]
+        return pa.table({"term": pa.array(ut[order]),
+                         "n": pa.array(s[order])})
 
     cand = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("t_salt")
-        .map_groups(local_topk, batch_format="pandas")
+        .map_groups(local_topk, batch_format="pyarrow")
         .to_pandas()
     )
     cand = cand.sort_values(["n", "term"], ascending=[False, True])
@@ -1834,41 +1866,49 @@ def g12_embedding_centroids(sf_dir: str):
         on=("vec_id",), right_on=("doc_id",),
     )
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df) or "emb_u" not in df.columns:
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "emb_u" not in t.column_names:
             # schema-less empty join partition (tiny inputs)
-            cols = {"lang": pd.Series(dtype="str"),
-                    "n": pd.Series(dtype="int64")}
-            cols.update({f"s_{j}": pd.Series(dtype="int64")
-                         for j in range(dims)})
-            return pd.DataFrame(cols)
-        mat_u = np.frombuffer(b"".join(df["emb_u"]),
-                              dtype=np.int64).reshape(len(df), dims)
-        rows = []
-        for lang, idx in df.groupby("lang", sort=False).indices.items():
-            s = mat_u[idx].sum(axis=0)
-            rows.append({"lang": lang, "n": len(idx),
-                         **{f"s_{j}": s[j] for j in range(dims)}})
-        out = pd.DataFrame(rows)
-        return out.astype({c: "int64" for c in out.columns if c != "lang"})
+            return pa.schema(
+                [("lang", pa.string()), ("n", pa.int64())]
+                + [(f"s_{j}", pa.int64()) for j in range(dims)]
+            ).empty_table()
+        mat_u = np.frombuffer(
+            b"".join(t.column("emb_u").to_pylist()),
+            dtype=np.int64).reshape(t.num_rows, dims)
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        ul, inv = np.unique(lang, return_inverse=True)
+        sums = np.zeros((len(ul), dims), dtype=np.int64)
+        np.add.at(sums, inv, mat_u)
+        cols = {"lang": pa.array(ul),
+                "n": pa.array(np.bincount(inv).astype(np.int64))}
+        for j in range(dims):
+            cols[f"s_{j}"] = pa.array(sums[:, j])
+        return pa.table(cols)
 
     aggs = [Sum(f"s_{j}", alias_name=f"s_{j}") for j in range(dims)]
     agg = (
-        joined.map_batches(partial, batch_format="pandas")
+        joined.map_batches(partial, batch_format="pyarrow")
         .groupby("lang")
         .aggregate(*aggs, Sum("n", alias_name="n"))
     )
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, r in df.iterrows():
-            n = int(r["n"])
-            for j in range(dims):
-                out.append((r["lang"], j, float(int(r[f"s_{j}"])) / n))
-        o = pd.DataFrame(out, columns=["lang", "dim", "mean_val"])
-        return o.astype({"dim": "int64", "mean_val": "float64"})
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("lang", pa.string()), ("dim", pa.int64()),
+                              ("mean_val", pa.float64())]).empty_table()
+        langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        n = _col(t, "n").astype(np.int64)
+        S = np.stack([_col(t, f"s_{j}") for j in range(dims)], axis=1)
+        # float(int64)/n — identical to the old per-cell python form
+        mean = S.astype(np.float64) / np.maximum(n, 1)[:, None]
+        return pa.table({
+            "lang": pa.array(np.repeat(langs, dims)),
+            "dim": pa.array(np.tile(np.arange(dims, dtype=np.int64),
+                                    len(langs))),
+            "mean_val": pa.array(mean.ravel())})
 
-    return agg.map_batches(finish, batch_format="pandas")
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -1893,39 +1933,47 @@ def g13_user_value_drift(sf_dir: str):
     t0 = ds.min("ts")
     t0_s = int(np.datetime64(t0, "us").astype(np.int64) // 1_000_000)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        x = (df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-             // 1_000_000 - t0_s)
-        y = _to_micro(df["value"])
-        g = pd.DataFrame({"user_id": df["user_id"].to_numpy(),
-                          "n": np.int64(1), "sx": x, "sy": y,
-                          "sxy": x * y, "sxx": x * x})
-        out = g.groupby("user_id", as_index=False).sum()
-        out["u_salt"] = (out["user_id"] % salt_k).astype(np.int32)
-        return out
+    def partial(t: pa.Table) -> pa.Table:
+        x = _ts_us(t) // 1_000_000 - t0_s
+        y = _to_micro(_col(t, "value"))
+        uu, inv = np.unique(_col(t, "user_id"), return_inverse=True)
 
-    def slope_per_user(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
-                                 "n": pd.Series(dtype="int64"),
-                                 "slope": pd.Series(dtype="float64")})
-        s = df.groupby("user_id", as_index=False)[
-            ["n", "sx", "sy", "sxy", "sxx"]].sum()
-        slopes = np.empty(len(s), dtype=np.float64)
-        for i, r in enumerate(s.itertuples(index=False)):
-            n, sx, sy, sxy, sxx = (int(r.n), int(r.sx), int(r.sy),
-                                   int(r.sxy), int(r.sxx))
-            den = n * sxx - sx * sx          # python ints: no overflow
-            num = n * sxy - sx * sy
+        def agg(v: np.ndarray) -> pa.Array:
+            s = np.zeros(len(uu), dtype=np.int64)
+            np.add.at(s, inv, v)
+            return pa.array(s)
+
+        return pa.table({
+            "user_id": pa.array(uu.astype(np.int64)),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "sx": agg(x), "sy": agg(y), "sxy": agg(x * y),
+            "sxx": agg(x * x),
+            "u_salt": pa.array((uu % salt_k).astype(np.int32))})
+
+    def slope_per_user(t: pa.Table) -> pa.Table:
+        uu, inv = np.unique(_col(t, "user_id"), return_inverse=True)
+
+        def agg(name: str) -> np.ndarray:
+            s = np.zeros(len(uu), dtype=np.int64)
+            np.add.at(s, inv, _col(t, name))
+            return s
+
+        n_a, sx_a, sy_a = agg("n"), agg("sx"), agg("sy")
+        sxy_a, sxx_a = agg("sxy"), agg("sxx")
+        slopes = np.empty(len(uu), dtype=np.float64)
+        for i in range(len(uu)):
+            n, sx, sy = int(n_a[i]), int(sx_a[i]), int(sy_a[i])
+            den = n * int(sxx_a[i]) - sx * sx   # python ints: no overflow
+            num = n * int(sxy_a[i]) - sx * sy
             slopes[i] = float(num) / float(den) if den else 0.0
-        return pd.DataFrame({"user_id": s["user_id"].astype(np.int64),
-                             "n": s["n"].astype(np.int64),
-                             "slope": slopes})
+        return pa.table({"user_id": pa.array(uu.astype(np.int64)),
+                         "n": pa.array(n_a),
+                         "slope": pa.array(slopes)})
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby("u_salt")
-        .map_groups(slope_per_user, batch_format="pandas")
+        .map_groups(slope_per_user, batch_format="pyarrow")
     )
 
 
@@ -2176,15 +2224,20 @@ def g14_group_median(sf_dir: str):
     ceil(0.5 n), DuckDB quantile_disc convention)."""
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
-    def med(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for et, g in df.groupby("event_type", sort=False):
-            v = np.sort(g["value"].to_numpy())
-            out.append((et, float(v[int(np.ceil(0.5 * len(v))) - 1])))
-        return pd.DataFrame(out, columns=["event_type", "median_value"])
+    def med(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        v = _col(t, "value")
+        order = np.lexsort((v, et))
+        et_s, v_s = et[order], v[order]
+        ue, starts = np.unique(et_s, return_index=True)
+        sizes = np.diff(np.r_[starts, len(et_s)])
+        ranks = starts + np.ceil(0.5 * sizes).astype(np.int64) - 1
+        return pa.table({"event_type": pa.array(ue),
+                         "median_value": pa.array(
+                             v_s[ranks].astype(np.float64))})
 
     # event_type cardinality is tiny (5): group directly, no salt
-    return ds.groupby("event_type").map_groups(med, batch_format="pandas")
+    return ds.groupby("event_type").map_groups(med, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -2284,15 +2337,16 @@ def w8_late_events(sf_dir: str, lateness_s: int = 3600,
         eid = t.column("event_id").to_numpy(zero_copy_only=False)
         return t.append_column("bucket", pa.array(eid // bsize, pa.int64()))
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
-                                 "late": pd.Series(dtype="int64"),
-                                 "lateness_us": pd.Series(dtype="int64")})
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("event_id", pa.int64()),
+                              ("late", pa.int64()),
+                              ("lateness_us", pa.int64())]).empty_table()
         cmap = ray.get(carry_ref)
-        df = df.sort_values("event_id")
-        ts = df["ts"].astype("int64").to_numpy()
-        cin = np.int64(cmap[int(df["bucket"].iloc[0])])
+        order = np.argsort(_col(t, "event_id"))
+        eid = _col(t, "event_id")[order]
+        ts = _ts_us(t)[order]
+        cin = np.int64(cmap[int(t.column("bucket")[0].as_py())])
         # watermark BEFORE each row: shifted cummax seeded by carry-in
         wm = np.r_[cin, np.maximum.accumulate(ts)[:-1]]
         wm = np.maximum(wm, cin)
@@ -2300,13 +2354,14 @@ def w8_late_events(sf_dir: str, lateness_s: int = 3600,
         late = (has & (ts < wm - late_us)).astype(np.int64)
         lateness = np.where(has, np.maximum(0, wm - late_us - ts),
                             0).astype(np.int64)
-        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
-                             "late": late, "lateness_us": lateness})
+        return pa.table({"event_id": pa.array(eid.astype(np.int64)),
+                         "late": pa.array(late),
+                         "lateness_us": pa.array(lateness)})
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 
@@ -2324,61 +2379,72 @@ def j9_full_outer_join(sf_dir: str):
     salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
     ev = _read(sf_dir, "events", ["user_id", "value"])
 
-    def ev_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["user_id"] % 3 != 0]
-        g = df.assign(v_u=_to_micro(df["value"])).groupby(
-            "user_id", as_index=False).agg(
-                n_events=("v_u", "size"), sum_u=("v_u", "sum"))
-        return pd.DataFrame({"key": g["user_id"].astype(np.int64),
-                             "n_events": g["n_events"].astype(np.int64),
-                             "sum_u": g["sum_u"].astype(np.int64),
-                             "c_acctbal": np.full(len(g), np.nan,
-                                                  dtype=np.float64),
-                             "is_cust": np.zeros(len(g), dtype=np.int64)})
+    def ev_partial(t: pa.Table) -> pa.Table:
+        uid = _col(t, "user_id")
+        m = uid % 3 != 0
+        uu, inv = np.unique(uid[m], return_inverse=True)
+        s = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(s, inv, _to_micro(_col(t, "value")[m]))
+        return pa.table({
+            "key": pa.array(uu.astype(np.int64)),
+            "n_events": pa.array(np.bincount(inv,
+                                             minlength=len(uu)).astype(np.int64)),
+            "sum_u": pa.array(s),
+            "c_acctbal": pa.array(np.full(len(uu), np.nan)),
+            "is_cust": pa.array(np.zeros(len(uu), dtype=np.int64))})
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
 
-    def cust_tag(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["c_custkey"] < 10]
-        return pd.DataFrame({"key": df["c_custkey"].astype(np.int64),
-                             "n_events": np.zeros(len(df), dtype=np.int64),
-                             "sum_u": np.zeros(len(df), dtype=np.int64),
-                             "c_acctbal": df["c_acctbal"].astype(np.float64),
-                             "is_cust": np.ones(len(df), dtype=np.int64)})
+    def cust_tag(t: pa.Table) -> pa.Table:
+        ck = _col(t, "c_custkey")
+        m = ck < 10
+        return pa.table({
+            "key": pa.array(ck[m].astype(np.int64)),
+            "n_events": pa.array(np.zeros(int(m.sum()), dtype=np.int64)),
+            "sum_u": pa.array(np.zeros(int(m.sum()), dtype=np.int64)),
+            "c_acctbal": pa.array(
+                _col(t, "c_acctbal")[m].astype(np.float64)),
+            "is_cust": pa.array(np.ones(int(m.sum()), dtype=np.int64))})
 
-    both = ev.map_batches(ev_partial, batch_format="pandas").union(
-        cust.map_batches(cust_tag, batch_format="pandas"))
+    both = ev.map_batches(ev_partial, batch_format="pyarrow").union(
+        cust.map_batches(cust_tag, batch_format="pyarrow"))
 
     def add_salt(t: pa.Table) -> pa.Table:
         k = t.column("key").to_numpy(zero_copy_only=False)
         return t.append_column("k_salt", pa.array(k % salt_k, pa.int64()))
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"key": pd.Series(dtype="int64"),
-                                 "n_events": pd.Series(dtype="int64"),
-                                 "sum_value": pd.Series(dtype="float64"),
-                                 "c_acctbal": pd.Series(dtype="float64"),
-                                 "side": pd.Series(dtype="object")})
-        g = df.groupby("key", as_index=False).agg(
-            n_events=("n_events", "sum"), sum_u=("sum_u", "sum"),
-            c_acctbal=("c_acctbal", "max"), is_cust=("is_cust", "max"))
-        has_ev = g["n_events"] > 0
-        has_cu = g["is_cust"] > 0
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("key", pa.int64()),
+                              ("n_events", pa.int64()),
+                              ("sum_value", pa.float64()),
+                              ("c_acctbal", pa.float64()),
+                              ("side", pa.string())]).empty_table()
+        uu, inv = np.unique(_col(t, "key"), return_inverse=True)
+        n_ev = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(n_ev, inv, _col(t, "n_events"))
+        s_u = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(s_u, inv, _col(t, "sum_u"))
+        # fmax skips NaN (the events-side placeholder), matching the
+        # pandas groupby max semantics
+        acct = np.full(len(uu), -np.inf)
+        np.fmax.at(acct, inv, _col(t, "c_acctbal"))
+        is_cu = np.zeros(len(uu), dtype=np.int64)
+        np.maximum.at(is_cu, inv, _col(t, "is_cust"))
+        has_ev, has_cu = n_ev > 0, is_cu > 0
         side = np.where(has_ev & has_cu, "both",
                         np.where(has_ev, "events", "customer"))
-        return pd.DataFrame({
-            "key": g["key"].astype(np.int64),
-            "n_events": g["n_events"].astype(np.int64),
-            "sum_value": g["sum_u"].astype(np.int64) / (MICRO * 1.0),
-            "c_acctbal": np.where(
-                has_cu, g["c_acctbal"].astype(np.float64), -1.0),
-            "side": side})
+        return pa.table({
+            "key": pa.array(uu.astype(np.int64)),
+            "n_events": pa.array(n_ev),
+            "sum_value": pa.array(s_u / (MICRO * 1.0)),
+            "c_acctbal": pa.array(np.where(has_cu, acct, -1.0)),
+            "side": pa.array(side)})
 
     return (
         both.map_batches(add_salt, batch_format="pyarrow")
         .groupby("k_salt")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pyarrow")
     )
 
 
@@ -2399,19 +2465,32 @@ def g15_corr(sf_dir: str):
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_quantity", "l_extendedprice"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        x = np.round(df["l_quantity"].to_numpy() * 100).astype(np.int64)
-        y = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("l_returnflag", pa.string())]
+                + [(c, pa.int64()) for c in
+                   ("n", "sx", "sy", "sxy", "sxx", "syy_hi", "syy_lo")]
+            ).empty_table()
+        rf = t.column("l_returnflag").to_numpy(zero_copy_only=False)
+        x = np.round(_col(t, "l_quantity") * 100).astype(np.int64)
+        y = np.round(_col(t, "l_extendedprice") * 100).astype(np.int64)
         y2 = y * y
-        t = pd.DataFrame({
-            "l_returnflag": df["l_returnflag"],
-            "n": np.ones(len(df), dtype=np.int64),
-            "sx": x, "sy": y, "sxy": x * y, "sxx": x * x,
-            "syy_hi": y2 >> np.int64(32),
-            "syy_lo": y2 & np.int64(0xFFFFFFFF)})
-        return t.groupby("l_returnflag", as_index=False).sum()
+        uu, inv = np.unique(rf, return_inverse=True)
 
-    agg = ds.map_batches(partial, batch_format="pandas").groupby(
+        def agg_(v: np.ndarray) -> pa.Array:
+            s = np.zeros(len(uu), dtype=np.int64)
+            np.add.at(s, inv, v)
+            return pa.array(s)
+
+        return pa.table({
+            "l_returnflag": pa.array(uu),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "sx": agg_(x), "sy": agg_(y), "sxy": agg_(x * y),
+            "sxx": agg_(x * x), "syy_hi": agg_(y2 >> np.int64(32)),
+            "syy_lo": agg_(y2 & np.int64(0xFFFFFFFF))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
         "l_returnflag").aggregate(
             Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
             Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
@@ -2419,21 +2498,26 @@ def g15_corr(sf_dir: str):
             Sum("syy_hi", alias_name="syy_hi"),
             Sum("syy_lo", alias_name="syy_lo"))
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for r in df.itertuples():
-            n, sx, sy = int(r.n), int(r.sx), int(r.sy)
-            syy = (int(r.syy_hi) << 32) + int(r.syy_lo)  # exact big int
-            num = n * int(r.sxy) - sx * sy
-            d1 = n * int(r.sxx) - sx * sx
+    def finish(t: pa.Table) -> pa.Table:
+        rf = t.column("l_returnflag").to_pylist()
+        c = {k: _col(t, k) for k in
+             ("n", "sx", "sy", "sxy", "sxx", "syy_hi", "syy_lo")}
+        ns, corrs = [], []
+        for i in range(len(rf)):    # dim-sized (one row per flag)
+            n, sx, sy = int(c["n"][i]), int(c["sx"][i]), int(c["sy"][i])
+            syy = (int(c["syy_hi"][i]) << 32) + int(c["syy_lo"][i])
+            num = n * int(c["sxy"][i]) - sx * sy     # exact big ints
+            d1 = n * int(c["sxx"][i]) - sx * sx
             d2 = n * syy - sy * sy
             corr = np.float64(num) / (np.sqrt(np.float64(d1))
                                       * np.sqrt(np.float64(d2)))
-            out.append((r.l_returnflag, n, float(corr)))
-        return pd.DataFrame(out, columns=["l_returnflag", "n",
-                                          "corr_qty_price"])
+            ns.append(n)
+            corrs.append(float(corr))
+        return pa.table({"l_returnflag": pa.array(rf, pa.string()),
+                         "n": pa.array(ns, pa.int64()),
+                         "corr_qty_price": pa.array(corrs, pa.float64())})
 
-    return agg.map_batches(finish, batch_format="pandas")
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -2451,19 +2535,32 @@ def g20_regression(sf_dir: str):
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_quantity", "l_extendedprice"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        x = np.round(df["l_quantity"].to_numpy() * 100).astype(np.int64)
-        y = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("l_returnflag", pa.string())]
+                + [(c, pa.int64()) for c in
+                   ("n", "sx", "sy", "sxy", "sxx", "syy_hi", "syy_lo")]
+            ).empty_table()
+        rf = t.column("l_returnflag").to_numpy(zero_copy_only=False)
+        x = np.round(_col(t, "l_quantity") * 100).astype(np.int64)
+        y = np.round(_col(t, "l_extendedprice") * 100).astype(np.int64)
         y2 = y * y
-        t = pd.DataFrame({
-            "l_returnflag": df["l_returnflag"],
-            "n": np.ones(len(df), dtype=np.int64),
-            "sx": x, "sy": y, "sxy": x * y, "sxx": x * x,
-            "syy_hi": y2 >> np.int64(32),
-            "syy_lo": y2 & np.int64(0xFFFFFFFF)})
-        return t.groupby("l_returnflag", as_index=False).sum()
+        uu, inv = np.unique(rf, return_inverse=True)
 
-    agg = ds.map_batches(partial, batch_format="pandas").groupby(
+        def agg_(v: np.ndarray) -> pa.Array:
+            s = np.zeros(len(uu), dtype=np.int64)
+            np.add.at(s, inv, v)
+            return pa.array(s)
+
+        return pa.table({
+            "l_returnflag": pa.array(uu),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "sx": agg_(x), "sy": agg_(y), "sxy": agg_(x * y),
+            "sxx": agg_(x * x), "syy_hi": agg_(y2 >> np.int64(32)),
+            "syy_lo": agg_(y2 & np.int64(0xFFFFFFFF))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
         "l_returnflag").aggregate(
             Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
             Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
@@ -2471,13 +2568,16 @@ def g20_regression(sf_dir: str):
             Sum("syy_hi", alias_name="syy_hi"),
             Sum("syy_lo", alias_name="syy_lo"))
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for r in df.itertuples():
-            n, sx, sy = int(r.n), int(r.sx), int(r.sy)
-            syy = (int(r.syy_hi) << 32) + int(r.syy_lo)  # exact big int
-            sxy_n = n * int(r.sxy) - sx * sy             # exact big ints
-            sxx_n = n * int(r.sxx) - sx * sx
+    def finish(t: pa.Table) -> pa.Table:
+        rf = t.column("l_returnflag").to_pylist()
+        c = {k: _col(t, k) for k in
+             ("n", "sx", "sy", "sxy", "sxx", "syy_hi", "syy_lo")}
+        ns, slopes, intercepts, r2s = [], [], [], []
+        for i in range(len(rf)):    # dim-sized (one row per flag)
+            n, sx, sy = int(c["n"][i]), int(c["sx"][i]), int(c["sy"][i])
+            syy = (int(c["syy_hi"][i]) << 32) + int(c["syy_lo"][i])
+            sxy_n = n * int(c["sxy"][i]) - sx * sy       # exact big ints
+            sxx_n = n * int(c["sxx"][i]) - sx * sx
             syy_n = n * syy - sy * sy
             # frozen IEEE op order — the oracle SQL repeats it verbatim
             slope = np.float64(sxy_n) / np.float64(sxx_n)
@@ -2485,12 +2585,17 @@ def g20_regression(sf_dir: str):
                          / np.float64(n) / np.float64(100.0))
             r2 = (np.float64(sxy_n) * np.float64(sxy_n)
                   / (np.float64(sxx_n) * np.float64(syy_n)))
-            out.append((r.l_returnflag, n, float(slope), float(intercept),
-                        float(r2)))
-        return pd.DataFrame(out, columns=["l_returnflag", "n", "slope",
-                                          "intercept", "r2"])
+            ns.append(n)
+            slopes.append(float(slope))
+            intercepts.append(float(intercept))
+            r2s.append(float(r2))
+        return pa.table({"l_returnflag": pa.array(rf, pa.string()),
+                         "n": pa.array(ns, pa.int64()),
+                         "slope": pa.array(slopes, pa.float64()),
+                         "intercept": pa.array(intercepts, pa.float64()),
+                         "r2": pa.array(r2s, pa.float64())})
 
-    return agg.map_batches(finish, batch_format="pandas")
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -2511,17 +2616,29 @@ def g21_zscore_outliers(sf_dir: str, threshold: float = ZSCORE_THRESHOLD):
     outlier (|z| > threshold) within their event_type."""
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        v = _to_micro(df["value"])
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("event_type", pa.string())]
+                + [(c, pa.int64()) for c in
+                   ("n", "s", "s2_hi", "s2_lo")]).empty_table()
+        v = _to_micro(_col(t, "value"))
         v2 = v * v
-        t = pd.DataFrame({"event_type": df["event_type"],
-                          "n": np.ones(len(df), dtype=np.int64),
-                          "s": v,
-                          "s2_hi": v2 >> np.int64(32),
-                          "s2_lo": v2 & np.int64(0xFFFFFFFF)})
-        return t.groupby("event_type", as_index=False).sum()
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(et, return_inverse=True)
 
-    agg = (ds.map_batches(partial, batch_format="pandas")
+        def agg_(x: np.ndarray) -> pa.Array:
+            s = np.zeros(len(uu), dtype=np.int64)
+            np.add.at(s, inv, x)
+            return pa.array(s)
+
+        return pa.table({"event_type": pa.array(uu),
+                         "n": pa.array(np.bincount(inv).astype(np.int64)),
+                         "s": agg_(v),
+                         "s2_hi": agg_(v2 >> np.int64(32)),
+                         "s2_lo": agg_(v2 & np.int64(0xFFFFFFFF))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby("event_type").aggregate(
                Sum("n", alias_name="n"), Sum("s", alias_name="s"),
                Sum("s2_hi", alias_name="s2_hi"),
@@ -2537,22 +2654,29 @@ def g21_zscore_outliers(sf_dir: str, threshold: float = ZSCORE_THRESHOLD):
     fields = [("event_id", pa.int64()), ("event_type", pa.string()),
               ("value", pa.float64()), ("z", pa.float64())]
 
-    def flag(df: pd.DataFrame) -> pd.DataFrame:
+    def flag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(fields).empty_table()
         st = ray.get(stats_ref)
-        v_u = _to_micro(df["value"])
-        ns = np.array([st[t][0] for t in df["event_type"]], dtype=np.int64)
-        ss = np.array([st[t][1] for t in df["event_type"]], dtype=np.int64)
-        var = np.array([np.float64(st[t][2]) for t in df["event_type"]])
+        v_u = _to_micro(_col(t, "value"))
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        # one dict probe per DISTINCT type in the batch, not per row
+        ue, inv = np.unique(et, return_inverse=True)
+        ns = np.array([st[x][0] for x in ue], dtype=np.int64)[inv]
+        ss = np.array([st[x][1] for x in ue], dtype=np.int64)[inv]
+        var = np.array([np.float64(st[x][2]) for x in ue])[inv]
         ok = var > 0
-        z = np.zeros(len(df), dtype=np.float64)
+        z = np.zeros(t.num_rows, dtype=np.float64)
         z[ok] = ((ns[ok] * v_u[ok] - ss[ok]).astype(np.float64)
                  / np.sqrt(var[ok]))
         keep = ok & (np.abs(z) > threshold)
-        out = df.loc[keep, ["event_id", "event_type", "value"]].copy()
-        out["z"] = z[keep]
-        return out
+        return pa.table({
+            "event_id": pa.array(_col(t, "event_id")[keep].astype(np.int64)),
+            "event_type": pa.array(et[keep]),
+            "value": pa.array(_col(t, "value")[keep].astype(np.float64)),
+            "z": pa.array(z[keep])})
 
-    return _typed(ds.map_batches(flag, batch_format="pandas"), fields)
+    return _typed(ds.map_batches(flag, batch_format="pyarrow"), fields)
 
 
 # ---------------------------------------------------------------------------
@@ -2727,28 +2851,42 @@ def g17_string_agg(sf_dir: str, top_n: int = 5):
     smallest doc_ids joined as a comma-separated string."""
     ds = _read(sf_dir, "documents", ["doc_id", "lang"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("lang", sort=False)
-        out = g.agg(n=("doc_id", "size")).reset_index()
-        heads = (df.sort_values("doc_id").groupby("lang", sort=False)
-                 .head(top_n).groupby("lang", sort=False)["doc_id"]
-                 .apply(lambda s: s.tolist()).reset_index(name="cand"))
-        return out.merge(heads, on="lang").astype({"n": "int64"})
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("lang", pa.string()), ("n", pa.int64()),
+                              ("cand", pa.list_(pa.int64()))]).empty_table()
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        ids = _col(t, "doc_id").astype(np.int64)
+        order = np.lexsort((ids, lang))
+        lang_s, ids_s = lang[order], ids[order]
+        ul, starts = np.unique(lang_s, return_index=True)
+        sizes = np.diff(np.r_[starts, len(lang_s)])
+        # the top_n smallest ids per group = the first top_n rows of
+        # each contiguous (lang, id)-sorted run
+        pos = np.arange(len(ids_s)) - np.repeat(starts, sizes)
+        mask = pos < top_n
+        lens = np.minimum(sizes, top_n)
+        cand = pa.ListArray.from_arrays(
+            pa.array(np.r_[0, np.cumsum(lens)], type=pa.int32()),
+            pa.array(ids_s[mask], type=pa.int64()))
+        return pa.table({"lang": pa.array(ul),
+                         "n": pa.array(sizes.astype(np.int64)),
+                         "cand": cand})
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"lang": pd.Series(dtype="object"),
-                                 "n_docs": pd.Series(dtype="int64"),
-                                 "top_ids": pd.Series(dtype="object")})
-        ids = np.sort(np.concatenate(
-            [np.asarray(c, dtype=np.int64) for c in df["cand"]]))[:top_n]
-        return pd.DataFrame(
-            {"lang": [df["lang"].iloc[0]],
-             "n_docs": np.array([df["n"].sum()], dtype=np.int64),
-             "top_ids": [",".join(str(i) for i in ids)]})
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("lang", pa.string()),
+                              ("n_docs", pa.int64()),
+                              ("top_ids", pa.string())]).empty_table()
+        flat = as_single_array(t.column("cand")).flatten()             .to_numpy(zero_copy_only=False)
+        ids = np.sort(flat.astype(np.int64))[:top_n]
+        return pa.table({
+            "lang": pa.array([t.column("lang")[0].as_py()]),
+            "n_docs": pa.array([int(_col(t, "n").sum())], pa.int64()),
+            "top_ids": pa.array([",".join(str(i) for i in ids)])})
 
-    return (ds.map_batches(partial, batch_format="pandas")
-            .groupby("lang").map_groups(final, batch_format="pandas"))
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang").map_groups(final, batch_format="pyarrow"))
 
 
 def g18_unpivot(sf_dir: str):
@@ -2759,14 +2897,22 @@ def g18_unpivot(sf_dir: str):
     reshape; the only shuffle is the one g10 already pays."""
     wide = g10_pivot(sf_dir)
 
-    def melt(df: pd.DataFrame) -> pd.DataFrame:
+    def melt(t: pa.Table) -> pa.Table:
         value_cols = [f"n_{l}" for l in (*_PIVOT_LANGS, "other")]
-        m = df.melt(id_vars=["source"], value_vars=value_cols,
-                    var_name="lang", value_name="n_docs")
-        m["lang"] = m["lang"].str[2:]
-        return m.astype({"n_docs": "int64"})
+        if t.num_rows == 0:
+            return pa.schema([("source", pa.string()),
+                              ("lang", pa.string()),
+                              ("n_docs", pa.int64())]).empty_table()
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        return pa.table({
+            "source": pa.array(np.tile(src, len(value_cols))),
+            "lang": pa.array(np.repeat([c[2:] for c in value_cols], n)),
+            "n_docs": pa.array(np.concatenate(
+                [_col(t, c).astype(np.int64) for c in value_cols])
+                if n else np.array([], dtype=np.int64))})
 
-    return wide.map_batches(melt, batch_format="pandas")
+    return wide.map_batches(melt, batch_format="pyarrow")
 
 
 def q18_big_orders(sf_dir: str, min_qty: int = 250, k: int = 20):
@@ -3164,49 +3310,61 @@ def q10_returned_revenue(sf_dir: str, date_lo: str = "1996-01-01",
             "rev_u": pa.array(np.r_[s, [0]].astype(np.int64)),
             "salt": pa.array(np.r_[uk % salt_k, [0]].astype(np.int32))})
 
-    def per_salt(df: pd.DataFrame) -> pd.DataFrame:
+    def per_salt(t: pa.Table) -> pa.Table:
         nmap = ray.get(nmap_ref)
-        df = df[df["c_custkey"] >= 0]
-        g = (df.groupby(["c_custkey", "c_name", "n_key"],
-                        as_index=False)["rev_u"].sum())
+        ckall = _col(t, "c_custkey")
+        keep = ckall >= 0
+        ck = ckall[keep].astype(np.int64)
+        names = np.asarray(t.column("c_name").to_pylist(), dtype=object)[keep]
+        nk = _col(t, "n_key")[keep].astype(np.int64)
+        rev = _col(t, "rev_u")[keep]
+        uk, first, inv = np.unique(ck, return_index=True,
+                                   return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, rev)
         # inner-join semantics: drop customers whose nationkey has no
-        # nation row (dangling keys) instead of emitting a NaN n_name
-        g = g[g["n_key"].isin(nmap)]
-        out = pd.DataFrame({
-            "c_custkey": g["c_custkey"].astype(np.int64),
-            "c_name": g["c_name"],
-            "n_name": g["n_key"].map(nmap),
-            "rev_u": g["rev_u"].astype(np.int64)})
+        # nation row (dangling keys) instead of emitting a NaN n_name;
+        # one dict probe per DISTINCT nationkey
+        nkf = nk[first]
+        un, ncode = np.unique(nkf, return_inverse=True)
+        known = np.array([int(x) in nmap for x in un], dtype=bool)
+        nname = np.asarray([nmap.get(int(x), "") for x in un],
+                           dtype=object)
+        ok = known[ncode]
         # group-output sentinel: sorts strictly below every real row,
         # so limit(k) only admits it when real rows < k; dropped in
-        # finish().
-        sent = pd.DataFrame({"c_custkey": np.array([-1], np.int64),
-                             "c_name": [""], "n_name": [""],
-                             "rev_u": np.array([_SENT_REV], np.int64)})
-        return pd.concat([out, sent], ignore_index=True)
+        # drop_sent().
+        return pa.table({
+            "c_custkey": pa.array(np.r_[uk[ok], [-1]].astype(np.int64)),
+            "c_name": pa.array(names[first][ok].tolist() + [""],
+                               pa.string()),
+            "n_name": pa.array(nname[ncode][ok].tolist() + [""],
+                               pa.string()),
+            "rev_u": pa.array(np.r_[s[ok], [_SENT_REV]].astype(np.int64))})
 
-    def drop_sent(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["c_custkey"] >= 0]
+    def drop_sent(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("c_custkey"), 0))
 
     out = (joined.map_batches(partial, batch_format="pyarrow")
-           .groupby("salt").map_groups(per_salt, batch_format="pandas")
+           .groupby("salt").map_groups(per_salt, batch_format="pyarrow")
            .sort(["rev_u", "c_custkey"], descending=[True, False])
            # sentinels sort strictly below every real row (one per salt
            # group), so the k+salt_k prefix is guaranteed to contain
            # the full real top-k; the global limit(k) after the
            # sentinel filter restores exact k
            .limit(k + salt_k)
-           .map_batches(drop_sent, batch_format="pandas")
+           .map_batches(drop_sent, batch_format="pyarrow")
            .limit(k))
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "c_custkey": df["c_custkey"].astype(np.int64),
-            "c_name": df["c_name"],
-            "n_name": df["n_name"],
-            "revenue": df["rev_u"].to_numpy().astype(np.float64) / MICRO})
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t.column("c_custkey").cast(pa.int64()),
+            "c_name": t.column("c_name"),
+            "n_name": t.column("n_name"),
+            "revenue": pa.array(
+                _col(t, "rev_u").astype(np.float64) / MICRO)})
 
-    return _typed(out.map_batches(finish, batch_format="pandas"),
+    return _typed(out.map_batches(finish, batch_format="pyarrow"),
                   [("c_custkey", pa.int64()), ("c_name", pa.string()),
                    ("n_name", pa.string()), ("revenue", pa.float64())])
 
@@ -3705,18 +3863,27 @@ def q22_sales_opportunity(sf_dir: str,
                         okeys, "c_custkey", "o_ck",
                         _rows_hint(sf_dir, "customer"), how="left")
 
-    def nat_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[(df["c_custkey"] >= 0) & df["has_ord"].isna()]
-        g = df.groupby("c_nationkey", as_index=False).agg(
-            nc=("c_custkey", "size"), sc=("cents", "sum"))
-        sent = pd.DataFrame({"c_nationkey": np.array([-1], np.int64),
-                             "nc": np.array([0], np.int64),
-                             "sc": np.array([0], np.int64)})
-        g["nc"] = g["nc"].astype(np.int64)
-        g["sc"] = g["sc"].astype(np.int64)
-        return pd.concat([g, sent], ignore_index=True)
+    def nat_partial(t: pa.Table) -> pa.Table:
+        sent = pa.table({"c_nationkey": pa.array([-1], pa.int64()),
+                         "nc": pa.array([0], pa.int64()),
+                         "sc": pa.array([0], pa.int64())})
+        if t.num_rows == 0:
+            return sent
+        no_ord = pc.is_null(t.column("has_ord")).to_numpy(
+            zero_copy_only=False)
+        m = (_col(t, "c_custkey") >= 0) & no_ord
+        if not m.any():
+            return sent
+        nk = _col(t, "c_nationkey")[m].astype(np.int64)
+        un, inv = np.unique(nk, return_inverse=True)
+        sc = np.zeros(len(un), dtype=np.int64)
+        np.add.at(sc, inv, _col(t, "cents")[m].astype(np.int64))
+        g = pa.table({"c_nationkey": pa.array(un),
+                      "nc": pa.array(np.bincount(inv).astype(np.int64)),
+                      "sc": pa.array(sc)})
+        return pa.concat_tables([g, sent])
 
-    out = (joined.map_batches(nat_partial, batch_format="pandas")
+    out = (joined.map_batches(nat_partial, batch_format="pyarrow")
            .groupby("c_nationkey")
            .aggregate(Sum("nc", alias_name="numcust"),
                       Sum("sc", alias_name="sc")))
@@ -4283,45 +4450,44 @@ def q21_waiting_supplier(sf_dir: str, grace_days: int = 30, k: int = 20):
                         "l_orderkey", "o_orderkey",
                         _rows_hint(sf_dir, "orders"))
 
-    def order_partial(df: pd.DataFrame) -> pd.DataFrame:
+    def order_partial(t: pa.Table) -> pa.Table:
         # COMPOSABLE per-order partials (an order's rows may split
         # across batches after the join — never rely on locality):
         # supplier/late counts sum, the blame candidate maxes
-        df = df[df["l_orderkey"] >= 0]
-        ok = df["l_orderkey"].to_numpy().astype(np.int64)
-        sk = df["l_suppkey"].to_numpy().astype(np.int64)
-        late = (df["ms"].to_numpy().astype(np.int64)
-                > df["o_date_us"].to_numpy().astype(np.int64) + grace_us)
+        m = _col(t, "l_orderkey") >= 0
+        ok = _col(t, "l_orderkey")[m].astype(np.int64)
+        sk = _col(t, "l_suppkey")[m].astype(np.int64)
+        late = (_col(t, "ms")[m].astype(np.int64)
+                > _col(t, "o_date_us")[m].astype(np.int64) + grace_us)
         uo, inv = np.unique(ok, return_inverse=True)
         n_supp = np.bincount(inv, minlength=len(uo)).astype(np.int64)
         n_late = np.bincount(inv[late], minlength=len(uo)).astype(np.int64)
         blame = np.zeros(len(uo), dtype=np.int64)
         np.maximum.at(blame, inv[late], sk[late])
-        return pd.DataFrame({
-            "ok": np.r_[uo, [-1]].astype(np.int64),
-            "ns": np.r_[n_supp, [0]].astype(np.int64),
-            "nl": np.r_[n_late, [0]].astype(np.int64),
-            "bl": np.r_[blame, [0]].astype(np.int64),
-            "salt": np.r_[uo % salt_k, [0]].astype(np.int32)})
+        return pa.table({
+            "ok": pa.array(np.r_[uo, [-1]].astype(np.int64)),
+            "ns": pa.array(np.r_[n_supp, [0]].astype(np.int64)),
+            "nl": pa.array(np.r_[n_late, [0]].astype(np.int64)),
+            "bl": pa.array(np.r_[blame, [0]].astype(np.int64)),
+            "salt": pa.array(np.r_[uo % salt_k, [0]].astype(np.int32))})
 
-    def blame_group(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["ok"] >= 0]
-        ok = df["ok"].to_numpy()
-        uo, inv = np.unique(ok, return_inverse=True)
+    def blame_group(t: pa.Table) -> pa.Table:
+        m = _col(t, "ok") >= 0
+        uo, inv = np.unique(_col(t, "ok")[m], return_inverse=True)
         ns = np.zeros(len(uo), dtype=np.int64)
         nl = np.zeros(len(uo), dtype=np.int64)
         bl = np.zeros(len(uo), dtype=np.int64)
-        np.add.at(ns, inv, df["ns"].to_numpy())
-        np.add.at(nl, inv, df["nl"].to_numpy())
-        np.maximum.at(bl, inv, df["bl"].to_numpy())
+        np.add.at(ns, inv, _col(t, "ns")[m])
+        np.add.at(nl, inv, _col(t, "nl")[m])
+        np.maximum.at(bl, inv, _col(t, "bl")[m])
         hit = (ns >= 2) & (nl == 1)
         ub, cnt = np.unique(bl[hit], return_counts=True)
-        return pd.DataFrame({
-            "s_suppkey": np.r_[ub, [-1]].astype(np.int64),
-            "n": np.r_[cnt, [0]].astype(np.int64)})
+        return pa.table({
+            "s_suppkey": pa.array(np.r_[ub, [-1]].astype(np.int64)),
+            "n": pa.array(np.r_[cnt, [0]].astype(np.int64))})
 
-    out = (joined.map_batches(order_partial, batch_format="pandas")
-           .groupby("salt").map_groups(blame_group, batch_format="pandas")
+    out = (joined.map_batches(order_partial, batch_format="pyarrow")
+           .groupby("salt").map_groups(blame_group, batch_format="pyarrow")
            .groupby("s_suppkey")
            .aggregate(Sum("n", alias_name="numwait"))).to_pandas()
     out = out[(out["s_suppkey"] >= 0) & (out["numwait"] > 0)]
