@@ -1184,6 +1184,13 @@ def dedup_embedding_cosine(sf_dir: str, threshold: float = 0.9):
 
     @ray.remote
     def block_pair(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        # repartition can emit SCHEMA-LESS zero-row blocks (tiny-input
+        # lore): a pairing involving one contributes nothing
+        if ("vec_id" not in ta.column_names
+                or "vec_id" not in tb.column_names):
+            return pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
         ids_a = ta.column("vec_id").to_numpy(zero_copy_only=False)
         ids_b = tb.column("vec_id").to_numpy(zero_copy_only=False)
         dim = as_single_array(ta.column("norm")).type.list_size

