@@ -34,25 +34,31 @@ def _read_docs(sf_dir: str, cols):
     return read_docs(sf_dir, cols)
 
 
+def _pl_text(t: "pa.Table", col: str = "text"):
+    """Arrow column -> polars Series WITHOUT a pandas round trip (the
+    object-string conversion each way measured as the dominant cost of
+    these scans; arrow -> polars is (near) zero-copy)."""
+    import polars as pl
+
+    from ccrawler_ray.spec import as_single_array
+
+    return pl.Series(pl.from_arrow(as_single_array(t.column(col))))
+
+
+
 def token_count(sf_dir: str):
     """Whitespace-token counts per doc (matches DuckDB
     regexp_split_to_array(text, '\\s+'))."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        try:
-            import polars as pl
+    def f(t: pa.Table) -> pa.Table:
+        # tokens = regex separator count + 1 (polars split(" ") differs
+        # from \s+ on multi-space runs)
+        seps = _pl_text(t).str.count_matches(_TOKEN_RE).to_numpy()
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": pa.array((seps + 1).astype(np.int64))})
 
-            n = pl.Series(df["text"]).str.split(" ").list.len().to_numpy()
-            # polars split(" ") differs from \s+ on multi-space runs; use
-            # a regex count of separators instead: tokens = seps + 1
-            seps = pl.Series(df["text"]).str.count_matches(_TOKEN_RE).to_numpy()
-            n = seps + 1
-        except ImportError:  # pragma: no cover
-            n = df["text"].str.split(re.compile(_TOKEN_RE)).str.len().to_numpy()
-        return pd.DataFrame({"doc_id": df["doc_id"], "n_tokens": n.astype(np.int64)})
-
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 _BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -65,13 +71,12 @@ def token_count_bpe(sf_dir: str):
     regexp_extract_all."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        import polars as pl
+    def f(t: pa.Table) -> pa.Table:
+        n = _pl_text(t).str.count_matches(_BPE_RE).to_numpy()
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_bpe_tokens": pa.array(n.astype(np.int64))})
 
-        n = pl.Series(df["text"]).str.count_matches(_BPE_RE).to_numpy()
-        return pd.DataFrame({"doc_id": df["doc_id"], "n_bpe_tokens": n.astype(np.int64)})
-
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def quality_score(sf_dir: str):
@@ -87,25 +92,26 @@ def quality_score(sf_dir: str):
 def _quality_score(sf_dir: str):
     ds = _read_docs(sf_dir, ["doc_id", "text", "n_chars"])
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        import polars as pl
-
-        t = pl.Series(df["text"])
-        n_tok = (t.str.count_matches(_TOKEN_RE) + 1).to_numpy().astype(np.int64)
-        n_char = df["n_chars"].to_numpy()
-        n_upper = t.str.count_matches(r"[A-Z]").to_numpy()
-        return pd.DataFrame(
+    def f(t: pa.Table) -> pa.Table:
+        s = _pl_text(t)
+        n_tok = (s.str.count_matches(_TOKEN_RE) + 1).to_numpy().astype(np.int64)
+        n_char = t.column("n_chars").to_numpy(zero_copy_only=False)
+        n_upper = s.str.count_matches(r"[A-Z]").to_numpy()
+        return pa.table(
             {
-                "doc_id": df["doc_id"],
-                "n_tokens": n_tok,
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(n_tok),
                 # floor-scaling (not round): DuckDB rounds half-away-from-
                 # zero, numpy half-even — floor(x*1e4)/1e4 matches exactly
-                "mean_tok_len": np.floor(n_char * 10000.0 / n_tok) / 10000,
-                "upper_ratio": np.floor(n_upper * 10000.0 / np.maximum(n_char, 1)) / 10000,
+                "mean_tok_len": pa.array(
+                    np.floor(n_char * 10000.0 / n_tok) / 10000),
+                "upper_ratio": pa.array(
+                    np.floor(n_upper * 10000.0
+                             / np.maximum(n_char, 1)) / 10000),
             }
         )
 
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 class LangId:
@@ -840,10 +846,8 @@ def gopher_quality(sf_dir: str):
     rule filter, one flag per rule plus the conjunction."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        import polars as pl
-
-        t = pl.Series(df["text"])
+    def f(tb: pa.Table) -> pa.Table:
+        t = _pl_text(tb)
         n_words = t.str.count_matches(GOPHER_WORD_RE).to_numpy().astype(np.int64)
         n_ns = t.str.count_matches(GOPHER_NONSPACE_RE).to_numpy().astype(np.int64)
         alpha = t.str.count_matches(GOPHER_ALPHA_WORD_RE).to_numpy().astype(np.int64)
@@ -851,23 +855,23 @@ def gopher_quality(sf_dir: str):
         bullets = t.str.count_matches(GOPHER_BULLET_RE).to_numpy().astype(np.int64)
         ells = t.str.count_matches(GOPHER_ELLIPSIS_RE).to_numpy().astype(np.int64)
         n_lines = t.str.count_matches(r"\n").to_numpy().astype(np.int64) + 1
-        stop_hits = np.zeros(len(df), dtype=np.int64)
+        stop_hits = np.zeros(tb.num_rows, dtype=np.int64)
         for w in GOPHER_STOPWORDS:
             stop_hits += t.str.contains(rf"\b{w}\b").to_numpy().astype(np.int64)
         mwl_q = n_ns * 10_000 // np.maximum(n_words, 1)
         flags = _gopher_flags(n_words, mwl_q, syms, bullets, ells,
                               n_lines, alpha, stop_hits)
-        out = {"doc_id": df["doc_id"].to_numpy().astype(np.int64),
-               "n_words": n_words,
-               "mean_word_len": mwl_q / 10_000.0,
-               "stop_hits": stop_hits}
+        out = {"doc_id": tb.column("doc_id").cast(pa.int64()),
+               "n_words": pa.array(n_words),
+               "mean_word_len": pa.array(mwl_q / 10_000.0),
+               "stop_hits": pa.array(stop_hits)}
         for name, v in zip(("f_words", "f_mwl", "f_symbol", "f_bullet",
                             "f_ellipsis", "f_alpha", "f_stop", "keep"),
                            flags):
-            out[name] = v
-        return pd.DataFrame(out)
+            out[name] = pa.array(v)
+        return pa.table(out)
 
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -891,19 +895,17 @@ def pii_scrub(sf_dir: str):
     and IPv4 literals replaced by typed tokens."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        import polars as pl
-
-        t = pl.Series(df["text"])
-        n = np.zeros(len(df), dtype=np.int64)
+    def f(tb: pa.Table) -> pa.Table:
+        t = _pl_text(tb)
+        n = np.zeros(tb.num_rows, dtype=np.int64)
         for _name, pat, token in PII_PATTERNS:
             n += t.str.count_matches(pat).to_numpy().astype(np.int64)
             t = t.str.replace_all(pat, token)
-        return pd.DataFrame({"doc_id": df["doc_id"],
-                             "clean": t.to_numpy(),
-                             "n_redactions": n})
+        return pa.table({"doc_id": tb.column("doc_id"),
+                         "clean": t.to_arrow().cast(pa.string()),
+                         "n_redactions": pa.array(n)})
 
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -1792,12 +1794,10 @@ def o11_chunk_overlap(sf_dir: str, window: int = CHUNK_W,
     1 + max(0, ceil((n-window)/stride)) chunks (0-token docs none)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        import polars as pl
-
-        n = (pl.Series(df["text"]).str.count_matches(_TOKEN_RE)
+    def f(t: pa.Table) -> pa.Table:
+        n = (_pl_text(t).str.count_matches(_TOKEN_RE)
              .to_numpy().astype(np.int64) + 1)
-        ids = df["doc_id"].to_numpy().astype(np.int64)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         keep = n > 0
         ids, n = ids[keep], n[keep]
         k = 1 + np.maximum(0, (n - window + stride - 1) // stride)
@@ -1808,10 +1808,12 @@ def o11_chunk_overlap(sf_dir: str, window: int = CHUNK_W,
         ci = gidx - off[rep]
         start = ci * stride
         n_tok = np.minimum(window, n[rep] - start)
-        return pd.DataFrame({"doc_id": ids[rep], "chunk_id": ci,
-                             "start_tok": start, "n_tok": n_tok})
+        return pa.table({"doc_id": pa.array(ids[rep]),
+                         "chunk_id": pa.array(ci),
+                         "start_tok": pa.array(start),
+                         "n_tok": pa.array(n_tok)})
 
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def quality_compression(sf_dir: str, keep_pct: int = 30):

@@ -1,0 +1,177 @@
+"""30x RAM-edge crawl rehearsal (VERDICT r4 next #3).
+
+Runs the semi-join crawl over the bench30x corpus (6M pages / 15000
+hosts, ~9.5 GB parquet — 3x the 10x fixture) at num_cpus=32 with
+checkpoints, then interrupts at the halfway generation and resumes in
+a FRESH engine, asserting crawl-order hash equality with the
+uninterrupted run. A sampler thread tracks peak total RSS across all
+processes (driver + raylet + workers) via /proc.
+
+Usage:  python tools/run_scale30.py [--gens G] [--ncpu N] [--skip-resume]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import sys
+import threading
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+CORPUS30X = Path("/tmp/ccrawler_ray_bench/corpus_bench30x_v1.parquet")
+
+
+def ensure_corpus() -> str:
+    if not CORPUS30X.exists():
+        from tests.gen_corpus import write_corpus
+
+        CORPUS30X.parent.mkdir(parents=True, exist_ok=True)
+        tmp = str(CORPUS30X) + ".tmp"
+        write_corpus("bench30x", tmp)
+        os.replace(tmp, CORPUS30X)
+    return str(CORPUS30X)
+
+
+class RssSampler:
+    """Peak sum-of-RSS over all visible processes, sampled from /proc."""
+
+    def __init__(self, interval: float = 1.0):
+        self.peak = 0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, args=(interval,),
+                                   daemon=True)
+
+    def _total_rss(self) -> int:
+        total = 0
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/statm") as f:
+                    total += int(f.read().split()[1])
+            except (OSError, IndexError, ValueError):
+                continue
+        return total * os.sysconf("SC_PAGE_SIZE")
+
+    def _run(self, interval: float) -> None:
+        while not self._stop.is_set():
+            self.peak = max(self.peak, self._total_rss())
+            self._stop.wait(interval)
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *a):
+        self._stop.set()
+        self._t.join(timeout=5)
+
+
+def order_hash(dump) -> str:
+    rows = dump.sort_values(["canon", "ord_key"])[["canon", "ord_key"]]
+    h = hashlib.blake2b(digest_size=16)
+    for c in rows["canon"]:
+        h.update(c.encode())
+    for k in rows["ord_key"]:
+        h.update(k.encode())
+    return h.hexdigest()
+
+
+def make_cfg(gens: int, ncpu: int):
+    from ccrawler_ray.config import CrawlConfig
+
+    return CrawlConfig(
+        seeds=tuple(f"http://h{i}.example/p0" for i in range(15_000)),
+        max_depth=50,
+        per_host_budget_per_generation=10_000,
+        global_budget_per_generation=3_000_000,
+        max_generations=gens,
+        batch_size=4096,
+        analyze=True,
+        admission_mode="actor",
+    ).scaled_for(ncpu)
+
+
+def run_crawl(corpus_path: str, gens: int, ncpu: int, ckpt: str | None,
+              resume: bool = False):
+    from ccrawler_ray.pipelines.crawl import CrawlEngine
+
+    eng = CrawlEngine(corpus_path, make_cfg(gens, ncpu), ckpt_dir=ckpt)
+    if resume:
+        assert eng.resume(), "no checkpoint found to resume from"
+    eng.warmup()
+    t0 = time.perf_counter()
+    res = eng.run()
+    sec = time.perf_counter() - t0
+    out = {
+        "sec": round(sec, 1),
+        "fetched": len(res.crawl_order),
+        "seen": int(res.seen.num_rows),
+        "generations": res.generations_run,
+        "hash": order_hash(res.crawl_order),
+        "phase_sec": {k: round(v, 2) for k, v in eng._phase_sec.items()},
+    }
+    eng.shutdown()
+    from ccrawler_ray.pipelines.crawl import release_worker_caches
+
+    release_worker_caches()
+    return out
+
+
+def main() -> None:
+    gens = 10
+    ncpu = 32
+    skip_resume = "--skip-resume" in sys.argv
+    for a in sys.argv[1:]:
+        if a.startswith("--gens="):
+            gens = int(a.split("=")[1])
+        elif a.startswith("--ncpu="):
+            ncpu = int(a.split("=")[1])
+
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    corpus_path = ensure_corpus()
+    result = {"corpus_bytes": os.path.getsize(corpus_path), "ncpu": ncpu,
+              "gens": gens}
+
+    ck_full = "/tmp/ck30x_full"
+    shutil.rmtree(ck_full, ignore_errors=True)
+    with RssSampler() as rss:
+        full = run_crawl(corpus_path, gens, ncpu, ck_full)
+    result["full"] = full
+    result["full_peak_rss_gb"] = round(rss.peak / 2**30, 2)
+    result["urls_per_sec"] = round(
+        (full["fetched"] + full["seen"]) / full["sec"], 1)
+    print(json.dumps({"progress": "full done", **result}), file=sys.stderr)
+
+    if not skip_resume:
+        ck = "/tmp/ck30x_resume"
+        shutil.rmtree(ck, ignore_errors=True)
+        half = run_crawl(corpus_path, gens // 2, ncpu, ck)
+        with RssSampler() as rss2:
+            resumed = run_crawl(corpus_path, gens, ncpu, ck, resume=True)
+        result["half"] = {k: half[k] for k in ("sec", "fetched", "generations")}
+        result["resumed"] = resumed
+        result["resume_peak_rss_gb"] = round(rss2.peak / 2**30, 2)
+        result["resume_hash_equal"] = resumed["hash"] == full["hash"]
+        result["resume_counts_equal"] = (
+            resumed["fetched"] == full["fetched"]
+            and resumed["seen"] == full["seen"])
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
