@@ -122,11 +122,11 @@ class LangId:
         self.word_re = re.compile(r"[a-zA-Z]+")
         self.profiles = {k: v for k, v in _LANG_PROFILES.items() if v}
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, t: pa.Table) -> pa.Table:
         out = []
         find = self.word_re.findall
         profiles = self.profiles.items()
-        for text in df["text"]:
+        for text in t.column("text").to_pylist():
             # CJK check by codepoint range first
             cjk = sum(1 for ch in text[:200] if "一" <= ch <= "鿿")
             if cjk > 5:
@@ -140,13 +140,14 @@ class LangId:
                 if n > best_n:
                     best, best_n = lang, n
             out.append(best)
-        return pd.DataFrame({"doc_id": df["doc_id"], "pred_lang": out})
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "pred_lang": pa.array(out, pa.string())})
 
     @staticmethod
     def dataset(sf_dir: str):
         ds = _read_docs(sf_dir, ["doc_id", "text"])
         return ds.map_batches(
-            LangId, batch_format="pandas", batch_size=256, concurrency=2
+            LangId, batch_format="pyarrow", batch_size=256, concurrency=2
         )
 
 
@@ -928,20 +929,19 @@ class QualityModel:
         # runs once per actor, NOT once per batch
         self.w = dict(MODEL_WEIGHTS)
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        import polars as pl
-
-        t = pl.Series(df["text"])
+    def __call__(self, tb: pa.Table) -> pa.Table:
+        t = _pl_text(tb)
         n_tok = (t.str.count_matches(_TOKEN_RE) + 1).to_numpy().astype(np.int64)
         n_up = t.str.count_matches(r"[A-Z]").to_numpy().astype(np.int64)
         n_dig = t.str.count_matches(r"[0-9]").to_numpy().astype(np.int64)
-        n_chars = df["n_chars"].to_numpy().astype(np.int64)
+        n_chars = tb.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.int64)
         w = self.w
         logit = (w["w_tokens"] * n_tok + w["w_chars"] * n_chars
                  + w["w_upper"] * n_up + w["w_digits"] * n_dig + w["bias"])
-        return pd.DataFrame({"doc_id": df["doc_id"],
-                             "logit": logit,
-                             "keep": logit >= 0})
+        return pa.table({"doc_id": tb.column("doc_id"),
+                         "logit": pa.array(logit),
+                         "keep": pa.array(logit >= 0)})
 
 
 def model_score_docs(sf_dir: str):
@@ -952,7 +952,7 @@ def model_score_docs(sf_dir: str):
 
     def build():
         ds = _read_docs(sf_dir, ["doc_id", "text", "n_chars"])
-        return ds.map_batches(QualityModel, batch_format="pandas",
+        return ds.map_batches(QualityModel, batch_format="pyarrow",
                               concurrency=2)
 
     return memo_ds(("model_score_docs", sf_dir), build)
@@ -1880,19 +1880,19 @@ def model_auc_report(sf_dir: str):
     ds = _read_docs(sf_dir, ["doc_id", "text", "n_chars", "lang"])
     model = QualityModel()
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        scored = model(df)
-        logit = scored["logit"].to_numpy()
-        pos = (df["lang"].to_numpy() == "en")
+    def partial(t: pa.Table) -> pa.Table:
+        scored = model(t)
+        logit = scored.column("logit").to_numpy(zero_copy_only=False)
+        pos = (t.column("lang").to_numpy(zero_copy_only=False) == "en")
         key = logit * 2 + pos                      # (logit, label) packed
         uk, cnt = np.unique(key, return_counts=True)
         lv = uk >> 1
-        return pd.DataFrame({
-            "logit": lv,
-            "pos_v": np.where(uk & 1, cnt, 0).astype(np.int64),
-            "neg_v": np.where(uk & 1, 0, cnt).astype(np.int64),
-            "v_salt": ((lv % salt_k) + salt_k) % salt_k,
-        }).astype({"v_salt": "int32"})
+        return pa.table({
+            "logit": pa.array(lv.astype(np.int64)),
+            "pos_v": pa.array(np.where(uk & 1, cnt, 0).astype(np.int64)),
+            "neg_v": pa.array(np.where(uk & 1, 0, cnt).astype(np.int64)),
+            "v_salt": pa.array(
+                (((lv % salt_k) + salt_k) % salt_k).astype(np.int32))})
 
     def reduce_values(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -1906,7 +1906,7 @@ def model_auc_report(sf_dir: str):
         return g.astype({"pos_v": "int64", "neg_v": "int64"})
 
     per_value = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby("v_salt")
         .map_groups(reduce_values, batch_format="pandas")
         .materialize()
