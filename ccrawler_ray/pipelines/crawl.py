@@ -1105,6 +1105,15 @@ class CrawlEngine:
                 "lineage": {"frontier_rows": nrows, "fetched_rows": len(dump)},
             },
         )
+        # release the generation's plasma blocks: docs_out is durable
+        # parquet now, so hold it LAZILY from the checkpoint files.
+        # Keeping every generation's materialized docs_out alive for
+        # the whole crawl spilled >54 GB of object store at the 30x
+        # rehearsal (ENOSPC mid-resume); the files survive checkpoint
+        # GC (gc_checkpoints keeps OUTPUT dirs for all generations).
+        files = storage.dataset_files(gen_dir / "docs_out")
+        if self._docs_out and files:
+            self._docs_out[-1] = ray.data.read_parquet(files)
 
     # ------------------------------------------------------------------
     def _metrics_table(self) -> pa.Table:
@@ -1192,6 +1201,15 @@ class CrawlEngine:
                 },
             },
         )
+        # release the generation's plasma blocks: docs_out is durable
+        # parquet now, so hold it LAZILY from the checkpoint files.
+        # Keeping every generation's materialized docs_out alive for
+        # the whole crawl spilled >54 GB of object store at the 30x
+        # rehearsal (ENOSPC mid-resume); the files survive checkpoint
+        # GC (gc_checkpoints keeps OUTPUT dirs for all generations).
+        files = storage.dataset_files(gen_dir / "docs_out")
+        if self._docs_out and files:
+            self._docs_out[-1] = ray.data.read_parquet(files)
 
     def resume(self) -> bool:
         """Rehydrate engine state from the latest valid checkpoint.
@@ -1249,7 +1267,10 @@ class CrawlEngine:
             gd = root / f"gen={gg}"
             files = storage.dataset_files(gd / "docs_out")
             if files:
-                self._docs_out.append(ray.data.read_parquet(files).materialize())
+                # lazy: materializing every prior generation's docs_out
+                # into the object store is what tipped the 30x resume
+                # over the spill-disk edge
+                self._docs_out.append(ray.data.read_parquet(files))
             co = gd / "crawl_order.parquet"
             if co.exists():
                 self._append_dump(storage.read_table(co).to_pandas())

@@ -39,7 +39,11 @@ def ensure_corpus() -> str:
 
 
 class RssSampler:
-    """Peak sum-of-RSS over all visible processes, sampled from /proc."""
+    """Peak system memory use (MemTotal - MemAvailable) sampled from
+    /proc/meminfo. Summing per-process RSS would count the plasma
+    object store's shared mappings once PER WORKER (measured 318 GB
+    "used" on a 125 GB machine); machine-level accounting is the
+    number that decides whether the job fits a node."""
 
     def __init__(self, interval: float = 1.0):
         self.peak = 0
@@ -48,16 +52,14 @@ class RssSampler:
                                    daemon=True)
 
     def _total_rss(self) -> int:
-        total = 0
-        for pid in os.listdir("/proc"):
-            if not pid.isdigit():
-                continue
-            try:
-                with open(f"/proc/{pid}/statm") as f:
-                    total += int(f.read().split()[1])
-            except (OSError, IndexError, ValueError):
-                continue
-        return total * os.sysconf("SC_PAGE_SIZE")
+        vals = {}
+        with open("/proc/meminfo") as f:
+            for line in f:
+                k, v = line.split(":", 1)
+                vals[k] = int(v.split()[0]) * 1024
+                if len(vals) > 4:
+                    break
+        return vals["MemTotal"] - vals["MemAvailable"]
 
     def _run(self, interval: float) -> None:
         while not self._stop.is_set():
