@@ -104,14 +104,34 @@ def rank_group(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def rank_groups_coarse(df: pd.DataFrame) -> pd.DataFrame:
+def _cumcount(codes: np.ndarray) -> np.ndarray:
+    """Vectorized per-key running count over rows IN ORDER (the
+    pandas groupby(...).cumcount() contract)."""
+    perm = np.argsort(codes, kind="stable")
+    sc = codes[perm]
+    starts = np.r_[0, np.flatnonzero(np.diff(sc)) + 1]
+    sizes = np.diff(np.r_[starts, len(sc)])
+    within = np.arange(len(sc), dtype=np.int64) - np.repeat(starts, sizes)
+    out = np.empty(len(codes), dtype=np.int64)
+    out[perm] = within
+    return out
+
+
+def rank_groups_coarse(t: pa.Table) -> pa.Table:
     """Stage 1 over ONE coarse group holding many real (host, salt)
     keys: identical ranks to per-key :func:`rank_group` (stable sort +
     per-key cumcount), but the shuffle fans out over ≤ coarse_k groups
     instead of the unbounded live-host count."""
-    df = df.sort_values(["priority", "ord_key"], ascending=[False, True])
-    return df.assign(salted_rank=df.groupby(["host", "salt"], sort=False)
-                     .cumcount().astype(np.int32))
+    pri = t.column("priority").to_numpy(zero_copy_only=False)
+    ok = t.column("ord_key").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ok, -pri))     # (-priority, ord_key) ascending
+    t = t.take(pa.array(order))
+    host = t.column("host").to_numpy(zero_copy_only=False)
+    salt = t.column("salt").to_numpy(zero_copy_only=False)
+    _, hcode = np.unique(host, return_inverse=True)
+    key = hcode.astype(np.int64) * (int(salt.max()) + 1 if len(salt) else 1)         + salt.astype(np.int64)
+    return t.append_column(
+        "salted_rank", pa.array(_cumcount(key).astype(np.int32)))
 
 
 def exact_admit_group(df: pd.DataFrame) -> pd.DataFrame:
@@ -122,14 +142,20 @@ def exact_admit_group(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def exact_admit_groups_coarse(df: pd.DataFrame) -> pd.DataFrame:
+def exact_admit_groups_coarse(t: pa.Table) -> pa.Table:
     """Stage 2 over ONE coarse group holding many real hosts — same
     queue_pos/admit as per-host :func:`exact_admit_group`."""
-    df = df.sort_values(["priority", "ord_key"], ascending=[False, True])
-    df = df.assign(queue_pos=df.groupby("host", sort=False)
-                   .cumcount().astype(np.int32))
-    df = df.assign(admit=df["queue_pos"].to_numpy() < df["limit"].to_numpy())
-    return df
+    pri = t.column("priority").to_numpy(zero_copy_only=False)
+    ok = t.column("ord_key").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ok, -pri))
+    t = t.take(pa.array(order))
+    host = t.column("host").to_numpy(zero_copy_only=False)
+    _, hcode = np.unique(host, return_inverse=True)
+    qp = _cumcount(hcode.astype(np.int64)).astype(np.int32)
+    t = t.append_column("queue_pos", pa.array(qp))
+    return t.append_column(
+        "admit", pa.array(
+            qp < t.column("limit").to_numpy(zero_copy_only=False)))
 
 
 def admit_table_driver(table: pa.Table, robots: dict, per_host_budget: int,

@@ -165,15 +165,15 @@ def _add_uh_salt(batch: pa.Table) -> pa.Table:
     )
 
 
-def _dedup_salted_group(df: pd.DataFrame) -> pd.DataFrame:
+def _dedup_salted_group(t: pa.Table) -> pa.Table:
     """D1 within one coarse salt group: first-wins by min ord_key per
     canon (canon ↔ url_hash 1:1 up to the astronomically-unlikely
     64-bit collision, which keying on canon guards)."""
-    return (
-        df.sort_values("ord_key")
-        .drop_duplicates("canon", keep="first")
-        .drop(columns=["uh_salt"])
-    )
+    ok = t.column("ord_key").to_numpy(zero_copy_only=False)
+    t = t.take(pa.array(np.argsort(ok, kind="stable")))
+    canon = t.column("canon").to_numpy(zero_copy_only=False)
+    first = np.sort(np.unique(canon, return_index=True)[1])
+    return t.take(pa.array(first)).drop_columns(["uh_salt"])
 
 
 def _hot_hosts(frontier_ds, threshold: int, salt_k: int) -> list[str]:
@@ -470,7 +470,7 @@ class CrawlEngine:
         deduped = (
             discovered.map_batches(_add_uh_salt, batch_format="pyarrow")
             .groupby("uh_salt")
-            .map_groups(_dedup_salted_group, batch_format="pandas")
+            .map_groups(_dedup_salted_group, batch_format="pyarrow")
         )
         fresh = deduped.map_batches(
             make_seen_filter(self.seen_pool.shards), batch_format="pyarrow",
@@ -549,7 +549,7 @@ class CrawlEngine:
             salt_fn, batch_format="pyarrow", batch_size=cfg.batch_size
         )
         ranked = salted.groupby("adm_g1").map_groups(
-            rank_groups_coarse, batch_format="pandas"
+            rank_groups_coarse, batch_format="pyarrow"
         ).materialize()
 
         def cand_mask(batch: pa.Table) -> pa.Table:
@@ -563,7 +563,7 @@ class CrawlEngine:
         cand = ranked.map_batches(cand_mask, batch_format="pyarrow")
         defer1 = ranked.map_batches(defer1_mask, batch_format="pyarrow")
         final = cand.groupby("adm_g2").map_groups(
-            exact_admit_groups_coarse, batch_format="pandas"
+            exact_admit_groups_coarse, batch_format="pyarrow"
         ).materialize()
 
         def admit_mask(batch: pa.Table) -> pa.Table:

@@ -126,6 +126,71 @@ def run_crawl(corpus_path: str, gens: int, ncpu: int, ckpt: str | None,
     return out
 
 
+class DiskSampler:
+    """Peak disk-in-use on / (object-spill high-water shows here)."""
+
+    def __init__(self, interval: float = 1.0):
+        self.peak = 0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, args=(interval,),
+                                   daemon=True)
+
+    def _used(self) -> int:
+        st = os.statvfs("/")
+        return (st.f_blocks - st.f_bavail) * st.f_frsize
+
+    def _run(self, interval: float) -> None:
+        while not self._stop.is_set():
+            self.peak = max(self.peak, self._used())
+            self._stop.wait(interval)
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *a):
+        self._stop.set()
+        self._t.join(timeout=5)
+
+
+def leg_main() -> None:
+    """One crawl leg in THIS process (fresh Ray session — spill files
+    are reclaimed at session teardown, so legs never stack)."""
+    gens = int(sys.argv[2])
+    ncpu = int(sys.argv[3])
+    ckpt = sys.argv[4]
+    resume = sys.argv[5] == "resume"
+
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    corpus_path = ensure_corpus()
+    with RssSampler() as rss, DiskSampler() as disk:
+        out = run_crawl(corpus_path, gens, ncpu, ckpt, resume=resume)
+    out["peak_mem_gb"] = round(rss.peak / 2**30, 2)
+    out["peak_disk_gb"] = round(disk.peak / 2**30, 2)
+    print("LEG:" + json.dumps(out))
+    ray.shutdown()
+
+
+def _run_leg(gens: int, ncpu: int, ckpt: str, resume: bool = False) -> dict:
+    import subprocess
+
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--leg", str(gens),
+         str(ncpu), ckpt, "resume" if resume else "fresh"],
+        capture_output=True, text=True)
+    for line in p.stdout.splitlines():
+        if line.startswith("LEG:"):
+            return json.loads(line[4:])
+    raise RuntimeError(
+        f"leg failed rc={p.returncode}:\n{p.stderr[-2000:]}")
+
+
 def main() -> None:
     gens = 10
     ncpu = 32
@@ -136,44 +201,38 @@ def main() -> None:
         elif a.startswith("--ncpu="):
             ncpu = int(a.split("=")[1])
 
-    import ray
-
-    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
-             logging_level="ERROR")
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
-
     corpus_path = ensure_corpus()
     result = {"corpus_bytes": os.path.getsize(corpus_path), "ncpu": ncpu,
               "gens": gens}
 
     ck_full = "/tmp/ck30x_full"
     shutil.rmtree(ck_full, ignore_errors=True)
-    with RssSampler() as rss:
-        full = run_crawl(corpus_path, gens, ncpu, ck_full)
+    full = _run_leg(gens, ncpu, ck_full)
     result["full"] = full
-    result["full_peak_rss_gb"] = round(rss.peak / 2**30, 2)
     result["urls_per_sec"] = round(
         (full["fetched"] + full["seen"]) / full["sec"], 1)
-    print(json.dumps({"progress": "full done", **result}), file=sys.stderr)
+    print(json.dumps({"progress": "full done", **result}), file=sys.stderr,
+          flush=True)
 
     if not skip_resume:
         ck = "/tmp/ck30x_resume"
         shutil.rmtree(ck, ignore_errors=True)
-        half = run_crawl(corpus_path, gens // 2, ncpu, ck)
-        with RssSampler() as rss2:
-            resumed = run_crawl(corpus_path, gens, ncpu, ck, resume=True)
-        result["half"] = {k: half[k] for k in ("sec", "fetched", "generations")}
+        half = _run_leg(gens // 2, ncpu, ck)
+        resumed = _run_leg(gens, ncpu, ck, resume=True)
+        result["half"] = {k: half[k] for k in ("sec", "fetched",
+                                               "generations",
+                                               "peak_mem_gb",
+                                               "peak_disk_gb")}
         result["resumed"] = resumed
-        result["resume_peak_rss_gb"] = round(rss2.peak / 2**30, 2)
         result["resume_hash_equal"] = resumed["hash"] == full["hash"]
         result["resume_counts_equal"] = (
             resumed["fetched"] == full["fetched"]
             and resumed["seen"] == full["seen"])
     print(json.dumps(result))
-    ray.shutdown()
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--leg":
+        leg_main()
+    else:
+        main()
