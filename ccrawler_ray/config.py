@@ -53,6 +53,17 @@ class CrawlConfig:
     #                broadcast_corpus_max_bytes, else broadcast
     fetch_mode: str = "auto"
     broadcast_corpus_max_bytes: int = 256 << 20
+    # semi-join mode: materialize the corpus into object-store blocks
+    # below this size (parquet bytes); above it, stream from source
+    # every generation. MEASURED at the 30x rehearsal (9.5 GB nested
+    # parquet, 10 generations): materialize = 137 s full crawl,
+    # re-decode-per-generation = 2539 s (the list<struct> spans decode
+    # dominates), while the spill high-water was ~200 GB EITHER way
+    # (it is the per-generation streamed blocks, reclaimed at session
+    # end, not the pinned corpus). Default keeps materialize for any
+    # single-node-sized corpus; lower it only when local spill disk is
+    # scarcer than generation latency.
+    corpus_materialize_max_bytes: int = 64 << 30
     # deterministic transient-failure injection for the simulated fetch
     # (spec.fetch_fails_transiently); failed rows requeue with
     # retries+1 up to max_fetch_retries, then drop (counted)

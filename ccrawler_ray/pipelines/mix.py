@@ -87,16 +87,16 @@ def training_mix_stats(sf_dir: str, threshold: float = 0.8):
     int64 ids; the final groupby sees <= |langs|x3 keys."""
     docs = read_docs(sf_dir, ["doc_id", "lang", "text"])
 
-    def tokens(df: pd.DataFrame) -> pd.DataFrame:
-        import polars as pl
+    def tokens(t: pa.Table) -> pa.Table:
+        from ccrawler_ray.functions.text import _pl_text
 
-        n = (pl.Series(df["text"]).str.count_matches(r"\s+") + 1).to_numpy()
-        return pd.DataFrame(
-            {"doc_id": df["doc_id"], "lang": df["lang"],
-             "n_tokens": n.astype(np.int64)}
+        n = (_pl_text(t).str.count_matches(r"\s+") + 1).to_numpy()
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "lang": t.column("lang"),
+             "n_tokens": pa.array(n.astype(np.int64))}
         )
 
-    stats = docs.map_batches(tokens, batch_format="pandas")
+    stats = docs.map_batches(tokens, batch_format="pyarrow")
     kept = stats.join(_keep_ids(sf_dir, threshold), join_type="inner",
                       num_partitions=join_partitions(), on=("doc_id",))
 
@@ -111,14 +111,29 @@ def training_mix_stats(sf_dir: str, threshold: float = 0.8):
              "n_tokens": pa.array(n.astype(np.int64))}
         )
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["lang", "bucket"], as_index=False).agg(
-            n_docs=("n_tokens", "size"), total_tokens=("n_tokens", "sum")
-        )
-        return g.astype({"n_docs": "int64", "total_tokens": "int64"})
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("lang", pa.string()),
+                              ("bucket", pa.string()),
+                              ("n_docs", pa.int64()),
+                              ("total_tokens", pa.int64())]).empty_table()
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        bucket = t.column("bucket").to_numpy(zero_copy_only=False)
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        ul, lcode = np.unique(lang, return_inverse=True)
+        ub, bcode = np.unique(bucket, return_inverse=True)
+        comp = lcode.astype(np.int64) * len(ub) + bcode
+        uc, inv = np.unique(comp, return_inverse=True)
+        tot = np.zeros(len(uc), dtype=np.int64)
+        np.add.at(tot, inv, n)
+        return pa.table({
+            "lang": pa.array(ul[uc // len(ub)]),
+            "bucket": pa.array(ub[uc % len(ub)]),
+            "n_docs": pa.array(np.bincount(inv).astype(np.int64)),
+            "total_tokens": pa.array(tot)})
 
     partials = kept.map_batches(bucketize, batch_format="pyarrow") \
-                   .map_batches(partial, batch_format="pandas")
+                   .map_batches(partial, batch_format="pyarrow")
     return partials.groupby(["lang", "bucket"]).aggregate(
         Sum("n_docs", alias_name="n_docs"),
         Sum("total_tokens", alias_name="total_tokens"),
