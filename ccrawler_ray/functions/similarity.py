@@ -31,6 +31,22 @@ def _empty_scores() -> pd.DataFrame:
     return pd.DataFrame(_EMPTY_SCORES)
 
 
+def _empty_scores_t() -> pa.Table:
+    return pa.schema([("query_id", pa.int64()), ("vec_id", pa.int64()),
+                      ("cos", pa.float64())]).empty_table()
+
+
+def _emb_matrix(t: pa.Table) -> np.ndarray:
+    """Arrow embedding column -> (n, dim) float64 matrix without the
+    pandas object-array round trip (np.stack over per-row numpy
+    objects was the dominant cost of every embedding scan)."""
+    from ccrawler_ray.spec import as_single_array
+
+    emb = as_single_array(t.column("embedding"))
+    return np.asarray(emb.flatten(), dtype=np.float64).reshape(len(emb), -1)
+
+
+
 def _query_matrix(sf_dir: str, num_queries: int):
     """ONLY the query rows (vec_id < num_queries) reach the driver —
     a filtered, column-pruned read (the r1 full-table _load_matrix was
@@ -65,16 +81,17 @@ def _brute_topk(ds, q_ref, k: int):
     small final reduce. q_ref holds (qids, qlabels-or-None, qn); when
     labels are present each query only scores same-label candidates."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return _empty_scores()
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_scores_t()
         qids_, qlabels_, qn_ = ray.get(q_ref)
-        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        m = _emb_matrix(t)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
-        vids = df["vec_id"].to_numpy()
-        labels = df["label"].to_numpy() if qlabels_ is not None else None
+        vids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        labels = (t.column("label").to_numpy(zero_copy_only=False)
+                  if qlabels_ is not None else None)
         cos = qn_ @ m.T  # (nq, batch)
-        out = []
+        out_q, out_v, out_c = [], [], []
         for qi, qid in enumerate(qids_):
             mask = vids != qid  # exclude self
             if labels is not None:
@@ -83,11 +100,16 @@ def _brute_topk(ds, q_ref, k: int):
             v = vids[mask]
             idx = _block_top_idx(c, v)
             if len(idx):
-                out.append(pd.DataFrame(
-                    {"query_id": qid, "vec_id": v[idx], "cos": c[idx]}))
-        return pd.concat(out) if out else _empty_scores()
+                out_q.append(np.full(len(idx), qid, dtype=np.int64))
+                out_v.append(v[idx].astype(np.int64))
+                out_c.append(c[idx])
+        if not out_q:
+            return _empty_scores_t()
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "vec_id": pa.array(np.concatenate(out_v)),
+                         "cos": pa.array(np.concatenate(out_c))})
 
-    return _topk_reduce(ds.map_batches(partial, batch_format="pandas"), k)
+    return _topk_reduce(ds.map_batches(partial, batch_format="pyarrow"), k)
 
 
 def ann_topk_cosine(sf_dir: str, num_queries: int = 5, k: int = 5):
@@ -125,24 +147,24 @@ def ann_range_search(sf_dir: str, num_queries: int = 8,
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     q_ref = ray.put((qids, qn))
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return _empty_scores()
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_scores_t()
         qids_, qn_ = ray.get(q_ref)
-        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        m = _emb_matrix(t)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
-        vids = df["vec_id"].to_numpy().astype(np.int64)
+        vids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         cos = np.round(qn_ @ m.T, 4)  # (nq, batch)
         hit = (cos >= threshold) & (vids[None, :] != qids_[:, None])
         qi, ci = np.nonzero(hit)
-        return pd.DataFrame({
-            "query_id": qids_[qi].astype(np.int64),
-            "vec_id": vids[ci],
-            "cos": cos[qi, ci],
+        return pa.table({
+            "query_id": pa.array(qids_[qi].astype(np.int64)),
+            "vec_id": pa.array(vids[ci]),
+            "cos": pa.array(cos[qi, ci]),
         })
 
     ds = read_embeddings(sf_dir, ["vec_id", "embedding"])
-    return ds.map_batches(partial, batch_format="pandas")
+    return ds.map_batches(partial, batch_format="pyarrow")
 
 
 def ann_filtered_topk(sf_dir: str, num_queries: int = 5, k: int = 5):
@@ -239,17 +261,17 @@ def _sq_minmax(ds, dim: int):
     """Distributed per-dim min/max of the L2-NORMALIZED corpus."""
     from ray.data.aggregate import Max, Min
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"d": pd.Series(dtype="int64"),
-                                 "mn": pd.Series(dtype="float64"),
-                                 "mx": pd.Series(dtype="float64")})
-        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("d", pa.int64()), ("mn", pa.float64()),
+                              ("mx", pa.float64())]).empty_table()
+        m = _emb_matrix(t)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
-        return pd.DataFrame({"d": np.arange(dim, dtype=np.int64),
-                             "mn": m.min(axis=0), "mx": m.max(axis=0)})
+        return pa.table({"d": pa.array(np.arange(dim, dtype=np.int64)),
+                         "mn": pa.array(m.min(axis=0)),
+                         "mx": pa.array(m.max(axis=0))})
 
-    pdf = (ds.map_batches(partial, batch_format="pandas")
+    pdf = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby("d").aggregate(Min("mn", alias_name="mn"),
                                    Max("mx", alias_name="mx"))
            .to_pandas().sort_values("d"))  # dim rows
@@ -272,24 +294,32 @@ def ann_sq_topk(sf_dir: str, num_queries: int = 5, k: int = 5):
              "vec_id": pd.Series(dtype="int64"),
              "qdot": pd.Series(dtype="int64")}
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame(empty)
+    empty_t = pa.schema([("query_id", pa.int64()), ("vec_id", pa.int64()),
+                         ("qdot", pa.int64())]).empty_table()
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_t
         qids_, qq_, mn_, mx_ = ray.get(ref)
-        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        m = _emb_matrix(t)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         mq = _sq_quantize(m, mn_, mx_)
-        vids = df["vec_id"].to_numpy().astype(np.int64)
+        vids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         dots = qq_ @ mq.T  # (nq, batch) exact int64
-        out = []
+        oq, ov, od = [], [], []
         for qi, qid in enumerate(qids_):
             mask = vids != qid
             d, v = dots[qi][mask], vids[mask]
             idx = np.lexsort((v, -d))[: min(len(d), _BLOCK_CAP)]
             if len(idx):
-                out.append(pd.DataFrame({"query_id": np.int64(qid),
-                                         "vec_id": v[idx], "qdot": d[idx]}))
-        return pd.concat(out) if out else pd.DataFrame(empty)
+                oq.append(np.full(len(idx), qid, dtype=np.int64))
+                ov.append(v[idx])
+                od.append(d[idx].astype(np.int64))
+        if not oq:
+            return empty_t
+        return pa.table({"query_id": pa.array(np.concatenate(oq)),
+                         "vec_id": pa.array(np.concatenate(ov)),
+                         "qdot": pa.array(np.concatenate(od))})
 
     def reduce_all(df: pd.DataFrame) -> pd.DataFrame:
         parts = []
@@ -304,7 +334,7 @@ def ann_sq_topk(sf_dir: str, num_queries: int = 5, k: int = 5):
             return out
         return pd.concat(parts, ignore_index=True)
 
-    return (ds.map_batches(partial, batch_format="pandas")
+    return (ds.map_batches(partial, batch_format="pyarrow")
             .repartition(1)
             .map_batches(reduce_all, batch_format="pandas", batch_size=None))
 
@@ -383,26 +413,29 @@ def ann_ivf_topk(sf_dir: str, num_queries: int = 5, k: int = 5,
     q_ref = ray.put((qids, qnorm, cents, probes))
     ds = read_embeddings(sf_dir, ["vec_id", "embedding"])
 
-    def search(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return _empty_scores()
+    def search(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_scores_t()
         qids, qn, c, pr = ray.get(q_ref)
-        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        m = _emb_matrix(t)
         d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-        vids = df["vec_id"].to_numpy()
-        out = []
+        vids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        oq, ov, oc = [], [], []
         for qi, qid in enumerate(qids):
             mask = np.isin(assign, pr[qi]) & (vids != qid)
             if mask.any():
-                out.append(pd.DataFrame(
-                    {"query_id": qid, "vec_id": vids[mask],
-                     "cos": mn[mask] @ qn[qi]}
-                ))
-        return pd.concat(out) if out else _empty_scores()
+                oq.append(np.full(int(mask.sum()), qid, dtype=np.int64))
+                ov.append(vids[mask].astype(np.int64))
+                oc.append(mn[mask] @ qn[qi])
+        if not oq:
+            return _empty_scores_t()
+        return pa.table({"query_id": pa.array(np.concatenate(oq)),
+                         "vec_id": pa.array(np.concatenate(ov)),
+                         "cos": pa.array(np.concatenate(oc))})
 
-    cands = ds.map_batches(search, batch_format="pandas")
+    cands = ds.map_batches(search, batch_format="pyarrow")
     return _topk_reduce(cands, k)
 
 
@@ -424,33 +457,39 @@ def ann_lsh_topk(sf_dir: str, num_queries: int = 5, k: int = 5,
     q_ref = ray.put((qids, qnorm, planes))
     ds = read_embeddings(sf_dir, ["vec_id", "embedding"])
 
-    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return _empty_scores()
+    def bucketize(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return _empty_scores_t()
         qids, qn, pl = ray.get(q_ref)
-        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        m = _emb_matrix(tb)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
-        vids = df["vec_id"].to_numpy()
+        vids = tb.column("vec_id").to_numpy(zero_copy_only=False)
         qsig = (np.einsum("tpd,qd->tqp", pl, qn) > 0)      # (T, nq, P)
         vsig = (np.einsum("tpd,nd->tnp", pl, m) > 0)       # (T, n, P)
         weights = 1 << np.arange(qsig.shape[2])
         qb = (qsig * weights).sum(axis=2)                  # (T, nq)
         vb = (vsig * weights).sum(axis=2)                  # (T, n)
-        out = []
+        oq, ov, oc = [], [], []
         for t in range(qb.shape[0]):
             for qi, qid in enumerate(qids):
                 mask = (vb[t] == qb[t, qi]) & (vids != qid)
                 if mask.any():
-                    cos = m[mask] @ qn[qi]
-                    out.append(pd.DataFrame(
-                        {"query_id": qid, "vec_id": vids[mask], "cos": cos}
-                    ))
-        if not out:
-            return _empty_scores()
-        r = pd.concat(out).drop_duplicates(["query_id", "vec_id"])
-        return r
+                    oq.append(np.full(int(mask.sum()), qid, dtype=np.int64))
+                    ov.append(vids[mask].astype(np.int64))
+                    oc.append(m[mask] @ qn[qi])
+        if not oq:
+            return _empty_scores_t()
+        # in-block exactly-once: first table wins per (query, vec)
+        q_a = np.concatenate(oq)
+        v_a = np.concatenate(ov)
+        c_a = np.concatenate(oc)
+        key = q_a * (int(vids.max()) + 1) + v_a
+        first = np.sort(np.unique(key, return_index=True)[1])
+        return pa.table({"query_id": pa.array(q_a[first]),
+                         "vec_id": pa.array(v_a[first]),
+                         "cos": pa.array(c_a[first])})
 
-    cands = ds.map_batches(bucketize, batch_format="pandas")
+    cands = ds.map_batches(bucketize, batch_format="pyarrow")
     return _topk_reduce(cands, k, dedup=True)
 
 
@@ -482,10 +521,11 @@ def _pq_codebooks(ds, dim: int, iters: int = 5,
     covers every vector. The subsample is id-derived, so the serial
     mirror reproduces it exactly."""
     if train_mod > 1:
-        def keep(df: pd.DataFrame) -> pd.DataFrame:
-            return df[df["vec_id"] % train_mod == 0]
+        def keep(t: pa.Table) -> pa.Table:
+            vids = t.column("vec_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(vids % train_mod == 0))
 
-        ds = ds.map_batches(keep, batch_format="pandas").materialize()
+        ds = ds.map_batches(keep, batch_format="pyarrow").materialize()
     sub = dim // PQ_SUBS
     init = ds.sort("vec_id").limit(PQ_K).to_pandas()
     base = np.stack(init["embedding"].to_numpy()).astype(np.float64)
@@ -494,29 +534,38 @@ def _pq_codebooks(ds, dim: int, iters: int = 5,
     for _ in range(iters):
         c_ref = ray.put(cents)
 
-        def partial(df: pd.DataFrame, _c_ref=c_ref) -> pd.DataFrame:
+        def partial(t: pa.Table, _c_ref=c_ref) -> pa.Table:
             c = ray.get(_c_ref)
-            rows = []
-            if len(df):
-                m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            subs, clus, ns, vsums = [], [], [], []
+            if t.num_rows:
+                m = _emb_matrix(t)
                 for s in range(PQ_SUBS):
                     ms = m[:, s * sub:(s + 1) * sub]
                     d = ((ms[:, None, :] - c[s][None, :, :]) ** 2).sum(axis=2)
                     a = d.argmin(axis=1)
+                    q = np.round(ms * KMEANS_QSCALE).astype(np.int64)
                     for ci in np.unique(a):
-                        sel = np.round(
-                            ms[a == ci] * KMEANS_QSCALE).astype(np.int64)
-                        rows.append({"sub": int(s), "cluster": int(ci),
-                                     "n": int((a == ci).sum()),
-                                     "vsum": sel.sum(axis=0).tolist()})
-            if not rows:
-                return pd.DataFrame({"sub": pd.Series(dtype="int64"),
-                                     "cluster": pd.Series(dtype="int64"),
-                                     "n": pd.Series(dtype="int64"),
-                                     "vsum": pd.Series(dtype="object")})
-            return pd.DataFrame(rows)
+                        sel = a == ci
+                        subs.append(s)
+                        clus.append(int(ci))
+                        ns.append(int(sel.sum()))
+                        vsums.append(q[sel].sum(axis=0))
+            if not subs:
+                return pa.schema([("sub", pa.int64()),
+                                  ("cluster", pa.int64()),
+                                  ("n", pa.int64()),
+                                  ("vsum", pa.list_(pa.int64()))]
+                                 ).empty_table()
+            flat = np.concatenate(vsums)
+            offs = np.arange(0, (len(vsums) + 1) * sub, sub, dtype=np.int32)
+            return pa.table({
+                "sub": pa.array(subs, pa.int64()),
+                "cluster": pa.array(clus, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+                "vsum": pa.ListArray.from_arrays(
+                    pa.array(offs), pa.array(flat, pa.int64()))})
 
-        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
         new = cents.copy()
         for (s, ci), g in parts.groupby(["sub", "cluster"]):
             n = g["n"].sum()
@@ -546,21 +595,24 @@ def ann_pq_topk(sf_dir: str, num_queries: int = 5, k: int = 5,
                                            train_mod=train_mod))
     c_ref = ray.put(cents)
 
-    def encode(df: pd.DataFrame) -> pd.DataFrame:
+    def encode(t: pa.Table) -> pa.Table:
         c = ray.get(c_ref)
-        if not len(df):
-            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
-                                 "codes": pd.Series(dtype="object")})
-        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        if t.num_rows == 0:
+            return pa.schema([("vec_id", pa.int64()),
+                              ("codes", pa.binary())]).empty_table()
+        m = _emb_matrix(t)
         codes = np.empty((len(m), PQ_SUBS), dtype=np.uint8)
         for s in range(PQ_SUBS):
             ms = m[:, s * sub:(s + 1) * sub]
             d = ((ms[:, None, :] - c[s][None, :, :]) ** 2).sum(axis=2)
             codes[:, s] = d.argmin(axis=1).astype(np.uint8)
-        return pd.DataFrame({"vec_id": df["vec_id"].astype(np.int64),
-                             "codes": [r.tobytes() for r in codes]})
+        buf = codes.tobytes()
+        return pa.table({
+            "vec_id": t.column("vec_id").cast(pa.int64()),
+            "codes": pa.array([buf[i * PQ_SUBS:(i + 1) * PQ_SUBS]
+                               for i in range(len(m))], pa.binary())})
 
-    enc = ds.map_batches(encode, batch_format="pandas").materialize()
+    enc = ds.map_batches(encode, batch_format="pyarrow").materialize()
 
     # per-query ADC tables: T[q, s, c] = ||q_s - cent[s, c]||^2.
     # codebook width is cents.shape[1] == min(PQ_K, train rows) — the
@@ -572,25 +624,32 @@ def ann_pq_topk(sf_dir: str, num_queries: int = 5, k: int = 5,
     t_ref = ray.put((qids, T))
     srange = np.arange(PQ_SUBS)
 
-    def search(df: pd.DataFrame) -> pd.DataFrame:
+    def search(t: pa.Table) -> pa.Table:
         qids_, T_ = ray.get(t_ref)
-        if not len(df):
-            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
-                                 "vec_id": pd.Series(dtype="int64"),
-                                 "adist": pd.Series(dtype="float64")})
-        codes = np.frombuffer(b"".join(df["codes"]),
-                              dtype=np.uint8).reshape(len(df), PQ_SUBS)
-        vids = df["vec_id"].to_numpy()
-        out = []
+        if t.num_rows == 0:
+            return pa.schema([("query_id", pa.int64()),
+                              ("vec_id", pa.int64()),
+                              ("adist", pa.float64())]).empty_table()
+        from ccrawler_ray.spec import as_single_array
+
+        codes = np.frombuffer(
+            b"".join(as_single_array(t.column("codes")).to_pylist()),
+            dtype=np.uint8).reshape(t.num_rows, PQ_SUBS)
+        vids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        oq, ov, od = [], [], []
         for qi, qid in enumerate(qids_):
             dist = T_[qi][srange[None, :], codes].sum(axis=1)
             mask = vids != qid
-            g = pd.DataFrame({"query_id": np.int64(qid),
-                              "vec_id": vids[mask], "adist": dist[mask]})
-            out.append(g.sort_values(["adist", "vec_id"]).head(k))
-        return pd.concat(out)
+            d, v = dist[mask], vids[mask]
+            idx = np.lexsort((v, d))[:k]   # (adist asc, vec_id asc)
+            oq.append(np.full(len(idx), qid, dtype=np.int64))
+            ov.append(v[idx].astype(np.int64))
+            od.append(d[idx])
+        return pa.table({"query_id": pa.array(np.concatenate(oq)),
+                         "vec_id": pa.array(np.concatenate(ov)),
+                         "adist": pa.array(np.concatenate(od))})
 
-    cands = enc.map_batches(search, batch_format="pandas")
+    cands = enc.map_batches(search, batch_format="pyarrow")
 
     def reduce_all(df: pd.DataFrame) -> pd.DataFrame:
         parts = []
@@ -631,24 +690,28 @@ def _ivfpq_index(sf_dir: str, dim: int, n_clusters: int, iters: int,
     c_ref = ray.put(cents)
     ds = read_embeddings(sf_dir, ["vec_id", "embedding"])
 
-    def to_residual(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
-                                 "cluster": pd.Series(dtype="int64"),
-                                 "embedding": pd.Series(dtype="object")})
+    def to_residual(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([
+                ("vec_id", pa.int64()), ("cluster", pa.int64()),
+                ("embedding", pa.list_(pa.float64()))]).empty_table()
         c = ray.get(c_ref)
-        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        m = _emb_matrix(t)
         d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         a = d.argmin(axis=1)
         r = m - c[a]
-        return pd.DataFrame({"vec_id": df["vec_id"].astype(np.int64),
-                             "cluster": a.astype(np.int64),
-                             "embedding": list(r)})
+        offs = np.arange(0, (len(m) + 1) * m.shape[1], m.shape[1],
+                         dtype=np.int32)
+        return pa.table({
+            "vec_id": t.column("vec_id").cast(pa.int64()),
+            "cluster": pa.array(a.astype(np.int64)),
+            "embedding": pa.ListArray.from_arrays(
+                pa.array(offs), pa.array(r.ravel(), pa.float64()))})
 
     from ccrawler_ray.memo import memo_ds, memo_val
 
     res = memo_ds(("ivfpq_res", sf_dir, n_clusters),
-                  lambda: ds.map_batches(to_residual, batch_format="pandas"))
+                  lambda: ds.map_batches(to_residual, batch_format="pyarrow"))
 
     # residual-PQ training once per (params, session); the key carries
     # the coarse-quantizer params because the residuals depend on them
@@ -657,24 +720,39 @@ def _ivfpq_index(sf_dir: str, dim: int, n_clusters: int, iters: int,
         lambda: _pq_codebooks(res, dim, iters=iters, train_mod=train_mod))
     p_ref = ray.put(pq_cents)
 
-    def encode(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
-                                 "cluster": pd.Series(dtype="int64"),
-                                 "codes": pd.Series(dtype="object")})
+    def encode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([
+                ("vec_id", pa.int64()), ("cluster", pa.int64()),
+                ("codes", pa.binary())]).empty_table()
         p = ray.get(p_ref)
-        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        m = _emb_matrix(t)
         codes = np.empty((len(m), PQ_SUBS), dtype=np.uint8)
         for s in range(PQ_SUBS):
             ms = m[:, s * sub:(s + 1) * sub]
             d = ((ms[:, None, :] - p[s][None, :, :]) ** 2).sum(axis=2)
             codes[:, s] = d.argmin(axis=1).astype(np.uint8)
-        return pd.DataFrame({"vec_id": df["vec_id"].to_numpy(),
-                             "cluster": df["cluster"].to_numpy(),
-                             "codes": [r.tobytes() for r in codes]})
+        buf = codes.tobytes()
+        return pa.table({
+            "vec_id": t.column("vec_id").cast(pa.int64()),
+            "cluster": t.column("cluster").cast(pa.int64()),
+            "codes": pa.array([buf[i * PQ_SUBS:(i + 1) * PQ_SUBS]
+                               for i in range(len(m))], pa.binary())})
 
-    enc = res.map_batches(encode, batch_format="pandas")
+    enc = res.map_batches(encode, batch_format="pyarrow")
     return cents, pq_cents, enc
+
+
+def _cumcount_by(sorted_keys: np.ndarray) -> np.ndarray:
+    """Position within each contiguous run of equal keys (input must
+    be grouped/sorted by key)."""
+    n = len(sorted_keys)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.r_[0, np.flatnonzero(np.diff(sorted_keys)) + 1]
+    sizes = np.diff(np.r_[starts, n])
+    return np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+
 
 
 def _ivfpq_search(enc, cents, pq_cents, qids, qm, k: int,
@@ -701,34 +779,43 @@ def _ivfpq_search(enc, cents, pq_cents, qids, qm, k: int,
     t_ref = ray.put((qids, probes, T))
     srange = np.arange(PQ_SUBS)
 
-    def search(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
-                              "vec_id": pd.Series(dtype="int64"),
-                              "adist": pd.Series(dtype="float64")})
-        if not len(df):
+    def search(t: pa.Table) -> pa.Table:
+        empty = pa.schema([("query_id", pa.int64()),
+                           ("vec_id", pa.int64()),
+                           ("adist", pa.float64())]).empty_table()
+        if t.num_rows == 0:
             return empty
+        from ccrawler_ray.spec import as_single_array
+
         qids_, pr, T_ = ray.get(t_ref)
-        codes = np.frombuffer(b"".join(df["codes"]),
-                              dtype=np.uint8).reshape(len(df), PQ_SUBS)
-        vids = df["vec_id"].to_numpy()
-        clus = df["cluster"].to_numpy()
-        out = []
+        codes = np.frombuffer(
+            b"".join(as_single_array(t.column("codes")).to_pylist()),
+            dtype=np.uint8).reshape(t.num_rows, PQ_SUBS)
+        vids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        clus = t.column("cluster").to_numpy(zero_copy_only=False)
+        oq, ov, od = [], [], []
         for qi, qid in enumerate(qids_):
             for pi, c in enumerate(pr[qi]):
                 mask = (clus == c) & (vids != qid)
                 if not mask.any():
                     continue
                 dist = T_[qi, pi][srange[None, :], codes[mask]].sum(axis=1)
-                out.append(pd.DataFrame(
-                    {"query_id": np.int64(qid), "vec_id": vids[mask],
-                     "adist": dist}))
-        if not out:
+                oq.append(np.full(int(mask.sum()), qid, dtype=np.int64))
+                ov.append(vids[mask].astype(np.int64))
+                od.append(dist)
+        if not oq:
             return empty
-        cand = pd.concat(out)
-        return (cand.sort_values(["adist", "vec_id"])
-                .groupby("query_id", sort=False).head(k))
+        q_a, v_a, d_a = (np.concatenate(oq), np.concatenate(ov),
+                         np.concatenate(od))
+        # per-query (adist asc, vec_id asc) block head(k)
+        order = np.lexsort((v_a, d_a, q_a))   # group by query for head
+        q_a, v_a, d_a = q_a[order], v_a[order], d_a[order]
+        keep = _cumcount_by(q_a) < k
+        return pa.table({"query_id": pa.array(q_a[keep]),
+                         "vec_id": pa.array(v_a[keep]),
+                         "adist": pa.array(d_a[keep])})
 
-    cands = enc.map_batches(search, batch_format="pandas")
+    cands = enc.map_batches(search, batch_format="pyarrow")
 
     def reduce_all(df: pd.DataFrame) -> pd.DataFrame:
         parts = []
