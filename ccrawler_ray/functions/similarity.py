@@ -368,24 +368,35 @@ def _kmeans_centroids(sf_dir: str, k: int, iters: int, seed: int):
     for _ in range(iters):
         c_ref = ray.put(cents)
 
-        def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        def partial(t: pa.Table) -> pa.Table:
             c = ray.get(c_ref)
-            rows = []
-            if len(df):
-                m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            clus, ns, vsums = [], [], []
+            if t.num_rows:
+                m = _emb_matrix(t)
                 d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
                 a = d.argmin(axis=1)
+                q = np.round(m * KMEANS_QSCALE).astype(np.int64)
                 for ci in np.unique(a):
-                    sel = np.round(m[a == ci] * KMEANS_QSCALE).astype(np.int64)
-                    rows.append({"cluster": int(ci), "n": int((a == ci).sum()),
-                                 "vsum": sel.sum(axis=0).tolist()})
-            if not rows:
-                return pd.DataFrame({"cluster": pd.Series(dtype="int64"),
-                                     "n": pd.Series(dtype="int64"),
-                                     "vsum": pd.Series(dtype="object")})
-            return pd.DataFrame(rows)
+                    sel = a == ci
+                    clus.append(int(ci))
+                    ns.append(int(sel.sum()))
+                    vsums.append(q[sel].sum(axis=0))
+            if not clus:
+                return pa.schema([("cluster", pa.int64()),
+                                  ("n", pa.int64()),
+                                  ("vsum", pa.list_(pa.int64()))]
+                                 ).empty_table()
+            dim_ = len(vsums[0])
+            offs = np.arange(0, (len(vsums) + 1) * dim_, dim_,
+                             dtype=np.int32)
+            return pa.table({
+                "cluster": pa.array(clus, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+                "vsum": pa.ListArray.from_arrays(
+                    pa.array(offs),
+                    pa.array(np.concatenate(vsums), pa.int64()))})
 
-        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
         new = cents.copy()
         for ci, g in parts.groupby("cluster"):
             n = g["n"].sum()
@@ -1011,20 +1022,28 @@ def embedding_pca(sf_dir: str) -> "pd.DataFrame":
                              "cum_var": pd.Series(dtype="float64")})
     iu = np.triu_indices(d)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"salt": pd.Series(dtype="int64"),
-                                 "n": pd.Series(dtype="int64"),
-                                 "svec": pd.Series(dtype="object"),
-                                 "gram": pd.Series(dtype="object")})
-        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("salt", pa.int64()), ("n", pa.int64()),
+                              ("svec", pa.list_(pa.int64())),
+                              ("gram", pa.list_(pa.int64()))]
+                             ).empty_table()
+        m = _emb_matrix(t)
         q = np.round(m * PCA_QSCALE).astype(np.int64)
         g = q.T @ q
-        return pd.DataFrame({
-            "salt": [int(df["vec_id"].iloc[0]) % _PCA_SALTS],
-            "n": [len(df)],
-            "svec": [q.sum(axis=0).tolist()],
-            "gram": [g[iu].tolist()]})
+        sv = q.sum(axis=0)
+        gr = g[iu]
+        return pa.table({
+            "salt": pa.array(
+                [int(t.column("vec_id")[0].as_py()) % _PCA_SALTS],
+                pa.int64()),
+            "n": pa.array([t.num_rows], pa.int64()),
+            "svec": pa.ListArray.from_arrays(
+                pa.array(np.array([0, len(sv)], dtype=np.int32)),
+                pa.array(sv, pa.int64())),
+            "gram": pa.ListArray.from_arrays(
+                pa.array(np.array([0, len(gr)], dtype=np.int32)),
+                pa.array(gr, pa.int64()))})
 
     def per_salt(g: pd.DataFrame) -> pd.DataFrame:
         # Python-int exact accumulation; signed hi/lo int64 limbs out
@@ -1043,7 +1062,7 @@ def embedding_pca(sf_dir: str) -> "pd.DataFrame":
             "gram_hi": [[v >> 32 for v in gr]],
             "gram_lo": [[v & 0xFFFFFFFF for v in gr]]})
 
-    parts = (ds.map_batches(partial, batch_format="pandas")
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby("salt").map_groups(per_salt, batch_format="pandas")
              .to_pandas())
     n = int(parts["n"].astype(object).sum())
@@ -1078,24 +1097,23 @@ def cluster_kmeans(sf_dir: str, n_clusters: int = 16, iters: int = 5):
     c_ref = ray.put(cents)
     ds = read_embeddings(sf_dir, ["embedding"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"cluster": pd.Series(dtype="int64"),
-                                 "n": pd.Series(dtype="int64"),
-                                 "dq": pd.Series(dtype="int64")})
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("cluster", pa.int64()), ("n", pa.int64()),
+                              ("dq", pa.int64())]).empty_table()
         c = ray.get(c_ref)
-        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        m = _emb_matrix(t)
         d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         a = d2.argmin(axis=1)
         dq = np.round(d2[np.arange(len(m)), a] * 1e6).astype(np.int64)
         cl, inv = np.unique(a, return_inverse=True)
         dsum = np.zeros(len(cl), dtype=np.int64)
         np.add.at(dsum, inv, dq)           # exact int64 accumulation
-        return pd.DataFrame({"cluster": cl.astype(np.int64),
-                             "n": np.bincount(inv).astype(np.int64),
-                             "dq": dsum})
+        return pa.table({"cluster": pa.array(cl.astype(np.int64)),
+                         "n": pa.array(np.bincount(inv).astype(np.int64)),
+                         "dq": pa.array(dsum)})
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     if not len(parts):
         return pd.DataFrame({"cluster": pd.Series(dtype="int64"),
                              "n_members": pd.Series(dtype="int64"),
