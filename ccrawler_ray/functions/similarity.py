@@ -1428,20 +1428,21 @@ def ann_hybrid_search(sf_dir: str, terms: tuple = HYBRID_TERMS,
 
     scores = inter.map_batches(bm25_all, batch_format="pyarrow")
 
-    def cos_leg(df: pd.DataFrame) -> pd.DataFrame:
+    def cos_leg(t: pa.Table) -> pa.Table:
         qn = ray.get(qn_ref)
-        if not len(df):
-            return pd.DataFrame({"vec_id": np.array([-1], np.int64),
-                                 "cos": np.array([0.0])})
-        mm = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([-1], pa.int64()),
+                             "cos": pa.array([0.0])})
+        mm = _emb_matrix(t)
         mm /= np.linalg.norm(mm, axis=1, keepdims=True)
         cos4 = np.round(mm @ qn, 4)
-        return pd.DataFrame({
-            "vec_id": np.r_[df["vec_id"].to_numpy(), [-1]].astype(np.int64),
-            "cos": np.r_[cos4, [0.0]]})
+        vids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vec_id": pa.array(np.r_[vids, [-1]].astype(np.int64)),
+            "cos": pa.array(np.r_[cos4, [0.0]])})
 
     vecs = read_embeddings(sf_dir, ["vec_id", "embedding"]).map_batches(
-        cos_leg, batch_format="pandas")
+        cos_leg, batch_format="pyarrow")
     joined = _join_auto(scores, vecs, "doc_id", "vec_id",
                         _rows_hint(sf_dir, "embeddings"))
 
