@@ -482,9 +482,12 @@ def _serial_oracles() -> dict[str, str]:
             # same BPE-ish pre-tokenization rule as token_count_bpe;
             # fertility = one IEEE division of the exact BIGINT sums
             "WITH s AS (SELECT lang, count(*) AS n_docs, "
-            "sum(n_chars) AS sum_chars, "
-            "sum(CAST(len(regexp_extract_all(text, "
-            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)) "
+            # CAST the HUGEINT sums back to BIGINT: duckdb's
+            # SUM(BIGINT) is HUGEINT, which pandas renders float64 —
+            # the engine emits int64
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(sum(CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)) AS BIGINT) "
             "AS sum_bpe_tokens FROM documents GROUP BY 1) "
             "SELECT lang, n_docs, sum_chars, sum_bpe_tokens, "
             "CASE WHEN sum_bpe_tokens > 0 THEN "
