@@ -34,6 +34,11 @@ def _read_docs(sf_dir: str, cols):
     return read_docs(sf_dir, cols)
 
 
+def _col_i64(t: "pa.Table", name: str) -> np.ndarray:
+    return t.column(name).to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+
 def _pl_text(t: "pa.Table", col: str = "text"):
     """Arrow column -> polars Series WITHOUT a pandas round trip (the
     object-string conversion each way measured as the dominant cost of
@@ -160,9 +165,9 @@ def doc_fingerprint(sf_dir: str, k: int = 8):
     shingles (a winnowing-style fingerprint; deterministic)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
+    def f(t: pa.Table) -> pa.Table:
         fps = []
-        for text in df["text"]:
+        for text in t.column("text").to_pylist():
             words = text.split()
             if len(words) < k:
                 shingles = [" ".join(words)]
@@ -175,9 +180,11 @@ def doc_fingerprint(sf_dir: str, k: int = 8):
                 for s in shingles
             )
             fps.append(fp)
-        return pd.DataFrame({"doc_id": df["doc_id"], "fingerprint": np.array(fps, dtype=np.uint64)})
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "fingerprint": pa.array(
+                             np.array(fps, dtype=np.uint64))})
 
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def tfidf_topk(sf_dir: str, k: int = 3):
@@ -694,34 +701,44 @@ def fertility_stats(sf_dir: str):
 
     ds = _read_docs(sf_dir, ["lang", "text", "n_chars"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        import polars as pl
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("lang", pa.string()),
+                              ("n_docs", pa.int64()),
+                              ("sum_chars", pa.int64()),
+                              ("sum_bpe_tokens", pa.int64())]).empty_table()
+        toks = _pl_text(t).str.count_matches(_BPE_RE).to_numpy().astype(np.int64)
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        ul, inv = np.unique(lang, return_inverse=True)
+        sc = np.zeros(len(ul), dtype=np.int64)
+        np.add.at(sc, inv, t.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        st = np.zeros(len(ul), dtype=np.int64)
+        np.add.at(st, inv, toks)
+        return pa.table({"lang": pa.array(ul),
+                         "n_docs": pa.array(np.bincount(inv).astype(np.int64)),
+                         "sum_chars": pa.array(sc),
+                         "sum_bpe_tokens": pa.array(st)})
 
-        toks = pl.Series(df["text"]).str.count_matches(_BPE_RE).to_numpy()
-        t = pd.DataFrame({"lang": df["lang"],
-                          "n_docs": np.ones(len(df), dtype=np.int64),
-                          "sum_chars": df["n_chars"].to_numpy().astype(np.int64),
-                          "sum_bpe_tokens": toks.astype(np.int64)})
-        return t.groupby("lang", as_index=False).sum()
-
-    agg = (ds.map_batches(partial, batch_format="pandas")
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby("lang").aggregate(
                Sum("n_docs", alias_name="n_docs"),
                Sum("sum_chars", alias_name="sum_chars"),
                Sum("sum_bpe_tokens", alias_name="sum_bpe_tokens")))
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        sc = df["sum_chars"].to_numpy().astype(np.int64)
-        st = df["sum_bpe_tokens"].to_numpy().astype(np.int64)
-        fert = np.zeros(len(df), dtype=np.float64)
+    def finish(t: pa.Table) -> pa.Table:
+        sc = _col_i64(t, "sum_chars")
+        st = _col_i64(t, "sum_bpe_tokens")
+        fert = np.zeros(t.num_rows, dtype=np.float64)
         nz = st > 0
         fert[nz] = sc[nz].astype(np.float64) / st[nz].astype(np.float64)
-        return pd.DataFrame({"lang": df["lang"],
-                             "n_docs": df["n_docs"].astype(np.int64),
-                             "sum_chars": sc, "sum_bpe_tokens": st,
-                             "fertility": fert})
+        return pa.table({"lang": t.column("lang"),
+                         "n_docs": pa.array(_col_i64(t, "n_docs")),
+                         "sum_chars": pa.array(sc),
+                         "sum_bpe_tokens": pa.array(st),
+                         "fertility": pa.array(fert)})
 
-    return agg.map_batches(finish, batch_format="pandas")
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
