@@ -85,7 +85,7 @@ def order_hash(dump) -> str:
     return h.hexdigest()
 
 
-def make_cfg(gens: int, ncpu: int):
+def make_cfg(gens: int, ncpu: int, membership: str = "exact"):
     from ccrawler_ray.config import CrawlConfig
 
     return CrawlConfig(
@@ -97,14 +97,18 @@ def make_cfg(gens: int, ncpu: int):
         batch_size=4096,
         analyze=True,
         admission_mode="actor",
+        seen_membership=membership,
     ).scaled_for(ncpu)
 
 
 def run_crawl(corpus_path: str, gens: int, ncpu: int, ckpt: str | None,
-              resume: bool = False):
+              resume: bool = False, membership: str = "exact"):
+    import ray
+
     from ccrawler_ray.pipelines.crawl import CrawlEngine
 
-    eng = CrawlEngine(corpus_path, make_cfg(gens, ncpu), ckpt_dir=ckpt)
+    eng = CrawlEngine(corpus_path, make_cfg(gens, ncpu, membership),
+                      ckpt_dir=ckpt)
     if resume:
         assert eng.resume(), "no checkpoint found to resume from"
     eng.warmup()
@@ -119,6 +123,12 @@ def run_crawl(corpus_path: str, gens: int, ncpu: int, ckpt: str | None,
         "hash": order_hash(res.crawl_order),
         "phase_sec": {k: round(v, 2) for k, v in eng._phase_sec.items()},
     }
+    if membership != "exact":
+        stats = ray.get([sh.stats.remote()
+                         for sh in eng.seen_pool.shards])
+        out["audit_probes"] = sum(x["audit_probes"] for x in stats)
+        out["audit_fps"] = sum(x["audit_fps"] for x in stats)
+        out["filter_mem_bytes"] = sum(x["filter_mem_bytes"] for x in stats)
     eng.shutdown()
     from ccrawler_ray.pipelines.crawl import release_worker_caches
 
@@ -160,6 +170,7 @@ def leg_main() -> None:
     ncpu = int(sys.argv[3])
     ckpt = sys.argv[4]
     resume = sys.argv[5] == "resume"
+    membership = sys.argv[6] if len(sys.argv) > 6 else "exact"
 
     import ray
 
@@ -170,19 +181,21 @@ def leg_main() -> None:
     DataContext.get_current().enable_progress_bars = False
     corpus_path = ensure_corpus()
     with RssSampler() as rss, DiskSampler() as disk:
-        out = run_crawl(corpus_path, gens, ncpu, ckpt, resume=resume)
+        out = run_crawl(corpus_path, gens, ncpu, ckpt, resume=resume,
+                        membership=membership)
     out["peak_mem_gb"] = round(rss.peak / 2**30, 2)
     out["peak_disk_gb"] = round(disk.peak / 2**30, 2)
     print("LEG:" + json.dumps(out))
     ray.shutdown()
 
 
-def _run_leg(gens: int, ncpu: int, ckpt: str, resume: bool = False) -> dict:
+def _run_leg(gens: int, ncpu: int, ckpt: str, resume: bool = False,
+             membership: str = "exact") -> dict:
     import subprocess
 
     p = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--leg", str(gens),
-         str(ncpu), ckpt, "resume" if resume else "fresh"],
+         str(ncpu), ckpt, "resume" if resume else "fresh", membership],
         capture_output=True, text=True)
     for line in p.stdout.splitlines():
         if line.startswith("LEG:"):
@@ -194,12 +207,15 @@ def _run_leg(gens: int, ncpu: int, ckpt: str, resume: bool = False) -> dict:
 def main() -> None:
     gens = 10
     ncpu = 32
+    membership = "exact"
     skip_resume = "--skip-resume" in sys.argv
     for a in sys.argv[1:]:
         if a.startswith("--gens="):
             gens = int(a.split("=")[1])
         elif a.startswith("--ncpu="):
             ncpu = int(a.split("=")[1])
+        elif a.startswith("--membership="):
+            membership = a.split("=")[1]
 
     corpus_path = ensure_corpus()
     result = {"corpus_bytes": os.path.getsize(corpus_path), "ncpu": ncpu,
@@ -207,7 +223,7 @@ def main() -> None:
 
     ck_full = "/tmp/ck30x_full"
     shutil.rmtree(ck_full, ignore_errors=True)
-    full = _run_leg(gens, ncpu, ck_full)
+    full = _run_leg(gens, ncpu, ck_full, membership=membership)
     result["full"] = full
     result["urls_per_sec"] = round(
         (full["fetched"] + full["seen"]) / full["sec"], 1)
