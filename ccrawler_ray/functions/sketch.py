@@ -77,27 +77,32 @@ def g5_hll_distinct(sf_dir: str):
     only 4 KiB of registers per (block, type) moves, never user ids."""
     ds = sized_read(f"{sf_dir}/events.parquet", ["event_type", "user_id"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for et, g in df.groupby("event_type", sort=False):
-            rows.append((et, hll_registers(g["user_id"].to_numpy()).tobytes()))
-        return pd.DataFrame(rows, columns=["event_type", "regs"])
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ue = np.unique(et)
+        return pa.table({
+            "event_type": pa.array(ue),
+            "regs": pa.array([hll_registers(uid[et == e]).tobytes()
+                              for e in ue], pa.binary())})
 
-    def reduce_all(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for et, g in df.groupby("event_type", sort=True):
+    def reduce_all(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        blobs = t.column("regs").to_pylist()
+        out_e, out_n = [], []
+        for e in np.unique(et):
             regs = np.zeros(HLL_M, dtype=np.uint8)
-            for b in g["regs"]:
+            for b in np.asarray(blobs, dtype=object)[et == e]:
                 regs = np.maximum(regs, np.frombuffer(b, dtype=np.uint8))
-            out.append((et, hll_estimate(regs)))
-        return pd.DataFrame(out, columns=["event_type", "est_users"]).astype(
-            {"est_users": "int64"}
-        )
+            out_e.append(e)
+            out_n.append(int(hll_estimate(regs)))
+        return pa.table({"event_type": pa.array(out_e, pa.string()),
+                         "est_users": pa.array(out_n, pa.int64())})
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .repartition(1)
-        .map_batches(reduce_all, batch_format="pandas")
+        .map_batches(reduce_all, batch_format="pyarrow")
     )
 
 
@@ -117,28 +122,31 @@ def g7_quantile_hist(sf_dir: str):
     lo, hi = float(lohi["min(o_totalprice)"]), float(lohi["max(o_totalprice)"])
     width = (hi - lo) / QUANT_BINS or 1.0
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        v = df["o_totalprice"].to_numpy(dtype=np.float64)
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False)             .astype(np.float64)
         b = np.minimum(((v - lo) / width).astype(np.int64), QUANT_BINS - 1)
         counts = np.bincount(b, minlength=QUANT_BINS).astype(np.int64)
-        return pd.DataFrame({"counts": [counts.tobytes()]})
+        return pa.table({"counts": pa.array([counts.tobytes()],
+                                            pa.binary())})
 
-    def reduce_all(df: pd.DataFrame) -> pd.DataFrame:
+    def reduce_all(t: pa.Table) -> pa.Table:
         total = np.zeros(QUANT_BINS, dtype=np.int64)
-        for b in df["counts"]:
+        for b in t.column("counts").to_pylist():
             total += np.frombuffer(b, dtype=np.int64)
         cum = np.cumsum(total)
         n = int(cum[-1])
-        rows = []
+        qs, vals = [], []
         for q in QUANTS:
             bin_i = int(np.searchsorted(cum, int(np.ceil(q * n))))
-            rows.append((q, np.round(lo + (bin_i + 1) * width, 4)))
-        return pd.DataFrame(rows, columns=["q", "est_value"])
+            qs.append(q)
+            vals.append(float(np.round(lo + (bin_i + 1) * width, 4)))
+        return pa.table({"q": pa.array(qs, pa.float64()),
+                         "est_value": pa.array(vals, pa.float64())})
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .repartition(1)
-        .map_batches(reduce_all, batch_format="pandas")
+        .map_batches(reduce_all, batch_format="pyarrow")
     )
 
 
@@ -153,32 +161,43 @@ def g8_grouped_quantiles(sf_dir: str):
     lo, hi = float(lohi["min(value)"]), float(lohi["max(value)"])
     width = (hi - lo) / QUANT_BINS or 1.0
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for et, g in df.groupby("event_type", sort=False):
-            v = g["value"].to_numpy(dtype=np.float64)
-            b = np.minimum(((v - lo) / width).astype(np.int64), QUANT_BINS - 1)
-            rows.append((et, np.bincount(b, minlength=QUANT_BINS)
-                         .astype(np.int64).tobytes()))
-        return pd.DataFrame(rows, columns=["event_type", "counts"])
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        val = t.column("value").to_numpy(zero_copy_only=False)             .astype(np.float64)
+        ue = np.unique(et)
+        blobs = []
+        for e in ue:
+            v = val[et == e]
+            b = np.minimum(((v - lo) / width).astype(np.int64),
+                           QUANT_BINS - 1)
+            blobs.append(np.bincount(b, minlength=QUANT_BINS)
+                         .astype(np.int64).tobytes())
+        return pa.table({"event_type": pa.array(ue),
+                         "counts": pa.array(blobs, pa.binary())})
 
-    def reduce_all(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for et, g in df.groupby("event_type", sort=True):
+    def reduce_all(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        blobs = np.asarray(t.column("counts").to_pylist(), dtype=object)
+        out_e, out_q, out_v = [], [], []
+        for e in np.unique(et):
             total = np.zeros(QUANT_BINS, dtype=np.int64)
-            for b in g["counts"]:
+            for b in blobs[et == e]:
                 total += np.frombuffer(b, dtype=np.int64)
             cum = np.cumsum(total)
             n = int(cum[-1])
             for q in QUANTS:
                 bin_i = int(np.searchsorted(cum, int(np.ceil(q * n))))
-                rows.append((et, q, np.round(lo + (bin_i + 1) * width, 4)))
-        return pd.DataFrame(rows, columns=["event_type", "q", "est_value"])
+                out_e.append(e)
+                out_q.append(q)
+                out_v.append(float(np.round(lo + (bin_i + 1) * width, 4)))
+        return pa.table({"event_type": pa.array(out_e, pa.string()),
+                         "q": pa.array(out_q, pa.float64()),
+                         "est_value": pa.array(out_v, pa.float64())})
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .repartition(1)
-        .map_batches(reduce_all, batch_format="pandas")
+        .map_batches(reduce_all, batch_format="pyarrow")
     )
 
 
@@ -223,23 +242,23 @@ def g11_countmin_est(sf_dir: str):
             whs = word_hashes(flat)
             for r in range(CMS_D):
                 cms[r] = np.bincount(cms_cols(whs, r), minlength=CMS_W)
-        return pd.DataFrame({"cms": [cms.tobytes()]})
+        return pa.table({"cms": pa.array([cms.tobytes()], pa.binary())})
 
-    def reduce_all(df: pd.DataFrame) -> pd.DataFrame:
+    def reduce_all(t: pa.Table) -> pa.Table:
         cms = np.zeros((CMS_D, CMS_W), dtype=np.int64)
-        for b in df["cms"]:
+        for b in t.column("cms").to_pylist():
             cms += np.frombuffer(b, dtype=np.int64).reshape(CMS_D, CMS_W)
         qh = word_hashes(list(CMS_TERMS))
         est = np.min(
             np.stack([cms[r, cms_cols(qh, r)] for r in range(CMS_D)]),
             axis=0)
-        return pd.DataFrame({"term": list(CMS_TERMS),
-                             "est_n": est.astype(np.int64)})
+        return pa.table({"term": pa.array(list(CMS_TERMS), pa.string()),
+                         "est_n": pa.array(est.astype(np.int64))})
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .repartition(1)
-        .map_batches(reduce_all, batch_format="pandas")
+        .map_batches(reduce_all, batch_format="pyarrow")
     )
 
 
@@ -306,20 +325,20 @@ def g16_heavy_hitters(sf_dir: str, k: int = HH_K):
             cnt = np.r_[bc[m], cnt]
         return pd.DataFrame({"idx": idx, "cnt": cnt})
 
-    def reduce_all(df: pd.DataFrame) -> pd.DataFrame:
+    def reduce_all(t: pa.Table) -> pa.Table:
         cl = ray.get(cand_ref)
-        sel = df["idx"].to_numpy()
-        cn = df["cnt"].to_numpy()
+        sel = t.column("idx").to_numpy(zero_copy_only=False)
+        cn = t.column("cnt").to_numpy(zero_copy_only=False)
         n = int(cn[sel < 0].sum())
         tot = np.zeros(len(cl), dtype=np.int64)
         m = sel >= 0
         np.add.at(tot, sel[m], cn[m])
         keep = tot * k > n
-        return pd.DataFrame({"term": pd.Series(cl[keep], dtype="object"),
-                             "cnt": tot[keep].astype(np.int64)})
+        return pa.table({"term": pa.array(cl[keep].tolist(), pa.string()),
+                         "cnt": pa.array(tot[keep].astype(np.int64))})
 
     return (
         ds.map_batches(count_partial, batch_format="pyarrow")
         .repartition(1)
-        .map_batches(reduce_all, batch_format="pandas")
+        .map_batches(reduce_all, batch_format="pyarrow")
     )
