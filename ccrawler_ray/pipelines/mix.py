@@ -179,46 +179,53 @@ def mix_interleave(sf_dir: str, seed: int = MIX_SEED):
 
     ds = read_docs(sf_dir, ["doc_id", "source"])
 
-    def add_pri(df: pd.DataFrame) -> pd.DataFrame:
-        h = hash64_batch([str(i) for i in df["doc_id"]], seed=seed)
+    def add_pri(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = hash64_batch([str(i) for i in ids], seed=seed)
         u = (h.astype(np.float64) + 1.0) / 2.0 ** 64     # (0, 1]
-        pri = -np.log(u) / mix_weights(df["source"].to_numpy())
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        pri = -np.log(u) / mix_weights(src)
         bucket = np.searchsorted(_MIX_BOUNDS, pri, side="right")
-        return pd.DataFrame(
-            {"doc_id": df["doc_id"].astype(np.int64),
-             "source": df["source"], "pri": pri,
-             "bucket": bucket.astype(np.int32)})
+        return pa.table(
+            {"doc_id": pa.array(ids.astype(np.int64)),
+             "source": t.column("source"), "pri": pa.array(pri),
+             "bucket": pa.array(bucket.astype(np.int32))})
 
-    withp = ds.map_batches(add_pri, batch_format="pandas").materialize()
+    withp = ds.map_batches(add_pri, batch_format="pyarrow").materialize()
 
-    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("bucket", as_index=False).size()
-        return pd.DataFrame({"bucket": g["bucket"].astype(np.int64),
-                             "n": g["size"].astype(np.int64)})
+    def count_partial(t: pa.Table) -> pa.Table:
+        ub, n = np.unique(
+            t.column("bucket").to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"bucket": pa.array(ub.astype(np.int64)),
+                         "n": pa.array(n.astype(np.int64))})
 
     counts = withp.map_batches(
-        count_partial, batch_format="pandas").to_pandas()
+        count_partial, batch_format="pyarrow").to_pandas()
     per_bucket = np.zeros(len(_MIX_BOUNDS) + 1, dtype=np.int64)
     np.add.at(per_bucket, counts["bucket"].to_numpy(),
               counts["n"].to_numpy())
     offsets = np.r_[np.int64(0), np.cumsum(per_bucket)[:-1]]  # 2 KB
 
-    def number(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame(
-                {"pos": pd.Series(dtype="int64"),
-                 "doc_id": pd.Series(dtype="int64"),
-                 "source": pd.Series(dtype="object"),
-                 "pri": pd.Series(dtype="float64")})
-        df = df.sort_values(["pri", "doc_id"])
-        base = offsets[int(df["bucket"].iloc[0])]
-        return pd.DataFrame(
-            {"pos": base + np.arange(1, len(df) + 1, dtype=np.int64),
-             "doc_id": df["doc_id"].to_numpy(),
-             "source": df["source"].to_numpy(),
-             "pri": df["pri"].to_numpy()})
+    def number(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("pos", pa.int64()), ("doc_id", pa.int64()),
+                 ("source", pa.string()),
+                 ("pri", pa.float64())]).empty_table()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pri = t.column("pri").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, pri))
+        base = offsets[int(t.column("bucket")[0].as_py())]
+        t = t.take(pa.array(order))
+        return pa.table(
+            {"pos": pa.array(base + np.arange(1, t.num_rows + 1,
+                                              dtype=np.int64)),
+             "doc_id": t.column("doc_id"),
+             "source": t.column("source"),
+             "pri": t.column("pri")})
 
-    return withp.groupby("bucket").map_groups(number, batch_format="pandas")
+    return withp.groupby("bucket").map_groups(number, batch_format="pyarrow")
 
 
 def quality_filtered_docs(sf_dir: str, min_tokens: int = 20,
@@ -286,20 +293,27 @@ def quality_filtered_docs(sf_dir: str, min_tokens: int = 20,
     s = dedup_ngram_spans(sf_dir).map_batches(sf, batch_format="pyarrow")
     docs = read_docs(sf_dir, ["doc_id", "lang"]).map_batches(lf, batch_format="pyarrow")
 
-    def intersect(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("doc_id", as_index=False).agg(
-            bits=("bit", "sum"), n_tokens=("n_tokens", "max"),
-            dup_ratio=("dup_ratio", "max"))
-        g = g[(g["bits"] == ALL_LEGS) & (g["doc_id"] >= 0)]
-        return pd.DataFrame({
-            "doc_id": g["doc_id"].astype(np.int64),
-            "n_tokens": g["n_tokens"].astype(np.int64),
-            "dup_ratio": g["dup_ratio"].astype(np.float64),
-            "lang": np.full(len(g), "en", dtype=object)})
+    def intersect(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(ids, return_inverse=True)
+        bits = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(bits, inv, t.column("bit").to_numpy(zero_copy_only=False))
+        ntok = np.zeros(len(uu), dtype=np.int64)
+        np.maximum.at(ntok, inv, t.column("n_tokens").to_numpy(
+            zero_copy_only=False))
+        dup = np.full(len(uu), -np.inf)
+        np.fmax.at(dup, inv, t.column("dup_ratio").to_numpy(
+            zero_copy_only=False))
+        m = (bits == ALL_LEGS) & (uu >= 0)
+        return pa.table({
+            "doc_id": pa.array(uu[m].astype(np.int64)),
+            "n_tokens": pa.array(ntok[m]),
+            "dup_ratio": pa.array(dup[m]),
+            "lang": pa.array(np.full(int(m.sum()), "en", dtype=object))})
 
     out = (q.union(s, docs)
            .groupby("d_salt")
-           .map_groups(intersect, batch_format="pandas"))
+           .map_groups(intersect, batch_format="pyarrow"))
     from ccrawler_ray.functions.dedup import _stamp_schema
 
     return _stamp_schema(out, pa.schema(
@@ -393,17 +407,22 @@ def corpus_prep_stats(sf_dir: str, min_tokens: int = 20,
     out_schema = pa.schema([("lang", pa.string()), ("n_docs", pa.int64()),
                             ("sum_tokens", pa.int64())])
 
-    def intersect(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("doc_id", as_index=False).agg(
-            bits=("bit", "sum"), n_tokens=("n_tokens", "max"))
-        g = g[(g["bits"] == ALL_LEGS) & (g["doc_id"] >= 0)]
-        return pd.DataFrame({
-            "doc_id": g["doc_id"].astype(np.int64),
-            "n_tokens": g["n_tokens"].astype(np.int64)})
+    def intersect(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(ids, return_inverse=True)
+        bits = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(bits, inv, t.column("bit").to_numpy(zero_copy_only=False))
+        ntok = np.zeros(len(uu), dtype=np.int64)
+        np.maximum.at(ntok, inv, t.column("n_tokens").to_numpy(
+            zero_copy_only=False))
+        m = (bits == ALL_LEGS) & (uu >= 0)
+        return pa.table({
+            "doc_id": pa.array(uu[m].astype(np.int64)),
+            "n_tokens": pa.array(ntok[m])})
 
     kept = (q.union(s, m, c, k)
             .groupby("d_salt")
-            .map_groups(intersect, batch_format="pandas")
+            .map_groups(intersect, batch_format="pyarrow")
             .materialize())
     # the lang join raises on an empty side — cheap metadata guard on
     # the already-materialized (narrow) intersection
@@ -478,17 +497,20 @@ def mix_temperature_sample(sf_dir: str, alpha: float = TEMP_ALPHA,
     counts = parts.groupby("source")["n"].sum().to_dict()
     rates_ref = ray.put(temp_keep_rates(counts, alpha, frac))
 
-    def pick(df: pd.DataFrame) -> pd.DataFrame:
+    def pick(t: pa.Table) -> pa.Table:
         rates = ray.get(rates_ref)
-        h = hash64_batch([str(i) for i in df["doc_id"]], seed=seed)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = hash64_batch([str(i) for i in ids], seed=seed)
         u = (h.astype(np.float64) + 1.0) / 2.0 ** 64   # (0, 1]
-        r = df["source"].map(rates).to_numpy(dtype=np.float64)
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        us, code = np.unique(src, return_inverse=True)
+        r = np.array([rates[x] for x in us], dtype=np.float64)[code]
         keep = u <= r
-        return pd.DataFrame(
-            {"doc_id": df["doc_id"].to_numpy()[keep].astype(np.int64),
-             "source": df["source"].to_numpy()[keep]})
+        return pa.table(
+            {"doc_id": pa.array(ids[keep].astype(np.int64)),
+             "source": pa.array(src[keep])})
 
-    out = ds.map_batches(pick, batch_format="pandas")
+    out = ds.map_batches(pick, batch_format="pyarrow")
     return _stamp_schema(out, pa.schema([("doc_id", pa.int64()),
                                          ("source", pa.string())]))
 
