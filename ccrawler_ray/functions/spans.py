@@ -260,11 +260,17 @@ def spans_pack_multimodal(sf_dir: str, capacity: int = SPANS_PACK_CAPACITY,
     rows = ds.map_batches(cost_rows, batch_format="pyarrow").materialize()
 
     # pass 1: per-bucket token sums → exclusive prefix (driver-sized)
-    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
-        g = df.groupby("bkt", as_index=False)["n_tokens"].sum()
-        return g.rename(columns={"n_tokens": "s"})
+    def partial(t: pa.Table) -> pa.Table:
+        ub, inv = np.unique(
+            t.column("bkt").to_numpy(zero_copy_only=False),
+            return_inverse=True)
+        ssum = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(ssum, inv,
+                  t.column("n_tokens").to_numpy(zero_copy_only=False))
+        return pa.table({"bkt": pa.array(ub.astype(np.int64)),
+                         "s": pa.array(ssum)})
 
-    pdf = (rows.map_batches(partial, batch_format="pandas")
+    pdf = (rows.map_batches(partial, batch_format="pyarrow")
            .to_pandas().groupby("bkt", as_index=False)["s"].sum()
            .sort_values("bkt"))
     pdf["off"] = pdf["s"].cumsum() - pdf["s"]
@@ -272,28 +278,29 @@ def spans_pack_multimodal(sf_dir: str, capacity: int = SPANS_PACK_CAPACITY,
 
     cap = np.int64(capacity)
 
-    def pack(df: "pd.DataFrame") -> "pd.DataFrame":
-        if not len(df):
-            return pd.DataFrame(
-                {"doc_id": pd.Series(dtype="object"),
-                 "n_tokens": pd.Series(dtype="int64"),
-                 "n_media": pd.Series(dtype="int64"),
-                 "bin_id": pd.Series(dtype="int64"),
-                 "bin_off": pd.Series(dtype="int64"),
-                 "end_bin": pd.Series(dtype="int64")})
-        df = df.sort_values("row_no")
-        tok = df["n_tokens"].to_numpy()
-        base = offsets[int(df["bkt"].iloc[0])]
+    def pack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("doc_id", pa.string()), ("n_tokens", pa.int64()),
+                 ("n_media", pa.int64()), ("bin_id", pa.int64()),
+                 ("bin_off", pa.int64()),
+                 ("end_bin", pa.int64())]).empty_table()
+        order = np.argsort(
+            t.column("row_no").to_numpy(zero_copy_only=False),
+            kind="stable")
+        t = t.take(pa.array(order))
+        tok = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        base = offsets[int(t.column("bkt")[0].as_py())]
         pre = base + np.cumsum(tok) - tok
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy(),
-            "n_tokens": tok,
-            "n_media": df["n_media"].to_numpy(),
-            "bin_id": pre // cap,
-            "bin_off": pre % cap,
-            "end_bin": (pre + tok - 1) // cap})
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pa.array(tok.astype(np.int64)),
+            "n_media": t.column("n_media"),
+            "bin_id": pa.array(pre // cap),
+            "bin_off": pa.array(pre % cap),
+            "end_bin": pa.array((pre + tok - 1) // cap)})
 
-    return rows.groupby("bkt").map_groups(pack, batch_format="pandas")
+    return rows.groupby("bkt").map_groups(pack, batch_format="pyarrow")
 
 
 def spans_integrity_report(sf_dir: str):
