@@ -121,3 +121,54 @@ def test_corpus_lift_rejects_noncontiguous(tmp_path):
     pq.write_table(t, p)
     with _pytest.raises(ValueError, match="contiguous"):
         corpus_from_documents(str(p))
+
+
+def test_corpus_parquet_recovers_from_stale_partial(ray_session, tmp_path):
+    """A crashed build can leave a non-empty artifact dir WITHOUT its
+    completion marker; the next corpus_parquet call must sweep it and
+    rebuild instead of wedging on ENOTEMPTY forever (ADVICE r4)."""
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from ccrawler_ray.sources import corpus as C
+
+    src = tmp_path / "documents.parquet"
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", src)
+
+    out1 = Path(C.corpus_parquet(str(tmp_path)))
+    assert (out1 / ".done").exists()
+    n1 = sum(pq.read_metadata(f).num_rows for f in out1.glob("*.parquet"))
+
+    # simulate the crash: completion marker gone, dir non-empty + stale
+    (out1 / ".done").unlink()
+    (out1 / "junk.bin").write_bytes(b"partial")
+
+    out2 = Path(C.corpus_parquet(str(tmp_path)))
+    assert out2 == out1
+    assert (out2 / ".done").exists()
+    assert not (out2 / "junk.bin").exists(), "stale dir must be swept"
+    n2 = sum(pq.read_metadata(f).num_rows for f in out2.glob("*.parquet"))
+    assert n2 == n1
+
+    # and a third call is a pure memo hit
+    assert Path(C.corpus_parquet(str(tmp_path))) == out1
+
+
+def test_corpus_lift_rejects_duplicate_ids(ray_session, tmp_path):
+    """min/max alone cannot catch duplicate doc_ids ([0,2,2] passes);
+    the column-scan fallback must assert uniqueness (ADVICE r4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from ccrawler_ray.sources.corpus import corpus_from_documents
+
+    t = pa.table({"doc_id": pa.array([0, 2, 2], pa.int64()),
+                  "text": pa.array(["a b c", "d e f", "g h i"])})
+    p = tmp_path / "documents.parquet"
+    # stats disabled so the metadata path falls back to the scan
+    pq.write_table(t, p, write_statistics=False)
+    with _pytest.raises(ValueError, match="UNIQUE|contiguous"):
+        corpus_from_documents(str(p))
