@@ -241,13 +241,15 @@ def source_sketch_sim(sf_dir: str, num_perm: int = 128):
             "sig": pa.array([mins[i].tobytes() for i in range(len(starts))],
                             pa.binary())})
 
-    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
-        m = np.stack([np.frombuffer(s, dtype=np.uint64) for s in df["sig"]])
-        return pd.DataFrame({"source": [df["source"].iloc[0]],
-                             "sig": [m.min(axis=0).tobytes()]})
+    def fold(t: pa.Table) -> pa.Table:
+        m = np.stack([np.frombuffer(s, dtype=np.uint64)
+                      for s in t.column("sig").to_pylist()])
+        return pa.table({
+            "source": pa.array([t.column("source")[0].as_py()], pa.string()),
+            "sig": pa.array([m.min(axis=0).tobytes()], pa.binary())})
 
     merged = (ds.map_batches(partial, batch_format="pyarrow", batch_size=512)
-              .groupby("source").map_groups(fold, batch_format="pandas")
+              .groupby("source").map_groups(fold, batch_format="pyarrow")
               .to_pandas())  # #sources rows — driver-sized by construction
     merged = merged.sort_values("source").reset_index(drop=True)
     srcs = merged["source"].to_numpy()
@@ -885,33 +887,42 @@ def dedup_containment_stats(sf_dir: str, num_perm: int = 64,
     pairs = _lsh_candidate_pairs(sigs, bands, num_perm, threshold=threshold,
                                  exact=True, containment=True, stats=True)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                 "n_pairs": pd.Series(dtype="int64"),
-                                 "max_containment": pd.Series(
-                                     dtype="float64"),
-                                 "d_salt": pd.Series(dtype="int32")})
-        g = df.groupby("doc_id", as_index=False).agg(
-            n_pairs=("n_pairs", "sum"),
-            max_containment=("max_containment", "max"))
-        g["d_salt"] = (g["doc_id"].astype(np.int64) % salt_k).astype(np.int32)
-        return g
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("n_pairs", pa.int64()),
+                              ("max_containment", pa.float64()),
+                              ("d_salt", pa.int32())]).empty_table()
+        uu, inv = np.unique(
+            t.column("doc_id").to_numpy(zero_copy_only=False),
+            return_inverse=True)
+        n = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(n, inv, t.column("n_pairs").to_numpy(zero_copy_only=False))
+        mx = np.full(len(uu), -np.inf)
+        np.maximum.at(mx, inv, t.column("max_containment").to_numpy(
+            zero_copy_only=False))
+        return pa.table({
+            "doc_id": pa.array(uu.astype(np.int64)),
+            "n_pairs": pa.array(n),
+            "max_containment": pa.array(mx),
+            "d_salt": pa.array((uu % salt_k).astype(np.int32))})
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                 "n_pairs": pd.Series(dtype="int64"),
-                                 "max_containment": pd.Series(
-                                     dtype="float64")})
-        g = df.groupby("doc_id", as_index=False).agg(
-            n_pairs=("n_pairs", "sum"),
-            max_containment=("max_containment", "max"))
-        return g.astype({"doc_id": "int64", "n_pairs": "int64"})
+    def finish(t: pa.Table) -> pa.Table:
+        uu, inv = np.unique(
+            t.column("doc_id").to_numpy(zero_copy_only=False),
+            return_inverse=True)
+        n = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(n, inv, t.column("n_pairs").to_numpy(zero_copy_only=False))
+        mx = np.full(len(uu), -np.inf)
+        np.maximum.at(mx, inv, t.column("max_containment").to_numpy(
+            zero_copy_only=False))
+        return pa.table({"doc_id": pa.array(uu.astype(np.int64)),
+                         "n_pairs": pa.array(n),
+                         "max_containment": pa.array(mx)})
 
-    return (pairs.map_batches(partial, batch_format="pandas")
+    return (pairs.map_batches(partial, batch_format="pyarrow")
             .groupby("d_salt")
-            .map_groups(finish, batch_format="pandas"))
+            .map_groups(finish, batch_format="pyarrow"))
 
 
 # ngram_jaccard_pairs is the small-scale GROUND-TRUTH oracle: O(n²) by
@@ -1338,9 +1349,15 @@ def cc_labels(pairs, nodes, max_rounds: int, driver_threshold: int):
             "salt", pa.array((n % salt_k).astype(np.int32))
         )
 
-    def min_per_node(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby("node", sort=False)["label"].min().reset_index()
-        return out.astype({"node": "int64", "label": "int64"})
+    def min_per_node(t: pa.Table) -> pa.Table:
+        uu, inv = np.unique(
+            t.column("node").to_numpy(zero_copy_only=False),
+            return_inverse=True)
+        mn = np.full(len(uu), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mn, inv,
+                      t.column("label").to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(uu.astype(np.int64)),
+                         "label": pa.array(mn)})
 
     lab = None
     prev_sum = None
@@ -1348,7 +1365,7 @@ def cc_labels(pairs, nodes, max_rounds: int, driver_threshold: int):
         lab = (
             msgs.map_batches(add_salt, batch_format="pyarrow")
             .groupby("salt")
-            .map_groups(min_per_node, batch_format="pandas")
+            .map_groups(min_per_node, batch_format="pyarrow")
             .materialize()
         )
         cur_sum = lab.sum("label")
