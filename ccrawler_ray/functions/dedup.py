@@ -1615,49 +1615,55 @@ def _dedup_ngram_spans(sf_dir: str, n: int, min_docs: int):
              "h_salt": pa.array((out_h % np.uint64(256)).astype(np.int32))}
         )
 
-    def per_hash_group(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame(
-                {"doc_id": pd.Series(dtype="int64"),
-                 "tot_pos": pd.Series(dtype="int64"),
-                 "dup_pos": pd.Series(dtype="int64"),
-                 "d_salt": pd.Series(dtype="int32")})
+    def per_hash_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("tot_pos", pa.int64()),
+                              ("dup_pos", pa.int64()),
+                              ("d_salt", pa.int32())]).empty_table()
         # rows are per (hash, doc): group size == distinct docs with h
-        ndocs = df.groupby("h", sort=False)["doc_id"].transform("size")
-        g = (
-            df.assign(dup_pos=np.where(ndocs >= min_docs, df["n_pos"], 0))
-            .groupby("doc_id", sort=False)
-            .agg(tot_pos=("n_pos", "sum"), dup_pos=("dup_pos", "sum"))
-            .reset_index()
-        )
-        g["d_salt"] = (g["doc_id"] % salt_k).astype(np.int32)
-        return g
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        uh, hinv, hcnt = np.unique(h, return_inverse=True,
+                                   return_counts=True)
+        n_pos = t.column("n_pos").to_numpy(zero_copy_only=False)
+        dup_pos = np.where(hcnt[hinv] >= min_docs, n_pos, 0)
+        ud, dinv = np.unique(
+            t.column("doc_id").to_numpy(zero_copy_only=False),
+            return_inverse=True)
+        tot = np.zeros(len(ud), dtype=np.int64)
+        np.add.at(tot, dinv, n_pos)
+        dup = np.zeros(len(ud), dtype=np.int64)
+        np.add.at(dup, dinv, dup_pos)
+        return pa.table({
+            "doc_id": pa.array(ud.astype(np.int64)),
+            "tot_pos": pa.array(tot),
+            "dup_pos": pa.array(dup),
+            "d_salt": pa.array((ud % salt_k).astype(np.int32))})
 
-    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame(
-                {"doc_id": pd.Series(dtype="int64"),
-                 "n_windows": pd.Series(dtype="int64"),
-                 "dup_windows": pd.Series(dtype="int64"),
-                 "dup_ratio": pd.Series(dtype="float64")})
-        g = (
-            df.groupby("doc_id", sort=False)
-            .agg(n_windows=("tot_pos", "sum"), dup_windows=("dup_pos", "sum"))
-            .reset_index()
-        )
-        ratio = (g["dup_windows"].to_numpy() * 10_000
-                 // g["n_windows"].to_numpy()) / 10_000.0
-        return pd.DataFrame(
-            {"doc_id": g["doc_id"].astype(np.int64),
-             "n_windows": g["n_windows"].astype(np.int64),
-             "dup_windows": g["dup_windows"].astype(np.int64),
-             "dup_ratio": ratio})
+    def per_doc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("n_windows", pa.int64()),
+                              ("dup_windows", pa.int64()),
+                              ("dup_ratio", pa.float64())]).empty_table()
+        ud, dinv = np.unique(
+            t.column("doc_id").to_numpy(zero_copy_only=False),
+            return_inverse=True)
+        nw = np.zeros(len(ud), dtype=np.int64)
+        np.add.at(nw, dinv, t.column("tot_pos").to_numpy(zero_copy_only=False))
+        dw = np.zeros(len(ud), dtype=np.int64)
+        np.add.at(dw, dinv, t.column("dup_pos").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "doc_id": pa.array(ud.astype(np.int64)),
+            "n_windows": pa.array(nw),
+            "dup_windows": pa.array(dw),
+            "dup_ratio": pa.array((dw * 10_000 // nw) / 10_000.0)})
 
     rows = ds.map_batches(shingle_rows, batch_format="pyarrow")
     partials = rows.groupby("h_salt").map_groups(
-        per_hash_group, batch_format="pandas")
+        per_hash_group, batch_format="pyarrow")
     out = partials.groupby("d_salt").map_groups(
-        per_doc, batch_format="pandas")
+        per_doc, batch_format="pyarrow")
     return _stamp_schema(out, pa.schema(
         [("doc_id", pa.int64()), ("n_windows", pa.int64()),
          ("dup_windows", pa.int64()), ("dup_ratio", pa.float64())]))
@@ -1965,17 +1971,24 @@ def _inc_probe(band_rows, *, salt_k: int, num_perm: int,
     cand = band_rows.groupby(["band", "bh_salt"]).map_groups(
         bucket_candidates, batch_format="pandas")
 
-    def reduce_min(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return empty_out().drop(columns=["d_salt"])
-        df = df.sort_values(["doc_id", "dup_of"]).drop_duplicates("doc_id")
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy(),
-            "dup_of": df["dup_of"].to_numpy(),
-            "est_jaccard": np.round(df["est_jaccard"].to_numpy(), 4)})
+    def reduce_min(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("dup_of", pa.int64()),
+                              ("est_jaccard", pa.float64())]).empty_table()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        dup = t.column("dup_of").to_numpy(zero_copy_only=False)
+        est = t.column("est_jaccard").to_numpy(zero_copy_only=False)
+        order = np.lexsort((dup, ids))
+        ids, dup, est = ids[order], dup[order], est[order]
+        first = np.r_[True, ids[1:] != ids[:-1]]
+        return pa.table({
+            "doc_id": pa.array(ids[first].astype(np.int64)),
+            "dup_of": pa.array(dup[first].astype(np.int64)),
+            "est_jaccard": pa.array(np.round(est[first], 4))})
 
     out = cand.groupby("d_salt").map_groups(reduce_min,
-                                            batch_format="pandas")
+                                            batch_format="pyarrow")
     return _stamp_schema(out, pa.schema([("doc_id", pa.int64()),
                                          ("dup_of", pa.int64()),
                                          ("est_jaccard", pa.float64())]))
