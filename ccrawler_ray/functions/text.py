@@ -235,45 +235,50 @@ def tfidf_topk(sf_dir: str, k: int = 3):
              "tf": pa.array(tf.astype(np.int64)),
              "t_salt": pa.array(salts)})
 
-    def score_rows(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame(
-                {"doc_id": pd.Series(dtype="int64"),
-                 "term": pd.Series(dtype="object"),
-                 "sc": pd.Series(dtype="int64"),
-                 "d_salt": pd.Series(dtype="int32")})
-        # rows are distinct (doc, term): per-term group size == df
-        dfreq = df.groupby("term", sort=False)["doc_id"].transform("size")
-        sc = (df["tf"].to_numpy() * np.int64(n_docs) * 10_000
-              // dfreq.to_numpy())
-        return pd.DataFrame(
-            {"doc_id": df["doc_id"].to_numpy(),
-             "term": df["term"].to_numpy(),
-             "sc": sc.astype(np.int64),
-             "d_salt": (df["doc_id"].to_numpy() % salt_k).astype(np.int32)})
+    def score_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("term", pa.string()),
+                              ("sc", pa.int64()),
+                              ("d_salt", pa.int32())]).empty_table()
+        # rows are distinct (doc, term): per-term group size == dfreq
+        terms = t.column("term").to_numpy(zero_copy_only=False)
+        _, tinv, tcnt = np.unique(terms, return_inverse=True,
+                                  return_counts=True)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sc = (t.column("tf").to_numpy(zero_copy_only=False)
+              * np.int64(n_docs) * 10_000 // tcnt[tinv])
+        return pa.table(
+            {"doc_id": pa.array(ids.astype(np.int64)),
+             "term": pa.array(terms),
+             "sc": pa.array(sc.astype(np.int64)),
+             "d_salt": pa.array((ids % salt_k).astype(np.int32))})
 
-    def topk(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame(
-                {"doc_id": pd.Series(dtype="int64"),
-                 "term": pd.Series(dtype="object"),
-                 "score": pd.Series(dtype="float64"),
-                 "rank": pd.Series(dtype="int64")})
-        df = df.sort_values(["doc_id", "sc", "term"],
-                            ascending=[True, False, True])
-        g = df.groupby("doc_id", sort=False)
-        out = g.head(k).copy()
-        out["rank"] = out.groupby("doc_id", sort=False).cumcount() + 1
-        return pd.DataFrame(
-            {"doc_id": out["doc_id"].astype(np.int64),
-             "term": out["term"],
-             "score": out["sc"].to_numpy() / 10_000.0,
-             "rank": out["rank"].astype(np.int64)})
+    def topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("term", pa.string()),
+                              ("score", pa.float64()),
+                              ("rank", pa.int64())]).empty_table()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sc = t.column("sc").to_numpy(zero_copy_only=False)
+        terms = t.column("term").to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms, -sc, ids))
+        ids, sc, terms = ids[order], sc[order], terms[order]
+        starts = np.r_[0, np.flatnonzero(np.diff(ids)) + 1]
+        sizes = np.diff(np.r_[starts, len(ids)])
+        pos = np.arange(len(ids)) - np.repeat(starts, sizes)
+        keep = pos < k
+        return pa.table(
+            {"doc_id": pa.array(ids[keep].astype(np.int64)),
+             "term": pa.array(terms[keep]),
+             "score": pa.array(sc[keep] / 10_000.0),
+             "rank": pa.array((pos[keep] + 1).astype(np.int64))})
 
     rows = ds.map_batches(tf_rows, batch_format="pyarrow")
     scored = rows.groupby("t_salt").map_groups(score_rows,
-                                               batch_format="pandas")
-    return scored.groupby("d_salt").map_groups(topk, batch_format="pandas")
+                                               batch_format="pyarrow")
+    return scored.groupby("d_salt").map_groups(topk, batch_format="pyarrow")
 
 
 def char_entropy(sf_dir: str):
@@ -1944,16 +1949,17 @@ def model_auc_report(sf_dir: str):
 
     # pass 2: per-bucket groups — each bucket lands whole in one group,
     # so neg_below inside the bucket is a local prefix over its values
-    def per_bucket_group(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"num2": pd.Series(dtype="int64"),
-                                 "pos": pd.Series(dtype="int64"),
-                                 "neg": pd.Series(dtype="int64")})
+    def per_bucket_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("num2", pa.int64()), ("pos", pa.int64()),
+                              ("neg", pa.int64())]).empty_table()
         bks, offs = _ray.get(off_ref)
-        df = df.sort_values("logit")
-        lv = df["logit"].to_numpy()
-        pos_v = df["pos_v"].to_numpy()
-        neg_v = df["neg_v"].to_numpy()
+        order = np.argsort(
+            t.column("logit").to_numpy(zero_copy_only=False),
+            kind="stable")
+        lv = t.column("logit").to_numpy(zero_copy_only=False)[order]
+        pos_v = t.column("pos_v").to_numpy(zero_copy_only=False)[order]
+        neg_v = t.column("neg_v").to_numpy(zero_copy_only=False)[order]
         b = lv >> 6
         base = offs[np.searchsorted(bks, b)]
         # local negatives below, restarting at each bucket boundary
@@ -1962,12 +1968,13 @@ def model_auc_report(sf_dir: str):
         local0 = np.repeat(cum[starts], np.diff(np.r_[starts, len(b)]))
         neg_below = base + (cum - local0)
         num2 = int((pos_v * (2 * neg_below + neg_v)).sum())
-        return pd.DataFrame({"num2": [num2], "pos": [int(pos_v.sum())],
-                             "neg": [int(neg_v.sum())]})
+        return pa.table({"num2": pa.array([num2], pa.int64()),
+                         "pos": pa.array([int(pos_v.sum())], pa.int64()),
+                         "neg": pa.array([int(neg_v.sum())], pa.int64())})
 
     parts = (
         per_value.groupby("b_salt")
-        .map_groups(per_bucket_group, batch_format="pandas")
+        .map_groups(per_bucket_group, batch_format="pyarrow")
         .to_pandas()
     )
     num2 = int(parts["num2"].sum())
