@@ -1076,22 +1076,24 @@ def _lm_train_counts(ds) -> dict:
                          "cnt": pa.array(cnt),
                          "salt": pa.array(salt)})
 
-    def sum_group(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"kind": pd.Series(dtype="int8"),
-                                 "key": pd.Series(dtype="int64"),
-                                 "cnt": pd.Series(dtype="int64")})
-        key = df["key"].to_numpy()
+    def sum_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("kind", pa.int8()), ("key", pa.int64()),
+                              ("cnt", pa.int64())]).empty_table()
+        key = t.column("key").to_numpy(zero_copy_only=False)
         uk, inv = np.unique(key, return_inverse=True)
         tot = np.zeros(len(uk), dtype=np.int64)
-        np.add.at(tot, inv, df["cnt"].to_numpy())
-        return pd.DataFrame({"kind": np.full(len(uk), df["kind"].iloc[0],
-                                             dtype=np.int8),
-                             "key": uk, "cnt": tot})
+        np.add.at(tot, inv, t.column("cnt").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "kind": pa.array(np.full(len(uk),
+                                     t.column("kind")[0].as_py(),
+                                     dtype=np.int8)),
+            "key": pa.array(uk.astype(np.int64)),
+            "cnt": pa.array(tot)})
 
     parts = ds.map_batches(count_rows, batch_format="pyarrow")
     summed = parts.groupby(["kind", "salt"]).map_groups(
-        sum_group, batch_format="pandas")
+        sum_group, batch_format="pyarrow")
     pdf = summed.to_pandas()   # vocab-bounded, small by assumption
     model = {}
     for kind, name in ((0, "uni"), (1, "bi")):
@@ -1342,23 +1344,37 @@ def o10_pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY,
 
     ds = _read_docs(sf_dir, ["doc_id", "text", "source"])
 
-    def tok_rows(df: pd.DataFrame) -> pd.DataFrame:
-        seps = pl.Series(df["text"]).str.count_matches(_TOKEN_RE).to_numpy()
-        did = df["doc_id"].to_numpy()
-        return pd.DataFrame({
-            "doc_id": did,
-            "source": df["source"],
-            "n_tokens": (seps + 1).astype(np.int64),
-            "bkt": (did // width).astype(np.int32)})
+    def tok_rows(t: pa.Table) -> pa.Table:
+        seps = _pl_text(t).str.count_matches(_TOKEN_RE).to_numpy()
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(did.astype(np.int64)),
+            "source": t.column("source"),
+            "n_tokens": pa.array((seps + 1).astype(np.int64)),
+            "bkt": pa.array((did // width).astype(np.int32))})
 
-    rows = ds.map_batches(tok_rows, batch_format="pandas").materialize()
+    rows = ds.map_batches(tok_rows, batch_format="pyarrow").materialize()
 
     # pass 1: per-(source, bucket) token sums — map-side combine, tiny
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["source", "bkt"], as_index=False)["n_tokens"].sum()
-        return g.rename(columns={"n_tokens": "s"})
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("source", pa.string()),
+                              ("bkt", pa.int32()),
+                              ("s", pa.int64())]).empty_table()
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        bkt = t.column("bkt").to_numpy(zero_copy_only=False)
+        us, scode = np.unique(src, return_inverse=True)
+        ub, bcode = np.unique(bkt, return_inverse=True)
+        comp = scode.astype(np.int64) * len(ub) + bcode
+        uc, inv = np.unique(comp, return_inverse=True)
+        ssum = np.zeros(len(uc), dtype=np.int64)
+        np.add.at(ssum, inv,
+                  t.column("n_tokens").to_numpy(zero_copy_only=False))
+        return pa.table({"source": pa.array(us[uc // len(ub)]),
+                         "bkt": pa.array(ub[uc % len(ub)].astype(np.int32)),
+                         "s": pa.array(ssum)})
 
-    pdf = (rows.map_batches(partial, batch_format="pandas")
+    pdf = (rows.map_batches(partial, batch_format="pyarrow")
            .to_pandas()    # <= sources x n_buckets rows
            .groupby(["source", "bkt"], as_index=False)["s"].sum())
     # exclusive per-source prefix over bucket order -> offset table
@@ -1369,31 +1385,39 @@ def o10_pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY,
 
     cap = np.int64(capacity)
 
-    def pack(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame(
-                {"doc_id": pd.Series(dtype="int64"),
-                 "source": pd.Series(dtype="object"),
-                 "n_tokens": pd.Series(dtype="int64"),
-                 "bin_id": pd.Series(dtype="int64"),
-                 "bin_off": pd.Series(dtype="int64"),
-                 "end_bin": pd.Series(dtype="int64")})
-        df = df.sort_values(["source", "doc_id"])
-        tok = df["n_tokens"].to_numpy()
-        bkt = int(df["bkt"].iloc[0])
-        base = np.fromiter((offsets[(s, bkt)] for s in df["source"]),
-                           dtype=np.int64, count=len(df))
-        cum = df.groupby("source", sort=False)["n_tokens"].cumsum().to_numpy()
+    def pack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("source", pa.string()),
+                 ("n_tokens", pa.int64()), ("bin_id", pa.int64()),
+                 ("bin_off", pa.int64()),
+                 ("end_bin", pa.int64())]).empty_table()
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, src))
+        src, ids = src[order], ids[order]
+        tok = t.column("n_tokens").to_numpy(zero_copy_only=False)[order]
+        bkt = int(t.column("bkt")[0].as_py())
+        us, scode = np.unique(src, return_inverse=True)
+        base = np.array([offsets[(x, bkt)] for x in us],
+                        dtype=np.int64)[scode]
+        # per-source running sum over the (source, doc_id)-sorted rows
+        cumall = np.cumsum(tok)
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        carry = np.repeat(np.r_[0, cumall[starts[1:] - 1]]
+                          if len(starts) > 1 else [0],
+                          np.diff(np.r_[starts, len(src)]))
+        cum = cumall - carry
         pre = base + cum - tok
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy(),
-            "source": df["source"].to_numpy(),
-            "n_tokens": tok,
-            "bin_id": pre // cap,
-            "bin_off": pre % cap,
-            "end_bin": (pre + tok - 1) // cap})
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "source": pa.array(src),
+            "n_tokens": pa.array(tok.astype(np.int64)),
+            "bin_id": pa.array(pre // cap),
+            "bin_off": pa.array(pre % cap),
+            "end_bin": pa.array((pre + tok - 1) // cap)})
 
-    return rows.groupby("bkt").map_groups(pack, batch_format="pandas")
+    return rows.groupby("bkt").map_groups(pack, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
