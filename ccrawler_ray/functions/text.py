@@ -805,24 +805,45 @@ def zipf_fit(sf_dir: str, top_v: int = ZIPF_TOP_V):
                        % np.uint64(salt_k)).astype(np.int32)
         return g
 
-    def per_salt(df: pd.DataFrame) -> pd.DataFrame:
+    def per_salt(t: pa.Table) -> pa.Table:
         # every (source, word) pair lives in exactly ONE salt group →
         # the in-group sum is its final global count
-        g = df.groupby(["source", "word"], as_index=False)["cnt"].sum()
-        g = g.sort_values("cnt", ascending=False, kind="stable")
-        top = g.groupby("source", as_index=False).head(top_v)
-        return top[["source", "cnt"]].reset_index(drop=True)
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        wrd = t.column("word").to_numpy(zero_copy_only=False)
+        us, scode = np.unique(src, return_inverse=True)
+        uw, wcode = np.unique(wrd, return_inverse=True)
+        comp = scode.astype(np.int64) * len(uw) + wcode
+        uc, inv = np.unique(comp, return_inverse=True)
+        tot = np.zeros(len(uc), dtype=np.int64)
+        np.add.at(tot, inv, t.column("cnt").to_numpy(zero_copy_only=False))
+        gsrc = uc // len(uw)
+        # per-source top_v by count desc (stable tie order like the
+        # pandas head(top_v) after a stable global sort)
+        order = np.lexsort((np.arange(len(uc)), -tot))
+        gsrc_s, tot_s = gsrc[order], tot[order]
+        o2 = np.argsort(gsrc_s, kind="stable")
+        gsrc_s, tot_s = gsrc_s[o2], tot_s[o2]
+        starts = np.r_[0, np.flatnonzero(np.diff(gsrc_s)) + 1]
+        sizes = np.diff(np.r_[starts, len(gsrc_s)])
+        pos = np.arange(len(gsrc_s)) - np.repeat(starts, sizes)
+        keep = pos < top_v
+        return pa.table({"source": pa.array(us[gsrc_s[keep]]),
+                         "cnt": pa.array(tot_s[keep])})
 
-    def per_source(df: pd.DataFrame) -> pd.DataFrame:
-        cnts = np.sort(df["cnt"].to_numpy().astype(np.int64))[::-1][:top_v]
+    def per_source(t: pa.Table) -> pa.Table:
+        cnts = np.sort(t.column("cnt").to_numpy(
+            zero_copy_only=False).astype(np.int64))[::-1][:top_v]
         v, slope, intercept = zipf_finish(cnts)
-        return pd.DataFrame({"source": [df["source"].iloc[0]],
-                             "v": np.array([v], np.int64),
-                             "slope": [slope], "intercept": [intercept]})
+        return pa.table({
+            "source": pa.array([t.column("source")[0].as_py()],
+                               pa.string()),
+            "v": pa.array([v], pa.int64()),
+            "slope": pa.array([slope], pa.float64()),
+            "intercept": pa.array([intercept], pa.float64())})
 
     return (ds.map_batches(partial, batch_format="pandas")
-            .groupby("w_salt").map_groups(per_salt, batch_format="pandas")
-            .groupby("source").map_groups(per_source, batch_format="pandas"))
+            .groupby("w_salt").map_groups(per_salt, batch_format="pyarrow")
+            .groupby("source").map_groups(per_source, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
@@ -1940,31 +1961,43 @@ def model_auc_report(sf_dir: str):
             "v_salt": pa.array(
                 (((lv % salt_k) + salt_k) % salt_k).astype(np.int32))})
 
-    def reduce_values(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"logit": pd.Series(dtype="int64"),
-                                 "pos_v": pd.Series(dtype="int64"),
-                                 "neg_v": pd.Series(dtype="int64"),
-                                 "b_salt": pd.Series(dtype="int32")})
-        g = df.groupby("logit", as_index=False)[["pos_v", "neg_v"]].sum()
-        bucket = g["logit"].to_numpy() >> 6
-        g["b_salt"] = (((bucket % salt_k) + salt_k) % salt_k).astype("int32")
-        return g.astype({"pos_v": "int64", "neg_v": "int64"})
+    def reduce_values(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("logit", pa.int64()),
+                              ("pos_v", pa.int64()),
+                              ("neg_v", pa.int64()),
+                              ("b_salt", pa.int32())]).empty_table()
+        uk, inv = np.unique(
+            t.column("logit").to_numpy(zero_copy_only=False),
+            return_inverse=True)
+        pv = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(pv, inv, t.column("pos_v").to_numpy(zero_copy_only=False))
+        nv = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(nv, inv, t.column("neg_v").to_numpy(zero_copy_only=False))
+        bucket = uk >> 6
+        return pa.table({
+            "logit": pa.array(uk.astype(np.int64)),
+            "pos_v": pa.array(pv), "neg_v": pa.array(nv),
+            "b_salt": pa.array(
+                (((bucket % salt_k) + salt_k) % salt_k).astype(np.int32))})
 
     per_value = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("v_salt")
-        .map_groups(reduce_values, batch_format="pandas")
+        .map_groups(reduce_values, batch_format="pyarrow")
         .materialize()
     )
     # pass 1: per-bucket negative totals (driver rows bounded by the
     # logit value range >> 6)
-    def bucket_tot(df: pd.DataFrame) -> pd.DataFrame:
-        b = df["logit"].to_numpy() >> 6
-        g = pd.DataFrame({"bucket": b, "neg_v": df["neg_v"]})
-        return g.groupby("bucket", as_index=False)["neg_v"].sum()
+    def bucket_tot(t: pa.Table) -> pa.Table:
+        b = t.column("logit").to_numpy(zero_copy_only=False) >> 6
+        ub, inv = np.unique(b, return_inverse=True)
+        nv = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(nv, inv, t.column("neg_v").to_numpy(zero_copy_only=False))
+        return pa.table({"bucket": pa.array(ub.astype(np.int64)),
+                         "neg_v": pa.array(nv)})
 
-    bt = per_value.map_batches(bucket_tot, batch_format="pandas").to_pandas()
+    bt = per_value.map_batches(bucket_tot, batch_format="pyarrow").to_pandas()
     bt = bt.groupby("bucket", as_index=False)["neg_v"].sum().sort_values("bucket")
     buckets = bt["bucket"].to_numpy()
     neg_prefix = np.r_[0, np.cumsum(bt["neg_v"].to_numpy())][:-1]
