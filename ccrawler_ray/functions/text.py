@@ -552,31 +552,47 @@ def pmi_topk(sf_dir: str, k: int = 20, min_count: int = PMI_MIN_COUNT):
     ds = _read_docs(sf_dir, ["text"])
 
     # pass 1: unigram counts + total tokens (vocabulary-sized rows)
-    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
-        words = [w for t in df["text"] for w in t.split()]
-        s = pd.Series(words, dtype="object").value_counts()
-        return pd.DataFrame({"w": s.index, "c": s.to_numpy().astype(np.int64)})
+    def uni_partial(t: pa.Table) -> pa.Table:
+        words = [w for x in t.column("text").to_pylist()
+                 for w in x.split()]
+        if not words:
+            return pa.schema([("w", pa.string()),
+                              ("c", pa.int64())]).empty_table()
+        uw, c = np.unique(np.asarray(words, dtype=object),
+                          return_counts=True)
+        return pa.table({"w": pa.array(uw),
+                         "c": pa.array(c.astype(np.int64))})
 
-    uni = (ds.map_batches(uni_partial, batch_format="pandas")
+    uni = (ds.map_batches(uni_partial, batch_format="pyarrow")
            .groupby("w").aggregate(Sum("c", alias_name="c")).to_pandas())
     total = int(uni["c"].sum())
     uni_ref = ray.put(dict(zip(uni["w"], uni["c"].astype(int))))
 
     # pass 2: bigram counts — one salted shuffle, then local top-k
-    def bi_partial(df: pd.DataFrame) -> pd.DataFrame:
-        w1, w2 = [], []
-        for t in df["text"]:
-            toks = t.split()
-            w1.extend(toks[:-1])
-            w2.extend(toks[1:])
-        g = pd.DataFrame({"w1": w1, "w2": w2})
-        g = g.groupby(["w1", "w2"], as_index=False).size().rename(
-            columns={"size": "c"})
-        g["c"] = g["c"].astype(np.int64)
-        h = (word_hashes(list(g["w1"])) * np.uint64(0x9E3779B97F4A7C15)
-             + word_hashes(list(g["w2"])))
-        g["b_salt"] = (h % np.uint64(salt_k)).astype(np.int32)
-        return g
+    def bi_partial(tb: pa.Table) -> pa.Table:
+        w1l, w2l = [], []
+        for x in tb.column("text").to_pylist():
+            toks = x.split()
+            w1l.extend(toks[:-1])
+            w2l.extend(toks[1:])
+        if not w1l:
+            return pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                              ("c", pa.int64()),
+                              ("b_salt", pa.int32())]).empty_table()
+        w1a = np.asarray(w1l, dtype=object)
+        w2a = np.asarray(w2l, dtype=object)
+        u1, c1 = np.unique(w1a, return_inverse=True)
+        u2, c2 = np.unique(w2a, return_inverse=True)
+        comp = c1.astype(np.int64) * len(u2) + c2
+        uc, cnt = np.unique(comp, return_counts=True)
+        gw1 = u1[uc // len(u2)]
+        gw2 = u2[uc % len(u2)]
+        h = (word_hashes(list(gw1)) * np.uint64(0x9E3779B97F4A7C15)
+             + word_hashes(list(gw2)))
+        return pa.table({
+            "w1": pa.array(gw1), "w2": pa.array(gw2),
+            "c": pa.array(cnt.astype(np.int64)),
+            "b_salt": pa.array((h % np.uint64(salt_k)).astype(np.int32))})
 
     empty = pd.DataFrame({"w1": pd.Series(dtype="object"),
                           "w2": pd.Series(dtype="object"),
@@ -609,7 +625,7 @@ def pmi_topk(sf_dir: str, k: int = 20, min_count: int = PMI_MIN_COUNT):
 
     from ccrawler_ray.functions.dedup import _stamp_schema
 
-    out = (ds.map_batches(bi_partial, batch_format="pandas")
+    out = (ds.map_batches(bi_partial, batch_format="pyarrow")
            .groupby("b_salt").map_groups(per_salt, batch_format="pandas")
            .repartition(1)
            .map_batches(reduce_all, batch_format="pandas", batch_size=None))
