@@ -1446,23 +1446,27 @@ def ann_hybrid_search(sf_dir: str, terms: tuple = HYBRID_TERMS,
     joined = _join_auto(scores, vecs, "doc_id", "vec_id",
                         _rows_hint(sf_dir, "embeddings"))
 
-    def fuse(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["doc_id"] >= 0]
-        b = df["bm25"].to_numpy(dtype=np.float64)
-        c = df["cos"].to_numpy(dtype=np.float64)
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy().astype(np.int64),
-            "bm25": b, "cos": c,
-            "hybrid": 0.5 * (b / (1.0 + b)) + 0.5 * c})
+    def fuse(t: pa.Table) -> pa.Table:
+        m = t.column("doc_id").to_numpy(zero_copy_only=False) >= 0
+        b = t.column("bm25").to_numpy(zero_copy_only=False)[m] \
+            .astype(np.float64)
+        c = t.column("cos").to_numpy(zero_copy_only=False)[m] \
+            .astype(np.float64)
+        return pa.table({
+            "doc_id": pa.array(t.column("doc_id").to_numpy(
+                zero_copy_only=False)[m].astype(np.int64)),
+            "bm25": pa.array(b), "cos": pa.array(c),
+            "hybrid": pa.array(0.5 * (b / (1.0 + b)) + 0.5 * c)})
 
-    out = (joined.map_batches(fuse, batch_format="pandas")
+    out = (joined.map_batches(fuse, batch_format="pyarrow")
            .sort(["hybrid", "doc_id"], descending=[True, False]).limit(k))
 
-    def ranked(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(rank=np.arange(1, len(df) + 1, dtype=np.int64))
+    def ranked(t: pa.Table) -> pa.Table:
+        return t.append_column("rank", pa.array(
+            np.arange(1, t.num_rows + 1, dtype=np.int64)))
 
     # one block after limit(k) → the rank assignment is global
-    return _typed(out.repartition(1).map_batches(ranked, batch_format="pandas"),
+    return _typed(out.repartition(1).map_batches(ranked, batch_format="pyarrow"),
                   [("doc_id", pa.int64()), ("bm25", pa.float64()),
                    ("cos", pa.float64()), ("hybrid", pa.float64()),
                    ("rank", pa.int64())])

@@ -807,19 +807,31 @@ def zipf_fit(sf_dir: str, top_v: int = ZIPF_TOP_V):
     salt_k = coarse_salt_k()  # pinned on the driver: every row must agree
     ds = _read_docs(sf_dir, ["text", "source"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        words_per = [t.split() for t in df["text"]]
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        words_per = [x.split() for x in texts]
         lens = np.fromiter((len(w) for w in words_per), dtype=np.int64,
-                           count=len(df))
-        flat = pd.DataFrame({
-            "source": np.repeat(df["source"].to_numpy(), lens),
-            "word": [w for ws in words_per for w in ws]})
-        g = flat.groupby(["source", "word"], as_index=False).size()
-        g = g.rename(columns={"size": "cnt"})
-        g["cnt"] = g["cnt"].astype(np.int64)
-        g["w_salt"] = (word_hashes(list(g["word"]))
-                       % np.uint64(salt_k)).astype(np.int32)
-        return g
+                           count=len(texts))
+        if not lens.sum():
+            return pa.schema([("source", pa.string()),
+                              ("word", pa.string()),
+                              ("cnt", pa.int64()),
+                              ("w_salt", pa.int32())]).empty_table()
+        src = np.repeat(
+            t.column("source").to_numpy(zero_copy_only=False), lens)
+        wrd = np.asarray([w for ws in words_per for w in ws],
+                         dtype=object)
+        us, scode = np.unique(src, return_inverse=True)
+        uw, wcode = np.unique(wrd, return_inverse=True)
+        comp = scode.astype(np.int64) * len(uw) + wcode
+        uc, cnt = np.unique(comp, return_counts=True)
+        gw = uw[uc % len(uw)]
+        return pa.table({
+            "source": pa.array(us[uc // len(uw)]),
+            "word": pa.array(gw),
+            "cnt": pa.array(cnt.astype(np.int64)),
+            "w_salt": pa.array((word_hashes(list(gw))
+                                % np.uint64(salt_k)).astype(np.int32))})
 
     def per_salt(t: pa.Table) -> pa.Table:
         # every (source, word) pair lives in exactly ONE salt group →
@@ -857,7 +869,7 @@ def zipf_fit(sf_dir: str, top_v: int = ZIPF_TOP_V):
             "slope": pa.array([slope], pa.float64()),
             "intercept": pa.array([intercept], pa.float64())})
 
-    return (ds.map_batches(partial, batch_format="pandas")
+    return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("w_salt").map_groups(per_salt, batch_format="pyarrow")
             .groupby("source").map_groups(per_source, batch_format="pyarrow"))
 
