@@ -721,16 +721,30 @@ def lsh_pair_stream(sf_dir: str, num_perm: int = 64, bands: int = 16,
 def _pairs_artifact_dir(sf_dir: str, kind: str, params: tuple) -> "Path":
     """Deterministic per-process artifact root for a pair stream,
     keyed by source identity + params (pid-scoped: concurrent
-    processes never share a staging dir)."""
+    processes never share a staging dir). Stale siblings from dead
+    processes are pruned best-effort — without this every session
+    leaks its artifacts into /tmp (~85 dirs / 4.4 GB measured after
+    one day of runs)."""
     import os
+    import shutil
     import tempfile
+    import time
     from pathlib import Path
 
+    root = Path(tempfile.gettempdir()) / "ccrawler_ray_pairs"
+    try:  # prune artifacts untouched for > 6h (never this process's)
+        cutoff = time.time() - 6 * 3600
+        for d in root.iterdir():
+            if (d.is_dir() and not d.name.endswith(f"_{os.getpid()}")
+                    and d.stat().st_mtime < cutoff):
+                shutil.rmtree(d, ignore_errors=True)
+    except OSError:
+        pass
     src = os.path.realpath(f"{sf_dir}/documents.parquet")
     st = os.stat(src)
     tag = f"{src}|{st.st_size}|{int(st.st_mtime)}|{kind}|{params}|{os.getpid()}"
     key = hashlib.blake2b(tag.encode(), digest_size=8).hexdigest()
-    return Path(tempfile.gettempdir()) / "ccrawler_ray_pairs" / f"{kind}_{key}"
+    return root / f"{kind}_{key}_{os.getpid()}"
 
 
 def _pairs_doc_rollup(pairs_ds, metric_col: str, out_metric: str):
