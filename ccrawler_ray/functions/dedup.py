@@ -731,8 +731,11 @@ def _pairs_artifact_dir(sf_dir: str, kind: str, params: tuple) -> "Path":
     import time
     from pathlib import Path
 
+    from ccrawler_ray.scale import prune_scratch
+
+    prune_scratch()
     root = Path(tempfile.gettempdir()) / "ccrawler_ray_pairs"
-    try:  # prune artifacts untouched for > 6h (never this process's)
+    try:  # prune pair artifacts untouched for > 6h (never own pid's)
         cutoff = time.time() - 6 * 3600
         for d in root.iterdir():
             if (d.is_dir() and not d.name.endswith(f"_{os.getpid()}")
@@ -2071,6 +2074,8 @@ def dedup_index_roundtrip(sf_dir: str, num_perm: int = 64, bands: int = 16,
     base = _inc_band_rows(sigs, bands, band_salt_k, new_mod,
                           "base").drop_columns(["bh_salt"])
     # pid in the key: concurrent sessions must not rmtree each other
+    from ccrawler_ray.scale import prune_scratch
+    prune_scratch()
     key = hashlib.blake2b(f"{sf_dir}|{os.getpid()}".encode(),
                           digest_size=6).hexdigest()
     out = Path(tempfile.gettempdir()) / f"ccrawler_ray_lshidx_{key}"

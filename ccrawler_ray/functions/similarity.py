@@ -887,6 +887,8 @@ def ann_index_roundtrip(sf_dir: str, num_queries: int = 5, k: int = 5,
     cents, pq_cents, enc = _ivfpq_index(sf_dir, qm.shape[1],
                                         n_clusters, iters, train_mod)
     # pid in the key: concurrent sessions must not rmtree each other
+    from ccrawler_ray.scale import prune_scratch
+    prune_scratch()
     key = hashlib.blake2b(f"{sf_dir}|{os.getpid()}".encode(),
                           digest_size=6).hexdigest()
     root = Path(tempfile.gettempdir()) / f"ccrawler_ray_annidx_{key}"

@@ -134,3 +134,29 @@ def read_embeddings(sf_dir: str, columns=None, rows_per_block: int = 512):
     batches want more rows per task than text does)."""
     return sized_read(f"{sf_dir}/embeddings.parquet", columns=columns,
                       rows_per_block=rows_per_block)
+
+
+def prune_scratch(max_age_s: int = 6 * 3600) -> None:
+    """Best-effort removal of stale pid-scoped /tmp scratch dirs
+    (`ccrawler_ray_<kind>_<key>` from roundtrip queries and pair-
+    stream artifacts). Without this every process leaks its dirs —
+    hundreds of dirs / GBs measured after a day of sessions. The
+    shared content-keyed memo families (`ccrawler_ray_bench`,
+    `ccrawler_ray_corpus`) have no second underscore-separated part
+    and are never matched. mtime-gated, so live sessions (which
+    touch their dirs on every build) are never pruned."""
+    import shutil
+    import tempfile
+    import time
+    from pathlib import Path
+
+    cutoff = time.time() - max_age_s
+    try:
+        for d in Path(tempfile.gettempdir()).glob("ccrawler_ray_*_*"):
+            try:
+                if d.is_dir() and d.stat().st_mtime < cutoff:
+                    shutil.rmtree(d, ignore_errors=True)
+            except OSError:
+                continue
+    except OSError:
+        pass

@@ -151,6 +151,8 @@ def io_partitioned_roundtrip(sf_dir: str, num_partitions: int = 16):
     from ray.data.aggregate import Count, Max, Min, Sum
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    from ccrawler_ray.scale import prune_scratch
+    prune_scratch()
     key = hashlib.blake2b(f"{sf_dir}|{os.getpid()}".encode(),
                           digest_size=6).hexdigest()
     out = Path(tempfile.gettempdir()) / f"ccrawler_ray_part_{key}"

@@ -73,6 +73,8 @@ def io_csv_roundtrip(sf_dir: str):
     # same fixture must not rmtree each other's scratch dir mid-read
     key = hashlib.blake2b(f"{sf_dir}|{os.getpid()}".encode(),
                           digest_size=6).hexdigest()
+    from ccrawler_ray.scale import prune_scratch
+    prune_scratch()
     out = Path(tempfile.gettempdir()) / f"ccrawler_ray_csv_{key}"
     if out.exists():
         shutil.rmtree(out)

@@ -107,6 +107,8 @@ def io_ipc_roundtrip(sf_dir: str):
     # pid in the key: concurrent sessions must not rmtree each other
     key = hashlib.blake2b(f"{sf_dir}|{os.getpid()}".encode(),
                           digest_size=6).hexdigest()
+    from ccrawler_ray.scale import prune_scratch
+    prune_scratch()
     out = Path(tempfile.gettempdir()) / f"ccrawler_ray_ipc_{key}"
     if out.exists():
         shutil.rmtree(out)

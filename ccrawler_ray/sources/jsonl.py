@@ -60,6 +60,8 @@ def io_jsonl_roundtrip(sf_dir: str):
     docs = read_docs(sf_dir)
     key = hashlib.blake2b(f"{sf_dir}|{os.getpid()}".encode(),
                           digest_size=6).hexdigest()
+    from ccrawler_ray.scale import prune_scratch
+    prune_scratch()
     out = Path(tempfile.gettempdir()) / f"ccrawler_ray_jsonl_{key}"
     if out.exists():
         shutil.rmtree(out)
